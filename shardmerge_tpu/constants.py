@@ -1,0 +1,7 @@
+"""Sentinel layer indices.
+
+Parity: reference shard/constants.py:4-5.
+"""
+
+INPUT_LAYER = -1
+OUTPUT_LAYER = -2
