@@ -165,7 +165,7 @@ class SafeTensorsReader:
         begin, end = entry["data_offsets"]
         dtype = _ST_TO_NP[entry["dtype"]]
         arr = np.frombuffer(self._buf[begin:end], dtype=dtype)
-        arr = arr.reshape(entry["shape"])
+        arr = arr.reshape(tuple(entry["shape"]))
         return np.array(arr) if copy else arr
 
     def close(self):
