@@ -217,7 +217,9 @@ def save_file(
     offset = 0
     arrays = []
     for name, tensor in tensors.items():
-        arr = np.ascontiguousarray(tensor)
+        arr = np.asarray(tensor)
+        if not arr.flags.c_contiguous:  # ascontiguousarray would promote 0-d to 1-d
+            arr = np.ascontiguousarray(arr)
         st_dtype = _np_to_st_dtype(arr.dtype)
         nbytes = arr.nbytes
         header[name] = {

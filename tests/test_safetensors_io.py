@@ -34,7 +34,7 @@ def test_roundtrip_own_reader(tmp_path, rng):
             assert got.dtype == expect.dtype
             assert got.shape == expect.shape
             np.testing.assert_array_equal(
-                got.view(np.uint8).reshape(-1), expect.view(np.uint8).reshape(-1)
+                got.reshape(-1).view(np.uint8), expect.reshape(-1).view(np.uint8)
             )
 
 
@@ -46,8 +46,8 @@ def test_load_file_owns_data(tmp_path, rng):
     path.unlink()  # data must survive file removal
     for name, expect in tensors.items():
         np.testing.assert_array_equal(
-            loaded[name].view(np.uint8).reshape(-1),
-            expect.view(np.uint8).reshape(-1),
+            loaded[name].reshape(-1).view(np.uint8),
+            expect.reshape(-1).view(np.uint8),
         )
 
 
