@@ -1,0 +1,60 @@
+"""Exact order statistics without sorting.
+
+The reference takes percentile thresholds as exact elements of a full
+``torch.sort`` (shard/tensor/functions.py:113-119 cutoff, :138-147 cull).
+Sorting a 100M+-element tensor on TPU is catastrophically slow and
+memory-hungry; instead we binary-search the value's bit pattern.
+
+For non-negative IEEE-754 floats, the raw bit pattern (as uint32) is
+monotonically ordered, so the k-th smallest element can be found with 32
+rounds of counting — each a single streaming pass at HBM bandwidth, fully
+jittable, and trivially extensible to sharded tensors (the count becomes a
+``psum``). NaNs sort last, matching ``torch.sort`` semantics.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["kth_smallest_nonneg"]
+
+# Process 4 bits per round (16-way search): 8 passes instead of 32.
+_BITS_PER_ROUND = 4
+_ROUNDS = 32 // _BITS_PER_ROUND
+
+
+def kth_smallest_nonneg(x: jnp.ndarray, k: jnp.ndarray, axis_name: str | None = None):
+    """Return the k-th smallest element (0-indexed) of non-negative f32 ``x``.
+
+    Exactly equivalent to ``jnp.sort(x.ravel())[k]`` for arrays of
+    non-negative finite floats (NaNs permitted: they rank last, like
+    ``torch.sort``). ``k`` may be a traced scalar.
+
+    If ``axis_name`` is given, ``x`` is one shard of a distributed array and
+    counts are combined with ``psum`` over that mesh axis, yielding the global
+    order statistic.
+    """
+    u = jax.lax.bitcast_convert_type(x.ravel(), jnp.uint32)
+    k = jnp.asarray(k, jnp.int32)
+
+    def round_step(i, prefix):
+        shift = 32 - _BITS_PER_ROUND * (i + 1)
+        # Try candidate digits 1..2^B-1 at once (digit 0 trivially keeps the
+        # invariant; digit 2^B would overflow the current nibble/uint32).
+        cands = prefix + (
+            jnp.arange(1, 2**_BITS_PER_ROUND, dtype=jnp.uint32) << shift
+        )
+        # counts[j] = #elements strictly below candidate j (one fused pass).
+        below = u[:, None] < cands[None, :]
+        counts = jnp.sum(below.astype(jnp.int32), axis=0)
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+        # Largest candidate whose strict-below count is still <= k keeps the
+        # invariant count(u < prefix) <= k.
+        ok = counts <= k
+        step = jnp.sum(ok.astype(jnp.uint32)) << shift
+        return prefix + step
+
+    prefix = jax.lax.fori_loop(0, _ROUNDS, round_step, jnp.uint32(0))
+    return jax.lax.bitcast_convert_type(prefix, jnp.float32)

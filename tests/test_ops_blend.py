@@ -1,0 +1,208 @@
+"""Numerics-core tests: JAX blend ops vs the independent torch oracle, plus
+property tests mirroring reference tests/tensor/test_functions.py."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+from shardmerge_tpu.ops import blend
+from shardmerge_tpu.ops.select import kth_smallest_nonneg
+
+from . import oracle_torch as oracle
+
+
+def _rand(rng, shape, scale=1.0):
+    return (rng.standard_normal(shape) * scale).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# select
+# ---------------------------------------------------------------------------
+
+def test_kth_smallest_matches_sort(rng):
+    x = np.abs(_rand(rng, (513,)))
+    xs = np.sort(x)
+    for k in [0, 1, 100, 256, 512]:
+        assert float(kth_smallest_nonneg(jnp.asarray(x), k)) == xs[k]
+
+
+def test_kth_smallest_with_duplicates():
+    x = np.array([0.0, 0.0, 1.0, 1.0, 1.0, 2.5], np.float32)
+    for k in range(6):
+        assert float(kth_smallest_nonneg(jnp.asarray(x), k)) == np.sort(x)[k]
+
+
+# ---------------------------------------------------------------------------
+# fft / slerp / normalize
+# ---------------------------------------------------------------------------
+
+def test_fft_roundtrip(rng):
+    for shape in [(64,), (16, 24), (3, 8, 12)]:
+        x = _rand(rng, shape)
+        back = np.asarray(blend.ifft2_real(blend.fft2(jnp.asarray(x))))
+        np.testing.assert_allclose(back, x, atol=1e-4)
+
+
+def test_fft_matches_torch(rng):
+    for shape in [(128,), (24, 36)]:
+        x = _rand(rng, shape)
+        ours = np.asarray(blend.fft2(jnp.asarray(x)))
+        theirs = oracle.fft_transform(torch.from_numpy(x)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_slerp_endpoints(rng):
+    v0 = _rand(rng, (64,))
+    v1 = _rand(rng, (64,))
+    at0 = np.asarray(blend.slerp(jnp.asarray(v0), jnp.asarray(v1), 0.0))
+    np.testing.assert_allclose(at0, v0, rtol=1e-5, atol=1e-6)
+    expect = oracle.slerp(torch.from_numpy(v0), torch.from_numpy(v1), 0.7).numpy()
+    got = np.asarray(blend.slerp(jnp.asarray(v0), jnp.asarray(v1), 0.7))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+
+
+def test_normalize_tensor(rng):
+    x = _rand(rng, (32, 8))
+    normed, norm = blend.normalize_tensor(jnp.asarray(x))
+    assert np.isclose(float(jnp.linalg.norm(normed)), 1.0, rtol=1e-5)
+    assert np.isclose(float(norm), np.linalg.norm(x), rtol=1e-5)
+    z = jnp.zeros((4, 4), jnp.float32)
+    normed_z, norm_z = blend.normalize_tensor(z)
+    assert float(norm_z) == 0.0
+    np.testing.assert_array_equal(np.asarray(normed_z), np.zeros((4, 4)))
+
+
+# ---------------------------------------------------------------------------
+# interpolate_fft_components vs oracle
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape", [(64,), (16, 24), (32, 48)])
+@pytest.mark.parametrize("cutoff_pct,cull_pct", [(0.0, 0.0), (0.08, 0.2), (0.08, 0.0)])
+def test_interpolate_matches_oracle(rng, shape, cutoff_pct, cull_pct):
+    # Feed BOTH implementations identical complex inputs so the exact
+    # order-statistic thresholds and masks must agree bit-for-bit; only
+    # reduction rounding (slerp dot/norms) may differ.
+    c0 = (_rand(rng, shape) + 1j * _rand(rng, shape)).astype(np.complex64)
+    c1 = (_rand(rng, shape) + 1j * _rand(rng, shape)).astype(np.complex64)
+    numel = int(np.prod(shape))
+    ours = np.asarray(
+        blend.interpolate_fft_components(
+            jnp.asarray(c0),
+            jnp.asarray(c1),
+            jnp.float32(0.4),
+            jnp.float32(1.0),
+            jnp.int32(blend.cutoff_rank(numel, cutoff_pct)),
+            jnp.int32(blend.cull_rank(numel, cull_pct)),
+            jnp.int32(blend.cull_limit(numel, cull_pct)),
+            use_cutoff=cutoff_pct > 0,
+            use_cull=cull_pct > 0,
+        )
+    )
+    theirs = oracle.interpolate_fft_components(
+        torch.from_numpy(c0),
+        torch.from_numpy(c1),
+        t=0.4,
+        t_sum=1.0,
+        cutoff_pct=cutoff_pct,
+        cull_pct=cull_pct,
+    ).numpy()
+    scale = max(np.abs(theirs).max(), 1.0)
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-5 * scale)
+
+
+def _assert_mostly_close(ours, theirs, rtol, atol, max_flip_frac=0.02):
+    """Allclose allowing a small fraction of boundary mask flips: torch and
+    XLA FFTs differ by ~1e-7, so elements exactly at a threshold/sign
+    boundary legitimately land in different blend regimes."""
+    ours = np.asarray(ours)
+    close = np.isclose(ours, theirs, rtol=rtol, atol=atol)
+    frac = 1.0 - close.mean()
+    assert frac <= max_flip_frac, f"{frac:.3%} of elements mismatched"
+    # flipped elements must still be magnitude-bounded (no garbage values)
+    bound = 4.0 * max(np.abs(theirs).max(), atol)
+    assert np.all(np.abs(ours[~close]) <= bound)
+
+
+def test_arithmetic_matches_oracle(rng):
+    for agreement in [True, False]:
+        v0 = _rand(rng, (24, 16))
+        v1 = _rand(rng, (24, 16))
+        ours = np.asarray(
+            blend.task_arithmetic_fft2(
+                jnp.asarray(v0), jnp.asarray(v1), jnp.float32(1.0), agreement=agreement
+            )
+        )
+        theirs = oracle.task_arithmetic_fft2(
+            torch.from_numpy(v0), torch.from_numpy(v1), t=1.0, agreement=agreement
+        ).numpy()
+        scale = max(np.abs(theirs).max(), 1.0)
+        np.testing.assert_allclose(ours, theirs, rtol=2e-3, atol=2e-4 * scale)
+
+
+@pytest.mark.parametrize("shape", [(64,), (24, 36)])
+def test_merge_slerp_matches_oracle(rng, shape):
+    v0 = _rand(rng, shape)
+    v1 = _rand(rng, shape, scale=0.8)
+    ours, n0, n1 = blend.merge_tensors_fft2_slerp(
+        jnp.asarray(v0), jnp.asarray(v1), t=0.6, cutoff_pct=0.08, cull_pct=0.2
+    )
+    theirs, tn0, tn1 = oracle.merge_tensors_fft2_slerp(
+        torch.from_numpy(v0), torch.from_numpy(v1), t=0.6, cutoff_pct=0.08, cull_pct=0.2
+    )
+    assert np.isclose(n0, tn0, rtol=1e-5)
+    assert np.isclose(n1, tn1, rtol=1e-5)
+    scale = max(np.abs(theirs.numpy()).max(), 1e-3)
+    _assert_mostly_close(ours, theirs.numpy(), rtol=2e-3, atol=2e-4 * scale)
+
+
+def test_merge_slerp_small_norm_early_return(rng):
+    v0 = _rand(rng, (16, 16))
+    v1 = np.zeros((16, 16), np.float32)
+    merged, n0, n1 = blend.merge_tensors_fft2_slerp(jnp.asarray(v0), jnp.asarray(v1), t=0.5)
+    assert n1 == 0.0
+    np.testing.assert_allclose(
+        np.asarray(merged), v0 / np.linalg.norm(v0), rtol=1e-5
+    )
+
+
+def test_merge_slerp_lowrank_branch(rng):
+    v0 = _rand(rng, (16, 16))
+    v1 = _rand(rng, (16, 16)) * 0.01  # ratio < b=0.1 additive branch
+    ours, _, _ = blend.merge_tensors_fft2_slerp(jnp.asarray(v0), jnp.asarray(v1), t=0.5)
+    theirs, _, _ = oracle.merge_tensors_fft2_slerp(
+        torch.from_numpy(v0), torch.from_numpy(v1), t=0.5
+    )
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=2e-3, atol=1e-5)
+
+
+def test_merge_output_has_no_nan(rng):
+    v0 = _rand(rng, (32, 32))
+    v1 = _rand(rng, (32, 32))
+    merged, _, _ = blend.merge_tensors_fft2_slerp(
+        jnp.asarray(v0), jnp.asarray(v1), t=0.5, cutoff_pct=0.08, cull_pct=0.2
+    )
+    assert not np.any(np.isnan(np.asarray(merged)))
+
+
+def test_cull_zeroes_small_components(rng):
+    # with cull_pct=0.5 and no imag recursion, half the real components go to 0
+    v0 = np.abs(_rand(rng, (32, 32))) + 0.1  # same sign everywhere
+    v1 = np.abs(_rand(rng, (32, 32))) + 0.1
+    f0 = blend.fft2(jnp.asarray(v0))
+    f1 = blend.fft2(jnp.asarray(v1))
+    numel = 32 * 32
+    out = blend.interpolate_fft_components(
+        f0,
+        f1,
+        jnp.float32(0.5),
+        jnp.float32(1.0),
+        jnp.int32(0),
+        jnp.int32(blend.cull_rank(numel, 0.5)),
+        jnp.int32(blend.cull_limit(numel, 0.5)),
+        use_cutoff=False,
+        use_cull=True,
+        interp_imag=False,
+    )
+    zeros = np.sum(np.asarray(out.real) == 0.0)
+    assert zeros >= numel * 0.45
