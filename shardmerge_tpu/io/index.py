@@ -1,0 +1,415 @@
+"""Multi-model safetensors index resolution and async tensor fetch.
+
+Parity surface: reference shard/index.py — ModelShard (:30-36), TensorPromise
+(:38-58), HFMultiModelIndex (:60-276), OfflineMultiModelIndex (:279-500).
+
+Differences from the reference, by design:
+- Tensors resolve to numpy arrays (zero-copy mmap views via
+  shardmerge_tpu.io.safetensors_io); device placement is the merge engine's
+  job (single ``jax.device_put`` per tensor instead of per-op ``.to()``).
+- The canonical weight ordering lives in one function shared by both index
+  classes (the reference duplicates it verbatim, index.py:132-187/:349-404).
+- The in-memory tensor cache is claim-free but *evictable*
+  (``release_tensor``/``clear_memory_cache``); the reference's
+  ``_tensor_downloads`` grows without bound (index.py:79, :265).
+- Shard downloads honor the model's registered revision (the reference
+  hardcodes ``main``, index.py:233,247 — quirk fixed; does not affect
+  numerics).
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import logging
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from .download import DownloadManager
+from .safetensors_io import SafeTensorsReader
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "ModelShard",
+    "TensorPromise",
+    "HFMultiModelIndex",
+    "OfflineMultiModelIndex",
+    "ordered_weights",
+]
+
+
+@dataclass
+class ModelShard:
+    """A model weight shard and its metadata (reference index.py:30-36)."""
+
+    filename: str
+    contained_keys: List[str]
+    weight_map: Dict[str, str]
+    local_path: Optional[Path] = None
+
+
+class TensorPromise:
+    """A promise for an eventual (host, numpy) tensor (reference index.py:38-58)."""
+
+    def __init__(self, model_uri: str, tensor_name: str):
+        self.model_uri = model_uri
+        self.tensor_name = tensor_name
+        self._future: asyncio.Future = asyncio.get_event_loop().create_future()
+
+    async def get(self) -> np.ndarray:
+        return await self._future
+
+    def set_result(self, tensor: np.ndarray):
+        if not self._future.done():
+            self._future.set_result(tensor)
+
+    def set_exception(self, exc: Exception):
+        if not self._future.done():
+            self._future.set_exception(exc)
+
+
+def ordered_weights(weight_map: Dict[str, str]) -> List[str]:
+    """Canonical weight ordering: embed_tokens, per-layer components (layer
+    components discovered from layer 0, sorted alphabetically), model.norm,
+    lm_head, then everything else sorted.
+
+    Parity: reference index.py:132-187 (and its verbatim duplicate
+    :349-404), including the completeness check.
+    """
+    weights = list(weight_map.keys())
+
+    embed_weights = sorted(w for w in weights if "embed_tokens" in w)
+    layer_weights = [w for w in weights if "layers." in w]
+    norm_weights = sorted(w for w in weights if "model.norm.weight" in w)
+    lm_head_weights = sorted(w for w in weights if "lm_head" in w)
+    special = set(embed_weights + layer_weights + norm_weights + lm_head_weights)
+    other_weights = sorted(w for w in weights if w not in special)
+
+    layer_nums = sorted(
+        {int(w.split("layers.")[1].split(".")[0]) for w in layer_weights}
+    )
+    layer_0_prefix = "model.layers.0."
+    components = sorted(
+        w.replace(layer_0_prefix, "")
+        for w in layer_weights
+        if w.startswith(layer_0_prefix)
+    )
+
+    sorted_layer_weights = [
+        f"model.layers.{layer_num}.{component}"
+        for layer_num in layer_nums
+        for component in components
+    ]
+
+    result = (
+        embed_weights
+        + sorted_layer_weights
+        + norm_weights
+        + lm_head_weights
+        + other_weights
+    )
+
+    result_set, weights_set = set(result), set(weights)
+    if result_set != weights_set:
+        missing = weights_set - result_set
+        extra = result_set - weights_set
+        raise ValueError(
+            f"Weight ordering mismatch! Missing: {missing}, Extra: {extra}"
+        )
+    return result
+
+
+class _IndexBase:
+    """Shared bookkeeping for both index flavors."""
+
+    def __init__(self):
+        self.model_indexes: Dict[str, Dict] = {}
+        self.model_shards: Dict[str, Dict[str, ModelShard]] = {}
+        self._tensor_cache: Dict[Tuple[str, str], np.ndarray] = {}
+        self._ordered_weights: Dict[str, List[str]] = {}
+
+    def _register_index(self, model_id: str, index: dict):
+        if "weight_map" not in index:
+            raise ValueError(f"Index for {model_id!r} missing 'weight_map' key")
+        self.model_indexes[model_id] = index
+        shard_contents: Dict[str, List[str]] = {}
+        for tensor_name, shard_file in index["weight_map"].items():
+            shard_contents.setdefault(shard_file, []).append(tensor_name)
+        self.model_shards[model_id] = {
+            shard_file: ModelShard(
+                filename=shard_file,
+                contained_keys=tensor_keys,
+                weight_map={k: shard_file for k in tensor_keys},
+            )
+            for shard_file, tensor_keys in shard_contents.items()
+        }
+        self._ordered_weights[model_id] = ordered_weights(index["weight_map"])
+        logger.info(
+            "Initialized %d shards for model %s", len(shard_contents), model_id
+        )
+
+    def get_layer_order(self, model_id: str) -> List[str]:
+        if model_id not in self._ordered_weights:
+            raise KeyError(f"Model {model_id} not found in index")
+        return self._ordered_weights[model_id].copy()
+
+    def get_model_keys(self, model_id: str) -> Set[str]:
+        if model_id not in self.model_indexes:
+            raise KeyError(f"Model {model_id} not found in index")
+        return set(self.model_indexes[model_id]["weight_map"].keys())
+
+    def release_tensor(self, model_id: str, tensor_name: str):
+        """Evict one tensor from the in-memory cache."""
+        self._tensor_cache.pop((model_id, tensor_name), None)
+
+    def clear_memory_cache(self):
+        self._tensor_cache.clear()
+
+    def __contains__(self, model_id: str) -> bool:
+        return model_id in self.model_indexes
+
+    def __len__(self) -> int:
+        return len(self.model_indexes)
+
+
+class HFMultiModelIndex(_IndexBase):
+    """Index backed by HuggingFace Hub downloads (reference index.py:60-276)."""
+
+    def __init__(
+        self,
+        download_manager: Optional[DownloadManager] = None,
+        cache_path: Optional[Path] = None,
+        endpoint: Optional[str] = None,
+    ):
+        super().__init__()
+        self.download_manager = download_manager
+        self.cache_path = (
+            Path(cache_path)
+            if cache_path
+            else Path.home() / ".cache" / "shardmerge_tpu"
+        )
+        self.cache_path.mkdir(parents=True, exist_ok=True)
+        self._revisions: Dict[str, str] = {}
+        # HF_ENDPOINT is the standard huggingface_hub override; it also lets
+        # tests serve indexes/shards from a local aiohttp server.
+        import os
+
+        self.endpoint = (
+            endpoint or os.environ.get("HF_ENDPOINT") or "https://huggingface.co"
+        ).rstrip("/")
+
+    async def add_model(self, model_uri: str, revision: str = "main"):
+        """Fetch (or load from storage) a model's safetensors index.
+
+        Parity: reference index.py:82-130 — the index json is cached in
+        ``storage_dir/<model>/model.safetensors.index.json`` and reused.
+        """
+        if model_uri in self.model_indexes:
+            return
+
+        model_path = self.download_manager.storage_path / model_uri
+        model_index_path = model_path / "model.safetensors.index.json"
+        model_path.mkdir(parents=True, exist_ok=True)
+
+        if model_index_path.exists():
+            logger.info("Model %s already in storage; loading index", model_uri)
+            with open(model_index_path) as f:
+                index = json.load(f)
+        else:
+            import aiohttp
+
+            index_url = (
+                f"{self.endpoint}/{model_uri}/raw/{revision}/"
+                "model.safetensors.index.json"
+            )
+            async with aiohttp.ClientSession() as session:
+                async with session.get(index_url) as response:
+                    response.raise_for_status()
+                    text = await response.text()
+            with open(model_index_path, "w") as f:
+                f.write(text)
+            index = json.loads(text)
+            logger.info("Fetched index for model %s", model_uri)
+
+        self._revisions[model_uri] = revision
+        self._register_index(model_uri, index)
+
+    def _shard_url(self, model_uri: str, shard_name: str) -> str:
+        revision = self._revisions.get(model_uri, "main")
+        return (
+            f"{self.endpoint}/{model_uri}/resolve/{revision}/"
+            f"{shard_name}?download=true"
+        )
+
+    def get_tensor(self, model_uri: str, tensor_name: str) -> TensorPromise:
+        """Promise for a tensor; fulfilled from the in-memory cache or by an
+        async shard download + mmap read (reference index.py:195-221)."""
+        if model_uri not in self.model_indexes:
+            raise KeyError(f"Model {model_uri} not found in index")
+        index = self.model_indexes[model_uri]
+        if tensor_name not in index["weight_map"]:
+            raise KeyError(f"Tensor {tensor_name} not found in model {model_uri}")
+
+        promise = TensorPromise(model_uri, tensor_name)
+
+        cached = self._tensor_cache.get((model_uri, tensor_name))
+        if cached is not None:
+            promise.set_result(cached)
+            return promise
+
+        shard_name = index["weight_map"][tensor_name]
+        asyncio.create_task(self._load_tensor(promise, (model_uri, shard_name)))
+        return promise
+
+    async def preload_tensor(self, model_uri: str, tensor_name: str):
+        """Warm the shard containing ``tensor_name`` (reference index.py:223-236;
+        no_claims=-1 marks an unclaimed warm download)."""
+        try:
+            index = self.model_indexes[model_uri]
+            if tensor_name not in index["weight_map"]:
+                raise KeyError(
+                    f"Tensor {tensor_name} not found in model {model_uri}"
+                )
+            shard_name = index["weight_map"][tensor_name]
+            await self.download_manager.cache_file(
+                model_uri, self._shard_url(model_uri, shard_name), no_claims=-1
+            )
+        except Exception:
+            logger.exception(
+                "Failed to preload tensor %s from %s", tensor_name, model_uri
+            )
+
+    async def _load_tensor(self, promise: TensorPromise, shard_key: Tuple[str, str]):
+        try:
+            model_uri, shard_name = shard_key
+            shard = self.model_shards[model_uri][shard_name]
+            shard_url = self._shard_url(model_uri, shard_name)
+            await self.download_manager.cache_file(
+                model_uri, shard_url, no_claims=len(shard.contained_keys)
+            )
+            task = self.download_manager.downloads[(model_uri, shard_url)]
+            async with task.lock:  # held until the transfer completes
+                path = await self.download_manager.get_file(
+                    model_uri, shard_url, claim=True
+                )
+                if not path:
+                    raise RuntimeError(f"Failed to get shard {shard_name}")
+                shard.local_path = path
+
+            def read():
+                with SafeTensorsReader(shard.local_path) as reader:
+                    return reader.get_tensor(promise.tensor_name, copy=True)
+
+            tensor = await asyncio.to_thread(read)
+            self._tensor_cache[(model_uri, promise.tensor_name)] = tensor
+            promise.set_result(tensor)
+        except Exception as e:
+            logger.exception(
+                "Failed to load tensor %s from %s/%s",
+                promise.tensor_name,
+                shard_key[0],
+                shard_key[1],
+            )
+            promise.set_exception(e)
+
+
+class OfflineMultiModelIndex(_IndexBase):
+    """Index over local model directories only (reference index.py:279-500);
+    the model id is the directory name."""
+
+    def __init__(self):
+        super().__init__()
+        self.model_paths: Dict[str, Path] = {}
+
+    def add_model(self, model_path: Path):
+        model_path = Path(model_path)
+        if not model_path.is_dir():
+            raise NotADirectoryError(
+                f"Provided model path is not a directory: {model_path}"
+            )
+        model_id = model_path.name
+        if model_id in self.model_indexes:
+            logger.warning("Model %r already added. Skipping.", model_id)
+            return
+
+        model_index_path = model_path / "model.safetensors.index.json"
+        if not model_index_path.exists():
+            raise FileNotFoundError(
+                f"Index file 'model.safetensors.index.json' not found in {model_path}"
+            )
+        with open(model_index_path) as f:
+            try:
+                index = json.load(f)
+            except json.JSONDecodeError as e:
+                raise ValueError(
+                    f"Failed to parse index file {model_index_path}: {e}"
+                ) from e
+
+        self.model_paths[model_id] = model_path
+        try:
+            self._register_index(model_id, index)
+        except Exception:
+            # roll back the partial registration (reference index.py:339-345)
+            self.model_paths.pop(model_id, None)
+            self.model_indexes.pop(model_id, None)
+            self.model_shards.pop(model_id, None)
+            raise
+
+    def get_tensor(self, model_id: str, tensor_name: str) -> TensorPromise:
+        if model_id not in self.model_indexes:
+            raise KeyError(
+                f"Model ID {model_id!r} not found in index. "
+                "Add the model with add_model(Path(...)) first."
+            )
+        index = self.model_indexes[model_id]
+        if tensor_name not in index["weight_map"]:
+            raise KeyError(f"Tensor {tensor_name!r} not found in model {model_id!r}")
+
+        promise = TensorPromise(model_id, tensor_name)
+        cached = self._tensor_cache.get((model_id, tensor_name))
+        if cached is not None:
+            promise.set_result(cached)
+            return promise
+
+        shard_name = index["weight_map"][tensor_name]
+        asyncio.create_task(self._load_tensor(promise, (model_id, shard_name)))
+        return promise
+
+    async def preload_tensor(self, model_id: str, tensor_name: str):
+        """No-op transport-wise (local files); kept for surface parity."""
+        if model_id not in self.model_indexes:
+            raise KeyError(f"Model {model_id} not found in index")
+
+    async def _load_tensor(self, promise: TensorPromise, shard_key: Tuple[str, str]):
+        model_id, shard_name = shard_key
+        local_shard_path = None
+        try:
+            model_base_path = self.model_paths.get(model_id)
+            if not model_base_path:
+                raise RuntimeError(
+                    f"Internal error: base path for model {model_id!r} not found"
+                )
+            local_shard_path = model_base_path / shard_name
+            if not local_shard_path.exists():
+                raise FileNotFoundError(f"Shard file not found: {local_shard_path}")
+
+            def read():
+                with SafeTensorsReader(local_shard_path) as reader:
+                    return reader.get_tensor(promise.tensor_name, copy=True)
+
+            tensor = await asyncio.to_thread(read)
+            self._tensor_cache[(model_id, promise.tensor_name)] = tensor
+            promise.set_result(tensor)
+        except Exception as e:
+            logger.exception(
+                "Failed to load tensor %r from model %r shard %r (%s)",
+                promise.tensor_name,
+                model_id,
+                shard_name,
+                local_shard_path,
+            )
+            promise.set_exception(e)

@@ -1,0 +1,276 @@
+"""Output model writer mirroring the base model's shard layout.
+
+Parity surface: reference shard/writer.py — ShardLayer (:32-57), ModelWriter
+(:60-247): identical ``model.safetensors.index.json``, identical shard file
+names and tensor ordering, resume via ``_check_existing_shards``, and the
+same finalize completeness check.
+
+Performance redesign: the reference rewrites the whole shard file for every
+tensor added (read-modify-write, writer.py:124-143 — O(shard² ) write
+amplification). This writer buffers a shard's tensors in host RAM and writes
+the file once when the shard is complete. ``write_through=True`` restores the
+reference's per-tensor rewrite (finer-grained crash resume at heavy IO cost).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, Generator, List, Set
+
+import numpy as np
+
+from ..constants import INPUT_LAYER, OUTPUT_LAYER
+from .safetensors_io import SafeTensorsReader, save_file
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ShardLayer", "ModelWriter"]
+
+
+@dataclass
+class ShardLayer:
+    layer_order_idx: int
+    shard_name: str
+    layer_name: str
+    written: bool
+
+    @property
+    def layer_number(self) -> int:
+        """Map tensor names to layer indices with input/output sentinels.
+
+        Parity: reference writer.py:39-57 (embed_tokens -> INPUT_LAYER,
+        model.norm/lm_head -> OUTPUT_LAYER, model.layers.N -> N, else raise).
+        """
+        if self.layer_name.startswith("model.embed_tokens.weight"):
+            return INPUT_LAYER
+        if self.layer_name.startswith("model.norm.weight") or self.layer_name.startswith(
+            "lm_head.weight"
+        ):
+            return OUTPUT_LAYER
+        if self.layer_name.startswith("model.layers."):
+            splits = self.layer_name.split(".")
+            parsed = int(splits[2])
+            if str(parsed) == splits[2]:
+                return parsed
+        raise ValueError(f"Unknown layer name: {self.layer_name}")
+
+
+@dataclass
+class ModelWriter:
+    """Writes merged tensors into safetensors shards mirroring the base model."""
+
+    base_index: dict
+    output_path: Path
+    layer_order: List[str]
+    output_astype: np.dtype
+    write_through: bool = False
+    written_shard_layers: Set[tuple] = field(default_factory=set)
+    shard_to_tensors: Dict[str, Set[str]] = field(default_factory=dict)
+
+    def __post_init__(self):
+        self.output_path = Path(self.output_path)
+        self.output_path.mkdir(parents=True, exist_ok=True)
+
+        # Copy of the base index is the output index (reference writer.py:74-81).
+        self.index_path = self.output_path / "model.safetensors.index.json"
+        if not self.index_path.exists():
+            with open(self.index_path, "w") as f:
+                json.dump(self.base_index, f, indent=2)
+        else:
+            logger.info("Index already exists: %s", self.index_path)
+            with open(self.index_path) as f:
+                self.base_index = json.load(f)
+
+        self.shard_to_tensors = {}
+        for tensor_name, shard_name in self.base_index["weight_map"].items():
+            self.shard_to_tensors.setdefault(shard_name, set()).add(tensor_name)
+
+        self._pending: Dict[str, Dict[str, np.ndarray]] = {}
+        self._check_existing_shards()
+
+    # -- resume ----------------------------------------------------------------
+
+    def _check_existing_shards(self):
+        """Validate partially/fully written output shards and mark their
+        tensors as written (reference writer.py:93-113)."""
+        for shard_name, tensor_names in self.shard_to_tensors.items():
+            shard_path = self.output_path / shard_name
+            if not shard_path.exists():
+                continue
+            try:
+                missing = set(tensor_names)
+                with SafeTensorsReader(shard_path) as reader:
+                    for layer in reader.keys():
+                        if layer not in missing:
+                            raise ValueError(
+                                f"Tensor {layer} found in {shard_path} but not in "
+                                "base model"
+                            )
+                        missing.remove(layer)
+                        self.written_shard_layers.add((shard_name, layer))
+            except Exception as e:
+                logger.error("Error validating shard %s: %s", shard_name, e)
+                raise
+
+    # -- writing -----------------------------------------------------------------
+
+    def add_tensor(self, layer_name: str, tensor):
+        """Stage a merged tensor; the shard file is written once complete
+        (or immediately in write_through mode)."""
+        shard_name = self.base_index["weight_map"][layer_name]
+
+        if (shard_name, layer_name) in self.written_shard_layers:
+            logger.info(
+                "Skipping %s: already in written shard %s", layer_name, shard_name
+            )
+            return
+
+        arr = np.asarray(tensor)
+        if arr.dtype != self.output_astype:
+            arr = arr.astype(self.output_astype)
+        self._pending.setdefault(shard_name, {})[layer_name] = arr
+        self.written_shard_layers.add((shard_name, layer_name))
+
+        expected = self.shard_to_tensors[shard_name]
+        done = all((shard_name, name) in self.written_shard_layers for name in expected)
+        if self.write_through or done:
+            self._flush_shard(shard_name)
+
+    def _flush_shard(self, shard_name: str):
+        shard_path = self.output_path / shard_name
+        tensors: Dict[str, np.ndarray] = {}
+
+        # Merge any content already on disk (resume / write_through runs).
+        if shard_path.exists():
+            with SafeTensorsReader(shard_path) as reader:
+                for existing in reader.keys():
+                    tensors[existing] = reader.get_tensor(existing, copy=True)
+        tensors.update(self._pending.get(shard_name, {}))
+
+        ordered = {
+            name: tensors[name] for name in self.layer_order if name in tensors
+        }
+        try:
+            save_file(ordered, shard_path, metadata={"format": "pt"})
+            self._pending.pop(shard_name, None)
+            logger.info("Wrote shard %s (%d tensors)", shard_name, len(ordered))
+        except Exception as e:
+            # Parity (writer.py:146-149): drop the corrupt file, unmark the
+            # staged tensors, keep going; finalize() reports incompleteness.
+            logger.error("Error saving shard %s: %s", shard_name, e)
+            if shard_path.exists():
+                shard_path.unlink()
+            for name in self._pending.get(shard_name, {}):
+                self.written_shard_layers.discard((shard_name, name))
+
+    def finalize(self):
+        """Verify all shards were written completely (reference writer.py:151-161)."""
+        missing_layers = [
+            (shard_name, tensor_name)
+            for shard_name, tensor_names in self.shard_to_tensors.items()
+            for tensor_name in tensor_names
+            if (shard_name, tensor_name) not in self.written_shard_layers
+        ]
+        if missing_layers:
+            logger.error("Failed to write all layers. Missing: %s", missing_layers)
+            raise RuntimeError(
+                f"Incomplete model output: missing {len(missing_layers)} layers"
+            )
+
+    # -- iteration ----------------------------------------------------------------
+
+    def shard_layers(self) -> Generator[List[ShardLayer], None, None]:
+        """Yield per-shard lists of ShardLayer ordered by layer_order
+        (reference writer.py:163-180)."""
+        for shard_name, tensors in sorted(
+            self.shard_to_tensors.items(), key=lambda x: x[0]
+        ):
+            layers = []
+            for layer_order_idx, name in sorted(
+                (self.layer_order.index(name), name) for name in tensors
+            ):
+                layers.append(
+                    ShardLayer(
+                        layer_order_idx,
+                        shard_name,
+                        name,
+                        (shard_name, name) in self.written_shard_layers,
+                    )
+                )
+            yield layers
+
+    # -- constructors ----------------------------------------------------------------
+
+    @classmethod
+    def from_huggingface(
+        cls,
+        model_id: str,
+        output_path: Path,
+        layer_order: List[str],
+        revision: str = "main",
+        output_astype=None,
+        write_through: bool = False,
+    ) -> "ModelWriter":
+        """Initialize by downloading a model's config files (not weights)
+        from HuggingFace (reference writer.py:182-223)."""
+        from huggingface_hub import snapshot_download
+
+        output_path = Path(output_path)
+        output_path.mkdir(parents=True, exist_ok=True)
+
+        snapshot_download(
+            repo_id=model_id,
+            revision=revision,
+            ignore_patterns=["*.bin", "*.safetensors", "*.msgpack"],
+            local_dir=output_path,
+        )
+
+        index_path = output_path / "model.safetensors.index.json"
+        if not index_path.exists():
+            raise FileNotFoundError(f"Model index not found at {index_path}")
+        with open(index_path) as f:
+            base_index = json.load(f)
+
+        if output_astype is None:
+            import ml_dtypes
+
+            output_astype = np.dtype(ml_dtypes.bfloat16)
+        return cls(
+            base_index=base_index,
+            output_path=output_path,
+            layer_order=layer_order,
+            output_astype=output_astype,
+            write_through=write_through,
+        )
+
+    @classmethod
+    def like_model(
+        cls, model_path: Path, output_path: Path, output_astype=None
+    ) -> "ModelWriter":
+        """Initialize from a local model directory, deriving the layer order
+        from its shard files (reference writer.py:225-247)."""
+        model_path = Path(model_path)
+        index_path = model_path / "model.safetensors.index.json"
+        if not index_path.exists():
+            raise FileNotFoundError(f"Model index not found at {index_path}")
+        with open(index_path) as f:
+            base_index = json.load(f)
+
+        layer_order: List[str] = []
+        for file in sorted(model_path.glob("*.safetensors")):
+            with SafeTensorsReader(file) as reader:
+                layer_order.extend(reader.keys())
+
+        if output_astype is None:
+            import ml_dtypes
+
+            output_astype = np.dtype(ml_dtypes.bfloat16)
+        return cls(
+            base_index=base_index,
+            output_path=Path(output_path),
+            layer_order=layer_order,
+            output_astype=output_astype,
+        )

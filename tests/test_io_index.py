@@ -1,0 +1,185 @@
+"""Index tests: ordered-weights semantics, offline index, and the HF index
+end-to-end against a local server (index fetch + shard download + tensor read)."""
+
+import asyncio
+import json
+
+import numpy as np
+import pytest
+
+from shardmerge_tpu.io.download import DownloadManager
+from shardmerge_tpu.io.index import (
+    HFMultiModelIndex,
+    OfflineMultiModelIndex,
+    ordered_weights,
+)
+
+from .conftest import TINY_SHARD_MAP
+from .test_io_download import LocalServer
+
+
+def test_ordered_weights_llama_shape():
+    order = ordered_weights(TINY_SHARD_MAP)
+    assert order[0] == "model.embed_tokens.weight"
+    assert order[-2] == "model.norm.weight" or order[-1] == "lm_head.weight"
+    # layer 0 components all precede layer 1 components
+    i0 = max(i for i, w in enumerate(order) if "layers.0" in w)
+    i1 = min(i for i, w in enumerate(order) if "layers.1" in w)
+    assert i0 < i1
+    # components alphabetical within a layer
+    comps = [w for w in order if w.startswith("model.layers.0.")]
+    assert comps == sorted(comps)
+    assert set(order) == set(TINY_SHARD_MAP)
+
+
+def test_ordered_weights_rejects_irregular_layers():
+    # a key that exists for layer 1 but not layer 0 breaks the discovered
+    # component pattern -> must raise, not silently drop (index.py:181-186)
+    weight_map = {
+        "model.embed_tokens.weight": "a",
+        "model.layers.0.mlp.weight": "a",
+        "model.layers.1.mlp.weight": "a",
+        "model.layers.1.extra.weight": "a",
+    }
+    with pytest.raises(ValueError, match="mismatch"):
+        ordered_weights(weight_map)
+
+
+def test_offline_index_roundtrip(tiny_model_factory):
+    path, tensors = tiny_model_factory("model-a", seed=1)
+
+    async def main():
+        index = OfflineMultiModelIndex()
+        index.add_model(path)
+        assert "model-a" in index
+        assert len(index) == 1
+        keys = index.get_model_keys("model-a")
+        assert keys == set(TINY_SHARD_MAP)
+        order = index.get_layer_order("model-a")
+        assert set(order) == keys
+
+        promise = index.get_tensor("model-a", "model.layers.0.mlp.gate_proj.weight")
+        got = await promise.get()
+        np.testing.assert_array_equal(
+            got, tensors["model.layers.0.mlp.gate_proj.weight"]
+        )
+        # second fetch hits the memory cache (same object)
+        again = await index.get_tensor(
+            "model-a", "model.layers.0.mlp.gate_proj.weight"
+        ).get()
+        assert again is got
+        # eviction works
+        index.release_tensor("model-a", "model.layers.0.mlp.gate_proj.weight")
+        fresh = await index.get_tensor(
+            "model-a", "model.layers.0.mlp.gate_proj.weight"
+        ).get()
+        assert fresh is not got
+        np.testing.assert_array_equal(fresh, got)
+
+    asyncio.run(main())
+
+
+def test_offline_index_errors(tmp_path, tiny_model_factory):
+    index = OfflineMultiModelIndex()
+    with pytest.raises(NotADirectoryError):
+        index.add_model(tmp_path / "nope")
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        index.add_model(empty)
+
+    path, _ = tiny_model_factory("model-b", seed=2)
+    index.add_model(path)
+    with pytest.raises(KeyError):
+        index.get_tensor("unknown", "x")
+    with pytest.raises(KeyError):
+        index.get_tensor("model-b", "not.a.tensor")
+
+
+def test_hf_index_end_to_end(tmp_path, tiny_model_factory):
+    """Full network path: index json over HTTP, shard download, mmap read."""
+    src_path, tensors = tiny_model_factory("src", seed=3)
+
+    async def main():
+        async with LocalServer() as server:
+            # serve the model's index and shards at HF-style URLs
+            with open(src_path / "model.safetensors.index.json", "rb") as f:
+                server.blobs["/org/model/raw/main/model.safetensors.index.json"] = (
+                    f.read()
+                )
+            for shard in set(TINY_SHARD_MAP.values()):
+                server.blobs[f"/org/model/resolve/main/{shard}"] = (
+                    src_path / shard
+                ).read_bytes()
+
+            storage = tmp_path / "storage"
+            manager = DownloadManager(storage_path=storage)
+            index = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "cache",
+                endpoint=server.base,
+            )
+            await index.add_model("org/model")
+            assert index.get_model_keys("org/model") == set(TINY_SHARD_MAP)
+
+            # index json was cached into storage
+            assert (storage / "org/model/model.safetensors.index.json").exists()
+
+            name = "model.layers.1.self_attn.q_proj.weight"
+            await index.preload_tensor("org/model", name)
+            got = await index.get_tensor("org/model", name).get()
+            np.testing.assert_array_equal(got, tensors[name])
+
+            # add_model again is a no-op; re-adding from storage works too
+            await index.add_model("org/model")
+            index2 = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "cache",
+                endpoint="http://127.0.0.1:1",  # unreachable: storage must hit
+            )
+            await index2.add_model("org/model")
+            assert index2.get_model_keys("org/model") == set(TINY_SHARD_MAP)
+
+    asyncio.run(main())
+
+
+def test_hf_index_concurrent_same_shard(tmp_path, tiny_model_factory):
+    """Concurrent get_tensor calls for tensors of one shard must not corrupt
+    the claim accounting (reference benign race, download.py:152-157)."""
+    src_path, tensors = tiny_model_factory("src2", seed=4)
+
+    async def main():
+        async with LocalServer() as server:
+            with open(src_path / "model.safetensors.index.json", "rb") as f:
+                server.blobs["/o/m/raw/main/model.safetensors.index.json"] = f.read()
+            for shard in set(TINY_SHARD_MAP.values()):
+                server.blobs[f"/o/m/resolve/main/{shard}"] = (
+                    src_path / shard
+                ).read_bytes()
+
+            manager = DownloadManager(storage_path=tmp_path / "st")
+            index = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "c",
+                endpoint=server.base,
+            )
+            await index.add_model("o/m")
+            names = [
+                n
+                for n, s in TINY_SHARD_MAP.items()
+                if s == "model-00001-of-00003.safetensors"
+            ]
+            results = await asyncio.gather(
+                *[index.get_tensor("o/m", n).get() for n in names]
+            )
+            for n, r in zip(names, results):
+                np.testing.assert_array_equal(r, tensors[n])
+            # the shard was downloaded exactly once
+            hits = [
+                k
+                for k in server.hits
+                if k.endswith("model-00001-of-00003.safetensors")
+            ]
+            assert server.hits[hits[0]] == 1
+
+    asyncio.run(main())
