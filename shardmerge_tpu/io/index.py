@@ -152,25 +152,39 @@ class _IndexBase:
             "Initialized %d shards for model %s", len(shard_contents), model_id
         )
 
+    def _resolve(self, model_id: str) -> str:
+        """Map an external model reference to the registered id (the offline
+        index accepts both directory names and full paths)."""
+        return model_id
+
     def get_layer_order(self, model_id: str) -> List[str]:
+        model_id = self._resolve(model_id)
         if model_id not in self._ordered_weights:
             raise KeyError(f"Model {model_id} not found in index")
         return self._ordered_weights[model_id].copy()
 
     def get_model_keys(self, model_id: str) -> Set[str]:
+        model_id = self._resolve(model_id)
         if model_id not in self.model_indexes:
             raise KeyError(f"Model {model_id} not found in index")
         return set(self.model_indexes[model_id]["weight_map"].keys())
 
+    def get_index(self, model_id: str) -> Dict:
+        """The raw index.json dict for a model."""
+        model_id = self._resolve(model_id)
+        if model_id not in self.model_indexes:
+            raise KeyError(f"Model {model_id} not found in index")
+        return self.model_indexes[model_id]
+
     def release_tensor(self, model_id: str, tensor_name: str):
         """Evict one tensor from the in-memory cache."""
-        self._tensor_cache.pop((model_id, tensor_name), None)
+        self._tensor_cache.pop((self._resolve(model_id), tensor_name), None)
 
     def clear_memory_cache(self):
         self._tensor_cache.clear()
 
     def __contains__(self, model_id: str) -> bool:
-        return model_id in self.model_indexes
+        return self._resolve(model_id) in self.model_indexes
 
     def __len__(self) -> int:
         return len(self.model_indexes)
@@ -324,6 +338,10 @@ class OfflineMultiModelIndex(_IndexBase):
     def __init__(self):
         super().__init__()
         self.model_paths: Dict[str, Path] = {}
+        self._aliases: Dict[str, str] = {}
+
+    def _resolve(self, model_id: str) -> str:
+        return self._aliases.get(str(model_id), str(model_id))
 
     def add_model(self, model_path: Path):
         model_path = Path(model_path)
@@ -358,8 +376,13 @@ class OfflineMultiModelIndex(_IndexBase):
             self.model_indexes.pop(model_id, None)
             self.model_shards.pop(model_id, None)
             raise
+        # allow lookups by the exact path string used by the caller's config
+        self._aliases[model_id] = model_id
+        self._aliases[str(model_path)] = model_id
+        self._aliases[str(model_path.resolve())] = model_id
 
     def get_tensor(self, model_id: str, tensor_name: str) -> TensorPromise:
+        model_id = self._resolve(model_id)
         if model_id not in self.model_indexes:
             raise KeyError(
                 f"Model ID {model_id!r} not found in index. "
@@ -381,7 +404,7 @@ class OfflineMultiModelIndex(_IndexBase):
 
     async def preload_tensor(self, model_id: str, tensor_name: str):
         """No-op transport-wise (local files); kept for surface parity."""
-        if model_id not in self.model_indexes:
+        if self._resolve(model_id) not in self.model_indexes:
             raise KeyError(f"Model {model_id} not found in index")
 
     async def _load_tensor(self, promise: TensorPromise, shard_key: Tuple[str, str]):

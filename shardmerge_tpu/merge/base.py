@@ -1,0 +1,182 @@
+"""Merge orchestration base.
+
+Parity surface: reference shard/merge/base.py:96-223 (MergeTensorsBase).
+The reference's unused TaskRunner (base.py:37-94, dead code) is intentionally
+not carried over.
+
+Data flow per tensor: host numpy (mmap view / download) -> ``jax.device_put``
+-> fp32 delta on device -> reduction -> ``base + delta`` -> bf16 -> host ->
+writer. Device placement is implicit (the default JAX device, i.e. the TPU
+when present); tests run the same code on CPU.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from abc import ABC, abstractmethod
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MergeConfig, MergeModel
+from ..io.index import HFMultiModelIndex
+from ..io.writer import ModelWriter, ShardLayer
+
+logger = logging.getLogger(__name__)
+
+
+@jax.jit
+def _delta_fp32(ft, base):
+    """(finetune - base) in fp32 (reference base.py:121-137 without alpha)."""
+    return ft.astype(jnp.float32) - base.astype(jnp.float32)
+
+
+@jax.jit
+def _scale(x, alpha):
+    return x * alpha
+
+
+class MergeTensorsBase(ABC):
+    """Merges multiple finetuned models by computing and combining deltas."""
+
+    def __init__(
+        self,
+        config: MergeConfig,
+        index_manager=None,
+    ):
+        self.config = config
+        self.index_manager = index_manager or HFMultiModelIndex()
+
+    @abstractmethod
+    def get_readme(self) -> str:
+        """README text for the output model."""
+        return "No readme defined"
+
+    @abstractmethod
+    async def _merge_layer(self, shard_layer: ShardLayer) -> np.ndarray:
+        """Produce the merged tensor for one layer."""
+        raise NotImplementedError
+
+    async def _fetch(self, model_uri: str, tensor_name: str) -> jnp.ndarray:
+        """Fetch a tensor to the device (single host->HBM transfer)."""
+        host = await self.index_manager.get_tensor(model_uri, tensor_name).get()
+        return jax.device_put(host)
+
+    async def get_base_output_tensor(self, shard_layer: ShardLayer) -> jnp.ndarray:
+        """Base-model tensor in fp32 (reference base.py:117-119)."""
+        t = await self._fetch(self.config.output_base_model, shard_layer.layer_name)
+        return t.astype(jnp.float32)
+
+    async def get_delta_for_models(
+        self,
+        models: List[MergeModel],
+        shard_layer: ShardLayer,
+        apply_alpha: bool = True,
+    ) -> List[jnp.ndarray]:
+        """Per-model fp32 deltas ``(ft - base) [* alpha]``.
+
+        Parity: reference base.py:121-137 — base tensors are fetched once per
+        distinct base uri (the index memory cache provides the reuse).
+        """
+        results = []
+        for model in models:
+            base_tensor = await self._fetch(model.base, shard_layer.layer_name)
+            model_tensor = await self._fetch(model.model, shard_layer.layer_name)
+            delta = _delta_fp32(model_tensor, base_tensor)
+            if apply_alpha:
+                delta = _scale(delta, jnp.float32(model.alpha))
+            results.append(delta)
+        return results
+
+    async def initialize(self):
+        """Register all models and validate identical key sets
+        (reference base.py:139-162)."""
+        await self._add_model(self.config.output_base_model)
+        self.index_doc = self.index_manager.get_index(self.config.output_base_model)
+
+        for model in self.config.finetune_merge:
+            await self._add_model(model.base)
+            await self._add_model(model.model)
+
+        base_keys = self.index_manager.get_model_keys(self.config.output_base_model)
+        for model in self.config.finetune_merge:
+            model_keys = self.index_manager.get_model_keys(model.model)
+            missing_keys = base_keys - model_keys
+            extra_keys = model_keys - base_keys
+            if missing_keys or extra_keys:
+                raise ValueError(
+                    f"Model {model.model} architecture mismatch with base model "
+                    f"{self.config.output_base_model}\n"
+                    f"Missing keys: {missing_keys}\n"
+                    f"Extra keys: {extra_keys}"
+                )
+
+    async def _add_model(self, model_uri: str):
+        """add_model across both index flavors (HF is async, offline is not)."""
+        result = self.index_manager.add_model(model_uri)
+        if asyncio.iscoroutine(result):
+            await result
+
+    def get_writer(self, layer_order: List[str]) -> ModelWriter:
+        return ModelWriter(
+            base_index=self.index_doc,
+            output_path=self.config.output_path,
+            layer_order=layer_order,
+            output_astype=self.config.output_astype,
+            write_through=self.config.write_through,
+        )
+
+    async def merge(self, device: Optional[str] = None):
+        """Run the full merge (reference base.py:173-210).
+
+        ``device`` is accepted for CLI parity and ignored: placement is JAX's
+        default device.
+        """
+        await self.initialize()
+        logger.info("init complete")
+
+        layer_order = self.index_manager.get_layer_order(
+            self.config.output_base_model
+        )
+        writer = self.get_writer(layer_order)
+
+        for shard_layers in writer.shard_layers():
+            pending = [sl for sl in shard_layers if not sl.written]
+            await self._process_layers(writer, pending)
+
+        writer.finalize()
+
+        readme = self.get_readme()
+        if readme is None:
+            readme = "No README defined"
+            logger.warning("No README defined. Using default.")
+        with open(self.config.output_path / "README.md", "w") as f:
+            f.write(readme)
+        logger.info("Merge complete. Output saved to %s", self.config.output_path)
+
+    async def _process_layers(
+        self, writer: ModelWriter, shard_layers: List[ShardLayer]
+    ):
+        shard_layer = None
+        try:
+            for shard_layer in shard_layers:
+                out_tensor = await self._merge_layer(shard_layer)
+                writer.add_tensor(shard_layer.layer_name, np.asarray(out_tensor))
+                self._evict_layer(shard_layer.layer_name)
+        except Exception as e:
+            name = shard_layer.layer_name if shard_layer else "?"
+            logger.error("Error processing %s: %s", name, e)
+            raise
+
+    def _evict_layer(self, tensor_name: str):
+        """Release the layer's tensors from the index memory cache (the
+        reference's cache grows unboundedly; see io/index.py)."""
+        models = {self.config.output_base_model}
+        for m in self.config.finetune_merge:
+            models.add(m.model)
+            models.add(m.base)
+        for model in models:
+            self.index_manager.release_tensor(model, tensor_name)

@@ -1,0 +1,374 @@
+"""Fast Fourier merge engine — the default merger (CLI `merge`).
+
+Parity surface: reference shard/merge/fast_fourier.py:79-276 (the module the
+reference CLI imports, __main__.py:22). Behavior reproduced:
+
+- input/output passthrough with base-model fallback (:104-130)
+- per-layer model gating via use_layer_index (:135)
+- deltas computed WITHOUT alpha; alphas only weight the pair interpolation
+  (:147-158, base.py get_delta apply_alpha=False)
+- target_norm = mean(delta norms) + offset (:165)
+- pairwise reduction pairing by the norm-product pseudo-correlation built
+  from the ORIGINAL delta norms indexed by current stack position — the
+  norms list is never updated across rounds (REF-QUIRK :178-186)
+- three merge regimes per pair (:223-244) with the pair ordered by fresh
+  norms (:209-215), cutoff_pct=0.08 hardcoded at the call site (:239),
+  cull_pct halving per round (:254)
+- merged stack entries named name_hash(a_b) (:36-41,246), weight = mean (:248)
+- final: base + delta, NaN->0, Inf raises, hardcoded bfloat16 (:269-276)
+
+TPU redesign (same numbers, different machinery):
+- stack entries stay resident in HBM instead of a disk cache
+  (TensorDiskCache, :46-77, cleared per layer :132): the working set of a
+  70B layer (N deltas + complex64 intermediates) fits v5e-class HBM
+- one host sync per reduction round (batched stack norms) instead of two
+  device round-trips per pair; Inf checks are accumulated as device flags
+  and raised once per tensor
+- the spectral kernels are the jitted ops in shardmerge_tpu.ops.blend
+"""
+
+from __future__ import annotations
+
+import asyncio
+import hashlib
+import logging
+from functools import partial
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import MergeConfig, MergeModel
+from ..constants import INPUT_LAYER, OUTPUT_LAYER
+from ..io.writer import ShardLayer
+from ..ops import blend
+from ..ops.pairing import correlated_pairs, norm_product_matrix
+from .base import MergeTensorsBase
+
+logger = logging.getLogger(__name__)
+
+
+def name_hash(name: str) -> str:
+    """Parity: fast_fourier.py:36-41."""
+    subnames = [n[:4] for n in name.split("_")]
+    return "_".join(subnames) + "::" + hashlib.sha256(name.encode()).hexdigest()[:8]
+
+
+def clamp(value: float, min_value: float, max_value: float) -> float:
+    """Parity: fast_fourier.py:43-44."""
+    return max(min_value, min(value, max_value))
+
+
+# --- jitted pair kernels ----------------------------------------------------
+
+@jax.jit
+def _pair_add(a, b):
+    """Regime (a): cnorm_a < 1e-6 -> plain sum (fast_fourier.py:223-225)."""
+    return a + b
+
+
+@jax.jit
+def _pair_arith(a, b, norm_scale, weight_scale):
+    """Regime (b): rescale a to target_norm, scale b by the weight ratio,
+    sign-agreement FFT arithmetic with t=1 (fast_fourier.py:226-232)."""
+    scaled_a = a * norm_scale
+    scaled_b = b * weight_scale * norm_scale
+    fft_v0 = blend.fft2(scaled_a)
+    fft_v1 = blend.fft2(scaled_b)
+    out = blend.arithmetic_fft_components(
+        fft_v0, fft_v1, jnp.float32(1.0), agreement=True
+    )
+    return blend.ifft2_real(out)
+
+
+@partial(jax.jit, static_argnames=("use_cutoff", "use_cull"))
+def _pair_slerp(
+    a,
+    b,
+    norm_a,
+    norm_b,
+    t,
+    cutoff_k,
+    cull_k,
+    cull_count_limit,
+    target_norm,
+    *,
+    use_cutoff,
+    use_cull,
+):
+    """Regime (c): normalized SLERP-FFT blend, rescaled to target_norm
+    (fast_fourier.py:233-244 -> functions.py:164-221). NaNs are scrubbed
+    before rescale exactly as the reference does; Inf is reported as a flag
+    (the engine raises once per tensor)."""
+    v0n = a / norm_a
+    v1n = b / norm_b
+    fft_v0 = blend.fft2(v0n)
+    fft_v1 = blend.fft2(v1n)
+    result_fft = blend.interpolate_fft_components(
+        fft_v0,
+        fft_v1,
+        t,
+        jnp.float32(1.0),  # t_sum=1.0 (fast_fourier.py:238)
+        cutoff_k,
+        cull_k,
+        cull_count_limit,
+        use_cutoff=use_cutoff,
+        use_cull=use_cull,
+    )
+    merged = blend.ifft2_real(result_fft)
+    merged = jnp.where(jnp.isnan(merged), 0.0, merged)
+    has_inf = jnp.any(jnp.isinf(merged))
+    return merged * target_norm, has_inf
+
+
+@jax.jit
+def _pair_lowratio(a, b, norm_a, norm_b, t, target_norm):
+    """Regime (c) when norm ratio < b=0.1 inside merge_tensors_fft2_slerp
+    (functions.py:199-202): additive FFT path."""
+    merged = blend.ifft2_real(blend.fft2(a / norm_a) + t * blend.fft2(b / norm_b))
+    merged = jnp.where(jnp.isnan(merged), 0.0, merged)
+    has_inf = jnp.any(jnp.isinf(merged))
+    return merged * target_norm, has_inf
+
+
+@jax.jit
+def _finalize(base_fp32, delta):
+    """base + delta, NaN->0, Inf flag, bfloat16 (fast_fourier.py:269-276)."""
+    result = base_fp32 + delta
+    result = jnp.where(jnp.isnan(result), 0.0, result)
+    has_inf = jnp.any(jnp.isinf(result))
+    return result.astype(jnp.bfloat16), has_inf
+
+
+def _batched_norms(arrays: List[jnp.ndarray]) -> List[float]:
+    """Norms of a list of same-shaped arrays with a single host sync."""
+    norms = jax.jit(lambda xs: [jnp.linalg.norm(x.ravel()) for x in xs])(arrays)
+    return [float(n) for n in norms]
+
+
+class FourierMerge(MergeTensorsBase):
+    def __init__(
+        self,
+        config: MergeConfig,
+        task_add_models: Optional[List[str]] = None,
+        target_norm_offset: float = 1e-10,
+        cull_start_pct: float = 0.20,
+        index_manager=None,
+        **kwargs,
+    ):
+        super().__init__(config, index_manager)
+        self.task_add_models = task_add_models or []
+        self.target_norm_offset = target_norm_offset
+        self.cull_start_pct = cull_start_pct
+
+    def get_readme(self) -> str:
+        models = "\n".join(
+            f"- {m.model} (vs {m.base})" for m in self.config.finetune_merge
+        )
+        return f"""# SLERP-FFT Merged Model
+Base: {self.config.output_base_model}
+Models merged:
+{models}
+"""
+
+    async def _passthrough(self, shard_layer: ShardLayer, which: str) -> np.ndarray:
+        """Input/output layer passthrough with base-model fallback
+        (fast_fourier.py:104-130)."""
+        flag = "is_input" if which == "input" else "is_output"
+        chosen = next(
+            (m for m in self.config.finetune_merge if getattr(m, flag)), None
+        )
+        if chosen is None:
+            chosen = MergeModel(
+                model=self.config.output_base_model,
+                base=self.config.output_base_model,
+            )
+        logger.info(
+            "Passthrough - %s is an %s layer, using %s",
+            shard_layer.layer_name,
+            which,
+            chosen.model,
+        )
+        return await self.index_manager.get_tensor(
+            chosen.model, shard_layer.layer_name
+        ).get()
+
+    async def _merge_layer(self, shard_layer: ShardLayer) -> np.ndarray:
+        if shard_layer.layer_number == INPUT_LAYER:
+            return await self._passthrough(shard_layer, "input")
+        if shard_layer.layer_number == OUTPUT_LAYER:
+            return await self._passthrough(shard_layer, "output")
+
+        models = [
+            m
+            for m in self.config.finetune_merge
+            if m.use_layer_index(shard_layer.layer_number)
+        ]
+
+        # Warm all shards concurrently (fast_fourier.py:143-145).
+        await asyncio.gather(
+            *[
+                self.index_manager.preload_tensor(m.model, shard_layer.layer_name)
+                for m in models
+            ]
+        )
+
+        # Build the HBM-resident delta stack.
+        cache: Dict[str, jnp.ndarray] = {}
+        layer_stack: List[str] = []
+        stack_weights: List[float] = []
+        deltas: List[jnp.ndarray] = []
+        for model in models:
+            delta_list = await self.get_delta_for_models(
+                [model], shard_layer, apply_alpha=False
+            )
+            if not delta_list:
+                continue
+            cache[model.model] = delta_list[0]
+            deltas.append(delta_list[0])
+            layer_stack.append(model.model)
+            stack_weights.append(model.alpha)
+
+        if not layer_stack:
+            # The reference crashes here (fast_fourier.py:256 IndexError when
+            # every model is layer-gated out); passing the base through is the
+            # only sensible semantic. Documented deviation.
+            logger.warning(
+                "No models cover layer %s; passing base through",
+                shard_layer.layer_name,
+            )
+            base = await self.get_base_output_tensor(shard_layer)
+            return np.asarray(base.astype(jnp.bfloat16))
+
+        layer_norms = _batched_norms(deltas)  # one host sync
+        del deltas
+        logger.debug("Loaded %d layers", len(layer_stack))
+
+        # target_norm = mean of ORIGINAL delta norms + offset (:165)
+        target_norm = (
+            float(np.mean(np.asarray(layer_norms, dtype=np.float32)))
+            + self.target_norm_offset
+        )
+        cull_pct = self.cull_start_pct
+        inf_flags = []
+
+        while len(layer_stack) > 1:
+            layer_names = list(layer_stack)
+            next_stack: List[str] = []
+            next_weights: List[float] = []
+            logger.info(
+                "Processing %d layers : %s", len(layer_stack), ", ".join(layer_names)
+            )
+
+            # REF-QUIRK fast_fourier.py:178-186: the pairing matrix uses the
+            # ORIGINAL first-round delta norms indexed by the *current* stack
+            # position — it is never recomputed from the merged tensors.
+            correlation = norm_product_matrix(layer_norms[: len(layer_stack)])
+
+            # Fresh norms of the current stack (regime selection), one sync.
+            current_norms = _batched_norms([cache[n] for n in layer_stack])
+
+            for x, y, _corr in correlated_pairs(correlation, way="least"):
+                if y < 0:
+                    next_stack.append(layer_stack[x])
+                    next_weights.append(stack_weights[x])
+                    continue
+
+                a_model, b_model = layer_stack[x], layer_stack[y]
+                a_weight, b_weight = stack_weights[x], stack_weights[y]
+                a, b = cache[a_model], cache[b_model]
+                norm_a, norm_b = current_norms[x], current_norms[y]
+
+                # order the pair by norm (fast_fourier.py:212-215)
+                if abs(norm_a) < abs(norm_b):
+                    a, b = b, a
+                    a_model, b_model = b_model, a_model
+                    norm_a, norm_b = norm_b, norm_a
+
+                cnorm_a = abs(norm_a / target_norm)
+                cnorm_b = abs(norm_b / target_norm)
+                n_ratio = cnorm_b / (cnorm_a + 1e-10)
+
+                if cnorm_a < 1e-6:
+                    merged = _pair_add(a, b)
+                elif cnorm_b < 1e-6 or n_ratio < 0.1:
+                    norm_scale = target_norm / norm_a
+                    weight_scale = b_weight / (a_weight + 1e-10)
+                    merged = _pair_arith(
+                        a, b, jnp.float32(norm_scale), jnp.float32(weight_scale)
+                    )
+                    logger.info(
+                        "Arithmetic-FFT merged %s x %.4g onto %s x %.4g",
+                        b_model,
+                        weight_scale,
+                        a_model,
+                        norm_scale,
+                    )
+                else:
+                    a_prop = a_weight / (a_weight + b_weight)
+                    # merge_tensors_fft2_slerp with cutoff_pct=0.08,
+                    # t_sum=1.0 (:233-244); norms >= 1e-6*target_norm here so
+                    # the <1e-4 early-returns of functions.py:184-190 can
+                    # still fire for tiny target_norm — honor them.
+                    if norm_b < 1e-4 or norm_a < 1e-4:
+                        merged = (a / norm_a) * target_norm
+                        has_inf = jnp.asarray(False)
+                    else:
+                        ratio = norm_b / (norm_a + 1e-10)
+                        numel = a.size
+                        if ratio < 0.1:
+                            merged, has_inf = _pair_lowratio(
+                                a,
+                                b,
+                                jnp.float32(norm_a),
+                                jnp.float32(norm_b),
+                                jnp.float32(a_prop),
+                                jnp.float32(target_norm),
+                            )
+                        else:
+                            merged, has_inf = _pair_slerp(
+                                a,
+                                b,
+                                jnp.float32(norm_a),
+                                jnp.float32(norm_b),
+                                jnp.float32(a_prop),
+                                jnp.int32(blend.cutoff_rank(numel, 0.08)),
+                                jnp.int32(blend.cull_rank(numel, cull_pct)),
+                                jnp.int32(blend.cull_limit(numel, cull_pct)),
+                                jnp.float32(target_norm),
+                                use_cutoff=True,
+                                use_cull=cull_pct > 0,
+                            )
+                    inf_flags.append(has_inf)
+                    logger.info(
+                        "SLERP-FFT merged %s and %s with weight %.4g",
+                        a_model,
+                        b_model,
+                        a_prop,
+                    )
+
+                name = name_hash(f"{a_model}_{b_model}")
+                next_stack.append(name)
+                next_weights.append((a_weight + b_weight) / 2.0)
+                cache[name] = merged
+                # free consumed operands (keeps HBM bounded by stack width)
+                for consumed in (a_model, b_model):
+                    cache.pop(consumed, None)
+
+            layer_stack = next_stack
+            stack_weights = next_weights
+            cull_pct = cull_pct / 2.0  # reduce cull as we merge deeper (:254)
+
+        result_tensor = cache[layer_stack[0]]
+        base = await self.get_base_output_tensor(shard_layer)
+        out, final_inf = _finalize(base, result_tensor)
+
+        # single sync for all deferred Inf checks
+        if inf_flags and bool(jnp.any(jnp.stack(inf_flags))):
+            raise ValueError("Inf in ifft output")
+        if bool(final_inf):
+            raise ValueError(
+                f"Inf in merged tensor for {shard_layer.layer_name}"
+            )
+        return np.asarray(out)

@@ -1,0 +1,418 @@
+"""End-to-end merge engine tests on tiny synthetic models (the coverage the
+reference lacks — its `_merge_layer`/`merge()` are never executed in tests,
+SURVEY.md §4)."""
+
+import asyncio
+import json
+
+import ml_dtypes
+import numpy as np
+import pytest
+import torch
+
+from shardmerge_tpu.config import MergeConfig, MergeModel
+from shardmerge_tpu.io.index import OfflineMultiModelIndex
+from shardmerge_tpu.io.safetensors_io import SafeTensorsReader
+from shardmerge_tpu.merge import (
+    AdditionMerge,
+    FourierMerge,
+    LegacyFourierMerge,
+    TaskAdditionMerge,
+)
+
+from . import oracle_torch as oracle
+from .conftest import TINY_SHAPES, TINY_SHARD_MAP
+
+
+def _run_merge(merger):
+    asyncio.run(merger.merge())
+
+
+def _make_config(tmp_path, base_path, ft_entries, **kw):
+    return MergeConfig(
+        finetune_merge=[MergeModel(**e) for e in ft_entries],
+        output_base_model=str(base_path),
+        output_dir=str(tmp_path / "merged"),
+        cache_dir=str(tmp_path / "cache"),
+        storage_dir=str(tmp_path / "storage"),
+        **kw,
+    )
+
+
+def _offline_index(*paths):
+    index = OfflineMultiModelIndex()
+    for p in paths:
+        index.add_model(p)
+    return index
+
+
+def _read_output(out_dir):
+    tensors = {}
+    for shard in set(TINY_SHARD_MAP.values()):
+        with SafeTensorsReader(out_dir / shard) as r:
+            for k in r.keys():
+                tensors[k] = r.get_tensor(k, copy=True)
+    return tensors
+
+
+def _oracle_fourier_pair(base, ft1, ft2, alpha1, alpha2, cull_start=0.20):
+    """Torch oracle of fast_fourier._merge_layer for a 2-model stack
+    (single reduction round), including the unswapped-weights quirk."""
+    base = torch.from_numpy(base).float()
+    d1 = torch.from_numpy(ft1).float() - base
+    d2 = torch.from_numpy(ft2).float() - base
+    norms = [d1.norm(), d2.norm()]
+    target = torch.tensor(norms).mean().item() + 1e-10
+    a, b = d1, d2
+    aw, bw = alpha1, alpha2
+    na, nb = norms[0].item(), norms[1].item()
+    if abs(na) < abs(nb):
+        a, b, na, nb = b, a, nb, na  # weights NOT swapped (reference quirk)
+    cna, cnb = abs(na / target), abs(nb / target)
+    ratio = cnb / (cna + 1e-10)
+    if cna < 1e-6:
+        merged = a + b
+    elif cnb < 1e-6 or ratio < 0.1:
+        ns = target / na
+        ws = bw / (aw + 1e-10)
+        merged = oracle.task_arithmetic_fft2(a * ns, b * ws * ns, t=1.0)
+    else:
+        ap = aw / (aw + bw)
+        merged, _, _ = oracle.merge_tensors_fft2_slerp(
+            a, b, t=ap, t_sum=1.0, cutoff_pct=0.08, cull_pct=cull_start
+        )
+        merged = merged * target
+    out = base + merged
+    out = torch.where(torch.isnan(out), torch.zeros_like(out), out)
+    return out.to(torch.bfloat16).float().numpy()
+
+
+def _mostly_close(ours, theirs, rtol, atol, max_flip_frac=0.03):
+    close = np.isclose(ours, theirs, rtol=rtol, atol=atol)
+    frac = 1.0 - close.mean()
+    assert frac <= max_flip_frac, f"{frac:.3%} mismatched"
+
+
+def test_single_finetune_merge(tmp_path, tiny_model_factory):
+    """One finetune: the reduction loop is skipped and output == base + delta
+    == finetune (alpha is NOT applied — reference apply_alpha=False)."""
+    base_path, base_t = tiny_model_factory("base", seed=10)
+    ft_path, ft_t = tiny_model_factory("ft1", seed=11)
+
+    config = _make_config(
+        tmp_path,
+        base_path,
+        [{"model": str(ft_path), "base": str(base_path), "alpha": 0.5}],
+    )
+    merger = FourierMerge(
+        config, index_manager=_offline_index(base_path, ft_path)
+    )
+    _run_merge(merger)
+
+    out_dir = tmp_path / "merged"
+    assert (out_dir / "model.safetensors.index.json").exists()
+    assert (out_dir / "README.md").exists()
+    index = json.load(open(out_dir / "model.safetensors.index.json"))
+    assert index["weight_map"] == TINY_SHARD_MAP
+
+    out = _read_output(out_dir)
+    assert set(out) == set(TINY_SHAPES)
+    for name, arr in out.items():
+        assert arr.dtype == np.dtype(ml_dtypes.bfloat16)
+
+    # middle layers: base + (ft - base) == ft (within bf16)
+    name = "model.layers.0.mlp.gate_proj.weight"
+    np.testing.assert_allclose(
+        out[name].astype(np.float32), ft_t[name], rtol=1e-2, atol=1e-2
+    )
+    # input/output passthrough falls back to... the base? No: no is_input
+    # model is configured, so passthrough uses the BASE model's tensors.
+    np.testing.assert_allclose(
+        out["model.embed_tokens.weight"].astype(np.float32),
+        base_t["model.embed_tokens.weight"],
+        rtol=1e-2,
+        atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        out["lm_head.weight"].astype(np.float32),
+        base_t["lm_head.weight"],
+        rtol=1e-2,
+        atol=1e-2,
+    )
+
+
+def test_two_finetune_merge_matches_oracle(tmp_path, tiny_model_factory):
+    base_path, base_t = tiny_model_factory("base", seed=20)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=21)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=22)
+
+    config = _make_config(
+        tmp_path,
+        base_path,
+        [
+            {"model": str(ft1_path), "base": str(base_path), "alpha": 0.8},
+            {"model": str(ft2_path), "base": str(base_path), "alpha": 0.4},
+        ],
+    )
+    merger = FourierMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    for name in [
+        "model.layers.0.self_attn.q_proj.weight",
+        "model.layers.1.mlp.down_proj.weight",
+        "model.layers.0.input_layernorm.weight",  # 1-D path
+    ]:
+        expect = _oracle_fourier_pair(
+            base_t[name], ft1_t[name], ft2_t[name], 0.8, 0.4
+        )
+        got = out[name].astype(np.float32)
+        scale = max(np.abs(expect).max(), 1.0)
+        _mostly_close(got, expect, rtol=2e-2, atol=2e-2 * scale)
+
+
+def test_is_input_is_output_gates(tmp_path, tiny_model_factory):
+    base_path, base_t = tiny_model_factory("base", seed=30)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=31)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=32)
+
+    config = _make_config(
+        tmp_path,
+        base_path,
+        [
+            {
+                "model": str(ft1_path),
+                "base": str(base_path),
+                "is_input": True,
+            },
+            {
+                "model": str(ft2_path),
+                "base": str(base_path),
+                "is_output": True,
+            },
+        ],
+    )
+    merger = FourierMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    np.testing.assert_allclose(
+        out["model.embed_tokens.weight"].astype(np.float32),
+        ft1_t["model.embed_tokens.weight"],
+        rtol=1e-2,
+        atol=1e-2,
+    )
+    for name in ["model.norm.weight", "lm_head.weight"]:
+        np.testing.assert_allclose(
+            out[name].astype(np.float32), ft2_t[name], rtol=1e-2, atol=1e-2
+        )
+
+
+def test_layer_gating(tmp_path, tiny_model_factory):
+    """ft2 only covers layer 1; layer 0 must be pure ft1 delta."""
+    base_path, base_t = tiny_model_factory("base", seed=40)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=41)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=42)
+
+    config = _make_config(
+        tmp_path,
+        base_path,
+        [
+            {"model": str(ft1_path), "base": str(base_path)},
+            {"model": str(ft2_path), "base": str(base_path), "start_layer": 1},
+        ],
+    )
+    merger = FourierMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    name = "model.layers.0.self_attn.o_proj.weight"
+    np.testing.assert_allclose(
+        out[name].astype(np.float32), ft1_t[name], rtol=1e-2, atol=1e-2
+    )
+    # layer 1 is a 2-way merge: different from both fts
+    name1 = "model.layers.1.self_attn.o_proj.weight"
+    assert not np.allclose(out[name1].astype(np.float32), ft1_t[name1], atol=1e-3)
+
+
+def test_three_way_merge_runs(tmp_path, tiny_model_factory):
+    """Odd stack exercises the leftover-carry path and 2 reduction rounds."""
+    paths = {}
+    tensors = {}
+    for i, name in enumerate(["base", "f1", "f2", "f3"]):
+        paths[name], tensors[name] = tiny_model_factory(name, seed=50 + i)
+
+    config = _make_config(
+        tmp_path,
+        paths["base"],
+        [
+            {"model": str(paths[f"f{i}"]), "base": str(paths["base"]), "alpha": a}
+            for i, a in [(1, 1.0), (2, 0.7), (3, 0.3)]
+        ],
+    )
+    merger = FourierMerge(
+        config, index_manager=_offline_index(*paths.values())
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    for name, arr in out.items():
+        f = arr.astype(np.float32)
+        assert np.all(np.isfinite(f)), name
+    # deterministic: rerunning from scratch gives identical bytes
+    config2 = _make_config(
+        tmp_path.joinpath("again"),
+        paths["base"],
+        [
+            {"model": str(paths[f"f{i}"]), "base": str(paths["base"]), "alpha": a}
+            for i, a in [(1, 1.0), (2, 0.7), (3, 0.3)]
+        ],
+    )
+    config2.output_dir = str(tmp_path / "again" / "merged")
+    merger2 = FourierMerge(
+        config2, index_manager=_offline_index(*paths.values())
+    )
+    _run_merge(merger2)
+    out2 = _read_output(tmp_path / "again" / "merged")
+    for name in out:
+        np.testing.assert_array_equal(
+            out[name].view(np.uint16), out2[name].view(np.uint16)
+        )
+
+
+def test_resume_skips_written_layers(tmp_path, tiny_model_factory):
+    base_path, _ = tiny_model_factory("base", seed=60)
+    ft_path, _ = tiny_model_factory("ft1", seed=61)
+    entries = [{"model": str(ft_path), "base": str(base_path)}]
+
+    config = _make_config(tmp_path, base_path, entries)
+    merger = FourierMerge(config, index_manager=_offline_index(base_path, ft_path))
+    _run_merge(merger)
+    out1 = _read_output(tmp_path / "merged")
+    mtimes = {
+        s: (tmp_path / "merged" / s).stat().st_mtime_ns
+        for s in set(TINY_SHARD_MAP.values())
+    }
+
+    # second run: everything already written -> files untouched
+    config2 = _make_config(tmp_path, base_path, entries)
+    merger2 = FourierMerge(config2, index_manager=_offline_index(base_path, ft_path))
+    _run_merge(merger2)
+    for s, t in mtimes.items():
+        assert (tmp_path / "merged" / s).stat().st_mtime_ns == t
+    out2 = _read_output(tmp_path / "merged")
+    for name in out1:
+        np.testing.assert_array_equal(
+            out1[name].view(np.uint16), out2[name].view(np.uint16)
+        )
+
+
+def test_addition_merge_semantics(tmp_path, tiny_model_factory):
+    base_path, base_t = tiny_model_factory("base", seed=70)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=71)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=72)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path)},
+        {"model": str(ft2_path), "base": str(base_path)},
+    ]
+
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = AdditionMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    name = "model.layers.0.mlp.up_proj.weight"
+    # REF-QUIRK: delta sum WITHOUT base added back
+    expect = (ft1_t[name] - base_t[name]) + (ft2_t[name] - base_t[name])
+    np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-5)
+
+
+def test_task_addition_merge_semantics(tmp_path, tiny_model_factory):
+    base_path, base_t = tiny_model_factory("base", seed=80)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=81)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=82)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path)},
+        {"model": str(ft2_path), "base": str(base_path)},
+    ]
+
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = TaskAdditionMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    name = "model.layers.1.mlp.gate_proj.weight"
+    d = np.stack(
+        [ft1_t[name] - base_t[name], ft2_t[name] - base_t[name]], axis=0
+    )
+    signs = np.sign(d)
+    majority = np.sign(signs.sum(axis=0))
+    expect = (d * (signs == majority[None])).sum(axis=0)
+    np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-5)
+
+
+def test_legacy_fourier_runs(tmp_path, tiny_model_factory):
+    base_path, _ = tiny_model_factory("base", seed=90)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=91)
+    ft2_path, _ = tiny_model_factory("ft2", seed=92)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path), "is_input": True,
+         "is_output": True},
+        {"model": str(ft2_path), "base": str(base_path)},
+    ]
+    config = _make_config(tmp_path, base_path, entries)
+    merger = LegacyFourierMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    for name, arr in out.items():
+        assert np.all(np.isfinite(arr.astype(np.float32))), name
+    np.testing.assert_allclose(
+        out["model.embed_tokens.weight"].astype(np.float32),
+        ft1_t["model.embed_tokens.weight"],
+        rtol=1e-2,
+        atol=1e-2,
+    )
+
+
+def test_legacy_fourier_requires_input_model(tmp_path, tiny_model_factory):
+    base_path, _ = tiny_model_factory("base", seed=95)
+    ft1_path, _ = tiny_model_factory("ft1", seed=96)
+    config = _make_config(
+        tmp_path, base_path, [{"model": str(ft1_path), "base": str(base_path)}]
+    )
+    merger = LegacyFourierMerge(
+        config, index_manager=_offline_index(base_path, ft1_path)
+    )
+    with pytest.raises(ValueError, match="No (in|out)put model"):
+        _run_merge(merger)
+
+
+def test_initialize_rejects_mismatched_architectures(
+    tmp_path, tiny_model_factory
+):
+    base_path, _ = tiny_model_factory("base", seed=100)
+    ft_path, _ = tiny_model_factory("ft1", seed=101)
+    # corrupt the finetune's index: drop a key
+    idx_path = ft_path / "model.safetensors.index.json"
+    idx = json.load(open(idx_path))
+    removed = dict(idx["weight_map"])
+    removed.pop("model.norm.weight")
+    idx["weight_map"] = removed
+    json.dump(idx, open(idx_path, "w"))
+
+    config = _make_config(
+        tmp_path, base_path, [{"model": str(ft_path), "base": str(base_path)}]
+    )
+    merger = FourierMerge(config, index_manager=_offline_index(base_path, ft_path))
+    with pytest.raises(ValueError, match="architecture mismatch"):
+        _run_merge(merger)
