@@ -1,0 +1,297 @@
+"""Command-line interface.
+
+Parity surface: reference shard/__main__.py — click group with ``merge``
+(:83-158), ``copy-model`` (:160-201), ``generate`` (:205-297) — plus the
+reference's three standalone scripts mounted as subcommands:
+``verify-safetensors``, ``rewrite-reorder``, ``convert-pytorch``.
+
+Extension: ``merge`` auto-detects fully-local configs (every model reference
+is an existing directory) and runs offline with no network stack.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import logging
+from pathlib import Path
+from typing import Optional
+
+import click
+
+from .config import ConfigError, MergeConfig
+
+logger = logging.getLogger(__name__)
+
+
+def setup_logging(verbose: bool):
+    level = logging.DEBUG if verbose else logging.INFO
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s - %(name)s - %(levelname)s - %(message)s",
+    )
+
+
+async def progress_callback(stats):
+    print(
+        f"\rDownload Progress: {stats.progress_pct:.1f}% | "
+        f"Active: {stats.active_workers} | "
+        f"Complete: {stats.completed_jobs} | "
+        f"Failed: {stats.failed_jobs} | "
+        f"Downloaded: {stats.total_downloaded/1024/1024:.1f}MB",
+        end="",
+    )
+
+
+def _all_local(config: MergeConfig) -> bool:
+    refs = {config.output_base_model}
+    for m in config.finetune_merge:
+        refs.add(m.model)
+        refs.add(m.base)
+    return all(Path(r).is_dir() for r in refs)
+
+
+async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cache: bool = False, **kwargs):
+    """Wire up transport + index + merger and run (reference __main__.py:47-76)."""
+    from .merge import MERGE_METHODS
+
+    merge_cls = MERGE_METHODS.get(config.merge_method)
+    if merge_cls is None:
+        raise ConfigError(
+            f"Unknown merge_method {config.merge_method!r}; "
+            f"choose from {sorted(MERGE_METHODS)}"
+        )
+
+    download_manager = None
+    if _all_local(config):
+        from .io.index import OfflineMultiModelIndex
+
+        logger.info("All model references are local directories; running offline")
+        index_manager = OfflineMultiModelIndex()
+    else:
+        from .io.download import DownloadManager
+        from .io.index import HFMultiModelIndex
+
+        download_manager = DownloadManager(
+            storage_path=config.storage_path,
+            clean_cache=clean_cache,
+            max_retries=3,
+        )
+        download_manager.progress_callbacks.append(progress_callback)
+        index_manager = HFMultiModelIndex(
+            download_manager=download_manager,
+            cache_path=config.cache_path,
+        )
+
+    merger = merge_cls(config=config, index_manager=index_manager, **kwargs)
+    await merger.merge(device=device)
+
+    if clean_cache and download_manager is not None:
+        await download_manager.cleanup()
+
+
+@click.group()
+def cli():
+    """TPU-native shard merge utility for merging and managing model shards."""
+
+
+@cli.command("merge")
+@click.argument("config_file", type=click.Path(exists=True, path_type=Path))
+@click.option(
+    "--cache-dir",
+    type=click.Path(path_type=Path),
+    default=None,
+    help="Directory for caching downloaded files",
+)
+@click.option("--clean_cache", is_flag=True, help="Delete cached files after merging")
+@click.option(
+    "--device",
+    type=str,
+    default=None,
+    help="Accepted for config compatibility; placement is decided by JAX",
+)
+@click.option(
+    "--method",
+    type=str,
+    default=None,
+    help="Merge method: fourier | fourier-legacy | addition | task-addition",
+)
+@click.option(
+    "--write-through",
+    is_flag=True,
+    help="Rewrite output shards after every tensor (reference behavior; "
+    "finer-grained resume, heavy IO)",
+)
+@click.option("--verbose", is_flag=True, help="Enable verbose logging")
+def merge_command(
+    config_file: Path,
+    cache_dir: Optional[Path],
+    verbose: bool,
+    method: Optional[str],
+    write_through: bool,
+    **kwargs,
+):
+    """Merge multiple finetuned models by computing and combining their deltas.
+
+    CONFIG_FILE is a YAML file:
+
+    \b
+    output_base_model: "unsloth/Meta-Llama-3.1-70B-Instruct"
+    finetune_merge:
+      - model: "nvidia/Llama-3.1-Nemotron-70B-Instruct-HF"
+        base: "unsloth/Meta-Llama-3.1-70B-Instruct"
+        alpha: 0.8
+      - model: "another/finetuned-model"
+        base: "unsloth/Meta-Llama-3.1-70B-Instruct"
+        alpha: 0.5
+        start_layer: 2
+        end_layer: -2
+    output_dir: "merged_model"
+    """
+    setup_logging(verbose)
+    try:
+        config = MergeConfig.from_yaml(config_file)
+        logger.info("Loaded configuration: %s", config)
+        if cache_dir:
+            config.cache_dir = str(cache_dir)
+        if method:
+            config.merge_method = method
+        if write_through:
+            config.write_through = True
+        config.update({k: v for k, v in kwargs.items() if v is not None})
+
+        asyncio.run(run_merge(config=config, **config.to_dict()))
+    except ConfigError as e:
+        raise click.BadParameter(str(e))
+    except Exception as e:
+        logging.error("Error during merge: %s", e, exc_info=verbose)
+        raise click.Abort()
+
+
+@cli.command("copy-model")
+@click.argument("config_file", type=click.Path(exists=True, path_type=Path))
+@click.option("--revision", type=str, default="main", help="Model revision/tag")
+@click.option("--verbose", is_flag=True, help="Enable verbose logging")
+def copy_model_command(config_file: Path, revision: str, verbose: bool):
+    """Copy model configuration files from HuggingFace to the output directory."""
+    setup_logging(verbose)
+    try:
+        from .io.writer import ModelWriter
+
+        config = MergeConfig.from_yaml(config_file)
+        input_model = (
+            config.input_model.model if config.input_model else config.output_base_model
+        )
+        logger.info(
+            "Copying model configuration from %s to %s", input_model, config.output_path
+        )
+        ModelWriter.from_huggingface(
+            model_id=input_model,
+            output_path=config.output_path,
+            layer_order=[],
+            revision=revision,
+        )
+        logger.info("Successfully copied model configuration files")
+    except ConfigError as e:
+        raise click.BadParameter(str(e))
+    except Exception as e:
+        logging.error("Error copying model configuration: %s", e, exc_info=verbose)
+        raise click.Abort()
+
+
+@cli.command("generate")
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.argument("prompt", type=str)
+@click.option("--max-tokens", type=int, default=512, help="Max tokens to generate")
+@click.option("--temperature", type=float, default=0.7, help="Sampling temperature")
+@click.option("--top-p", type=float, default=0.95, help="Nucleus sampling")
+@click.option("--top-k", type=int, default=40, help="Top-k sampling")
+@click.option(
+    "--repetition-penalty", type=float, default=1.1, help="Repetition penalty"
+)
+@click.option(
+    "--greedy/--no-greedy",
+    default=False,
+    help="Greedy argmax decoding (the reference always decodes greedily "
+    "regardless of sampling flags; here sampling works and --greedy opts in)",
+)
+@click.option("-4", "--load-in-4bit", is_flag=True, help="int4 weight quantization")
+@click.option("-8", "--load-in-8bit", is_flag=True, help="int8 weight quantization")
+@click.option("--seed", type=int, default=0, help="Sampling PRNG seed")
+@click.option("--device", type=str, default=None, help="Ignored (JAX placement)")
+def generate_command(
+    model_path: Path,
+    prompt: str,
+    max_tokens: int,
+    temperature: float,
+    top_p: float,
+    top_k: int,
+    repetition_penalty: float,
+    greedy: bool,
+    load_in_4bit: bool,
+    load_in_8bit: bool,
+    seed: int,
+    device: Optional[str],
+):
+    """Generate text from a merged model with the JAX inference engine."""
+    try:
+        from .inference import InferenceEngine
+
+        engine = InferenceEngine.from_pretrained(
+            str(model_path),
+            load_in_4bit=load_in_4bit,
+            load_in_8bit=load_in_8bit,
+        )
+        for chunk in engine.stream_generation(
+            prompt=prompt,
+            max_new_tokens=max_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            top_k=top_k,
+            repetition_penalty=repetition_penalty,
+            greedy=greedy,
+            seed=seed,
+        ):
+            print(chunk, end="", flush=True)
+        print()
+    except Exception as e:
+        logging.error("Error during text generation: %s", e)
+        raise click.Abort()
+
+
+@cli.command("verify-safetensors")
+@click.option("--model_dir", type=click.Path(exists=True, path_type=Path), required=True)
+@click.option("--index_path", type=click.Path(path_type=Path), default=None)
+@click.option("--repair", is_flag=True, help="Rebuild the index from shard files")
+def verify_command(model_dir: Path, index_path: Optional[Path], repair: bool):
+    """Verify (and optionally repair) index <-> shard alignment."""
+    from .tools.verify_safetensors import main as verify_main
+
+    ok = verify_main(model_dir, index_path, repair)
+    if not ok:
+        raise click.exceptions.Exit(1)
+
+
+@cli.command("rewrite-reorder")
+@click.argument("input_dir", type=click.Path(exists=True, path_type=Path))
+@click.argument("output_dir", type=click.Path(path_type=Path))
+@click.option("--num-shards", type=int, default=None, help="Target shard count")
+def rewrite_reorder_command(input_dir: Path, output_dir: Path, num_shards: Optional[int]):
+    """Reorder tensors into canonical transformer order and reshard."""
+    from .tools.rewrite_reorder import reshard_and_reorder
+
+    reshard_and_reorder(input_dir, output_dir, num_shards)
+
+
+@cli.command("convert-pytorch")
+@click.argument("input_path", type=click.Path(exists=True, path_type=Path))
+@click.argument("output_dir", type=click.Path(path_type=Path))
+@click.option("--num-shards", type=int, default=None, help="Target shard count")
+def convert_pytorch_command(input_path: Path, output_dir: Path, num_shards: Optional[int]):
+    """Convert PyTorch .bin checkpoints to sharded safetensors."""
+    from .tools.convert_pytorch_to_hf import convert
+
+    convert(input_path, output_dir, num_shards)
+
+
+if __name__ == "__main__":
+    cli()

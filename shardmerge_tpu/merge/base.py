@@ -48,7 +48,10 @@ class MergeTensorsBase(ABC):
         index_manager=None,
     ):
         self.config = config
-        self.index_manager = index_manager or HFMultiModelIndex()
+        # explicit None check: an empty OfflineMultiModelIndex is falsy (__len__)
+        self.index_manager = (
+            index_manager if index_manager is not None else HFMultiModelIndex()
+        )
 
     @abstractmethod
     def get_readme(self) -> str:

@@ -1,0 +1,234 @@
+"""Tools tests: verify/repair, reorder/reshard, pytorch conversion, and the
+CLI wiring (click runner, like the reference's tests/test_main.py)."""
+
+import json
+
+import numpy as np
+import pytest
+from click.testing import CliRunner
+
+from shardmerge_tpu.io.safetensors_io import SafeTensorsReader, save_file
+from shardmerge_tpu.tools.rewrite_reorder import (
+    reshard_and_reorder,
+    transformer_sort_key,
+)
+from shardmerge_tpu.tools.verify_safetensors import (
+    get_actual_keys,
+    load_index,
+    repair_index,
+    verify_alignment,
+)
+
+from .conftest import TINY_SHARD_MAP
+
+
+def test_verify_clean_model(tiny_model_factory, capsys):
+    path, _ = tiny_model_factory("m", seed=1)
+    weight_map, _ = load_index(path / "model.safetensors.index.json")
+    file_keys = get_actual_keys(path)
+    assert verify_alignment(weight_map, file_keys) is False
+    assert "align perfectly" in capsys.readouterr().out
+
+
+def test_verify_detects_and_repairs(tiny_model_factory, capsys):
+    path, _ = tiny_model_factory("m", seed=2)
+    index_path = path / "model.safetensors.index.json"
+    index = json.load(open(index_path))
+    # break the index: point a key at a nonexistent file and drop another
+    index["weight_map"]["model.norm.weight"] = "model-00009-of-00009.safetensors"
+    json.dump(index, open(index_path, "w"))
+
+    weight_map, original = load_index(index_path)
+    file_keys = get_actual_keys(path)
+    assert verify_alignment(weight_map, file_keys) is True
+    out = capsys.readouterr().out
+    assert "Missing safetensors files" in out
+
+    repair_index(file_keys, original, index_path)
+    weight_map2, _ = load_index(index_path)
+    assert verify_alignment(weight_map2, get_actual_keys(path)) is False
+    # a timestamped backup exists
+    assert list(path.glob("model.safetensors.index.json.bak.*"))
+
+
+def test_transformer_sort_key_order():
+    names = [
+        "lm_head.weight",
+        "model.layers.10.mlp.down_proj.weight",
+        "model.layers.2.self_attn.k_proj.weight",
+        "model.layers.2.input_layernorm.weight",
+        "model.layers.2.self_attn.q_proj.weight",
+        "model.norm.weight",
+        "model.embed_tokens.weight",
+        "model.layers.2.mlp.gate_proj.weight",
+    ]
+    ordered = sorted(names, key=transformer_sort_key)
+    assert ordered[0] == "model.embed_tokens.weight"
+    assert ordered[-2:] == ["model.norm.weight", "lm_head.weight"]
+    layer2 = [n for n in ordered if ".layers.2." in n]
+    assert layer2 == [
+        "model.layers.2.input_layernorm.weight",
+        "model.layers.2.self_attn.q_proj.weight",
+        "model.layers.2.self_attn.k_proj.weight",
+        "model.layers.2.mlp.gate_proj.weight",
+    ]
+    # numeric layer sorting: layer 10 after layer 2
+    assert ordered.index("model.layers.10.mlp.down_proj.weight") > ordered.index(
+        "model.layers.2.mlp.gate_proj.weight"
+    )
+
+
+def test_reshard_and_reorder(tmp_path, tiny_model_factory):
+    src, tensors = tiny_model_factory("src", seed=3)
+    out = tmp_path / "resharded"
+    (src / "config.json").write_text('{"model_type": "llama"}')
+    reshard_and_reorder(src, out, num_shards=2)
+
+    index = json.load(open(out / "model.safetensors.index.json"))
+    assert index["metadata"]["num_shards_actual"] <= 2
+    files = sorted(out.glob("model-*.safetensors"))
+    assert len(files) == index["metadata"]["num_shards_actual"]
+    assert (out / "config.json").exists()
+
+    # all tensors present and bit-identical
+    seen = {}
+    for f in files:
+        with SafeTensorsReader(f) as r:
+            for k in r.keys():
+                seen[k] = r.get_tensor(k, copy=True)
+    assert set(seen) == set(tensors)
+    for k in seen:
+        np.testing.assert_array_equal(seen[k], tensors[k])
+
+    # index order is the canonical transformer order
+    keys = list(index["weight_map"].keys())
+    assert keys == sorted(keys, key=transformer_sort_key)
+
+
+def test_convert_single_bin(tmp_path):
+    import torch
+
+    from shardmerge_tpu.tools.convert_pytorch_to_hf import convert
+
+    sd = {
+        "model.embed_tokens.weight": torch.randn(8, 4),
+        "model.layers.0.self_attn.q_proj.weight": torch.randn(4, 4).to(
+            torch.bfloat16
+        ),
+        "lm_head.weight": torch.randn(8, 4),
+    }
+    bin_dir = tmp_path / "torch_model"
+    bin_dir.mkdir()
+    torch.save(sd, bin_dir / "pytorch_model.bin")
+
+    out = tmp_path / "converted"
+    convert(bin_dir, out, num_shards=2)
+    index = json.load(open(out / "model.safetensors.index.json"))
+    assert set(index["weight_map"]) == set(sd)
+    for f in set(index["weight_map"].values()):
+        assert (out / f).exists()
+    with SafeTensorsReader(out / index["weight_map"]["model.embed_tokens.weight"]) as r:
+        np.testing.assert_array_equal(
+            r.get_tensor("model.embed_tokens.weight"),
+            sd["model.embed_tokens.weight"].numpy(),
+        )
+
+
+def test_convert_sharded_bin(tmp_path):
+    import torch
+
+    from shardmerge_tpu.tools.convert_pytorch_to_hf import convert
+
+    bin_dir = tmp_path / "torch_model"
+    bin_dir.mkdir()
+    sd1 = {"model.embed_tokens.weight": torch.randn(8, 4)}
+    sd2 = {"lm_head.weight": torch.randn(8, 4)}
+    torch.save(sd1, bin_dir / "pytorch_model-00001-of-00002.bin")
+    torch.save(sd2, bin_dir / "pytorch_model-00002-of-00002.bin")
+    index = {
+        "metadata": {"total_size": 256},
+        "weight_map": {
+            "model.embed_tokens.weight": "pytorch_model-00001-of-00002.bin",
+            "lm_head.weight": "pytorch_model-00002-of-00002.bin",
+        },
+    }
+    json.dump(index, open(bin_dir / "pytorch_model.bin.index.json", "w"))
+
+    out = tmp_path / "converted"
+    convert(bin_dir, out)
+    new_index = json.load(open(out / "model.safetensors.index.json"))
+    assert (
+        new_index["weight_map"]["model.embed_tokens.weight"]
+        == "model-00001-of-00002.safetensors"
+    )
+    assert (out / "model-00002-of-00002.safetensors").exists()
+
+
+def test_cli_verify_command(tiny_model_factory):
+    from shardmerge_tpu.cli import cli
+
+    path, _ = tiny_model_factory("m", seed=5)
+    runner = CliRunner()
+    result = runner.invoke(cli, ["verify-safetensors", "--model_dir", str(path)])
+    assert result.exit_code == 0, result.output
+    assert "align perfectly" in result.output
+
+
+def test_cli_merge_offline(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.cli import cli
+
+    base_path, _ = tiny_model_factory("base", seed=6)
+    ft_path, ft_t = tiny_model_factory("ft", seed=7)
+    config = {
+        "output_base_model": str(base_path),
+        "finetune_merge": [{"model": str(ft_path), "base": str(base_path)}],
+        "output_dir": str(tmp_path / "merged"),
+        "cache_dir": str(tmp_path / "cache"),
+        "storage_dir": str(tmp_path / "storage"),
+    }
+    import yaml
+
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(yaml.safe_dump(config))
+
+    runner = CliRunner()
+    result = runner.invoke(cli, ["merge", str(config_path)])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "merged" / "model.safetensors.index.json").exists()
+    assert (tmp_path / "merged" / "README.md").exists()
+    out_shards = set(TINY_SHARD_MAP.values())
+    for shard in out_shards:
+        assert (tmp_path / "merged" / shard).exists()
+
+
+def test_cli_merge_bad_config(tmp_path):
+    from shardmerge_tpu.cli import cli
+
+    config_path = tmp_path / "bad.yaml"
+    config_path.write_text("output_dir: out\n")
+    runner = CliRunner()
+    result = runner.invoke(cli, ["merge", str(config_path)])
+    assert result.exit_code != 0
+
+
+def test_cli_merge_unknown_method(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.cli import cli
+
+    base_path, _ = tiny_model_factory("base", seed=8)
+    import yaml
+
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(
+        yaml.safe_dump(
+            {
+                "output_base_model": str(base_path),
+                "finetune_merge": [
+                    {"model": str(base_path), "base": str(base_path)}
+                ],
+                "output_dir": str(tmp_path / "m"),
+            }
+        )
+    )
+    runner = CliRunner()
+    result = runner.invoke(cli, ["merge", str(config_path), "--method", "bogus"])
+    assert result.exit_code != 0
