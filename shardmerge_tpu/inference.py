@@ -1,0 +1,213 @@
+"""JAX inference engine with streaming generation.
+
+Parity surface: reference shard/inference.py — ChatMessage (:24-35),
+InferenceEngine.from_pretrained with 4/8-bit options (:65-119),
+stream_generation with chat-template support (:121-200).
+
+Redesign: the reference wraps transformers+bitsandbytes and, despite taking
+sampling parameters, argmaxes every token (inference.py:176-189). Here the
+model is the pure-JAX Llama forward (models/llama.py): one jitted prefill,
+one jitted decode step against a fixed-size KV cache (no retracing during a
+generation), real temperature/top-k/top-p/repetition-penalty sampling, and
+``greedy=True`` to reproduce the reference's decoding. Only the tokenizer
+comes from transformers.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from dataclasses import dataclass
+from functools import partial
+from pathlib import Path
+from typing import Iterator, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.llama import (
+    ModelConfig,
+    forward,
+    init_kv_cache,
+    rope_tables,
+)
+from .models.loader import load_params
+from .models.sampling import sample_token
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ChatMessage", "InferenceEngine"]
+
+_CACHE_BUCKET = 256  # KV cache length granularity (compile-cache friendly)
+
+
+@dataclass
+class ChatMessage:
+    role: str
+    content: str
+
+    def to_dict(self):
+        return {"role": self.role, "content": self.content}
+
+    def __str__(self):
+        return json.dumps(self.to_dict())
+
+
+class InferenceEngine:
+    def __init__(self, cfg: ModelConfig, params, tokenizer):
+        self.cfg = cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self._decode_step = jax.jit(
+            partial(forward, cfg=cfg), donate_argnames=("kv_cache",)
+        )
+        self._prefill = jax.jit(partial(forward, cfg=cfg))
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, exc_type, exc_val, exc_tb):
+        logger.info("Releasing model parameters")
+        self.params = None
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        model_path: str,
+        load_in_4bit: bool = False,
+        load_in_8bit: bool = False,
+        tokenizer=None,
+        device: Optional[str] = None,
+    ) -> "InferenceEngine":
+        if load_in_4bit and load_in_8bit:
+            raise ValueError("Cannot load model in both 4-bit and 8-bit precision")
+        quant_bits = 4 if load_in_4bit else 8 if load_in_8bit else None
+
+        model_path = Path(model_path)
+        cfg = ModelConfig.from_pretrained(model_path)
+        params = load_params(model_path, cfg, quant_bits=quant_bits)
+
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(str(model_path))
+        return cls(cfg, params, tokenizer)
+
+    # -- generation --------------------------------------------------------
+
+    def _encode(
+        self,
+        prompt: str,
+        use_template: bool,
+        system_prompt: Optional[str],
+        previous_messages: Optional[List[ChatMessage]],
+    ) -> List[int]:
+        if use_template and getattr(self.tokenizer, "chat_template", None):
+            raw: List[ChatMessage] = []
+            if system_prompt:
+                raw.append(ChatMessage(role="system", content=system_prompt))
+            if previous_messages:
+                raw.extend(previous_messages)
+            raw.append(ChatMessage(role="user", content=prompt))
+            ids = self.tokenizer.apply_chat_template(
+                [m.to_dict() for m in raw],
+                tokenize=True,
+                add_generation_prompt=True,
+            )
+            return list(ids)
+        return list(self.tokenizer.encode(prompt))
+
+    def _eos_ids(self) -> set:
+        eos = getattr(self.tokenizer, "eos_token_id", None)
+        if eos is None:
+            return set()
+        return set(eos) if isinstance(eos, (list, tuple)) else {eos}
+
+    def stream_generation(
+        self,
+        prompt: str,
+        max_new_tokens: int = 512,
+        temperature: float = 0.7,
+        top_p: float = 0.95,
+        top_k: int = 40,
+        repetition_penalty: float = 1.1,
+        use_template: bool = True,
+        system_prompt: Optional[str] = None,
+        previous_messages: Optional[List[ChatMessage]] = None,
+        greedy: bool = False,
+        seed: int = 0,
+    ) -> Iterator[str]:
+        """Yield generated text chunks token by token."""
+        cfg = self.cfg
+        input_ids = self._encode(prompt, use_template, system_prompt, previous_messages)
+        prompt_len = len(input_ids)
+        if prompt_len == 0:
+            return
+
+        total = prompt_len + max_new_tokens
+        cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
+        rope = rope_tables(cfg, cache_len)
+        kv = init_kv_cache(cfg, 1, cache_len)
+
+        ids = jnp.asarray([input_ids], jnp.int32)
+        positions = jnp.arange(prompt_len, dtype=jnp.int32)[None, :]
+        logits, kv = self._prefill(
+            self.params,
+            input_ids=ids,
+            positions=positions,
+            kv_cache=kv,
+            cache_pos=0,
+            rope=rope,
+            attn_len=prompt_len,
+        )
+
+        key = jax.random.PRNGKey(seed)
+        eos_ids = self._eos_ids()
+        generated_mask = jnp.zeros((1, cfg.vocab_size), bool)
+        generated: List[int] = []
+        emitted_text = ""
+        last = logits[:, -1, :]
+
+        for step in range(max_new_tokens):
+            key, sample_key = jax.random.split(key)
+            next_token = sample_token(
+                last,
+                sample_key,
+                generated_mask,
+                jnp.float32(temperature),
+                top_k,
+                jnp.float32(top_p),
+                jnp.float32(repetition_penalty),
+                greedy=greedy,
+            )
+            token_id = int(next_token[0])
+            generated.append(token_id)
+            generated_mask = generated_mask.at[0, token_id].set(True)
+
+            # incremental decode: emit the text suffix (handles BPE joins)
+            text = self.tokenizer.decode(generated, skip_special_tokens=True)
+            if len(text) > len(emitted_text) and not text.endswith("�"):
+                chunk = text[len(emitted_text) :]
+                emitted_text = text
+                if chunk:
+                    yield chunk
+
+            if token_id in eos_ids:
+                break
+            if step == max_new_tokens - 1:
+                break
+
+            pos = prompt_len + step
+            logits, kv = self._decode_step(
+                self.params,
+                input_ids=next_token[:, None].astype(jnp.int32),
+                positions=jnp.asarray([[pos]], jnp.int32),
+                kv_cache=kv,
+                cache_pos=pos,
+                rope=rope,
+                attn_len=pos + 1,
+            )
+            last = logits[:, -1, :]

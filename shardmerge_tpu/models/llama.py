@@ -1,0 +1,318 @@
+"""JAX Llama-family forward pass (Llama 2/3, Qwen2, Mistral).
+
+Replaces the reference's transformers+bitsandbytes inference path
+(shard/inference.py:65-119) with a pure-JAX functional model:
+
+- params are a pytree of jnp arrays keyed like the HF checkpoint
+  (models/loader.py maps safetensors names onto it)
+- one jitted function serves both prefill and single-token decode against a
+  fixed-size KV cache (static shapes; no retrace per step)
+- bf16 weights/activations, fp32 RMSNorm/softmax/logits
+- GQA, RoPE (with llama3 rope scaling), SwiGLU, optional attention biases
+  (Qwen2), optional tied embeddings
+- weights may be int8/int4-quantized per output channel (models/quant.py);
+  dequantization happens inside the matmul helper
+
+The forward is mesh-agnostic: parallel/train.py shards the same pytree over
+a Mesh for multi-chip inference/training.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+@dataclass
+class ModelConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 4
+    max_position_embeddings: int = 4096
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    rope_scaling: Optional[dict] = None
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False  # Qwen2 uses q/k/v biases
+    model_type: str = "llama"
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @classmethod
+    def from_hf_config(cls, config: dict) -> "ModelConfig":
+        model_type = config.get("model_type", "llama")
+        return cls(
+            vocab_size=config["vocab_size"],
+            hidden_size=config["hidden_size"],
+            intermediate_size=config["intermediate_size"],
+            num_hidden_layers=config["num_hidden_layers"],
+            num_attention_heads=config["num_attention_heads"],
+            num_key_value_heads=config.get(
+                "num_key_value_heads", config["num_attention_heads"]
+            ),
+            max_position_embeddings=config.get("max_position_embeddings", 4096),
+            rms_norm_eps=config.get("rms_norm_eps", 1e-5),
+            rope_theta=config.get("rope_theta", 10000.0),
+            rope_scaling=config.get("rope_scaling"),
+            tie_word_embeddings=config.get("tie_word_embeddings", False),
+            attention_bias=config.get(
+                "attention_bias", model_type == "qwen2"
+            ),
+            model_type=model_type,
+        )
+
+    @classmethod
+    def from_pretrained(cls, model_path: Path) -> "ModelConfig":
+        with open(Path(model_path) / "config.json") as f:
+            return cls.from_hf_config(json.load(f))
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+# ---------------------------------------------------------------------------
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    x32 = x.astype(jnp.float32)
+    normed = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def _rope_inv_freq(cfg: ModelConfig) -> np.ndarray:
+    """Rotary inverse frequencies, with llama3-style scaling when configured."""
+    head_dim = cfg.head_dim
+    inv_freq = 1.0 / (
+        cfg.rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
+    )
+    scaling = cfg.rope_scaling or {}
+    rope_type = scaling.get("rope_type", scaling.get("type"))
+    if rope_type == "llama3":
+        factor = scaling["factor"]
+        low = scaling["low_freq_factor"]
+        high = scaling["high_freq_factor"]
+        original = scaling["original_max_position_embeddings"]
+        wavelen = 2 * np.pi / inv_freq
+        low_wavelen = original / low
+        high_wavelen = original / high
+        scaled = np.where(wavelen > low_wavelen, inv_freq / factor, inv_freq)
+        smooth = (original / wavelen - low) / (high - low)
+        smoothed = (1 - smooth) * inv_freq / factor + smooth * inv_freq
+        is_medium = (wavelen <= low_wavelen) & (wavelen >= high_wavelen)
+        inv_freq = np.where(is_medium, smoothed, scaled)
+    elif rope_type == "linear":
+        inv_freq = inv_freq / scaling["factor"]
+    return inv_freq.astype(np.float32)
+
+
+def rope_tables(cfg: ModelConfig, max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    inv_freq = _rope_inv_freq(cfg)
+    t = np.arange(max_len, dtype=np.float32)
+    freqs = np.outer(t, inv_freq)  # (max_len, head_dim/2)
+    emb = np.concatenate([freqs, freqs], axis=-1)
+    return jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+
+
+def _rotate_half(x):
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def apply_rope(q, k, cos, sin, positions):
+    # q,k: (B, H, T, D); positions: (B, T)
+    cos_p = cos[positions][:, None, :, :]  # (B, 1, T, D)
+    sin_p = sin[positions][:, None, :, :]
+    q_out = q * cos_p + _rotate_half(q) * sin_p
+    k_out = k * cos_p + _rotate_half(k) * sin_p
+    return q_out.astype(q.dtype), k_out.astype(k.dtype)
+
+
+def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ W.T with transparent dequantization.
+
+    ``w`` is either a raw (out, in) array or a quantized dict
+    {"q": int8/uint8-packed, "scale": per-output-channel fp}.
+    """
+    if isinstance(w, dict):
+        from .quant import dequant_matmul
+
+        return dequant_matmul(x, w)
+    return jax.lax.dot_general(
+        x,
+        w,
+        ((((x.ndim - 1),), (1,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameter initialization (tests / benchmarks)
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
+    keys = jax.random.split(key, cfg.num_hidden_layers + 3)
+    scale = 0.02
+
+    def dense(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * scale).astype(dtype)
+
+    params: Params = {
+        "embed_tokens": dense(keys[0], (cfg.vocab_size, cfg.hidden_size)),
+        "norm": jnp.ones((cfg.hidden_size,), dtype),
+        "layers": [],
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = dense(keys[1], (cfg.vocab_size, cfg.hidden_size))
+
+    kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    for i in range(cfg.num_hidden_layers):
+        k = jax.random.split(keys[i + 2], 8)
+        layer = {
+            "q_proj": dense(k[0], (cfg.hidden_size, cfg.hidden_size)),
+            "k_proj": dense(k[1], (kv_dim, cfg.hidden_size)),
+            "v_proj": dense(k[2], (kv_dim, cfg.hidden_size)),
+            "o_proj": dense(k[3], (cfg.hidden_size, cfg.hidden_size)),
+            "gate_proj": dense(k[4], (cfg.intermediate_size, cfg.hidden_size)),
+            "up_proj": dense(k[5], (cfg.intermediate_size, cfg.hidden_size)),
+            "down_proj": dense(k[6], (cfg.hidden_size, cfg.intermediate_size)),
+            "input_layernorm": jnp.ones((cfg.hidden_size,), dtype),
+            "post_attention_layernorm": jnp.ones((cfg.hidden_size,), dtype),
+        }
+        if cfg.attention_bias:
+            layer["q_bias"] = jnp.zeros((cfg.hidden_size,), dtype)
+            layer["k_bias"] = jnp.zeros((kv_dim,), dtype)
+            layer["v_bias"] = jnp.zeros((kv_dim,), dtype)
+        params["layers"].append(layer)
+    return params
+
+
+def init_kv_cache(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
+) -> Dict[str, jnp.ndarray]:
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
+    return {
+        "k": jnp.zeros(shape, dtype),
+        "v": jnp.zeros(shape, dtype),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
+    """Self-attention over the cached keys/values.
+
+    kv_slice: (2, B, KVH, S, D) full cache buffers for this layer.
+    Returns (output, new_k_cache, new_v_cache).
+    """
+    B, T, _ = x.shape
+    H, KVH, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    q = matmul(x, layer["q_proj"])
+    k = matmul(x, layer["k_proj"])
+    v = matmul(x, layer["v_proj"])
+    if "q_bias" in layer:
+        q = q + layer["q_bias"]
+        k = k + layer["k_bias"]
+        v = v + layer["v_bias"]
+
+    q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
+
+    q, k = apply_rope(q, k, cos, sin, positions)
+
+    k_cache, v_cache = kv_slice
+    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
+    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, cache_pos, 0))
+
+    group = H // KVH
+    S = k_cache.shape[2]
+    # (B, KVH, group, T, D) x (B, KVH, S, D) -> (B, KVH, group, T, S)
+    qg = q.reshape(B, KVH, group, T, D)
+    scores = jnp.einsum(
+        "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
+    ) / jnp.sqrt(jnp.float32(D))
+    scores = scores + mask[:, None, None, :, :]  # mask: (B, T, S)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksd->bkgtd", probs, v_cache.astype(jnp.float32))
+    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
+    out = matmul(out.astype(x.dtype), layer["o_proj"])
+    return out, k_cache, v_cache
+
+
+def _mlp(layer, x):
+    gate = matmul(x, layer["gate_proj"])
+    up = matmul(x, layer["up_proj"])
+    return matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up, layer["down_proj"])
+
+
+def forward(
+    params: Params,
+    cfg: ModelConfig,
+    input_ids: jnp.ndarray,  # (B, T)
+    positions: jnp.ndarray,  # (B, T)
+    kv_cache: Dict[str, jnp.ndarray],
+    cache_pos,  # scalar: write offset into the cache
+    rope: Tuple[jnp.ndarray, jnp.ndarray],
+    attn_len,  # scalar: number of valid cache slots after this call
+):
+    """One forward pass (prefill when T>1, decode when T==1).
+
+    Returns (logits fp32 (B, T, V), new kv_cache).
+    """
+    cos, sin = rope
+    embed = params["embed_tokens"]
+    if isinstance(embed, dict):
+        from .quant import dequant
+
+        embed = dequant(embed)
+    x = embed[input_ids]
+
+    B, T = input_ids.shape
+    S = kv_cache["k"].shape[3]
+    # causal mask over cache slots: token at absolute position p attends to
+    # cache slots [0, p]; slots beyond attn_len are invalid.
+    slot = jnp.arange(S)[None, None, :]  # (1, 1, S)
+    pos = positions[:, :, None]  # (B, T, 1)
+    valid = (slot <= pos) & (slot < attn_len)
+    mask = jnp.where(valid, 0.0, jnp.float32(-1e9))
+
+    new_k = []
+    new_v = []
+    for i, layer in enumerate(params["layers"]):
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        attn_out, k_c, v_c = _attention(
+            cfg,
+            layer,
+            h,
+            cos,
+            sin,
+            positions,
+            (kv_cache["k"][i], kv_cache["v"][i]),
+            cache_pos,
+            mask,
+        )
+        new_k.append(k_c)
+        new_v.append(v_c)
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head", params["embed_tokens"])
+    logits = matmul(x, head).astype(jnp.float32)
+
+    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}

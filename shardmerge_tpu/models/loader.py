@@ -1,0 +1,128 @@
+"""Load HF llama-family safetensors checkpoints into the JAX param pytree.
+
+Weight names follow the HF convention the merge pipeline preserves
+(model.embed_tokens.weight, model.layers.N.self_attn.q_proj.weight, ...).
+Reads are zero-copy mmap views; each tensor makes exactly one host->device
+transfer. Optional int8/int4 weight-only quantization is applied to the
+per-layer projection matrices (embeddings, norms and lm_head stay bf16, like
+the reference's bitsandbytes setup keeps lm_head unquantized).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.safetensors_io import SafeTensorsReader
+from .llama import ModelConfig, Params
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["load_params", "load_model"]
+
+_LAYER_WEIGHTS = {
+    "self_attn.q_proj.weight": "q_proj",
+    "self_attn.k_proj.weight": "k_proj",
+    "self_attn.v_proj.weight": "v_proj",
+    "self_attn.o_proj.weight": "o_proj",
+    "mlp.gate_proj.weight": "gate_proj",
+    "mlp.up_proj.weight": "up_proj",
+    "mlp.down_proj.weight": "down_proj",
+    "input_layernorm.weight": "input_layernorm",
+    "post_attention_layernorm.weight": "post_attention_layernorm",
+    "self_attn.q_proj.bias": "q_bias",
+    "self_attn.k_proj.bias": "k_bias",
+    "self_attn.v_proj.bias": "v_bias",
+}
+_QUANTIZABLE = {
+    "q_proj",
+    "k_proj",
+    "v_proj",
+    "o_proj",
+    "gate_proj",
+    "up_proj",
+    "down_proj",
+}
+
+
+def _to_device(arr: np.ndarray, dtype) -> jnp.ndarray:
+    x = jax.device_put(arr)
+    return x.astype(dtype) if x.dtype != dtype else x
+
+
+def load_params(
+    model_path: Path,
+    cfg: Optional[ModelConfig] = None,
+    dtype=jnp.bfloat16,
+    quant_bits: Optional[int] = None,
+) -> Params:
+    """Load all weights from a sharded (or single-file) safetensors dir."""
+    model_path = Path(model_path)
+    if cfg is None:
+        cfg = ModelConfig.from_pretrained(model_path)
+
+    index_path = model_path / "model.safetensors.index.json"
+    if index_path.exists():
+        with open(index_path) as f:
+            weight_map = json.load(f)["weight_map"]
+        shards = sorted(set(weight_map.values()))
+    else:
+        single = model_path / "model.safetensors"
+        if not single.exists():
+            raise FileNotFoundError(f"No safetensors weights in {model_path}")
+        shards = ["model.safetensors"]
+
+    params: Params = {
+        "layers": [dict() for _ in range(cfg.num_hidden_layers)]
+    }
+
+    from .quant import quantize
+
+    for shard in shards:
+        with SafeTensorsReader(model_path / shard) as reader:
+            for name in reader.keys():
+                arr = reader.get_tensor(name)
+                if name == "model.embed_tokens.weight":
+                    params["embed_tokens"] = _to_device(arr, dtype)
+                elif name == "model.norm.weight":
+                    params["norm"] = _to_device(arr, dtype)
+                elif name == "lm_head.weight":
+                    params["lm_head"] = _to_device(arr, dtype)
+                elif name.startswith("model.layers."):
+                    parts = name.split(".")
+                    layer_idx = int(parts[2])
+                    suffix = ".".join(parts[3:])
+                    key = _LAYER_WEIGHTS.get(suffix)
+                    if key is None:
+                        logger.warning("Skipping unknown weight %s", name)
+                        continue
+                    w = _to_device(arr, dtype)
+                    if quant_bits and key in _QUANTIZABLE:
+                        w = quantize(w, bits=quant_bits)
+                    params["layers"][layer_idx][key] = w
+                else:
+                    logger.warning("Skipping unknown weight %s", name)
+
+    if cfg.tie_word_embeddings:
+        params.pop("lm_head", None)
+    missing = [
+        i for i, layer in enumerate(params["layers"]) if "q_proj" not in layer
+    ]
+    if missing or "embed_tokens" not in params:
+        raise ValueError(
+            f"Checkpoint at {model_path} is incomplete "
+            f"(missing embed or layers {missing[:4]}...)"
+        )
+    return params
+
+
+def load_model(model_path: Path, quant_bits: Optional[int] = None):
+    """Convenience: (config, params)."""
+    cfg = ModelConfig.from_pretrained(model_path)
+    return cfg, load_params(model_path, cfg, quant_bits=quant_bits)

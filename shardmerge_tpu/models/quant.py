@@ -1,0 +1,56 @@
+"""Weight-only quantization (int8 / packed int4) for inference.
+
+Maps the reference's bitsandbytes 4/8-bit load options
+(shard/inference.py:90-115) onto TPU-friendly weight-only quantization:
+per-output-channel absmax scales, dequantized on the fly inside the matmul
+(bf16 compute on the MXU). int4 is stored two nibbles per uint8.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["quantize", "dequant", "dequant_matmul"]
+
+
+def quantize(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
+    """Quantize an (out, in) weight matrix per output channel."""
+    assert bits in (4, 8)
+    w32 = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = jnp.maximum(absmax / qmax, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        # pack two signed nibbles per byte: columns 2j (low), 2j+1 (high)
+        assert q.shape[1] % 2 == 0, "int4 requires even input dim"
+        u = (q + 8).astype(jnp.uint8)  # [1, 15]
+        packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)
+        return {"q": packed, "scale": scale.astype(jnp.float32), "bits": 4}
+    return {"q": q, "scale": scale.astype(jnp.float32), "bits": 8}
+
+
+def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = (packed >> 4).astype(jnp.int8) - 8
+    out = jnp.stack([lo, hi], axis=-1)  # (out, in/2, 2)
+    return out.reshape(packed.shape[0], packed.shape[1] * 2)
+
+
+def dequant(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    q = _unpack4(wq["q"]) if wq.get("bits") == 4 else wq["q"]
+    return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
+
+
+def dequant_matmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """x @ dequant(W).T — dequantization fuses into the matmul under XLA."""
+    w = dequant(wq, x.dtype)
+    return jax.lax.dot_general(
+        x,
+        w,
+        ((((x.ndim - 1),), (1,)), ((), ())),
+        preferred_element_type=x.dtype,
+    )

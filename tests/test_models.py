@@ -1,0 +1,353 @@
+"""Model tests: JAX Llama/Qwen2 forward vs HF transformers (torch CPU),
+KV-cache decode equivalence, quantization, sampling, inference engine."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shardmerge_tpu.models.llama import (
+    ModelConfig,
+    forward,
+    init_kv_cache,
+    init_params,
+    rope_tables,
+)
+
+
+def _tiny_cfg(**kw):
+    defaults = dict(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+    )
+    defaults.update(kw)
+    return ModelConfig(**defaults)
+
+
+def _run_forward(cfg, params, ids, cache_len=32):
+    T = ids.shape[1]
+    rope = rope_tables(cfg, cache_len)
+    kv = init_kv_cache(cfg, ids.shape[0], cache_len, jnp.float32)
+    positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(ids.shape[0], 0)
+    logits, kv = forward(
+        params,
+        cfg,
+        ids,
+        positions,
+        kv,
+        cache_pos=0,
+        rope=rope,
+        attn_len=T,
+    )
+    return logits, kv
+
+
+def _save_hf_model(hf_model, cfg_dict, path):
+    path.mkdir(parents=True, exist_ok=True)
+    hf_model.save_pretrained(str(path), safe_serialization=True)
+
+
+@pytest.fixture(scope="module")
+def hf_llama(tmp_path_factory):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(0)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attention_bias=False,
+    )
+    model = LlamaForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path_factory.mktemp("hf_llama")
+    _save_hf_model(model, config, path)
+    return model, path
+
+
+def test_forward_matches_transformers(hf_llama):
+    import torch
+
+    from shardmerge_tpu.models.loader import load_model, load_params
+
+    model, path = hf_llama
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+
+    ids = np.array([[1, 5, 9, 42, 77, 3]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_qwen2_biases_match_transformers(tmp_path):
+    import torch
+    from transformers import Qwen2Config, Qwen2ForCausalLM
+
+    torch.manual_seed(1)
+    config = Qwen2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    model = Qwen2ForCausalLM(config).eval().to(torch.float32)
+    # give the biases nonzero values so the test is meaningful
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_proj.bias.uniform_(-0.5, 0.5)
+            layer.self_attn.k_proj.bias.uniform_(-0.5, 0.5)
+            layer.self_attn.v_proj.bias.uniform_(-0.5, 0.5)
+    path = tmp_path / "qwen2"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.attention_bias
+    params = load_params(path, cfg, dtype=jnp.float32)
+    ids = np.array([[2, 8, 33, 100]], np.int32)
+    import torch as _t
+
+    with _t.no_grad():
+        expected = model(_t.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_llama3_rope_scaling_matches_transformers(tmp_path):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(2)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=512,
+        rope_theta=10000.0,
+        rope_scaling={
+            "rope_type": "llama3",
+            "factor": 8.0,
+            "low_freq_factor": 1.0,
+            "high_freq_factor": 4.0,
+            "original_max_position_embeddings": 64,
+        },
+    )
+    model = LlamaForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "llama3"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+    ids = np.array([[3, 60, 119, 7, 22, 90, 11]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids), cache_len=64)
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_kv_cache_decode_matches_full_forward(rng):
+    cfg = _tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 7)), jnp.int32)
+
+    full_logits, _ = _run_forward(cfg, params, ids)
+
+    # prefill 6 tokens then decode token 7
+    cache_len = 32
+    rope = rope_tables(cfg, cache_len)
+    kv = init_kv_cache(cfg, 1, cache_len, jnp.float32)
+    logits_p, kv = forward(
+        params,
+        cfg,
+        ids[:, :6],
+        jnp.arange(6, dtype=jnp.int32)[None, :],
+        kv,
+        cache_pos=0,
+        rope=rope,
+        attn_len=6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(full_logits[:, :6]), rtol=1e-4, atol=1e-5
+    )
+    logits_d, _ = forward(
+        params,
+        cfg,
+        ids[:, 6:7],
+        jnp.asarray([[6]], jnp.int32),
+        kv,
+        cache_pos=6,
+        rope=rope,
+        attn_len=7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_d[:, 0]),
+        np.asarray(full_logits[:, 6]),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+
+
+def test_tied_embeddings():
+    cfg = _tiny_cfg(tie_word_embeddings=True)
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    assert "lm_head" not in params
+    ids = jnp.asarray([[1, 2, 3]], jnp.int32)
+    logits, _ = _run_forward(cfg, params, ids)
+    assert logits.shape == (1, 3, cfg.vocab_size)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+
+def test_quantization_roundtrip(rng):
+    from shardmerge_tpu.models.quant import dequant, quantize
+
+    w = jnp.asarray(rng.standard_normal((16, 32)).astype(np.float32))
+    for bits, tol in [(8, 0.02), (4, 0.3)]:
+        wq = quantize(w, bits=bits)
+        back = dequant(wq, jnp.float32)
+        assert back.shape == w.shape
+        max_err = float(jnp.max(jnp.abs(back - w)))
+        scale = float(jnp.max(jnp.abs(w)))
+        assert max_err <= tol * scale, (bits, max_err)
+
+
+def test_quantized_forward_close(rng):
+    from shardmerge_tpu.models.quant import quantize
+
+    cfg = _tiny_cfg()
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    qparams = jax.tree.map(lambda x: x, params)  # shallow copy
+    qparams["layers"] = [
+        {
+            k: (quantize(v, 8) if k.endswith("_proj") else v)
+            for k, v in layer.items()
+        }
+        for layer in params["layers"]
+    ]
+    ids = jnp.asarray([[1, 5, 9]], jnp.int32)
+    base_logits, _ = _run_forward(cfg, params, ids)
+    q_logits, _ = _run_forward(cfg, qparams, ids)
+    # int8 weight quantization keeps logits close
+    np.testing.assert_allclose(
+        np.asarray(q_logits), np.asarray(base_logits), rtol=0.2, atol=0.2
+    )
+
+
+def test_sampling_greedy_and_topk():
+    from shardmerge_tpu.models.sampling import sample_token
+
+    logits = jnp.asarray([[1.0, 5.0, 3.0, 0.0]], jnp.float32)
+    mask = jnp.zeros((1, 4), bool)
+    key = jax.random.PRNGKey(0)
+    assert int(sample_token(logits, key, mask, greedy=True)[0]) == 1
+    # top_k=1 must always pick the argmax regardless of randomness
+    for seed in range(5):
+        tok = sample_token(
+            logits, jax.random.PRNGKey(seed), mask, 1.0, 1, 1.0, 1.0
+        )
+        assert int(tok[0]) == 1
+    # top_p tiny -> argmax too
+    tok = sample_token(logits, key, mask, 1.0, 0, 1e-6, 1.0)
+    assert int(tok[0]) == 1
+
+
+def test_sampling_repetition_penalty():
+    from shardmerge_tpu.models.sampling import sample_token
+
+    logits = jnp.asarray([[2.0, 1.9]], jnp.float32)
+    # token 0 was generated; with a strong penalty token 1 wins
+    mask = jnp.asarray([[True, False]])
+    tok = sample_token(
+        logits, jax.random.PRNGKey(0), mask, 1.0, 0, 1.0, 2.0, greedy=True
+    )
+    assert int(tok[0]) == 1
+
+
+class StubTokenizer:
+    """Minimal tokenizer for engine tests: one token per character."""
+
+    chat_template = None
+    eos_token_id = 0
+
+    def encode(self, text):
+        return [ord(c) % 96 + 2 for c in text]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr((i - 2) % 96 + 32) for i in ids if i != 0)
+
+
+def test_inference_engine_stream(tmp_path):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(7)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    model = LlamaForCausalLM(config).eval()
+    path = tmp_path / "m"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.inference import InferenceEngine
+
+    engine = InferenceEngine.from_pretrained(
+        str(path), tokenizer=StubTokenizer()
+    )
+    chunks = list(
+        engine.stream_generation(
+            "hi", max_new_tokens=8, greedy=True, use_template=False
+        )
+    )
+    text = "".join(chunks)
+    assert 0 < len(text) <= 9
+    # deterministic greedy decoding
+    chunks2 = list(
+        engine.stream_generation(
+            "hi", max_new_tokens=8, greedy=True, use_template=False
+        )
+    )
+    assert "".join(chunks2) == text
+
+
+def test_inference_engine_rejects_double_quant(tmp_path):
+    from shardmerge_tpu.inference import InferenceEngine
+
+    with pytest.raises(ValueError, match="both 4-bit and 8-bit"):
+        InferenceEngine.from_pretrained(
+            str(tmp_path), load_in_4bit=True, load_in_8bit=True
+        )
