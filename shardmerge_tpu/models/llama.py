@@ -316,3 +316,55 @@ def forward(
     logits = matmul(x, head).astype(jnp.float32)
 
     return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+
+
+def forward_train(params: Params, cfg: ModelConfig, input_ids: jnp.ndarray):
+    """Cache-free causal forward for training (B, T) -> fp32 logits (B, T, V).
+
+    Used by parallel/train.py's sharded train step; differentiable.
+    """
+    B, T = input_ids.shape
+    H, KVH, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    embed = params["embed_tokens"]
+    if isinstance(embed, dict):
+        from .quant import dequant
+
+        embed = dequant(embed)
+    x = embed[input_ids]
+
+    cos, sin = rope_tables(cfg, T)
+    positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    mask = jnp.where(causal, 0.0, jnp.float32(-1e9))
+
+    for layer in params["layers"]:
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        q = matmul(h, layer["q_proj"])
+        k = matmul(h, layer["k_proj"])
+        v = matmul(h, layer["v_proj"])
+        if "q_bias" in layer:
+            q = q + layer["q_bias"]
+            k = k + layer["k_bias"]
+            v = v + layer["v_bias"]
+        q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+        k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
+        v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
+        q, k = apply_rope(q, k, cos, sin, positions)
+
+        group = H // KVH
+        qg = q.reshape(B, KVH, group, T, D)
+        scores = jnp.einsum(
+            "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k.astype(jnp.float32)
+        ) / jnp.sqrt(jnp.float32(D))
+        scores = scores + mask[None, None, None]
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
+        out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
+        x = x + matmul(out.astype(x.dtype), layer["o_proj"])
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
+        x = x + _mlp(layer, h)
+
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    head = params.get("lm_head", params["embed_tokens"])
+    return matmul(x, head).astype(jnp.float32)

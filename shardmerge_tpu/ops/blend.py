@@ -120,23 +120,34 @@ def slerp(v0: jnp.ndarray, v1: jnp.ndarray, t) -> jnp.ndarray:
     return _masked_slerp(v0, v1, t, jnp.ones(v0.shape, dtype=bool))
 
 
-def _masked_slerp(v0, v1, t, mask):
+def _gsum(x, axis_name: Optional[str]):
+    """Global sum: local sum, plus a psum across the mesh axis when the
+    array is one shard of a distributed tensor."""
+    s = jnp.sum(x)
+    if axis_name is not None:
+        s = jax.lax.psum(s, axis_name)
+    return s
+
+
+def _masked_slerp(v0, v1, t, mask, axis_name: Optional[str] = None):
     """SLERP over the masked element subset.
 
     The reference gathers ``v0[mask]`` into a 1-D vector and applies
     functions.py:24-43; all its reductions (dot, norms, the dim=-1 normalize
     of a 1-D vector) are global over that subset, so masked reductions give
     the same values without dynamic shapes. ``torch.nn.functional.normalize``
-    clamps the denominator at eps=1e-12.
+    clamps the denominator at eps=1e-12. With ``axis_name`` the reductions
+    become single all-reduces over the mesh (SURVEY.md §5: slerp's global dot
+    is one psum).
     """
     zero = jnp.float32(0.0)
-    dot_num = jnp.sum(jnp.where(mask, v0 * v1, zero))
-    n0 = jnp.sqrt(jnp.sum(jnp.where(mask, v0 * v0, zero)))
-    n1 = jnp.sqrt(jnp.sum(jnp.where(mask, v1 * v1, zero)))
+    dot_num = _gsum(jnp.where(mask, v0 * v1, zero), axis_name)
+    n0 = jnp.sqrt(_gsum(jnp.where(mask, v0 * v0, zero), axis_name))
+    n1 = jnp.sqrt(_gsum(jnp.where(mask, v1 * v1, zero), axis_name))
     dot = jnp.clip(dot_num / (n0 * n1), -1.0, 1.0)
     theta = jnp.arccos(dot) * t
     rel = v1 - v0 * dot
-    rel_norm = jnp.sqrt(jnp.sum(jnp.where(mask, rel * rel, zero)))
+    rel_norm = jnp.sqrt(_gsum(jnp.where(mask, rel * rel, zero), axis_name))
     rel = rel / jnp.maximum(rel_norm, 1e-12)
     return v0 * jnp.cos(theta) + rel * jnp.sin(theta)
 
@@ -144,6 +155,102 @@ def _masked_slerp(v0, v1, t, mask):
 # ---------------------------------------------------------------------------
 # FFT-component blends
 # ---------------------------------------------------------------------------
+
+def interpolate_fft_components_impl(
+    v0_fft: jnp.ndarray,
+    v1_fft: jnp.ndarray,
+    t,
+    t_sum,
+    cutoff_k,
+    cull_k,
+    cull_count_limit,
+    *,
+    use_cutoff: bool,
+    use_cull: bool,
+    interp_imag: bool = True,
+    axis_name: Optional[str] = None,
+    fft_fn=None,
+    ifft_fn=None,
+) -> jnp.ndarray:
+    """Masked spectral blend of two complex FFTs. Parity: functions.py:90-162.
+
+    ``cutoff_k``/``cull_k`` are GLOBAL ranks precomputed on the host with
+    :func:`cutoff_rank`/:func:`cull_rank`; ``cull_count_limit`` with
+    :func:`cull_limit`. ``use_cutoff``/``use_cull`` are the static
+    ``pct > 0`` branches of the reference.
+
+    Distributed mode: ``axis_name`` makes every reduction (order-statistic
+    counts, cull count, slerp dot/norms) a psum over that mesh axis, and
+    ``fft_fn``/``ifft_fn`` supply the sharded FFT used for the imaginary
+    double-FFT recursion (parallel/fft2d.py).
+    """
+    fft_fn = fft_fn or fft2
+    ifft_fn = ifft_fn or ifft2_real
+
+    r0 = v0_fft.real
+    r1 = v1_fft.real
+    a0 = jnp.abs(r0)
+    a1 = jnp.abs(r1)
+
+    if use_cutoff:
+        both = jnp.concatenate([a0.ravel(), a1.ravel()])
+        cutoff_thr = kth_smallest_nonneg(both, cutoff_k, axis_name=axis_name)
+    else:
+        cutoff_thr = jnp.float32(0.0)
+
+    sign_mask = jnp.sign(r0) == jnp.sign(r1)
+    # REF-QUIRK functions.py:125-126: both "small value" masks test |Re v1|;
+    # v0's magnitude never participates in the cutoff decision.
+    small = a1 < cutoff_thr
+    slerp_mask = sign_mask & ~small
+    sum_mask = sign_mask & small  # == sign_mask & ~slerp_mask
+    larger = a0 > a1  # disagreement lanes pick by |Re v0| > |Re v1|
+
+    slerp_vals = _masked_slerp(r0, r1, t, slerp_mask, axis_name=axis_name)
+    res_real = jnp.where(
+        slerp_mask,
+        slerp_vals,
+        jnp.where(sum_mask, r0 + t_sum * r1, jnp.where(larger, r0, r1)),
+    )
+
+    if use_cull:
+        abs_res = jnp.abs(res_real)
+        cull_thr = kth_smallest_nonneg(
+            abs_res.ravel(), cull_k, axis_name=axis_name
+        )
+        below = _gsum((abs_res < cull_thr).astype(jnp.int32), axis_name)
+        # functions.py:143 overflow guard: skip the cull entirely if it would
+        # zero more than 2x the expected count (mass ties at the threshold).
+        overflow = below > cull_count_limit
+        res_real = jnp.where(
+            overflow, res_real, jnp.where(abs_res < cull_thr, 0.0, res_real)
+        )
+
+    if interp_imag:
+        # Double-FFT imaginary handling (functions.py:152-158): FFT the two
+        # imaginary planes, blend their REAL parts with cutoff=cull=0 and no
+        # deeper recursion, inverse-FFT back.
+        i0_fft = fft_fn(v0_fft.imag)
+        i1_fft = fft_fn(v1_fft.imag)
+        inner = interpolate_fft_components_impl(
+            i0_fft,
+            i1_fft,
+            t,
+            t_sum,
+            jnp.int32(0),
+            jnp.int32(0),
+            jnp.int32(0),
+            use_cutoff=False,
+            use_cull=False,
+            interp_imag=False,
+            axis_name=axis_name,
+        )
+        res_imag = ifft_fn(inner)
+    else:
+        res_imag = v0_fft.imag
+
+    return jax.lax.complex(res_real, res_imag)
+
 
 @partial(jax.jit, static_argnames=("use_cutoff", "use_cull", "interp_imag"))
 def interpolate_fft_components(
@@ -159,69 +266,58 @@ def interpolate_fft_components(
     use_cull: bool,
     interp_imag: bool = True,
 ) -> jnp.ndarray:
-    """Masked spectral blend of two complex FFTs. Parity: functions.py:90-162.
-
-    ``cutoff_k``/``cull_k`` are ranks precomputed on the host with
-    :func:`cutoff_rank`/:func:`cull_rank`; ``cull_count_limit`` with
-    :func:`cull_limit`. ``use_cutoff``/``use_cull`` are the static
-    ``pct > 0`` branches of the reference.
-    """
-    r0 = v0_fft.real
-    r1 = v1_fft.real
-    a0 = jnp.abs(r0)
-    a1 = jnp.abs(r1)
-
-    if use_cutoff:
-        both = jnp.concatenate([a0.ravel(), a1.ravel()])
-        cutoff_thr = kth_smallest_nonneg(both, cutoff_k)
-    else:
-        cutoff_thr = jnp.float32(0.0)
-
-    sign_mask = jnp.sign(r0) == jnp.sign(r1)
-    # REF-QUIRK functions.py:125-126: both "small value" masks test |Re v1|;
-    # v0's magnitude never participates in the cutoff decision.
-    small = a1 < cutoff_thr
-    slerp_mask = sign_mask & ~small
-    sum_mask = sign_mask & small  # == sign_mask & ~slerp_mask
-    larger = a0 > a1  # disagreement lanes pick by |Re v0| > |Re v1|
-
-    slerp_vals = _masked_slerp(r0, r1, t, slerp_mask)
-    res_real = jnp.where(
-        slerp_mask,
-        slerp_vals,
-        jnp.where(sum_mask, r0 + t_sum * r1, jnp.where(larger, r0, r1)),
+    """Single-device jitted wrapper of
+    :func:`interpolate_fft_components_impl` (see it for semantics)."""
+    return interpolate_fft_components_impl(
+        v0_fft,
+        v1_fft,
+        t,
+        t_sum,
+        cutoff_k,
+        cull_k,
+        cull_count_limit,
+        use_cutoff=use_cutoff,
+        use_cull=use_cull,
+        interp_imag=interp_imag,
     )
 
-    if use_cull:
-        abs_res = jnp.abs(res_real)
-        cull_thr = kth_smallest_nonneg(abs_res.ravel(), cull_k)
-        below = jnp.sum((abs_res < cull_thr).astype(jnp.int32))
-        # functions.py:143 overflow guard: skip the cull entirely if it would
-        # zero more than 2x the expected count (mass ties at the threshold).
-        overflow = below > cull_count_limit
-        res_real = jnp.where(
-            overflow, res_real, jnp.where(abs_res < cull_thr, 0.0, res_real)
-        )
 
-    if interp_imag:
-        # Double-FFT imaginary handling (functions.py:152-158): FFT the two
-        # imaginary planes, blend their REAL parts with cutoff=cull=0 and no
-        # deeper recursion, inverse-FFT back.
-        i0_fft = fft2(v0_fft.imag)
-        i1_fft = fft2(v1_fft.imag)
-        inner = interpolate_fft_components(
-            i0_fft,
-            i1_fft,
-            t,
-            t_sum,
-            jnp.int32(0),
-            jnp.int32(0),
-            jnp.int32(0),
-            use_cutoff=False,
-            use_cull=False,
-            interp_imag=False,
+def arithmetic_fft_components_impl(
+    v0_fft: jnp.ndarray,
+    v1_fft: jnp.ndarray,
+    t,
+    *,
+    agreement: bool,
+    do_imag: bool = True,
+    fft_fn=None,
+    ifft_fn=None,
+) -> jnp.ndarray:
+    """Sign-agreement arithmetic on FFT components. Parity: functions.py:256-302.
+
+    Purely elementwise, so it is layout-agnostic; ``fft_fn``/``ifft_fn``
+    supply the (possibly sharded) FFT for the imaginary recursion.
+    """
+    fft_fn = fft_fn or fft2
+    ifft_fn = ifft_fn or ifft2_real
+
+    r0 = v0_fft.real
+    r1 = v1_fft.real
+    if agreement:
+        sign_mask = jnp.sign(r0) == jnp.sign(r1)
+    else:
+        sign_mask = jnp.ones(r0.shape, dtype=bool)
+    # REF-QUIRK functions.py:282-284: the disagreement branch's
+    # larger-magnitude mask compares v0 with itself (always False), so
+    # disagreeing lanes always take v1.
+    res_real = jnp.where(sign_mask, r0 + t * r1, r1)
+
+    if do_imag:
+        i0_fft = fft_fn(v0_fft.imag)
+        i1_fft = fft_fn(v1_fft.imag)
+        inner = arithmetic_fft_components_impl(
+            i0_fft, i1_fft, t, agreement=agreement, do_imag=False
         )
-        res_imag = ifft2_real(inner)
+        res_imag = ifft_fn(inner)
     else:
         res_imag = v0_fft.imag
 
@@ -237,29 +333,11 @@ def arithmetic_fft_components(
     agreement: bool,
     do_imag: bool = True,
 ) -> jnp.ndarray:
-    """Sign-agreement arithmetic on FFT components. Parity: functions.py:256-302."""
-    r0 = v0_fft.real
-    r1 = v1_fft.real
-    if agreement:
-        sign_mask = jnp.sign(r0) == jnp.sign(r1)
-    else:
-        sign_mask = jnp.ones(r0.shape, dtype=bool)
-    # REF-QUIRK functions.py:282-284: the disagreement branch's
-    # larger-magnitude mask compares v0 with itself (always False), so
-    # disagreeing lanes always take v1.
-    res_real = jnp.where(sign_mask, r0 + t * r1, r1)
-
-    if do_imag:
-        i0_fft = fft2(v0_fft.imag)
-        i1_fft = fft2(v1_fft.imag)
-        inner = arithmetic_fft_components(
-            i0_fft, i1_fft, t, agreement=agreement, do_imag=False
-        )
-        res_imag = ifft2_real(inner)
-    else:
-        res_imag = v0_fft.imag
-
-    return jax.lax.complex(res_real, res_imag)
+    """Single-device jitted wrapper of
+    :func:`arithmetic_fft_components_impl`."""
+    return arithmetic_fft_components_impl(
+        v0_fft, v1_fft, t, agreement=agreement, do_imag=do_imag
+    )
 
 
 @partial(jax.jit, static_argnames=("agreement",))

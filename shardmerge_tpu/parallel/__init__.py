@@ -1,0 +1,1 @@
+from .mesh import make_mesh  # noqa: F401

@@ -1,0 +1,186 @@
+"""Distributed pair-merge kernels: the FourierMerge regimes over a mesh.
+
+For tensors whose working set (fp32 delta + complex64 FFT intermediates,
+~12 bytes/element live at peak) exceeds one chip's HBM, the engine shards
+the pair row-wise over mesh axis "x" and runs the identical blend math with
+distributed FFTs (parallel/fft2d.py) and psum reductions (ops/blend.py
+axis_name support). Numerics match the single-chip path: the order-statistic
+thresholds are exact global ranks via bit-bisection + psum counts.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops import blend
+from ..ops.blend import (
+    arithmetic_fft_components_impl,
+    interpolate_fft_components_impl,
+)
+from .fft2d import fft2_cs, fft2_rs, ifft2_cs, ifft2_rs
+
+__all__ = ["sharded_pair_slerp", "sharded_pair_arith", "sharded_pair_lowratio", "row_sharding"]
+
+_AXIS = "x"
+
+# jit(shard_map(...)) closures cached per (mesh, kernel, static flags) so
+# repeated pair merges of the same shape hit the XLA compile cache.
+_KERNEL_CACHE: dict = {}
+
+
+def _cached_kernel(mesh: Mesh, name: str, build, *static):
+    key = (id(mesh), name, static)
+    fn = _KERNEL_CACHE.get(key)
+    if fn is None:
+        fn = build()
+        _KERNEL_CACHE[key] = fn
+    return fn
+
+
+def row_sharding(mesh: Mesh) -> NamedSharding:
+    """Row-wise sharding of a 2-D tensor over the merge axis."""
+    return NamedSharding(mesh, P(_AXIS, None))
+
+
+def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
+                target_norm, use_cull):
+    """shard_map body: blocks are row shards of the full tensors."""
+    v0n = a / norm_a
+    v1n = b / norm_b
+    fft_v0 = fft2_rs(v0n, _AXIS)  # -> CS layout
+    fft_v1 = fft2_rs(v1n, _AXIS)
+    result_fft = interpolate_fft_components_impl(
+        fft_v0,
+        fft_v1,
+        t,
+        jnp.float32(1.0),
+        cutoff_k,
+        cull_k,
+        cull_count_limit,
+        use_cutoff=True,
+        use_cull=use_cull,
+        axis_name=_AXIS,
+        fft_fn=partial(fft2_cs, axis_name=_AXIS),   # imag planes: CS -> RS
+        ifft_fn=partial(ifft2_rs, axis_name=_AXIS),  # back: RS -> CS
+    )
+    merged = ifft2_cs(result_fft, _AXIS)  # -> RS real
+    merged = jnp.where(jnp.isnan(merged), 0.0, merged)
+    has_inf = jax.lax.pmax(
+        jnp.any(jnp.isinf(merged)).astype(jnp.int32), _AXIS
+    ).astype(bool)
+    return merged * target_norm, has_inf
+
+
+def sharded_pair_slerp(
+    mesh: Mesh,
+    a: jnp.ndarray,
+    b: jnp.ndarray,
+    norm_a: float,
+    norm_b: float,
+    t: float,
+    cutoff_k: int,
+    cull_k: int,
+    cull_count_limit: int,
+    target_norm: float,
+    use_cull: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Regime (c) full SLERP-FFT path over the mesh. Same contract as
+    merge.fourier._pair_slerp, for row-shardable 2-D tensors."""
+    spec = P(_AXIS, None)
+
+    def build():
+        return jax.jit(
+            jax.shard_map(
+                partial(_slerp_body, use_cull=use_cull),
+                mesh=mesh,
+                in_specs=(spec, spec, P(), P(), P(), P(), P(), P(), P()),
+                out_specs=(spec, P()),
+            )
+        )
+
+    fn = _cached_kernel(mesh, "slerp", build, use_cull)
+    return fn(
+        a,
+        b,
+        jnp.float32(norm_a),
+        jnp.float32(norm_b),
+        jnp.float32(t),
+        jnp.int32(cutoff_k),
+        jnp.int32(cull_k),
+        jnp.int32(cull_count_limit),
+        jnp.float32(target_norm),
+    )
+
+
+def _arith_body(a, b, norm_scale, weight_scale):
+    scaled_a = a * norm_scale
+    scaled_b = b * weight_scale * norm_scale
+    fft_v0 = fft2_rs(scaled_a, _AXIS)
+    fft_v1 = fft2_rs(scaled_b, _AXIS)
+    out = arithmetic_fft_components_impl(
+        fft_v0,
+        fft_v1,
+        jnp.float32(1.0),
+        agreement=True,
+        fft_fn=partial(fft2_cs, axis_name=_AXIS),
+        ifft_fn=partial(ifft2_rs, axis_name=_AXIS),
+    )
+    return ifft2_cs(out, _AXIS)
+
+
+def sharded_pair_arith(mesh: Mesh, a, b, norm_scale: float, weight_scale: float):
+    """Regime (b) sign-agreement arithmetic over the mesh."""
+    spec = P(_AXIS, None)
+
+    def build():
+        return jax.jit(
+            jax.shard_map(
+                _arith_body,
+                mesh=mesh,
+                in_specs=(spec, spec, P(), P()),
+                out_specs=spec,
+            )
+        )
+
+    fn = _cached_kernel(mesh, "arith", build)
+    return fn(a, b, jnp.float32(norm_scale), jnp.float32(weight_scale))
+
+
+def _lowratio_body(a, b, norm_a, norm_b, t, target_norm):
+    merged = ifft2_cs(
+        fft2_rs(a / norm_a, _AXIS) + t * fft2_rs(b / norm_b, _AXIS), _AXIS
+    )
+    merged = jnp.where(jnp.isnan(merged), 0.0, merged)
+    has_inf = jax.lax.pmax(
+        jnp.any(jnp.isinf(merged)).astype(jnp.int32), _AXIS
+    ).astype(bool)
+    return merged * target_norm, has_inf
+
+
+def sharded_pair_lowratio(mesh: Mesh, a, b, norm_a, norm_b, t, target_norm):
+    spec = P(_AXIS, None)
+
+    def build():
+        return jax.jit(
+            jax.shard_map(
+                _lowratio_body,
+                mesh=mesh,
+                in_specs=(spec, spec, P(), P(), P(), P()),
+                out_specs=(spec, P()),
+            )
+        )
+
+    fn = _cached_kernel(mesh, "lowratio", build)
+    return fn(
+        a,
+        b,
+        jnp.float32(norm_a),
+        jnp.float32(norm_b),
+        jnp.float32(t),
+        jnp.float32(target_norm),
+    )

@@ -1,0 +1,110 @@
+"""Sharded training/inference step over a (dp, tp) mesh.
+
+The merge framework's model stack (models/llama.py) scales over a 2-D mesh:
+
+- dp: batch-sharded data parallelism
+- tp: Megatron-style tensor parallelism — attention/MLP projections sharded
+  on the head/ffn dimension (column-parallel q/k/v/gate/up, row-parallel
+  o/down), vocab-parallel embeddings and lm_head
+
+Shardings are expressed as NamedSharding rules on the param pytree; XLA
+GSPMD inserts the all-reduces. Sequence-parallel activations fall out of the
+dp axis on (B, T): with B=dp x per-device batch the activations are already
+distributed, and the loss all-reduce closes the step.
+
+Used by tests and by __graft_entry__.dryrun_multichip (driver contract).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import ModelConfig, Params, forward_train, init_params
+
+__all__ = ["param_shardings", "shard_params", "make_train_step", "TrainState"]
+
+TrainState = Dict[str, Any]
+
+
+def param_shardings(mesh: Mesh, params: Params) -> Params:
+    """NamedSharding pytree for Megatron-style TP over axis 'tp'."""
+    col = NamedSharding(mesh, P("tp", None))  # output-dim sharded
+    row = NamedSharding(mesh, P(None, "tp"))  # input-dim sharded
+    rep = NamedSharding(mesh, P())
+    vocab = NamedSharding(mesh, P("tp", None))
+
+    rules = {
+        "q_proj": col,
+        "k_proj": col,
+        "v_proj": col,
+        "gate_proj": col,
+        "up_proj": col,
+        "o_proj": row,
+        "down_proj": row,
+        "q_bias": NamedSharding(mesh, P("tp")),
+        "k_bias": NamedSharding(mesh, P("tp")),
+        "v_bias": NamedSharding(mesh, P("tp")),
+        "input_layernorm": rep,
+        "post_attention_layernorm": rep,
+    }
+
+    out: Params = {
+        "embed_tokens": vocab,
+        "norm": rep,
+        "layers": [
+            {k: rules[k] for k in layer} for layer in params["layers"]
+        ],
+    }
+    if "lm_head" in params:
+        out["lm_head"] = vocab
+    return out
+
+
+def shard_params(mesh: Mesh, params: Params) -> Params:
+    shardings = param_shardings(mesh, params)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, s), params, shardings
+    )
+
+
+def _loss_fn(params: Params, cfg: ModelConfig, batch: jnp.ndarray) -> jnp.ndarray:
+    """Next-token cross entropy over (B, T+1) token batches."""
+    inputs = batch[:, :-1]
+    targets = batch[:, 1:]
+    logits = forward_train(params, cfg, inputs)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)
+
+
+def make_train_step(
+    mesh: Mesh, cfg: ModelConfig, learning_rate: float = 1e-4
+):
+    """Build (init_state, train_step) with dp-sharded batches and tp-sharded
+    params/optimizer state. train_step: (state, batch) -> (state, loss)."""
+    tx = optax.adamw(learning_rate)
+    batch_sharding = NamedSharding(mesh, P("dp", None))
+
+    def init_state(params: Params) -> TrainState:
+        params = shard_params(mesh, params)
+        opt_state = jax.jit(tx.init)(params)  # inherits param shardings
+        return {"params": params, "opt_state": opt_state}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: jnp.ndarray):
+        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+        loss, grads = jax.value_and_grad(_loss_fn)(state["params"], cfg, batch)
+        updates, opt_state = tx.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state}, loss
+
+    return init_state, train_step

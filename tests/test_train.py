@@ -1,0 +1,69 @@
+"""Sharded (dp, tp) training-step tests and driver entry contract."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from shardmerge_tpu.models.llama import ModelConfig, init_params
+from shardmerge_tpu.parallel.mesh import make_mesh
+from shardmerge_tpu.parallel.train import make_train_step, shard_params
+
+
+def _cfg():
+    return ModelConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+    )
+
+
+def test_train_step_runs_and_descends():
+    mesh = make_mesh(("dp", "tp"), shape=(2, 4))
+    cfg = _cfg()
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    init_state, train_step = make_train_step(mesh, cfg, learning_rate=1e-2)
+    state = init_state(params)
+
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 16)), jnp.int32
+    )
+    losses = []
+    for _ in range(5):
+        state, loss = train_step(state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses))
+    # same batch repeated: loss must drop
+    assert losses[-1] < losses[0]
+
+
+def test_sharded_params_match_unsharded_forward():
+    from shardmerge_tpu.models.llama import forward_train
+
+    mesh = make_mesh(("dp", "tp"), shape=(1, 8))
+    cfg = _cfg()
+    params = init_params(cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    ids = jnp.asarray(
+        np.random.default_rng(1).integers(0, cfg.vocab_size, (2, 12)), jnp.int32
+    )
+    base = forward_train(params, cfg, ids)
+    sharded = shard_params(mesh, params)
+    out = jax.jit(lambda p: forward_train(p, cfg, ids))(sharded)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), rtol=2e-4, atol=2e-4)
+
+
+def test_graft_entry_contract():
+    import __graft_entry__ as g
+
+    fn, args = g.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape[0] == 1 and np.all(np.isfinite(np.asarray(out)))
+
+
+def test_graft_dryrun_multichip():
+    import __graft_entry__ as g
+
+    g.dryrun_multichip(8)
