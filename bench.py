@@ -54,7 +54,9 @@ def bench_jax(a_np, b_np, iters=5):
     )
 
     def run():
-        merged, has_inf = _pair_slerp(*args, use_cutoff=True, use_cull=True)
+        merged, has_inf = _pair_slerp(
+            *args, use_cutoff=True, use_cull=True, fast_imag=True
+        )
         jax.block_until_ready(merged)
         return merged
 

@@ -68,8 +68,36 @@ def _pair_add(a, b):
     return a + b
 
 
-@jax.jit
-def _pair_arith(a, b, norm_scale, weight_scale):
+# --- the analytic double-FFT identity ("fast imag") -------------------------
+#
+# For real spatial input x with F = FFT2(x):  FFT2(Im F) = i*(MN/2)*(x[m] -
+# x[-m]) — PURELY imaginary. The reference's imaginary recursion
+# (functions.py:152-158) therefore blends real parts that are only FFT
+# rounding noise, passes the meaningful data through inner.imag =
+# Im(FFT2(Im F0)), and analytically its output reduces to res_imag == Im F0
+# exactly (IFFT2(i*(MN/2)*odd(x)).real == Im F0). Setting interp_imag=False
+# computes exactly that passthrough, eliminating 3 of the 6 FFTs per pair
+# merge. For large 2-D tensors the deviation from the reference is the noise
+# term, ~1e-6 relative — far below the bf16 output quantization.
+#
+# CAVEAT (why this is gated by _FAST_IMAG_MIN_NUMEL and ndim>=2): when the
+# FFT rounds those real parts to EXACT zeros — which reliably happens for
+# small and 1-D tensors — the reference's inner slerp divides 0/0, the NaN
+# spreads through the inverse FFT, and functions.py:211-213 scrubs the WHOLE
+# merged tensor to zero: the reference's small-tensor pair merge degenerates
+# to a zero delta (library-dependent behavior; reproduced by the exact
+# path). The fast path would instead produce the clean result, so it is
+# only used where rounding noise is guaranteed nonzero and negligible.
+# ``exact_imag=True`` forces the literal noise-reproducing path everywhere.
+
+_FAST_IMAG_MIN_NUMEL = 1 << 20
+
+
+def _use_fast_imag(exact_imag: bool, arr) -> bool:
+    return (not exact_imag) and arr.ndim >= 2 and arr.size >= _FAST_IMAG_MIN_NUMEL
+
+@partial(jax.jit, static_argnames=("fast_imag",))
+def _pair_arith(a, b, norm_scale, weight_scale, *, fast_imag=False):
     """Regime (b): rescale a to target_norm, scale b by the weight ratio,
     sign-agreement FFT arithmetic with t=1 (fast_fourier.py:226-232)."""
     scaled_a = a * norm_scale
@@ -77,12 +105,12 @@ def _pair_arith(a, b, norm_scale, weight_scale):
     fft_v0 = blend.fft2(scaled_a)
     fft_v1 = blend.fft2(scaled_b)
     out = blend.arithmetic_fft_components(
-        fft_v0, fft_v1, jnp.float32(1.0), agreement=True
+        fft_v0, fft_v1, jnp.float32(1.0), agreement=True, do_imag=not fast_imag
     )
     return blend.ifft2_real(out)
 
 
-@partial(jax.jit, static_argnames=("use_cutoff", "use_cull"))
+@partial(jax.jit, static_argnames=("use_cutoff", "use_cull", "fast_imag"))
 def _pair_slerp(
     a,
     b,
@@ -96,11 +124,13 @@ def _pair_slerp(
     *,
     use_cutoff,
     use_cull,
+    fast_imag=False,
 ):
     """Regime (c): normalized SLERP-FFT blend, rescaled to target_norm
     (fast_fourier.py:233-244 -> functions.py:164-221). NaNs are scrubbed
     before rescale exactly as the reference does; Inf is reported as a flag
-    (the engine raises once per tensor)."""
+    (the engine raises once per tensor). ``fast_imag`` applies the analytic
+    double-FFT identity (see module comment above _pair_arith)."""
     v0n = a / norm_a
     v1n = b / norm_b
     fft_v0 = blend.fft2(v0n)
@@ -115,6 +145,7 @@ def _pair_slerp(
         cull_count_limit,
         use_cutoff=use_cutoff,
         use_cull=use_cull,
+        interp_imag=not fast_imag,
     )
     merged = blend.ifft2_real(result_fft)
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
@@ -155,12 +186,17 @@ class FourierMerge(MergeTensorsBase):
         target_norm_offset: float = 1e-10,
         cull_start_pct: float = 0.20,
         index_manager=None,
+        exact_imag: bool = False,
         **kwargs,
     ):
         super().__init__(config, index_manager)
         self.task_add_models = task_add_models or []
         self.target_norm_offset = target_norm_offset
         self.cull_start_pct = cull_start_pct
+        # exact_imag=True reproduces the reference's literal double-FFT noise
+        # path (6 FFTs/pair) instead of the analytic identity (3 FFTs/pair,
+        # ~1e-6 relative deviation; see _pair_arith module comment).
+        self.exact_imag = exact_imag
 
     def get_readme(self) -> str:
         models = "\n".join(
@@ -296,7 +332,11 @@ Models merged:
                     norm_scale = target_norm / norm_a
                     weight_scale = b_weight / (a_weight + 1e-10)
                     merged = _pair_arith(
-                        a, b, jnp.float32(norm_scale), jnp.float32(weight_scale)
+                        a,
+                        b,
+                        jnp.float32(norm_scale),
+                        jnp.float32(weight_scale),
+                        fast_imag=_use_fast_imag(self.exact_imag, a),
                     )
                     logger.info(
                         "Arithmetic-FFT merged %s x %.4g onto %s x %.4g",
@@ -339,6 +379,7 @@ Models merged:
                                 jnp.float32(target_norm),
                                 use_cutoff=True,
                                 use_cull=cull_pct > 0,
+                                fast_imag=_use_fast_imag(self.exact_imag, a),
                             )
                     inf_flags.append(has_inf)
                     logger.info(

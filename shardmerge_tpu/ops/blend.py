@@ -40,7 +40,7 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from .select import kth_smallest_nonneg
+from .select import kth_smallest_nonneg, kth_smallest_nonneg2
 
 __all__ = [
     "fft2",
@@ -193,8 +193,9 @@ def interpolate_fft_components_impl(
     a1 = jnp.abs(r1)
 
     if use_cutoff:
-        both = jnp.concatenate([a0.ravel(), a1.ravel()])
-        cutoff_thr = kth_smallest_nonneg(both, cutoff_k, axis_name=axis_name)
+        # rank over the multiset union of |Re v0| and |Re v1| without
+        # materializing the reference's torch.cat (functions.py:114)
+        cutoff_thr = kth_smallest_nonneg2(a0, a1, cutoff_k, axis_name=axis_name)
     else:
         cutoff_thr = jnp.float32(0.0)
 

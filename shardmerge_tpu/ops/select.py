@@ -58,3 +58,38 @@ def kth_smallest_nonneg(x: jnp.ndarray, k: jnp.ndarray, axis_name: str | None = 
 
     prefix = jax.lax.fori_loop(0, _ROUNDS, round_step, jnp.uint32(0))
     return jax.lax.bitcast_convert_type(prefix, jnp.float32)
+
+
+def kth_smallest_nonneg2(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    k: jnp.ndarray,
+    axis_name: str | None = None,
+):
+    """k-th smallest of the multiset union of two arrays.
+
+    Exactly ``kth_smallest_nonneg(concatenate([x.ravel(), y.ravel()]), k)``
+    without materializing the concatenation (the cutoff threshold of
+    reference functions.py:113-119 ranks cat(|Re v0|, |Re v1|); at 70B-layer
+    sizes the concat buffer alone is ~2 GB).
+    """
+    ux = jax.lax.bitcast_convert_type(x.ravel(), jnp.uint32)
+    uy = jax.lax.bitcast_convert_type(y.ravel(), jnp.uint32)
+    k = jnp.asarray(k, jnp.int32)
+
+    def round_step(i, prefix):
+        shift = 32 - _BITS_PER_ROUND * (i + 1)
+        cands = prefix + (
+            jnp.arange(1, 2**_BITS_PER_ROUND, dtype=jnp.uint32) << shift
+        )
+        counts = jnp.sum(
+            (ux[:, None] < cands[None, :]).astype(jnp.int32), axis=0
+        ) + jnp.sum((uy[:, None] < cands[None, :]).astype(jnp.int32), axis=0)
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+        ok = counts <= k
+        step = jnp.sum(ok.astype(jnp.uint32)) << shift
+        return prefix + step
+
+    prefix = jax.lax.fori_loop(0, _ROUNDS, round_step, jnp.uint32(0))
+    return jax.lax.bitcast_convert_type(prefix, jnp.float32)

@@ -48,8 +48,12 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
-                target_norm, use_cull):
-    """shard_map body: blocks are row shards of the full tensors."""
+                target_norm, use_cull, fast_imag=True):
+    """shard_map body: blocks are row shards of the full tensors.
+
+    ``fast_imag`` applies the analytic double-FFT identity (see
+    merge/fourier.py) — on a mesh it saves 3 distributed FFTs (and their
+    all-to-all transposes) per pair."""
     v0n = a / norm_a
     v1n = b / norm_b
     fft_v0 = fft2_rs(v0n, _AXIS)  # -> CS layout
@@ -64,6 +68,7 @@ def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
         cull_count_limit,
         use_cutoff=True,
         use_cull=use_cull,
+        interp_imag=not fast_imag,
         axis_name=_AXIS,
         fft_fn=partial(fft2_cs, axis_name=_AXIS),   # imag planes: CS -> RS
         ifft_fn=partial(ifft2_rs, axis_name=_AXIS),  # back: RS -> CS
@@ -88,6 +93,7 @@ def sharded_pair_slerp(
     cull_count_limit: int,
     target_norm: float,
     use_cull: bool,
+    fast_imag: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Regime (c) full SLERP-FFT path over the mesh. Same contract as
     merge.fourier._pair_slerp, for row-shardable 2-D tensors."""
@@ -96,14 +102,14 @@ def sharded_pair_slerp(
     def build():
         return jax.jit(
             jax.shard_map(
-                partial(_slerp_body, use_cull=use_cull),
+                partial(_slerp_body, use_cull=use_cull, fast_imag=fast_imag),
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P(), P(), P(), P(), P(), P()),
                 out_specs=(spec, P()),
             )
         )
 
-    fn = _cached_kernel(mesh, "slerp", build, use_cull)
+    fn = _cached_kernel(mesh, "slerp", build, use_cull, fast_imag)
     return fn(
         a,
         b,

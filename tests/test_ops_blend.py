@@ -206,3 +206,47 @@ def test_cull_zeroes_small_components(rng):
     )
     zeros = np.sum(np.asarray(out.real) == 0.0)
     assert zeros >= numel * 0.45
+
+
+def test_double_fft_identity(rng):
+    """FFT2(Im FFT2(x)) is purely imaginary for real x: the analytic
+    identity behind the engine's fast-imag mode (merge/fourier.py)."""
+    x = _rand(rng, (16, 24))
+    F = np.fft.fft2(x)
+    inner = np.fft.fft2(F.imag)
+    scale = np.abs(inner).max()
+    assert np.abs(inner.real).max() <= 1e-6 * scale  # rounding noise only
+    # and the recursion's output (imag passthrough + inverse FFT) reduces to
+    # Im F exactly: IFFT2(i * Im(FFT2(Im F))).real == Im F
+    back = np.fft.ifft2(1j * inner.imag).real
+    np.testing.assert_allclose(back, F.imag, rtol=1e-6, atol=1e-8 * scale)
+    # odd-part form: Im(FFT2(Im F)) == (MN/2) * (x[m] - x[-m mod shape])
+    M, N = x.shape
+    x_rev = x[(-np.arange(M)) % M][:, (-np.arange(N)) % N]
+    odd = (M * N / 2) * (x - x_rev)
+    np.testing.assert_allclose(inner.imag, odd, rtol=1e-5, atol=1e-6 * scale)
+
+
+def test_fast_imag_mode_close_to_exact(rng):
+    from shardmerge_tpu.merge.fourier import _pair_slerp
+
+    a = _rand(rng, (32, 48))
+    b = _rand(rng, (32, 48))
+    numel = a.size
+    common = (
+        jnp.asarray(a),
+        jnp.asarray(b),
+        jnp.float32(np.linalg.norm(a)),
+        jnp.float32(np.linalg.norm(b)),
+        jnp.float32(0.6),
+        jnp.int32(blend.cutoff_rank(numel, 0.08)),
+        jnp.int32(blend.cull_rank(numel, 0.2)),
+        jnp.int32(blend.cull_limit(numel, 0.2)),
+        jnp.float32(1.7),
+    )
+    exact, _ = _pair_slerp(*common, use_cutoff=True, use_cull=True, fast_imag=False)
+    fast, _ = _pair_slerp(*common, use_cutoff=True, use_cull=True, fast_imag=True)
+    scale = float(jnp.max(jnp.abs(exact)))
+    np.testing.assert_allclose(
+        np.asarray(fast), np.asarray(exact), rtol=1e-4, atol=1e-5 * scale
+    )
