@@ -50,9 +50,26 @@ def _all_local(config: MergeConfig) -> bool:
     return all(Path(r).is_dir() for r in refs)
 
 
+def _enable_compile_cache(cache_dir: Path):
+    """Persist XLA compilations under the merge cache dir: a Llama family
+    has ~6 distinct tensor shapes, each a multi-second TPU compile — reruns
+    and resumes should pay none of it."""
+    try:
+        import jax
+
+        path = Path(cache_dir) / "xla_cache"
+        path.mkdir(parents=True, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", str(path))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:  # cache is an optimization, never fatal
+        logger.debug("compilation cache unavailable: %s", e)
+
+
 async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cache: bool = False, **kwargs):
     """Wire up transport + index + merger and run (reference __main__.py:47-76)."""
     from .merge import MERGE_METHODS
+
+    _enable_compile_cache(config.cache_path)
 
     merge_cls = MERGE_METHODS.get(config.merge_method)
     if merge_cls is None:

@@ -24,6 +24,7 @@ import numpy as np
 from ..config import MergeConfig, MergeModel
 from ..io.index import HFMultiModelIndex
 from ..io.writer import ModelWriter, ShardLayer
+from ..ops.profiling import MergeStats, phase_profiler
 
 logger = logging.getLogger(__name__)
 
@@ -52,6 +53,7 @@ class MergeTensorsBase(ABC):
         self.index_manager = (
             index_manager if index_manager is not None else HFMultiModelIndex()
         )
+        self.stats = MergeStats()
 
     @abstractmethod
     def get_readme(self) -> str:
@@ -159,6 +161,7 @@ class MergeTensorsBase(ABC):
         with open(self.config.output_path / "README.md", "w") as f:
             f.write(readme)
         logger.info("Merge complete. Output saved to %s", self.config.output_path)
+        logger.info("Merge stats: %s", self.stats.summary())
 
     async def _process_layers(
         self, writer: ModelWriter, shard_layers: List[ShardLayer]
@@ -166,8 +169,12 @@ class MergeTensorsBase(ABC):
         shard_layer = None
         try:
             for shard_layer in shard_layers:
-                out_tensor = await self._merge_layer(shard_layer)
-                writer.add_tensor(shard_layer.layer_name, np.asarray(out_tensor))
+                with phase_profiler(f"merge {shard_layer.layer_name}"):
+                    out_tensor = await self._merge_layer(shard_layer)
+                host_tensor = np.asarray(out_tensor)
+                writer.add_tensor(shard_layer.layer_name, host_tensor)
+                self.stats.tensors_merged += 1
+                self.stats.bytes_written += host_tensor.nbytes
                 self._evict_layer(shard_layer.layer_name)
         except Exception as e:
             name = shard_layer.layer_name if shard_layer else "?"

@@ -232,8 +232,10 @@ Models merged:
 
     async def _merge_layer(self, shard_layer: ShardLayer) -> np.ndarray:
         if shard_layer.layer_number == INPUT_LAYER:
+            self.stats.tensors_passthrough += 1
             return await self._passthrough(shard_layer, "input")
         if shard_layer.layer_number == OUTPUT_LAYER:
+            self.stats.tensors_passthrough += 1
             return await self._passthrough(shard_layer, "output")
 
         models = [
@@ -328,6 +330,7 @@ Models merged:
 
                 if cnorm_a < 1e-6:
                     merged = _pair_add(a, b)
+                    self.stats.record_pair("add")
                 elif cnorm_b < 1e-6 or n_ratio < 0.1:
                     norm_scale = target_norm / norm_a
                     weight_scale = b_weight / (a_weight + 1e-10)
@@ -338,6 +341,7 @@ Models merged:
                         jnp.float32(weight_scale),
                         fast_imag=_use_fast_imag(self.exact_imag, a),
                     )
+                    self.stats.record_pair("arith")
                     logger.info(
                         "Arithmetic-FFT merged %s x %.4g onto %s x %.4g",
                         b_model,
@@ -382,6 +386,7 @@ Models merged:
                                 fast_imag=_use_fast_imag(self.exact_imag, a),
                             )
                     inf_flags.append(has_inf)
+                    self.stats.record_pair("slerp")
                     logger.info(
                         "SLERP-FFT merged %s and %s with weight %.4g",
                         a_model,

@@ -1,0 +1,126 @@
+"""Profiling / observability.
+
+TPU-native replacement for the reference's ``cuda_memory_profiler``
+(shard/tensor/util.py:21-65, psutil RSS + torch.cuda counters printed to
+stdout, wired with display=False i.e. dead). Here:
+
+- :class:`phase_profiler` — context manager reporting wall-clock, host RSS
+  delta, and device memory stats (live bytes on the default device, when the
+  backend exposes ``memory_stats``). Enabled by flag or the
+  ``SHARDMERGE_PROFILE=1`` env var, logged not printed.
+- :class:`MergeStats` — per-merge aggregate counters (tensors, pair merges
+  per regime, bytes written) the engine updates and logs at the end.
+- :func:`trace` — wraps ``jax.profiler.trace`` to dump an XLA trace viewable
+  in TensorBoard/Perfetto when a trace dir is given.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import logging
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["phase_profiler", "MergeStats", "trace", "device_memory_stats"]
+
+
+def _rss_bytes() -> int:
+    try:
+        import psutil
+
+        return psutil.Process().memory_info().rss
+    except Exception:
+        return 0
+
+
+def device_memory_stats() -> Dict[str, int]:
+    """Live/peak bytes on the default device (empty when unsupported)."""
+    import jax
+
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return {
+            "bytes_in_use": stats.get("bytes_in_use", 0),
+            "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
+        }
+    except Exception:
+        return {}
+
+
+@contextlib.contextmanager
+def phase_profiler(title: str = "phase", display: Optional[bool] = None):
+    """Log wall-clock + host RSS + device memory around a phase.
+
+    ``display=None`` defers to the SHARDMERGE_PROFILE env var; the reference
+    hardcoded display=False at every call site, leaving its profiler dead —
+    here the flag actually switches it on.
+    """
+    enabled = (
+        display
+        if display is not None
+        else os.environ.get("SHARDMERGE_PROFILE", "") == "1"
+    )
+    if not enabled:
+        yield
+        return
+
+    rss_before = _rss_bytes()
+    dev_before = device_memory_stats()
+    start = time.perf_counter()
+    try:
+        yield
+    finally:
+        elapsed = time.perf_counter() - start
+        rss_delta = _rss_bytes() - rss_before
+        dev_after = device_memory_stats()
+        parts = [f"{title}: {elapsed*1000:.1f} ms", f"rss {rss_delta/2**20:+.1f} MB"]
+        if dev_after:
+            parts.append(f"hbm {dev_after.get('bytes_in_use', 0)/2**20:.1f} MB")
+            if dev_before:
+                delta = dev_after.get("bytes_in_use", 0) - dev_before.get(
+                    "bytes_in_use", 0
+                )
+                parts.append(f"(hbm delta {delta/2**20:+.1f} MB)")
+        logger.info("[profile] %s", " | ".join(parts))
+
+
+@contextlib.contextmanager
+def trace(trace_dir: Optional[str]):
+    """Capture a jax.profiler trace when a directory is given."""
+    if not trace_dir:
+        yield
+        return
+    import jax
+
+    with jax.profiler.trace(str(trace_dir)):
+        yield
+
+
+@dataclass
+class MergeStats:
+    """Aggregate counters for one merge run."""
+
+    tensors_merged: int = 0
+    tensors_passthrough: int = 0
+    pair_merges: Dict[str, int] = field(
+        default_factory=lambda: {"add": 0, "arith": 0, "slerp": 0, "lowratio": 0}
+    )
+    bytes_written: int = 0
+    started_at: float = field(default_factory=time.time)
+
+    def record_pair(self, regime: str):
+        self.pair_merges[regime] = self.pair_merges.get(regime, 0) + 1
+
+    def summary(self) -> str:
+        elapsed = time.time() - self.started_at
+        pairs = ", ".join(f"{k}={v}" for k, v in self.pair_merges.items() if v)
+        return (
+            f"merged {self.tensors_merged} tensors "
+            f"(+{self.tensors_passthrough} passthrough) in {elapsed:.1f}s; "
+            f"pair regimes: {pairs or 'none'}; "
+            f"wrote {self.bytes_written/2**30:.2f} GiB"
+        )
