@@ -46,6 +46,9 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # Qwen2 uses q/k/v biases
     model_type: str = "llama"
+    # MoE (Mixtral): 0 experts means a dense MLP
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @property
     def head_dim(self) -> int:
@@ -72,6 +75,8 @@ class ModelConfig:
                 "attention_bias", model_type == "qwen2"
             ),
             model_type=model_type,
+            num_local_experts=config.get("num_local_experts", 0),
+            num_experts_per_tok=config.get("num_experts_per_tok", 2),
         )
 
     @classmethod
@@ -183,12 +188,32 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
             "k_proj": dense(k[1], (kv_dim, cfg.hidden_size)),
             "v_proj": dense(k[2], (kv_dim, cfg.hidden_size)),
             "o_proj": dense(k[3], (cfg.hidden_size, cfg.hidden_size)),
-            "gate_proj": dense(k[4], (cfg.intermediate_size, cfg.hidden_size)),
-            "up_proj": dense(k[5], (cfg.intermediate_size, cfg.hidden_size)),
-            "down_proj": dense(k[6], (cfg.hidden_size, cfg.intermediate_size)),
             "input_layernorm": jnp.ones((cfg.hidden_size,), dtype),
             "post_attention_layernorm": jnp.ones((cfg.hidden_size,), dtype),
         }
+        if cfg.num_local_experts > 0:
+            gk = jax.random.split(k[4], cfg.num_local_experts + 1)
+            layer["moe_gate"] = dense(
+                gk[0], (cfg.num_local_experts, cfg.hidden_size)
+            )
+            layer["experts"] = []
+            for e in range(cfg.num_local_experts):
+                ek = jax.random.split(gk[e + 1], 3)
+                layer["experts"].append(
+                    {
+                        "w1": dense(ek[0], (cfg.intermediate_size, cfg.hidden_size)),
+                        "w3": dense(ek[1], (cfg.intermediate_size, cfg.hidden_size)),
+                        "w2": dense(ek[2], (cfg.hidden_size, cfg.intermediate_size)),
+                    }
+                )
+        else:
+            layer["gate_proj"] = dense(
+                k[4], (cfg.intermediate_size, cfg.hidden_size)
+            )
+            layer["up_proj"] = dense(k[5], (cfg.intermediate_size, cfg.hidden_size))
+            layer["down_proj"] = dense(
+                k[6], (cfg.hidden_size, cfg.intermediate_size)
+            )
         if cfg.attention_bias:
             layer["q_bias"] = jnp.zeros((cfg.hidden_size,), dtype)
             layer["k_bias"] = jnp.zeros((kv_dim,), dtype)
@@ -259,6 +284,47 @@ def _mlp(layer, x):
     return matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up, layer["down_proj"])
 
 
+def _moe(cfg: ModelConfig, layer, x):
+    """Mixtral block-sparse MoE (HF MixtralSparseMoeBlock semantics):
+    softmax router -> top-k experts -> renormalized weights -> SwiGLU experts.
+
+    Computes all experts densely and masks — exact, static-shaped, and
+    MXU-friendly at merge-validation scale; capacity-based dispatch is a
+    serving optimization, not a numerics change.
+    """
+    B, T, E = x.shape
+    n_exp = cfg.num_local_experts
+    k = cfg.num_experts_per_tok
+
+    router_logits = matmul(x, layer["moe_gate"]).astype(jnp.float32)  # (B,T,n)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    topk_probs, topk_idx = jax.lax.top_k(probs, k)
+    topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
+    # dense per-expert weights: (B, T, n_exp)
+    onehot = jax.nn.one_hot(topk_idx, n_exp, dtype=probs.dtype)  # (B,T,k,n)
+    weights = jnp.einsum("btk,btkn->btn", topk_probs, onehot)
+
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e in range(n_exp):
+        expert = layer["experts"][e]
+        h = _mlp(
+            {
+                "gate_proj": expert["w1"],
+                "up_proj": expert["w3"],
+                "down_proj": expert["w2"],
+            },
+            x,
+        )
+        out = out + h.astype(jnp.float32) * weights[..., e : e + 1]
+    return out.astype(x.dtype)
+
+
+def _ffn(cfg: ModelConfig, layer, x):
+    if "experts" in layer:
+        return _moe(cfg, layer, x)
+    return _mlp(layer, x)
+
+
 def forward(
     params: Params,
     cfg: ModelConfig,
@@ -309,7 +375,7 @@ def forward(
         new_v.append(v_c)
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        x = x + _ffn(cfg, layer, h)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head", params["embed_tokens"])
@@ -363,7 +429,7 @@ def forward_train(params: Params, cfg: ModelConfig, input_ids: jnp.ndarray):
         out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
         x = x + matmul(out.astype(x.dtype), layer["o_proj"])
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + _mlp(layer, h)
+        x = x + _ffn(cfg, layer, h)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     head = params.get("lm_head", params["embed_tokens"])

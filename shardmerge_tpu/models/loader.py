@@ -98,6 +98,23 @@ def load_params(
                     parts = name.split(".")
                     layer_idx = int(parts[2])
                     suffix = ".".join(parts[3:])
+                    layer = params["layers"][layer_idx]
+                    if suffix == "block_sparse_moe.gate.weight":
+                        layer["moe_gate"] = _to_device(arr, dtype)
+                        continue
+                    if suffix.startswith("block_sparse_moe.experts."):
+                        # model.layers.N.block_sparse_moe.experts.E.w{1,2,3}.weight
+                        expert_idx = int(parts[5])
+                        wname = parts[6]
+                        experts = layer.setdefault(
+                            "experts",
+                            [dict() for _ in range(cfg.num_local_experts)],
+                        )
+                        w = _to_device(arr, dtype)
+                        if quant_bits:
+                            w = quantize(w, bits=quant_bits)
+                        experts[expert_idx][wname] = w
+                        continue
                     key = _LAYER_WEIGHTS.get(suffix)
                     if key is None:
                         logger.warning("Skipping unknown weight %s", name)
@@ -105,7 +122,7 @@ def load_params(
                     w = _to_device(arr, dtype)
                     if quant_bits and key in _QUANTIZABLE:
                         w = quantize(w, bits=quant_bits)
-                    params["layers"][layer_idx][key] = w
+                    layer[key] = w
                 else:
                     logger.warning("Skipping unknown weight %s", name)
 

@@ -55,12 +55,23 @@ def param_shardings(mesh: Mesh, params: Params) -> Params:
         "post_attention_layernorm": rep,
     }
 
+    expert_rules = {"w1": col, "w3": col, "w2": row}
+
+    def layer_sharding(layer):
+        out = {}
+        for k, v in layer.items():
+            if k == "moe_gate":
+                out[k] = rep  # tiny router matrix
+            elif k == "experts":
+                out[k] = [dict(expert_rules) for _ in v]
+            else:
+                out[k] = rules[k]
+        return out
+
     out: Params = {
         "embed_tokens": vocab,
         "norm": rep,
-        "layers": [
-            {k: rules[k] for k in layer} for layer in params["layers"]
-        ],
+        "layers": [layer_sharding(layer) for layer in params["layers"]],
     }
     if "lm_head" in params:
         out["lm_head"] = vocab

@@ -1,0 +1,174 @@
+"""Mixtral / MoE support: forward parity vs HF transformers and a merge over
+an irregular expert-weight shard layout (BASELINE config 4)."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shardmerge_tpu.models.llama import ModelConfig, init_params
+
+
+def test_moe_forward_matches_transformers(tmp_path):
+    import torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    torch.manual_seed(11)
+    config = MixtralConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    model = MixtralForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "mixtral"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.num_local_experts == 4
+    params = load_params(path, cfg, dtype=jnp.float32)
+    assert "experts" in params["layers"][0]
+    assert len(params["layers"][0]["experts"]) == 4
+
+    ids = np.array([[3, 17, 99, 54, 8]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+
+    from .test_models import _run_forward
+
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+
+def test_moe_train_step_runs():
+    from shardmerge_tpu.parallel.mesh import make_mesh
+    from shardmerge_tpu.parallel.train import make_train_step
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        max_position_embeddings=64,
+    )
+    mesh = make_mesh(("dp", "tp"), shape=(2, 4))
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    init_state, train_step = make_train_step(mesh, cfg)
+    state = init_state(params)
+    batch = jnp.asarray(
+        np.random.default_rng(0).integers(0, cfg.vocab_size, (4, 10)), jnp.int32
+    )
+    state, loss = train_step(state, batch)
+    assert np.isfinite(float(loss))
+
+
+MIXTRAL_TINY_SHAPES = {
+    "model.embed_tokens.weight": (32, 16),
+    "model.norm.weight": (16,),
+    "lm_head.weight": (32, 16),
+}
+for _l in range(2):
+    MIXTRAL_TINY_SHAPES[f"model.layers.{_l}.self_attn.q_proj.weight"] = (16, 16)
+    MIXTRAL_TINY_SHAPES[f"model.layers.{_l}.self_attn.k_proj.weight"] = (8, 16)
+    MIXTRAL_TINY_SHAPES[f"model.layers.{_l}.self_attn.v_proj.weight"] = (8, 16)
+    MIXTRAL_TINY_SHAPES[f"model.layers.{_l}.self_attn.o_proj.weight"] = (16, 16)
+    MIXTRAL_TINY_SHAPES[f"model.layers.{_l}.input_layernorm.weight"] = (16,)
+    MIXTRAL_TINY_SHAPES[f"model.layers.{_l}.post_attention_layernorm.weight"] = (16,)
+    MIXTRAL_TINY_SHAPES[f"model.layers.{_l}.block_sparse_moe.gate.weight"] = (4, 16)
+    for _e in range(4):
+        for _w, _shape in [("w1", (24, 16)), ("w2", (16, 24)), ("w3", (24, 16))]:
+            MIXTRAL_TINY_SHAPES[
+                f"model.layers.{_l}.block_sparse_moe.experts.{_e}.{_w}.weight"
+            ] = _shape
+
+
+def _make_mixtral_model(path, seed):
+    """Tiny mixtral-shaped model with a deliberately irregular shard layout
+    (experts split across shard boundaries mid-layer)."""
+    from shardmerge_tpu.io import safetensors_io as stio
+
+    gen = np.random.default_rng(seed)
+    tensors = {
+        name: gen.standard_normal(shape).astype(np.float32)
+        for name, shape in MIXTRAL_TINY_SHAPES.items()
+    }
+    names = sorted(tensors)
+    # irregular: uneven split into 3 shards by cumulative count
+    cuts = [len(names) // 5, len(names) // 2]
+    shard_of = {}
+    for i, name in enumerate(names):
+        if i < cuts[0]:
+            shard_of[name] = "model-00001-of-00003.safetensors"
+        elif i < cuts[1]:
+            shard_of[name] = "model-00002-of-00003.safetensors"
+        else:
+            shard_of[name] = "model-00003-of-00003.safetensors"
+    path.mkdir(parents=True, exist_ok=True)
+    shards = {}
+    for name, shard in shard_of.items():
+        shards.setdefault(shard, {})[name] = tensors[name]
+    for shard, content in shards.items():
+        stio.save_file(content, path / shard, metadata={"format": "pt"})
+    with open(path / "model.safetensors.index.json", "w") as f:
+        json.dump({"metadata": {}, "weight_map": shard_of}, f)
+    return tensors, shard_of
+
+
+def test_mixtral_merge_end_to_end(tmp_path):
+    import asyncio
+
+    from shardmerge_tpu.config import MergeConfig, MergeModel
+    from shardmerge_tpu.io.index import OfflineMultiModelIndex
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader
+    from shardmerge_tpu.merge import FourierMerge
+
+    base_path = tmp_path / "base"
+    ft_path = tmp_path / "ft"
+    base_t, shard_of = _make_mixtral_model(base_path, seed=1)
+    ft_t, _ = _make_mixtral_model(ft_path, seed=2)
+
+    config = MergeConfig(
+        finetune_merge=[MergeModel(model=str(ft_path), base=str(base_path))],
+        output_base_model=str(base_path),
+        output_dir=str(tmp_path / "merged"),
+        cache_dir=str(tmp_path / "cache"),
+        storage_dir=str(tmp_path / "storage"),
+    )
+    index = OfflineMultiModelIndex()
+    index.add_model(base_path)
+    index.add_model(ft_path)
+    merger = FourierMerge(config, index_manager=index)
+    asyncio.run(merger.merge())
+
+    # output mirrors the irregular layout exactly
+    out_index = json.load(
+        open(tmp_path / "merged" / "model.safetensors.index.json")
+    )
+    assert out_index["weight_map"] == shard_of
+
+    out = {}
+    for shard in set(shard_of.values()):
+        with SafeTensorsReader(tmp_path / "merged" / shard) as r:
+            for k in r.keys():
+                out[k] = r.get_tensor(k, copy=True)
+    assert set(out) == set(MIXTRAL_TINY_SHAPES)
+    # single finetune: expert weights pass through as base + delta == ft
+    name = "model.layers.1.block_sparse_moe.experts.2.w1.weight"
+    np.testing.assert_allclose(
+        out[name].astype(np.float32), ft_t[name], rtol=1e-2, atol=1e-2
+    )
