@@ -99,7 +99,27 @@ async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cac
             cache_path=config.cache_path,
         )
 
-    merger = merge_cls(config=config, index_manager=index_manager, **kwargs)
+    mesh = None
+    if config.shard_tensors:
+        import jax
+
+        from .parallel.mesh import make_mesh
+
+        if len(jax.devices()) > 1:
+            mesh = make_mesh(("x",))
+            logger.info(
+                "Sharding tensors >= %d bytes over %d devices",
+                config.shard_min_bytes,
+                mesh.devices.size,
+            )
+
+    merger = merge_cls(
+        config=config,
+        index_manager=index_manager,
+        mesh=mesh,
+        shard_min_bytes=config.shard_min_bytes,
+        **kwargs,
+    )
     await merger.merge(device=device)
 
     if clean_cache and download_manager is not None:

@@ -95,6 +95,8 @@ class MergeConfig:
     # TPU-native extensions (absent fields keep reference-config files valid):
     write_through: bool = False  # per-tensor shard rewrite (reference behavior)
     merge_method: str = "fourier"  # fourier | fourier-legacy | addition | task-addition
+    shard_tensors: bool = False  # row-shard huge tensors over all devices
+    shard_min_bytes: int = 1 << 30  # sharding threshold (per-tensor fp32 bytes)
 
     @property
     def input_model(self) -> Optional[MergeModel]:

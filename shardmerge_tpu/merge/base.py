@@ -47,6 +47,7 @@ class MergeTensorsBase(ABC):
         self,
         config: MergeConfig,
         index_manager=None,
+        **_ignored,  # engines absorb wiring kwargs they don't use
     ):
         self.config = config
         # explicit None check: an empty OfflineMultiModelIndex is falsy (__len__)
@@ -65,10 +66,16 @@ class MergeTensorsBase(ABC):
         """Produce the merged tensor for one layer."""
         raise NotImplementedError
 
+    def _sharding_for(self, host: np.ndarray):
+        """Placement policy for a host tensor; None = default single device.
+        Engines override to shard huge tensors over a mesh."""
+        return None
+
     async def _fetch(self, model_uri: str, tensor_name: str) -> jnp.ndarray:
         """Fetch a tensor to the device (single host->HBM transfer)."""
         host = await self.index_manager.get_tensor(model_uri, tensor_name).get()
-        return jax.device_put(host)
+        sharding = self._sharding_for(host)
+        return jax.device_put(host, sharding) if sharding else jax.device_put(host)
 
     async def get_base_output_tensor(self, shard_layer: ShardLayer) -> jnp.ndarray:
         """Base-model tensor in fp32 (reference base.py:117-119)."""

@@ -187,6 +187,8 @@ class FourierMerge(MergeTensorsBase):
         cull_start_pct: float = 0.20,
         index_manager=None,
         exact_imag: bool = False,
+        mesh=None,
+        shard_min_bytes: int = 1 << 30,
         **kwargs,
     ):
         super().__init__(config, index_manager)
@@ -197,6 +199,32 @@ class FourierMerge(MergeTensorsBase):
         # path (6 FFTs/pair) instead of the analytic identity (3 FFTs/pair,
         # ~1e-6 relative deviation; see _pair_arith module comment).
         self.exact_imag = exact_imag
+        # With a mesh, 2-D tensors of >= shard_min_bytes are row-sharded over
+        # it and merged with the distributed-FFT kernels (parallel/merge.py):
+        # a 70B layer's working set (fp32 delta stack + complex64 FFT
+        # intermediates) need not fit one chip's HBM.
+        self.mesh = mesh
+        self.shard_min_bytes = shard_min_bytes
+
+    def _sharding_for(self, host):
+        if (
+            self.mesh is None
+            or host.ndim != 2
+            or host.nbytes < self.shard_min_bytes
+            or host.shape[0] % self.mesh.devices.size != 0
+        ):
+            return None
+        from ..parallel.merge import row_sharding
+
+        return row_sharding(self.mesh)
+
+    def _is_sharded(self, arr) -> bool:
+        return (
+            self.mesh is not None
+            and arr.ndim == 2
+            and not arr.sharding.is_fully_replicated
+            and len(arr.sharding.device_set) > 1
+        )
 
     def get_readme(self) -> str:
         models = "\n".join(
@@ -328,19 +356,27 @@ Models merged:
                 cnorm_b = abs(norm_b / target_norm)
                 n_ratio = cnorm_b / (cnorm_a + 1e-10)
 
+                sharded = self._is_sharded(a)
                 if cnorm_a < 1e-6:
                     merged = _pair_add(a, b)
                     self.stats.record_pair("add")
                 elif cnorm_b < 1e-6 or n_ratio < 0.1:
                     norm_scale = target_norm / norm_a
                     weight_scale = b_weight / (a_weight + 1e-10)
-                    merged = _pair_arith(
-                        a,
-                        b,
-                        jnp.float32(norm_scale),
-                        jnp.float32(weight_scale),
-                        fast_imag=_use_fast_imag(self.exact_imag, a),
-                    )
+                    if sharded:
+                        from ..parallel.merge import sharded_pair_arith
+
+                        merged = sharded_pair_arith(
+                            self.mesh, a, b, norm_scale, weight_scale
+                        )
+                    else:
+                        merged = _pair_arith(
+                            a,
+                            b,
+                            jnp.float32(norm_scale),
+                            jnp.float32(weight_scale),
+                            fast_imag=_use_fast_imag(self.exact_imag, a),
+                        )
                     self.stats.record_pair("arith")
                     logger.info(
                         "Arithmetic-FFT merged %s x %.4g onto %s x %.4g",
@@ -362,13 +398,38 @@ Models merged:
                         ratio = norm_b / (norm_a + 1e-10)
                         numel = a.size
                         if ratio < 0.1:
-                            merged, has_inf = _pair_lowratio(
+                            if sharded:
+                                from ..parallel.merge import sharded_pair_lowratio
+
+                                merged, has_inf = sharded_pair_lowratio(
+                                    self.mesh, a, b, norm_a, norm_b, a_prop,
+                                    target_norm,
+                                )
+                            else:
+                                merged, has_inf = _pair_lowratio(
+                                    a,
+                                    b,
+                                    jnp.float32(norm_a),
+                                    jnp.float32(norm_b),
+                                    jnp.float32(a_prop),
+                                    jnp.float32(target_norm),
+                                )
+                        elif sharded:
+                            from ..parallel.merge import sharded_pair_slerp
+
+                            merged, has_inf = sharded_pair_slerp(
+                                self.mesh,
                                 a,
                                 b,
-                                jnp.float32(norm_a),
-                                jnp.float32(norm_b),
-                                jnp.float32(a_prop),
-                                jnp.float32(target_norm),
+                                norm_a,
+                                norm_b,
+                                a_prop,
+                                blend.cutoff_rank(numel, 0.08),
+                                blend.cull_rank(numel, cull_pct),
+                                blend.cull_limit(numel, cull_pct),
+                                target_norm,
+                                use_cull=cull_pct > 0,
+                                fast_imag=not self.exact_imag,
                             )
                         else:
                             merged, has_inf = _pair_slerp(
