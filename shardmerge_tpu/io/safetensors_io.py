@@ -166,7 +166,11 @@ class SafeTensorsReader:
         dtype = _ST_TO_NP[entry["dtype"]]
         arr = np.frombuffer(self._buf[begin:end], dtype=dtype)
         arr = arr.reshape(tuple(entry["shape"]))
-        return np.array(arr) if copy else arr
+        if not copy:
+            return arr
+        from . import native
+
+        return native.parallel_copy(arr)
 
     def close(self):
         """Release resources (best-effort).

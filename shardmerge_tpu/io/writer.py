@@ -130,7 +130,7 @@ class ModelWriter:
 
         arr = np.asarray(tensor)
         if arr.dtype != self.output_astype:
-            arr = arr.astype(self.output_astype)
+            arr = self._cast(arr)
         self._pending.setdefault(shard_name, {})[layer_name] = arr
         self.written_shard_layers.add((shard_name, layer_name))
 
@@ -138,6 +138,18 @@ class ModelWriter:
         done = all((shard_name, name) in self.written_shard_layers for name in expected)
         if self.write_through or done:
             self._flush_shard(shard_name)
+
+    def _cast(self, arr: np.ndarray) -> np.ndarray:
+        """Cast to the output dtype; large fp32->bf16 narrows go through the
+        native parallel converter (bit-exact with ml_dtypes)."""
+        if arr.dtype == np.float32 and self.output_astype.itemsize == 2:
+            import ml_dtypes
+
+            if self.output_astype == np.dtype(ml_dtypes.bfloat16):
+                from . import native
+
+                return native.f32_to_bf16(arr)
+        return arr.astype(self.output_astype)
 
     def _flush_shard(self, shard_name: str):
         shard_path = self.output_path / shard_name
