@@ -173,20 +173,42 @@ class MergeTensorsBase(ABC):
     async def _process_layers(
         self, writer: ModelWriter, shard_layers: List[ShardLayer]
     ):
+        # Software pipeline (SURVEY.md §7 step 4): while layer n's result is
+        # still computing / copying device->host, layer n+1's shard preloads,
+        # host reads and host->HBM transfers already run. The deferred
+        # write-back (one layer deep) keeps at most one extra output tensor
+        # alive.
         shard_layer = None
+        pending = None  # (shard_layer, device_or_host_tensor)
+
+        def flush(entry):
+            layer, tensor = entry
+            self._check_deferred(layer.layer_name)
+            host_tensor = np.asarray(tensor)  # waits on the async D2H copy
+            writer.add_tensor(layer.layer_name, host_tensor)
+            self.stats.tensors_merged += 1
+            self.stats.bytes_written += host_tensor.nbytes
+            self._evict_layer(layer.layer_name)
+
         try:
             for shard_layer in shard_layers:
                 with phase_profiler(f"merge {shard_layer.layer_name}"):
                     out_tensor = await self._merge_layer(shard_layer)
-                host_tensor = np.asarray(out_tensor)
-                writer.add_tensor(shard_layer.layer_name, host_tensor)
-                self.stats.tensors_merged += 1
-                self.stats.bytes_written += host_tensor.nbytes
-                self._evict_layer(shard_layer.layer_name)
+                if hasattr(out_tensor, "copy_to_host_async"):
+                    out_tensor.copy_to_host_async()
+                if pending is not None:
+                    flush(pending)
+                pending = (shard_layer, out_tensor)
+            if pending is not None:
+                flush(pending)
         except Exception as e:
             name = shard_layer.layer_name if shard_layer else "?"
             logger.error("Error processing %s: %s", name, e)
             raise
+
+    def _check_deferred(self, layer_name: str):
+        """Hook for engines that defer device-side validity checks (e.g. Inf
+        flags) to write-back time; default: nothing deferred."""
 
     def _evict_layer(self, tensor_name: str):
         """Release the layer's tensors from the index memory cache (the

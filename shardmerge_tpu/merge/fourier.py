@@ -205,6 +205,7 @@ class FourierMerge(MergeTensorsBase):
         # intermediates) need not fit one chip's HBM.
         self.mesh = mesh
         self.shard_min_bytes = shard_min_bytes
+        self._deferred_checks = []
 
     def _sharding_for(self, host):
         if (
@@ -471,11 +472,24 @@ Models merged:
         base = await self.get_base_output_tensor(shard_layer)
         out, final_inf = _finalize(base, result_tensor)
 
-        # single sync for all deferred Inf checks
-        if inf_flags and bool(jnp.any(jnp.stack(inf_flags))):
-            raise ValueError("Inf in ifft output")
-        if bool(final_inf):
-            raise ValueError(
-                f"Inf in merged tensor for {shard_layer.layer_name}"
-            )
-        return np.asarray(out)
+        # Defer the Inf checks to write-back time (base._process_layers
+        # flush): syncing here would stall the host behind the device queue
+        # and kill the one-layer-deep pipeline. The run still aborts before
+        # the offending tensor is written.
+        self._defer_check(shard_layer.layer_name, inf_flags, final_inf)
+        return out
+
+    def _defer_check(self, layer_name, inf_flags, final_inf):
+        self._deferred_checks.append((layer_name, inf_flags, final_inf))
+
+    def _check_deferred(self, layer_name: str):
+        remaining = []
+        for name, inf_flags, final_inf in self._deferred_checks:
+            if name != layer_name:
+                remaining.append((name, inf_flags, final_inf))
+                continue
+            if inf_flags and bool(jnp.any(jnp.stack(inf_flags))):
+                raise ValueError("Inf in ifft output")
+            if bool(final_inf):
+                raise ValueError(f"Inf in merged tensor for {name}")
+        self._deferred_checks = remaining
