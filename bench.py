@@ -39,7 +39,7 @@ def bench_jax(a_np, b_np, iters=5):
     jax.config.update("jax_compilation_cache_dir", str(cache))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from shardmerge_tpu.merge.fourier import _pair_slerp
+    from shardmerge_tpu.merge.fourier import _pair_slerp_rfft
     from shardmerge_tpu.ops import blend
 
     a = jnp.asarray(a_np)
@@ -54,7 +54,7 @@ def bench_jax(a_np, b_np, iters=5):
         x = a
         out = None
         for _ in range(K):
-            out, _ = _pair_slerp(
+            out, _ = _pair_slerp_rfft(
                 x,
                 b,
                 jnp.float32(norm_a),
@@ -66,7 +66,6 @@ def bench_jax(a_np, b_np, iters=5):
                 jnp.float32(TARGET_NORM),
                 use_cutoff=True,
                 use_cull=True,
-                fast_imag=True,
             )
             x = out
         return out
@@ -87,7 +86,7 @@ def bench_jax(a_np, b_np, iters=5):
     t4, out4 = timed(4)
     per_merge = (t4 - t1) / 3  # slope: dispatch overhead cancels
     # chain feeds x back in, so out4 != single-merge output; redo one clean
-    single, _ = _pair_slerp(
+    single, _ = _pair_slerp_rfft(
         a,
         b,
         jnp.float32(norm_a),
@@ -99,7 +98,6 @@ def bench_jax(a_np, b_np, iters=5):
         jnp.float32(TARGET_NORM),
         use_cutoff=True,
         use_cull=True,
-        fast_imag=True,
     )
     return per_merge, single
 

@@ -153,6 +153,76 @@ def _pair_slerp(
     return merged * target_norm, has_inf
 
 
+# --- rfft fast path ----------------------------------------------------------
+#
+# With fast-imag active, every FFT input is real and the blended spectrum is
+# Hermitian, so the whole pair merge runs on the rfft half spectrum: half
+# the FFT work, half the blend/select memory traffic. Reductions weight each
+# column by its Hermitian multiplicity (ops/blend.py interpolate_half_spectrum),
+# reproducing the full-spectrum numbers exactly (up to the same symmetrized
+# rounding class as the fast-imag identity itself).
+
+@partial(jax.jit, static_argnames=("use_cutoff", "use_cull"))
+def _pair_slerp_rfft(
+    a,
+    b,
+    norm_a,
+    norm_b,
+    t,
+    cutoff_k,
+    cull_k,
+    cull_count_limit,
+    target_norm,
+    *,
+    use_cutoff,
+    use_cull,
+):
+    v0n = a / norm_a
+    v1n = b / norm_b
+    h0 = jnp.fft.rfftn(v0n, axes=(-2, -1))
+    h1 = jnp.fft.rfftn(v1n, axes=(-2, -1))
+    col_w = jnp.asarray(blend.hermitian_col_weights(a.shape[-1]))
+    result = blend.interpolate_half_spectrum(
+        h0,
+        h1,
+        t,
+        jnp.float32(1.0),
+        cutoff_k,
+        cull_k,
+        cull_count_limit,
+        col_w,
+        use_cutoff=use_cutoff,
+        use_cull=use_cull,
+    )
+    merged = jnp.fft.irfftn(result, s=a.shape, axes=(-2, -1))
+    merged = jnp.where(jnp.isnan(merged), 0.0, merged)
+    has_inf = jnp.any(jnp.isinf(merged))
+    return merged * target_norm, has_inf
+
+
+@jax.jit
+def _pair_lowratio_rfft(a, b, norm_a, norm_b, t, target_norm):
+    h = jnp.fft.rfftn(a / norm_a, axes=(-2, -1)) + t * jnp.fft.rfftn(
+        b / norm_b, axes=(-2, -1)
+    )
+    merged = jnp.fft.irfftn(h, s=a.shape, axes=(-2, -1))
+    merged = jnp.where(jnp.isnan(merged), 0.0, merged)
+    has_inf = jnp.any(jnp.isinf(merged))
+    return merged * target_norm, has_inf
+
+
+@jax.jit
+def _pair_arith_rfft(a, b, norm_scale, weight_scale):
+    h0 = jnp.fft.rfftn(a * norm_scale, axes=(-2, -1))
+    h1 = jnp.fft.rfftn(b * weight_scale * norm_scale, axes=(-2, -1))
+    r0, r1 = h0.real, h1.real
+    sign_mask = jnp.sign(r0) == jnp.sign(r1)
+    # REF-QUIRK functions.py:282-284: disagreement lanes take v1
+    res_real = jnp.where(sign_mask, r0 + r1, r1)  # t=1
+    out = jax.lax.complex(res_real, h0.imag)
+    return jnp.fft.irfftn(out, s=a.shape, axes=(-2, -1))
+
+
 @jax.jit
 def _pair_lowratio(a, b, norm_a, norm_b, t, target_norm):
     """Regime (c) when norm ratio < b=0.1 inside merge_tensors_fft2_slerp
@@ -370,13 +440,17 @@ Models merged:
                         merged = sharded_pair_arith(
                             self.mesh, a, b, norm_scale, weight_scale
                         )
+                    elif _use_fast_imag(self.exact_imag, a):
+                        merged = _pair_arith_rfft(
+                            a, b, jnp.float32(norm_scale), jnp.float32(weight_scale)
+                        )
                     else:
                         merged = _pair_arith(
                             a,
                             b,
                             jnp.float32(norm_scale),
                             jnp.float32(weight_scale),
-                            fast_imag=_use_fast_imag(self.exact_imag, a),
+                            fast_imag=False,
                         )
                     self.stats.record_pair("arith")
                     logger.info(
@@ -406,6 +480,15 @@ Models merged:
                                     self.mesh, a, b, norm_a, norm_b, a_prop,
                                     target_norm,
                                 )
+                            elif _use_fast_imag(self.exact_imag, a):
+                                merged, has_inf = _pair_lowratio_rfft(
+                                    a,
+                                    b,
+                                    jnp.float32(norm_a),
+                                    jnp.float32(norm_b),
+                                    jnp.float32(a_prop),
+                                    jnp.float32(target_norm),
+                                )
                             else:
                                 merged, has_inf = _pair_lowratio(
                                     a,
@@ -432,6 +515,20 @@ Models merged:
                                 use_cull=cull_pct > 0,
                                 fast_imag=not self.exact_imag,
                             )
+                        elif _use_fast_imag(self.exact_imag, a):
+                            merged, has_inf = _pair_slerp_rfft(
+                                a,
+                                b,
+                                jnp.float32(norm_a),
+                                jnp.float32(norm_b),
+                                jnp.float32(a_prop),
+                                jnp.int32(blend.cutoff_rank(numel, 0.08)),
+                                jnp.int32(blend.cull_rank(numel, cull_pct)),
+                                jnp.int32(blend.cull_limit(numel, cull_pct)),
+                                jnp.float32(target_norm),
+                                use_cutoff=True,
+                                use_cull=cull_pct > 0,
+                            )
                         else:
                             merged, has_inf = _pair_slerp(
                                 a,
@@ -445,7 +542,7 @@ Models merged:
                                 jnp.float32(target_norm),
                                 use_cutoff=True,
                                 use_cull=cull_pct > 0,
-                                fast_imag=_use_fast_imag(self.exact_imag, a),
+                                fast_imag=False,
                             )
                     inf_flags.append(has_inf)
                     self.stats.record_pair("slerp")

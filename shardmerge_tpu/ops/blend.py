@@ -39,6 +39,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .select import kth_smallest_nonneg, kth_smallest_nonneg2
 
@@ -120,16 +121,21 @@ def slerp(v0: jnp.ndarray, v1: jnp.ndarray, t) -> jnp.ndarray:
     return _masked_slerp(v0, v1, t, jnp.ones(v0.shape, dtype=bool))
 
 
-def _gsum(x, axis_name: Optional[str]):
+def _gsum(x, axis_name: Optional[str], col_weights=None):
     """Global sum: local sum, plus a psum across the mesh axis when the
-    array is one shard of a distributed tensor."""
+    array is one shard of a distributed tensor. ``col_weights`` weights each
+    column of a 2-D half-spectrum array by its Hermitian multiplicity."""
+    if col_weights is not None:
+        x = x * col_weights
     s = jnp.sum(x)
     if axis_name is not None:
         s = jax.lax.psum(s, axis_name)
     return s
 
 
-def _masked_slerp(v0, v1, t, mask, axis_name: Optional[str] = None):
+def _masked_slerp(
+    v0, v1, t, mask, axis_name: Optional[str] = None, col_weights=None
+):
     """SLERP over the masked element subset.
 
     The reference gathers ``v0[mask]`` into a 1-D vector and applies
@@ -141,13 +147,15 @@ def _masked_slerp(v0, v1, t, mask, axis_name: Optional[str] = None):
     is one psum).
     """
     zero = jnp.float32(0.0)
-    dot_num = _gsum(jnp.where(mask, v0 * v1, zero), axis_name)
-    n0 = jnp.sqrt(_gsum(jnp.where(mask, v0 * v0, zero), axis_name))
-    n1 = jnp.sqrt(_gsum(jnp.where(mask, v1 * v1, zero), axis_name))
+    dot_num = _gsum(jnp.where(mask, v0 * v1, zero), axis_name, col_weights)
+    n0 = jnp.sqrt(_gsum(jnp.where(mask, v0 * v0, zero), axis_name, col_weights))
+    n1 = jnp.sqrt(_gsum(jnp.where(mask, v1 * v1, zero), axis_name, col_weights))
     dot = jnp.clip(dot_num / (n0 * n1), -1.0, 1.0)
     theta = jnp.arccos(dot) * t
     rel = v1 - v0 * dot
-    rel_norm = jnp.sqrt(_gsum(jnp.where(mask, rel * rel, zero), axis_name))
+    rel_norm = jnp.sqrt(
+        _gsum(jnp.where(mask, rel * rel, zero), axis_name, col_weights)
+    )
     rel = rel / jnp.maximum(rel_norm, 1e-12)
     return v0 * jnp.cos(theta) + rel * jnp.sin(theta)
 
@@ -251,6 +259,94 @@ def interpolate_fft_components_impl(
         res_imag = v0_fft.imag
 
     return jax.lax.complex(res_real, res_imag)
+
+
+def hermitian_col_weights(n_cols_full: int) -> np.ndarray:
+    """Multiplicity of each rfft half-spectrum column in the full spectrum:
+    interior columns mirror to a second column (weight 2), the DC column and
+    (for even N) the Nyquist column are self-paired (weight 1)."""
+    c = n_cols_full // 2 + 1
+    w = np.full((c,), 2.0, np.float32)
+    w[0] = 1.0
+    if n_cols_full % 2 == 0:
+        w[-1] = 1.0
+    return w
+
+
+def interpolate_half_spectrum(
+    h0: jnp.ndarray,
+    h1: jnp.ndarray,
+    t,
+    t_sum,
+    cutoff_k,
+    cull_k,
+    cull_count_limit,
+    col_weights: jnp.ndarray,
+    *,
+    use_cutoff: bool,
+    use_cull: bool,
+    axis_name: Optional[str] = None,
+) -> jnp.ndarray:
+    """Hermitian half-spectrum version of the fast-imag blend.
+
+    ``h0``/``h1`` are rfft2 outputs (M, N//2+1). All elementwise operations
+    of the full-spectrum blend are mirror-symmetric, so computing them on
+    the half spectrum is lossless; the reductions (slerp dot/norms, exact
+    cutoff/cull ranks, cull count) weight each column by its Hermitian
+    multiplicity, reproducing the full-spectrum values exactly (ranks are
+    the same ``cutoff_rank``/``cull_rank`` full-spectrum ranks). The
+    imaginary part passes through from h0 (the analytic fast-imag identity;
+    see merge/fourier.py).
+    """
+    from .select import kth_smallest_weighted
+
+    r0 = h0.real
+    r1 = h1.real
+    a0 = jnp.abs(r0)
+    a1 = jnp.abs(r1)
+    wrow = col_weights[None, :]
+
+    if use_cutoff:
+        cutoff_thr = kth_smallest_weighted(
+            a0, cutoff_k, col_weights, y=a1, axis_name=axis_name
+        )
+    else:
+        cutoff_thr = jnp.float32(0.0)
+
+    sign_mask = jnp.sign(r0) == jnp.sign(r1)
+    small = a1 < cutoff_thr  # REF-QUIRK: |Re v1| on both masks
+    slerp_mask = sign_mask & ~small
+    sum_mask = sign_mask & small
+    larger = a0 > a1
+
+    slerp_vals = _masked_slerp(
+        r0, r1, t, slerp_mask, axis_name=axis_name, col_weights=wrow
+    )
+    res_real = jnp.where(
+        slerp_mask,
+        slerp_vals,
+        jnp.where(sum_mask, r0 + t_sum * r1, jnp.where(larger, r0, r1)),
+    )
+
+    if use_cull:
+        abs_res = jnp.abs(res_real)
+        cull_thr = kth_smallest_weighted(
+            abs_res, cull_k, col_weights, axis_name=axis_name
+        )
+        # integer-weighted count: float accumulation would lose exactness
+        # beyond 2^24 elements
+        below = jnp.sum(
+            (abs_res < cull_thr).astype(jnp.int32)
+            * col_weights.astype(jnp.int32)[None, :]
+        )
+        if axis_name is not None:
+            below = jax.lax.psum(below, axis_name)
+        overflow = below > cull_count_limit
+        res_real = jnp.where(
+            overflow, res_real, jnp.where(abs_res < cull_thr, 0.0, res_real)
+        )
+
+    return jax.lax.complex(res_real, h0.imag)
 
 
 @partial(jax.jit, static_argnames=("use_cutoff", "use_cull", "interp_imag"))

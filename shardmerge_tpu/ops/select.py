@@ -60,6 +60,49 @@ def kth_smallest_nonneg(x: jnp.ndarray, k: jnp.ndarray, axis_name: str | None = 
     return jax.lax.bitcast_convert_type(prefix, jnp.float32)
 
 
+def kth_smallest_weighted(
+    x: jnp.ndarray,
+    k: jnp.ndarray,
+    col_weights: jnp.ndarray,
+    y: jnp.ndarray | None = None,
+    axis_name: str | None = None,
+):
+    """k-th smallest of a column-weighted multiset (one or two 2-D arrays).
+
+    Each element of column j counts ``col_weights[j]`` times — the exact
+    half-spectrum representation of a Hermitian-symmetric full spectrum
+    (rfft): interior columns appear twice, DC/Nyquist once. Equivalent to
+    materializing the full mirrored array and ranking it.
+    """
+    k = jnp.asarray(k, jnp.int32)
+    w = jnp.asarray(col_weights, jnp.int32)[None, :, None]  # (1, C, 1)
+    ux = jax.lax.bitcast_convert_type(x, jnp.uint32)[..., None]  # (M, C, 1)
+    uy = (
+        jax.lax.bitcast_convert_type(y, jnp.uint32)[..., None]
+        if y is not None
+        else None
+    )
+
+    def round_step(i, prefix):
+        shift = 32 - _BITS_PER_ROUND * (i + 1)
+        cands = prefix + (
+            jnp.arange(1, 2**_BITS_PER_ROUND, dtype=jnp.uint32) << shift
+        )[None, None, :]
+        counts = jnp.sum((ux < cands).astype(jnp.int32) * w, axis=(0, 1))
+        if uy is not None:
+            counts = counts + jnp.sum(
+                (uy < cands).astype(jnp.int32) * w, axis=(0, 1)
+            )
+        if axis_name is not None:
+            counts = jax.lax.psum(counts, axis_name)
+        ok = counts <= k
+        step = jnp.sum(ok.astype(jnp.uint32)) << shift
+        return prefix + step
+
+    prefix = jax.lax.fori_loop(0, _ROUNDS, round_step, jnp.uint32(0))
+    return jax.lax.bitcast_convert_type(prefix, jnp.float32)
+
+
 def kth_smallest_nonneg2(
     x: jnp.ndarray,
     y: jnp.ndarray,

@@ -250,3 +250,55 @@ def test_fast_imag_mode_close_to_exact(rng):
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(exact), rtol=1e-4, atol=1e-5 * scale
     )
+
+
+def test_rfft_kernel_matches_fast_full_spectrum(rng):
+    from shardmerge_tpu.merge.fourier import _pair_slerp, _pair_slerp_rfft
+
+    for shape in [(32, 48), (32, 47)]:  # even and odd N (Nyquist handling)
+        a = _rand(rng, shape)
+        b = _rand(rng, shape)
+        numel = a.size
+        common = (
+            jnp.asarray(a),
+            jnp.asarray(b),
+            jnp.float32(np.linalg.norm(a)),
+            jnp.float32(np.linalg.norm(b)),
+            jnp.float32(0.6),
+            jnp.int32(blend.cutoff_rank(numel, 0.08)),
+            jnp.int32(blend.cull_rank(numel, 0.2)),
+            jnp.int32(blend.cull_limit(numel, 0.2)),
+            jnp.float32(1.7),
+        )
+        full, _ = _pair_slerp(
+            *common, use_cutoff=True, use_cull=True, fast_imag=True
+        )
+        half, _ = _pair_slerp_rfft(*common, use_cutoff=True, use_cull=True)
+        scale = float(jnp.max(jnp.abs(full)))
+        np.testing.assert_allclose(
+            np.asarray(half), np.asarray(full), rtol=1e-4, atol=1e-5 * scale
+        )
+
+
+def test_hermitian_col_weights():
+    w = blend.hermitian_col_weights(8)
+    np.testing.assert_array_equal(w, [1, 2, 2, 2, 1])
+    w = blend.hermitian_col_weights(7)
+    np.testing.assert_array_equal(w, [1, 2, 2, 2])
+
+
+def test_weighted_select_equals_mirrored_full():
+    from shardmerge_tpu.ops.select import kth_smallest_weighted
+
+    rng = np.random.default_rng(5)
+    M, N = 8, 12
+    x = np.abs(rng.standard_normal((M, N // 2 + 1))).astype(np.float32)
+    w = blend.hermitian_col_weights(N)
+    # materialize the weighted multiset and compare ranks
+    full = np.concatenate(
+        [np.repeat(x[:, j], int(w[j])) for j in range(x.shape[1])]
+    )
+    full_sorted = np.sort(full)
+    for k in [0, 5, len(full) // 2, len(full) - 1]:
+        got = float(kth_smallest_weighted(jnp.asarray(x), k, jnp.asarray(w)))
+        assert got == full_sorted[k], (k, got, full_sorted[k])
