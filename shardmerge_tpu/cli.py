@@ -118,6 +118,11 @@ async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cac
         index_manager=index_manager,
         mesh=mesh,
         shard_min_bytes=config.shard_min_bytes,
+        hbm_budget_bytes=(
+            int(config.hbm_budget_gb * 2**30)
+            if config.hbm_budget_gb is not None
+            else None
+        ),
         **kwargs,
     )
     await merger.merge(device=device)

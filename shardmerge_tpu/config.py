@@ -97,6 +97,7 @@ class MergeConfig:
     merge_method: str = "fourier"  # fourier | fourier-legacy | addition | task-addition
     shard_tensors: bool = False  # row-shard huge tensors over all devices
     shard_min_bytes: int = 1 << 30  # sharding threshold (per-tensor fp32 bytes)
+    hbm_budget_gb: Optional[float] = None  # spill delta stack to host RAM above this
 
     @property
     def input_model(self) -> Optional[MergeModel]:

@@ -276,6 +276,11 @@ class FourierMerge(MergeTensorsBase):
         self.mesh = mesh
         self.shard_min_bytes = shard_min_bytes
         self._deferred_checks = []
+        # Optional HBM budget for the delta stack: above it, stack entries
+        # spill to host RAM between pair merges (the reference spills every
+        # entry to a DISK cache, fast_fourier.py:46-77; host RAM is the TPU
+        # analogue — one device_put per reuse instead of a file read).
+        self.hbm_budget_bytes = kwargs.get("hbm_budget_bytes")
 
     def _sharding_for(self, host):
         if (
@@ -382,6 +387,37 @@ Models merged:
         del deltas
         logger.debug("Loaded %d layers", len(layer_stack))
 
+        # Per-entry norms tracked incrementally: initial delta norms are host
+        # floats; merged entries get a lazy device scalar computed while the
+        # result is still resident (no stack re-read per round).
+        norms_by_name: Dict[str, object] = dict(zip(layer_stack, layer_norms))
+
+        def cache_put(name: str, value):
+            norms_by_name[name] = jnp.linalg.norm(value.ravel())
+            cache[name] = value
+            if self.hbm_budget_bytes is not None:
+                resident = {
+                    n: v for n, v in cache.items() if not isinstance(v, np.ndarray)
+                }
+                if sum(v.nbytes for v in resident.values()) > self.hbm_budget_bytes:
+                    for n, v in resident.items():
+                        cache[n] = np.asarray(v)  # spill to host RAM
+
+        def cache_get(name: str):
+            value = cache[name]
+            if isinstance(value, np.ndarray):
+                sharding = self._sharding_for(value)
+                value = (
+                    jax.device_put(value, sharding)
+                    if sharding
+                    else jax.device_put(value)
+                )
+            return value
+
+        if self.hbm_budget_bytes is not None:
+            for n in list(cache):
+                cache_put(n, cache[n])
+
         # target_norm = mean of ORIGINAL delta norms + offset (:165)
         target_norm = (
             float(np.mean(np.asarray(layer_norms, dtype=np.float32)))
@@ -403,8 +439,12 @@ Models merged:
             # position — it is never recomputed from the merged tensors.
             correlation = norm_product_matrix(layer_norms[: len(layer_stack)])
 
-            # Fresh norms of the current stack (regime selection), one sync.
-            current_norms = _batched_norms([cache[n] for n in layer_stack])
+            # Fresh norms of the current stack (regime selection): floats for
+            # first-round deltas, lazy device scalars for merged entries.
+            current_norms = [
+                v if isinstance(v, float) else float(v)
+                for v in (norms_by_name[n] for n in layer_stack)
+            ]
 
             for x, y, _corr in correlated_pairs(correlation, way="least"):
                 if y < 0:
@@ -414,7 +454,7 @@ Models merged:
 
                 a_model, b_model = layer_stack[x], layer_stack[y]
                 a_weight, b_weight = stack_weights[x], stack_weights[y]
-                a, b = cache[a_model], cache[b_model]
+                a, b = cache_get(a_model), cache_get(b_model)
                 norm_a, norm_b = current_norms[x], current_norms[y]
 
                 # order the pair by norm (fast_fourier.py:212-215)
@@ -556,16 +596,17 @@ Models merged:
                 name = name_hash(f"{a_model}_{b_model}")
                 next_stack.append(name)
                 next_weights.append((a_weight + b_weight) / 2.0)
-                cache[name] = merged
+                cache_put(name, merged)
                 # free consumed operands (keeps HBM bounded by stack width)
                 for consumed in (a_model, b_model):
                     cache.pop(consumed, None)
+                    norms_by_name.pop(consumed, None)
 
             layer_stack = next_stack
             stack_weights = next_weights
             cull_pct = cull_pct / 2.0  # reduce cull as we merge deeper (:254)
 
-        result_tensor = cache[layer_stack[0]]
+        result_tensor = cache_get(layer_stack[0])
         base = await self.get_base_output_tensor(shard_layer)
         out, final_inf = _finalize(base, result_tensor)
 

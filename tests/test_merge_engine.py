@@ -416,3 +416,35 @@ def test_initialize_rejects_mismatched_architectures(
     merger = FourierMerge(config, index_manager=_offline_index(base_path, ft_path))
     with pytest.raises(ValueError, match="architecture mismatch"):
         _run_merge(merger)
+
+
+def test_hbm_budget_spill_identical_output(tmp_path, tiny_model_factory):
+    """hbm_budget_bytes=0 spills every stack entry to host RAM between pair
+    merges; outputs must be bit-identical to the resident run."""
+    base_path, _ = tiny_model_factory("base", seed=120)
+    f1_path, _ = tiny_model_factory("f1", seed=121)
+    f2_path, _ = tiny_model_factory("f2", seed=122)
+    f3_path, _ = tiny_model_factory("f3", seed=123)
+    entries = [
+        {"model": str(f1_path), "base": str(base_path), "alpha": 1.0},
+        {"model": str(f2_path), "base": str(base_path), "alpha": 0.6},
+        {"model": str(f3_path), "base": str(base_path), "alpha": 0.4},
+    ]
+
+    outs = {}
+    for tag, kwargs in [("resident", {}), ("spill", {"hbm_budget_bytes": 0})]:
+        config = _make_config(tmp_path / tag, base_path, entries)
+        config.output_dir = str(tmp_path / tag / "merged")
+        merger = FourierMerge(
+            config,
+            index_manager=_offline_index(base_path, f1_path, f2_path, f3_path),
+            **kwargs,
+        )
+        _run_merge(merger)
+        outs[tag] = _read_output(tmp_path / tag / "merged")
+
+    for name in outs["resident"]:
+        np.testing.assert_array_equal(
+            outs["resident"][name].view(np.uint16),
+            outs["spill"][name].view(np.uint16),
+        )
