@@ -47,7 +47,18 @@ def _all_local(config: MergeConfig) -> bool:
     for m in config.finetune_merge:
         refs.add(m.model)
         refs.add(m.base)
-    return all(Path(r).is_dir() for r in refs)
+    local = {r for r in refs if Path(r).is_dir()}
+    if local and local != refs:
+        # Mixed references are probably a typo'd path: a non-directory ref
+        # silently becomes a HuggingFace repo id, which fails with an opaque
+        # network error offline.
+        logger.warning(
+            "Mixed model references: %s resolve to local directories but %s "
+            "do not and will be fetched from HuggingFace Hub",
+            sorted(local),
+            sorted(refs - local),
+        )
+    return local == refs
 
 
 def _enable_compile_cache(cache_dir: Path):

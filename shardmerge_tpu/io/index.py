@@ -225,6 +225,18 @@ class HFMultiModelIndex(_IndexBase):
         if model_uri in self.model_indexes:
             return
 
+        if model_uri.startswith(("/", "./", "../", "~")):
+            # An absolute/relative path here means a local directory that
+            # does not exist (the offline index handles real ones). Joined
+            # into storage_path it would win the join and mkdir itself into
+            # existence — fail loudly instead.
+            raise FileNotFoundError(
+                f"Model reference {model_uri!r} is a filesystem path, not a "
+                "HuggingFace repo id. Offline (local-directory) mode requires "
+                "every model reference to be an existing local directory — "
+                "check the paths in the config."
+            )
+
         model_path = self.download_manager.storage_path / model_uri
         model_index_path = model_path / "model.safetensors.index.json"
         model_path.mkdir(parents=True, exist_ok=True)

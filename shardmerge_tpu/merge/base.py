@@ -55,6 +55,11 @@ class MergeTensorsBase(ABC):
             index_manager if index_manager is not None else HFMultiModelIndex()
         )
         self.stats = MergeStats()
+        # Tensors below this element count compute on the host CPU backend:
+        # their math is trivial, and keeping them off the accelerator avoids
+        # a per-shape TPU compile and a dispatch round-trip for every
+        # layernorm-sized tensor (a Llama family has ~2x layers of them).
+        self.small_tensor_numel = _ignored.get("small_tensor_numel", 1 << 18)
 
     @abstractmethod
     def get_readme(self) -> str:
@@ -71,11 +76,26 @@ class MergeTensorsBase(ABC):
         Engines override to shard huge tensors over a mesh."""
         return None
 
+    def _device_for(self, host: np.ndarray):
+        """Small tensors are pinned to the host CPU backend (see __init__)."""
+        if host.size >= self.small_tensor_numel:
+            return None
+        try:
+            cpus = jax.devices("cpu")
+        except RuntimeError:
+            return None
+        if jax.devices()[0].platform == "cpu":
+            return None  # already on CPU; leave placement implicit
+        return cpus[0]
+
     async def _fetch(self, model_uri: str, tensor_name: str) -> jnp.ndarray:
         """Fetch a tensor to the device (single host->HBM transfer)."""
         host = await self.index_manager.get_tensor(model_uri, tensor_name).get()
         sharding = self._sharding_for(host)
-        return jax.device_put(host, sharding) if sharding else jax.device_put(host)
+        if sharding:
+            return jax.device_put(host, sharding)
+        device = self._device_for(host)
+        return jax.device_put(host, device) if device else jax.device_put(host)
 
     async def get_base_output_tensor(self, shard_layer: ShardLayer) -> jnp.ndarray:
         """Base-model tensor in fp32 (reference base.py:117-119)."""
