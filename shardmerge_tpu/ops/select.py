@@ -19,8 +19,11 @@ import jax.numpy as jnp
 
 __all__ = ["kth_smallest_nonneg"]
 
-# Process 4 bits per round (16-way search): 8 passes instead of 32.
-_BITS_PER_ROUND = 4
+# Bits per bisection round. Measured on v5e (32M-element weighted select):
+# 1 bit -> 10.8 ms (32 fused passes), 2 bits -> 0.85 ms, 4 bits -> 4.5 ms
+# (the (n, 15)-candidate broadcast stops fusing), 8 bits -> 98 ms. Two bits
+# (3 candidates/round, 16 rounds) is the fusion sweet spot.
+_BITS_PER_ROUND = 2
 _ROUNDS = 32 // _BITS_PER_ROUND
 
 
