@@ -175,12 +175,25 @@ def cli():
     "finer-grained resume, heavy IO)",
 )
 @click.option("--verbose", is_flag=True, help="Enable verbose logging")
+@click.option(
+    "--trace-dir",
+    type=click.Path(path_type=Path),
+    default=None,
+    help="Capture a jax.profiler trace of the merge into this directory",
+)
+@click.option(
+    "--profile",
+    is_flag=True,
+    help="Log per-phase wall clock / RSS / HBM (same as SHARDMERGE_PROFILE=1)",
+)
 def merge_command(
     config_file: Path,
     cache_dir: Optional[Path],
     verbose: bool,
     method: Optional[str],
     write_through: bool,
+    trace_dir: Optional[Path],
+    profile: bool,
     **kwargs,
 ):
     """Merge multiple finetuned models by computing and combining their deltas.
@@ -212,7 +225,15 @@ def merge_command(
             config.write_through = True
         config.update({k: v for k, v in kwargs.items() if v is not None})
 
-        asyncio.run(run_merge(config=config, **config.to_dict()))
+        if profile:
+            import os
+
+            os.environ["SHARDMERGE_PROFILE"] = "1"
+
+        from .ops.profiling import trace
+
+        with trace(str(trace_dir) if trace_dir else None):
+            asyncio.run(run_merge(config=config, **config.to_dict()))
     except ConfigError as e:
         raise click.BadParameter(str(e))
     except Exception as e:

@@ -40,6 +40,7 @@ logger = logging.getLogger(__name__)
 __all__ = ["ChatMessage", "InferenceEngine"]
 
 _CACHE_BUCKET = 256  # KV cache length granularity (compile-cache friendly)
+_PROMPT_BUCKET = 64  # prompts pad to this so prefill compiles per bucket
 
 
 @dataclass
@@ -152,8 +153,16 @@ class InferenceEngine:
         rope = rope_tables(cfg, cache_len)
         kv = init_kv_cache(cfg, 1, cache_len)
 
-        ids = jnp.asarray([input_ids], jnp.int32)
-        positions = jnp.arange(prompt_len, dtype=jnp.int32)[None, :]
+        # Pad the prompt to a bucket so prefill compiles once per bucket, not
+        # once per prompt length. Causality keeps the tail inert: only the
+        # logits at prompt_len-1 are consumed, and decode overwrites the
+        # padded cache slots sequentially before ever attending to them.
+        padded_len = -(-prompt_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
+        padded_len = min(padded_len, cache_len)
+        padded = input_ids + [0] * (padded_len - prompt_len)
+
+        ids = jnp.asarray([padded], jnp.int32)
+        positions = jnp.arange(padded_len, dtype=jnp.int32)[None, :]
         logits, kv = self._prefill(
             self.params,
             input_ids=ids,
@@ -169,7 +178,7 @@ class InferenceEngine:
         generated_mask = jnp.zeros((1, cfg.vocab_size), bool)
         generated: List[int] = []
         emitted_text = ""
-        last = logits[:, -1, :]
+        last = logits[:, prompt_len - 1, :]
 
         for step in range(max_new_tokens):
             key, sample_key = jax.random.split(key)

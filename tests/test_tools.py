@@ -2,6 +2,7 @@
 CLI wiring (click runner, like the reference's tests/test_main.py)."""
 
 import json
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -232,3 +233,88 @@ def test_cli_merge_unknown_method(tmp_path, tiny_model_factory):
     runner = CliRunner()
     result = runner.invoke(cli, ["merge", str(config_path), "--method", "bogus"])
     assert result.exit_code != 0
+
+
+def test_cli_generate_command(monkeypatch, tmp_path):
+    """generate wires CLI options through to the engine (engine mocked)."""
+    from shardmerge_tpu import cli as cli_mod
+
+    calls = {}
+
+    class FakeEngine:
+        @classmethod
+        def from_pretrained(cls, path, load_in_4bit=False, load_in_8bit=False):
+            calls["init"] = (path, load_in_4bit, load_in_8bit)
+            return cls()
+
+        def stream_generation(self, **kw):
+            calls["gen"] = kw
+            yield "hello"
+            yield " world"
+
+    import shardmerge_tpu.inference as inf
+
+    monkeypatch.setattr(inf, "InferenceEngine", FakeEngine)
+    (tmp_path / "model").mkdir()
+    runner = CliRunner()
+    result = runner.invoke(
+        cli_mod.cli,
+        [
+            "generate",
+            str(tmp_path / "model"),
+            "hi there",
+            "--max-tokens",
+            "7",
+            "--temperature",
+            "0.5",
+            "-4",
+            "--greedy",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert "hello world" in result.output
+    assert calls["init"] == (str(tmp_path / "model"), True, False)
+    assert calls["gen"]["max_new_tokens"] == 7
+    assert calls["gen"]["temperature"] == 0.5
+    assert calls["gen"]["greedy"] is True
+
+
+def test_cli_copy_model(monkeypatch, tmp_path, tiny_model_factory):
+    """copy-model downloads config files and builds a writer over the index."""
+    import shardmerge_tpu.io.writer as writer_mod
+
+    src_path, _ = tiny_model_factory("donor2", seed=11)
+
+    def fake_snapshot_download(repo_id, revision, ignore_patterns, local_dir):
+        import shutil
+
+        assert "*.safetensors" in ignore_patterns
+        shutil.copy(
+            src_path / "model.safetensors.index.json",
+            Path(local_dir) / "model.safetensors.index.json",
+        )
+
+    import huggingface_hub
+
+    monkeypatch.setattr(
+        huggingface_hub, "snapshot_download", fake_snapshot_download
+    )
+
+    from shardmerge_tpu.cli import cli
+
+    import yaml
+
+    config_path = tmp_path / "c.yaml"
+    config_path.write_text(
+        yaml.safe_dump(
+            {
+                "output_base_model": "org/base",
+                "finetune_merge": [{"model": "org/ft", "base": "org/base"}],
+                "output_dir": str(tmp_path / "copied"),
+            }
+        )
+    )
+    runner = CliRunner()
+    result = runner.invoke(cli, ["copy-model", str(config_path)])
+    assert result.exit_code == 0, result.output
+    assert (tmp_path / "copied" / "model.safetensors.index.json").exists()
