@@ -448,3 +448,43 @@ def test_hbm_budget_spill_identical_output(tmp_path, tiny_model_factory):
             outs["resident"][name].view(np.uint16),
             outs["spill"][name].view(np.uint16),
         )
+
+
+def test_exact_imag_mode_runs(tmp_path, tiny_model_factory):
+    """exact_imag=True forces the literal double-FFT noise path everywhere."""
+    base_path, _ = tiny_model_factory("base", seed=130)
+    f1_path, _ = tiny_model_factory("f1", seed=131)
+    f2_path, _ = tiny_model_factory("f2", seed=132)
+    entries = [
+        {"model": str(f1_path), "base": str(base_path)},
+        {"model": str(f2_path), "base": str(base_path)},
+    ]
+    config = _make_config(tmp_path, base_path, entries)
+    merger = FourierMerge(
+        config,
+        index_manager=_offline_index(base_path, f1_path, f2_path),
+        exact_imag=True,
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    for name, arr in out.items():
+        assert np.all(np.isfinite(arr.astype(np.float32))), name
+
+
+def test_float16_output_dtype(tmp_path, tiny_model_factory):
+    base_path, _ = tiny_model_factory("base", seed=140)
+    ft_path, ft_t = tiny_model_factory("ft", seed=141)
+    config = _make_config(
+        tmp_path,
+        base_path,
+        [{"model": str(ft_path), "base": str(base_path)}],
+        output_dtype="float16",
+    )
+    merger = FourierMerge(config, index_manager=_offline_index(base_path, ft_path))
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    name = "model.layers.0.mlp.up_proj.weight"
+    assert out[name].dtype == np.float16
+    np.testing.assert_allclose(
+        out[name].astype(np.float32), ft_t[name], rtol=1e-2, atol=1e-2
+    )

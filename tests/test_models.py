@@ -351,3 +351,78 @@ def test_inference_engine_rejects_double_quant(tmp_path):
         InferenceEngine.from_pretrained(
             str(tmp_path), load_in_4bit=True, load_in_8bit=True
         )
+
+
+class ChatStubTokenizer(StubTokenizer):
+    chat_template = "stub"
+
+    def apply_chat_template(self, messages, tokenize=True, add_generation_prompt=True):
+        assert messages[-1]["role"] == "user"
+        text = " ".join(m["content"] for m in messages)
+        return self.encode(text)
+
+
+def test_inference_engine_chat_template(tmp_path):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(9)
+    config = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    LlamaForCausalLM(config).eval().save_pretrained(
+        str(tmp_path / "m"), safe_serialization=True
+    )
+    from shardmerge_tpu.inference import ChatMessage, InferenceEngine
+
+    engine = InferenceEngine.from_pretrained(
+        str(tmp_path / "m"), tokenizer=ChatStubTokenizer()
+    )
+    chunks = list(
+        engine.stream_generation(
+            "question",
+            max_new_tokens=4,
+            greedy=True,
+            system_prompt="sys",
+            previous_messages=[ChatMessage(role="assistant", content="prev")],
+        )
+    )
+    assert chunks  # template path produced output
+
+
+def test_prompt_bucketing_consistent(tmp_path):
+    """Two prompts of different lengths within one bucket produce sane,
+    deterministic output (padding must not leak into logits)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(10)
+    config = LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    LlamaForCausalLM(config).eval().save_pretrained(
+        str(tmp_path / "m"), safe_serialization=True
+    )
+    from shardmerge_tpu.inference import InferenceEngine
+
+    engine = InferenceEngine.from_pretrained(
+        str(tmp_path / "m"), tokenizer=StubTokenizer()
+    )
+    a = "".join(
+        engine.stream_generation("ab", max_new_tokens=5, greedy=True, use_template=False)
+    )
+    b = "".join(
+        engine.stream_generation("ab", max_new_tokens=5, greedy=True, use_template=False)
+    )
+    assert a == b
+    # a longer prompt in the same bucket also works
+    c = "".join(
+        engine.stream_generation(
+            "abcdefghij", max_new_tokens=5, greedy=True, use_template=False
+        )
+    )
+    assert isinstance(c, str)
