@@ -233,6 +233,126 @@ def _pair_lowratio(a, b, norm_a, norm_b, t, target_norm):
     return merged * target_norm, has_inf
 
 
+# --- fully fused per-tensor merges -------------------------------------------
+#
+# For the dominant configs (base + 1 or 2 finetunes, single device) the whole
+# tensor merge runs as ONE dispatch: deltas, norms, target norm, the
+# reference's regime selection (in-graph via lax.switch on traced scalars),
+# the spectral blend, and the final base+delta/NaN/bf16 step. No host syncs
+# inside a tensor, a single compile per shape, and the device queue streams
+# across tensors. The engine falls back to the stepwise path for >2 models,
+# meshes, and spill mode.
+
+@partial(jax.jit, static_argnames=("fast_imag",))
+def _fused_single(base, ft, *, fast_imag=False):
+    """One finetune: delta reduction degenerates to base + (ft - base)
+    (alpha NOT applied — reference apply_alpha=False semantics)."""
+    del fast_imag
+    base32 = base.astype(jnp.float32)
+    delta = ft.astype(jnp.float32) - base32
+    return _finalize(base32, delta)
+
+
+@partial(jax.jit, static_argnames=("use_cull", "fast_imag"))
+def _fused_pair(
+    base,
+    ft1,
+    ft2,
+    alpha1,
+    alpha2,
+    target_norm_offset,
+    cutoff_k,
+    cull_k,
+    cull_count_limit,
+    *,
+    use_cull,
+    fast_imag,
+):
+    """Two finetunes: the full fast_fourier._merge_layer reduction for a
+    2-entry stack (one pairing round), in-graph.
+
+    Returns (bf16 result, has_inf flag, regime index) — regime for stats:
+    0=add, 1=arith, 2=slerp-early-return, 3=slerp-lowratio, 4=slerp-full.
+    """
+    base32 = base.astype(jnp.float32)
+    d1 = ft1.astype(jnp.float32) - base32
+    d2 = ft2.astype(jnp.float32) - base32
+    n1 = jnp.linalg.norm(d1.ravel())
+    n2 = jnp.linalg.norm(d2.ravel())
+    # target_norm = fp32 mean of delta norms + offset (fast_fourier.py:165)
+    target_norm = (n1 + n2) / 2.0 + target_norm_offset
+
+    # order the pair by norm; weights stay positional (REF-QUIRK: the
+    # reference never swaps a_weight/b_weight with the tensors)
+    swap = jnp.abs(n1) < jnp.abs(n2)
+    a = jnp.where(swap, d2, d1)
+    b = jnp.where(swap, d1, d2)
+    norm_a = jnp.where(swap, n2, n1)
+    norm_b = jnp.where(swap, n1, n2)
+    a_weight, b_weight = alpha1, alpha2
+
+    cnorm_a = jnp.abs(norm_a / target_norm)
+    cnorm_b = jnp.abs(norm_b / target_norm)
+    n_ratio = cnorm_b / (cnorm_a + 1e-10)
+    ratio = norm_b / (norm_a + 1e-10)
+    a_prop = a_weight / (a_weight + b_weight)
+
+    regime = jnp.where(
+        cnorm_a < 1e-6,
+        0,
+        jnp.where(
+            (cnorm_b < 1e-6) | (n_ratio < 0.1),
+            1,
+            jnp.where(
+                (norm_b < 1e-4) | (norm_a < 1e-4),
+                2,
+                jnp.where(ratio < 0.1, 3, 4),
+            ),
+        ),
+    )
+
+    def br_add(a, b):
+        return a + b, jnp.asarray(False)
+
+    def br_arith(a, b):
+        norm_scale = target_norm / norm_a
+        weight_scale = b_weight / (a_weight + 1e-10)
+        if fast_imag:
+            out = _pair_arith_rfft.__wrapped__(a, b, norm_scale, weight_scale)
+        else:
+            out = _pair_arith.__wrapped__(
+                a, b, norm_scale, weight_scale, fast_imag=False
+            )
+        return out, jnp.asarray(False)
+
+    def br_early(a, b):
+        del b
+        return (a / norm_a) * target_norm, jnp.asarray(False)
+
+    def br_lowratio(a, b):
+        fn = _pair_lowratio_rfft if fast_imag else _pair_lowratio
+        return fn.__wrapped__(a, b, norm_a, norm_b, a_prop, target_norm)
+
+    def br_slerp(a, b):
+        if fast_imag:
+            return _pair_slerp_rfft.__wrapped__(
+                a, b, norm_a, norm_b, a_prop,
+                cutoff_k, cull_k, cull_count_limit, target_norm,
+                use_cutoff=True, use_cull=use_cull,
+            )
+        return _pair_slerp.__wrapped__(
+            a, b, norm_a, norm_b, a_prop,
+            cutoff_k, cull_k, cull_count_limit, target_norm,
+            use_cutoff=True, use_cull=use_cull, fast_imag=False,
+        )
+
+    merged, pair_inf = jax.lax.switch(
+        regime, [br_add, br_arith, br_early, br_lowratio, br_slerp], a, b
+    )
+    out, final_inf = _finalize.__wrapped__(base32, merged)
+    return out, pair_inf | final_inf, regime
+
+
 @jax.jit
 def _finalize(base_fp32, delta):
     """base + delta, NaN->0, Inf flag, bfloat16 (fast_fourier.py:269-276)."""
@@ -355,6 +475,15 @@ Models merged:
                 for m in models
             ]
         )
+
+        # Fast path: base + 1/2 finetunes on a single device fuses the whole
+        # tensor merge into one dispatch (see _fused_pair).
+        if (
+            0 < len(models) <= 2
+            and self.mesh is None
+            and self.hbm_budget_bytes is None
+        ):
+            return await self._merge_layer_fused(shard_layer, models)
 
         # Build the HBM-resident delta stack.
         cache: Dict[str, jnp.ndarray] = {}
@@ -617,17 +746,49 @@ Models merged:
         self._defer_check(shard_layer.layer_name, inf_flags, final_inf)
         return out
 
-    def _defer_check(self, layer_name, inf_flags, final_inf):
-        self._deferred_checks.append((layer_name, inf_flags, final_inf))
+    async def _merge_layer_fused(self, shard_layer: ShardLayer, models):
+        name = shard_layer.layer_name
+        base_t = await self._fetch(self.config.output_base_model, name)
+        fts = [await self._fetch(m.model, name) for m in models]
+
+        if len(models) == 1:
+            out, has_inf = _fused_single(base_t, fts[0])
+            self.stats.record_pair("fused1")
+            regime = None
+        else:
+            numel = base_t.size
+            cull_pct = self.cull_start_pct
+            out, has_inf, regime = _fused_pair(
+                base_t,
+                fts[0],
+                fts[1],
+                jnp.float32(models[0].alpha),
+                jnp.float32(models[1].alpha),
+                jnp.float32(self.target_norm_offset),
+                jnp.int32(blend.cutoff_rank(numel, 0.08)),
+                jnp.int32(blend.cull_rank(numel, cull_pct)),
+                jnp.int32(blend.cull_limit(numel, cull_pct)),
+                use_cull=cull_pct > 0,
+                fast_imag=_use_fast_imag(self.exact_imag, base_t),
+            )
+        self._defer_check(name, [has_inf], jnp.asarray(False), regime)
+        return out
+
+    _FUSED_REGIMES = ("add", "arith", "slerp-early", "lowratio", "slerp")
+
+    def _defer_check(self, layer_name, inf_flags, final_inf, regime=None):
+        self._deferred_checks.append((layer_name, inf_flags, final_inf, regime))
 
     def _check_deferred(self, layer_name: str):
         remaining = []
-        for name, inf_flags, final_inf in self._deferred_checks:
+        for name, inf_flags, final_inf, regime in self._deferred_checks:
             if name != layer_name:
-                remaining.append((name, inf_flags, final_inf))
+                remaining.append((name, inf_flags, final_inf, regime))
                 continue
             if inf_flags and bool(jnp.any(jnp.stack(inf_flags))):
                 raise ValueError("Inf in ifft output")
             if bool(final_inf):
                 raise ValueError(f"Inf in merged tensor for {name}")
+            if regime is not None:
+                self.stats.record_pair(self._FUSED_REGIMES[int(regime)])
         self._deferred_checks = remaining

@@ -488,3 +488,37 @@ def test_float16_output_dtype(tmp_path, tiny_model_factory):
     np.testing.assert_allclose(
         out[name].astype(np.float32), ft_t[name], rtol=1e-2, atol=1e-2
     )
+
+
+def test_fused_path_matches_stepwise(tmp_path, tiny_model_factory):
+    """The one-dispatch fused 2-model merge equals the stepwise engine
+    (up to fp rounding of the host-vs-device target_norm computation)."""
+    base_path, _ = tiny_model_factory("base", seed=150)
+    f1_path, _ = tiny_model_factory("f1", seed=151)
+    f2_path, _ = tiny_model_factory("f2", seed=152)
+    entries = [
+        {"model": str(f1_path), "base": str(base_path), "alpha": 0.8},
+        {"model": str(f2_path), "base": str(base_path), "alpha": 0.4},
+    ]
+
+    outs = {}
+    for tag, kwargs in [
+        ("fused", {}),
+        # an (unreachable) huge budget forces the stepwise path with no spill
+        ("stepwise", {"hbm_budget_bytes": 1 << 62}),
+    ]:
+        config = _make_config(tmp_path / tag, base_path, entries)
+        config.output_dir = str(tmp_path / tag / "merged")
+        merger = FourierMerge(
+            config,
+            index_manager=_offline_index(base_path, f1_path, f2_path),
+            **kwargs,
+        )
+        _run_merge(merger)
+        outs[tag] = _read_output(tmp_path / tag / "merged")
+
+    for name in outs["fused"]:
+        a = outs["fused"][name].astype(np.float32)
+        b = outs["stepwise"][name].astype(np.float32)
+        close = np.isclose(a, b, rtol=1e-2, atol=1e-2 * max(np.abs(b).max(), 1e-3))
+        assert close.mean() > 0.99, (name, 1 - close.mean())
