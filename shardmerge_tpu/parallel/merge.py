@@ -6,6 +6,12 @@ the pair row-wise over mesh axis "x" and runs the identical blend math with
 distributed FFTs (parallel/fft2d.py) and psum reductions (ops/blend.py
 axis_name support). Numerics match the single-chip path: the order-statistic
 thresholds are exact global ranks via bit-bisection + psum counts.
+
+Note: the sharded kernels run on the full complex spectrum (not the rfft
+half-spectrum the single-chip fast path uses) because C = N/2+1 is ragged
+for the all-to-all transpose; see ROADMAP.md for the planned fix. Sharding
+is a capacity feature — it engages only for tensors that cannot fit one
+chip.
 """
 
 from __future__ import annotations

@@ -318,3 +318,33 @@ def test_cli_copy_model(monkeypatch, tmp_path, tiny_model_factory):
     result = runner.invoke(cli, ["copy-model", str(config_path)])
     assert result.exit_code == 0, result.output
     assert (tmp_path / "copied" / "model.safetensors.index.json").exists()
+
+
+def test_cli_merge_write_through(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.cli import cli
+
+    base_path, _ = tiny_model_factory("base", seed=20)
+    ft_path, _ = tiny_model_factory("ft", seed=21)
+    import yaml
+
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(
+        yaml.safe_dump(
+            {
+                "output_base_model": str(base_path),
+                "finetune_merge": [
+                    {"model": str(ft_path), "base": str(base_path)}
+                ],
+                "output_dir": str(tmp_path / "merged"),
+                "cache_dir": str(tmp_path / "cache"),
+                "storage_dir": str(tmp_path / "storage"),
+            }
+        )
+    )
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["merge", str(config_path), "--write-through"]
+    )
+    assert result.exit_code == 0, result.output
+    for shard in set(TINY_SHARD_MAP.values()):
+        assert (tmp_path / "merged" / shard).exists()
