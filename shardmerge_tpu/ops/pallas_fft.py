@@ -34,8 +34,12 @@ The HIGHEST-precision (6x bf16) complex matmuls on VMEM-constrained blocks
 (Mosaic caps blocks well under the 16 MB VMEM; lane dims cannot be split
 in-kernel) leave the MXU underutilized, and XLA's TPU FFT is better than
 its ~90 GB/s streaming suggests. Kept as the starting point for a future
-round (bf16x3 precision + a transposed-output layout would be the next
-steps); correctness is pinned by tests/test_pallas_fft.py.
+round; correctness is pinned by tests/test_pallas_fft.py. Further probes:
+copy-only kernel floor at this block shape is ~2.0 ms (so ~4.7 ms is
+matmul/layout overhead), Mosaic rejects Precision.HIGH inside kernels
+(only DEFAULT/HIGHEST), and raising the block budget to 16 MB VMEM OOMs at
+tm=16 — the remaining ideas are manual bf16x3 split-matmuls and leaner
+buffer reuse.
 """
 
 from __future__ import annotations

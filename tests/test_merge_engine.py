@@ -522,3 +522,139 @@ def test_fused_path_matches_stepwise(tmp_path, tiny_model_factory):
         b = outs["stepwise"][name].astype(np.float32)
         close = np.isclose(a, b, rtol=1e-2, atol=1e-2 * max(np.abs(b).max(), 1e-3))
         assert close.mean() > 0.99, (name, 1 - close.mean())
+
+
+def _oracle_fourier_multi(base, fts, alphas, cull_start=0.20, offset=1e-10):
+    """Torch oracle of the FULL fast_fourier reduction loop for N models:
+    norm-product pairing from stale first-round norms (fast_fourier.py:178),
+    unswapped pair weights, name-hash stack, cull halving, weight averaging."""
+    import hashlib
+
+    from shardmerge_tpu.ops.pairing import correlated_pairs, norm_product_matrix
+
+    base_t = torch.from_numpy(base).float()
+    cache = {}
+    stack, weights, norms0 = [], [], []
+    for i, (ft, alpha) in enumerate(zip(fts, alphas)):
+        d = torch.from_numpy(ft).float() - base_t
+        name = f"m{i}"
+        cache[name] = d
+        stack.append(name)
+        weights.append(alpha)
+        norms0.append(float(d.norm()))
+
+    target = float(torch.tensor(norms0).mean().item()) + offset
+    cull = cull_start
+
+    def name_hash(n):
+        subs = "_".join(p[:4] for p in n.split("_"))
+        return subs + "::" + hashlib.sha256(n.encode()).hexdigest()[:8]
+
+    while len(stack) > 1:
+        corr = norm_product_matrix(norms0[: len(stack)])
+        nstack, nweights = [], []
+        for x, y, _c in correlated_pairs(corr, way="least"):
+            if y < 0:
+                nstack.append(stack[x])
+                nweights.append(weights[x])
+                continue
+            am, bm = stack[x], stack[y]
+            aw, bw = weights[x], weights[y]
+            a, b = cache[am], cache[bm]
+            na, nb = float(a.norm()), float(b.norm())
+            if abs(na) < abs(nb):
+                a, b, na, nb = b, a, nb, na
+            cna, cnb = abs(na / target), abs(nb / target)
+            nr = cnb / (cna + 1e-10)
+            if cna < 1e-6:
+                merged = a + b
+            elif cnb < 1e-6 or nr < 0.1:
+                merged = oracle.task_arithmetic_fft2(
+                    a * (target / na), b * (bw / (aw + 1e-10)) * (target / na), t=1.0
+                )
+            else:
+                ap = aw / (aw + bw)
+                merged, _, _ = oracle.merge_tensors_fft2_slerp(
+                    a, b, t=ap, t_sum=1.0, cutoff_pct=0.08, cull_pct=cull
+                )
+                merged = merged * target
+            nm = name_hash(f"{am}_{bm}")
+            nstack.append(nm)
+            nweights.append((aw + bw) / 2.0)
+            cache[nm] = merged
+        stack, weights = nstack, nweights
+        cull = cull / 2.0
+
+    out = base_t + cache[stack[0]]
+    out = torch.where(torch.isnan(out), torch.zeros_like(out), out)
+    return out.to(torch.bfloat16).float().numpy()
+
+
+def test_four_way_merge_matches_multi_round_oracle(tmp_path, tiny_model_factory):
+    """4 models = 2 reduction rounds exercising regimes (a), (b) and (c):
+    locks pairing/cull-halving/weight-averaging semantics against the torch
+    oracle. Delta scales are chosen far apart so every data-dependent
+    decision (pairing, swap-by-norm, regime selection) is robust to
+    FFT-library rounding — with near-equal norms the reference algorithm
+    itself is chaotic across FFT implementations."""
+    import json as _json
+
+    from shardmerge_tpu.io import safetensors_io as stio
+
+    from .conftest import TINY_SHARD_MAP
+
+    base_path, base_t = tiny_model_factory("base", seed=160)
+    f0_path, f0_t = tiny_model_factory("f0", seed=161)
+    f1_path, f1_t = tiny_model_factory("f1", seed=162)
+
+    # f2, f3 = base + tiny perturbations -> near-zero deltas (regime a then b)
+    def perturbed(name, seed, eps):
+        gen = np.random.default_rng(seed)
+        tensors = {
+            k: (v + eps * gen.standard_normal(v.shape)).astype(np.float32)
+            for k, v in base_t.items()
+        }
+        path = tmp_path / name
+        path.mkdir(parents=True, exist_ok=True)
+        shards = {}
+        for k, sh in TINY_SHARD_MAP.items():
+            shards.setdefault(sh, {})[k] = tensors[k]
+        for sh, content in shards.items():
+            stio.save_file(content, path / sh, metadata={"format": "pt"})
+        _json.dump(
+            {"metadata": {}, "weight_map": dict(TINY_SHARD_MAP)},
+            open(path / "model.safetensors.index.json", "w"),
+        )
+        return path, tensors
+
+    f2_path, f2_t = perturbed("f2", 163, 1e-9)
+    f3_path, f3_t = perturbed("f3", 164, 1e-9)
+
+    paths = [f0_path, f1_path, f2_path, f3_path]
+    tensors = [f0_t, f1_t, f2_t, f3_t]
+    alphas = [1.0, 0.5, 0.8, 0.8]
+
+    entries = [
+        {"model": str(p), "base": str(base_path), "alpha": a}
+        for p, a in zip(paths, alphas)
+    ]
+    config = _make_config(tmp_path, base_path, entries)
+    merger = FourierMerge(
+        config, index_manager=_offline_index(base_path, *paths)
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    assert merger.stats.pair_merges.get("add", 0) > 0
+    assert merger.stats.pair_merges.get("arith", 0) > 0
+    assert merger.stats.pair_merges.get("slerp", 0) > 0
+
+    for name in [
+        "model.layers.0.self_attn.q_proj.weight",
+        "model.layers.1.mlp.gate_proj.weight",
+    ]:
+        expect = _oracle_fourier_multi(
+            base_t[name], [t[name] for t in tensors], alphas
+        )
+        got = out[name].astype(np.float32)
+        scale = max(np.abs(expect).max(), 1.0)
+        _mostly_close(got, expect, rtol=3e-2, atol=3e-2 * scale, max_flip_frac=0.05)
