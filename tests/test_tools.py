@@ -348,3 +348,51 @@ def test_cli_merge_write_through(tmp_path, tiny_model_factory):
     assert result.exit_code == 0, result.output
     for shard in set(TINY_SHARD_MAP.values()):
         assert (tmp_path / "merged" / shard).exists()
+
+
+def test_cli_generate_end_to_end_real_tokenizer(tmp_path):
+    """Full generate path: merged-model dir with a real (fabricated)
+    tokenizer, driven through the CLI with the actual AutoTokenizer."""
+    import torch
+    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(13)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    model_dir = tmp_path / "m"
+    LlamaForCausalLM(config).eval().save_pretrained(
+        str(model_dir), safe_serialization=True
+    )
+
+    vocab = {f"tok{i}": i for i in range(120)}
+    vocab.update({"<unk>": 120, "hello": 121, "there": 122})
+    tok = Tokenizer(tok_models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(model_dir / "tokenizer.json"))
+    (model_dir / "tokenizer_config.json").write_text(
+        json.dumps(
+            {
+                "tokenizer_class": "PreTrainedTokenizerFast",
+                "unk_token": "<unk>",
+                "eos_token": "tok0",
+            }
+        )
+    )
+
+    from shardmerge_tpu.cli import cli
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli,
+        ["generate", str(model_dir), "hello there", "--max-tokens", "6", "--greedy"],
+    )
+    assert result.exit_code == 0, result.output
+    assert result.output.strip()  # produced some tokens
