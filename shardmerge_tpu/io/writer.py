@@ -67,12 +67,23 @@ class ModelWriter:
     layer_order: List[str]
     output_astype: np.dtype
     write_through: bool = False
+    background_flush: bool = False
     written_shard_layers: Set[tuple] = field(default_factory=set)
     shard_to_tensors: Dict[str, Set[str]] = field(default_factory=dict)
 
     def __post_init__(self):
         self.output_path = Path(self.output_path)
         self.output_path.mkdir(parents=True, exist_ok=True)
+        # Background flushing overlaps shard file IO with compute. A single
+        # worker serializes writes (a shard may be flushed repeatedly in
+        # write_through mode); failures are collected and resolved in
+        # finalize() with the same unlink+unmark semantics as the sync path.
+        self._executor = None
+        self._flush_futures: List = []
+        if self.background_flush:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._executor = ThreadPoolExecutor(max_workers=1)
 
         # Copy of the base index is the output index (reference writer.py:74-81).
         self.index_path = self.output_path / "model.safetensors.index.json"
@@ -152,6 +163,15 @@ class ModelWriter:
         return arr.astype(self.output_astype)
 
     def _flush_shard(self, shard_name: str):
+        staged = self._pending.pop(shard_name, {})
+        if self._executor is not None:
+            self._flush_futures.append(
+                self._executor.submit(self._do_flush, shard_name, staged)
+            )
+        else:
+            self._do_flush(shard_name, staged)
+
+    def _do_flush(self, shard_name: str, staged: Dict[str, np.ndarray]):
         shard_path = self.output_path / shard_name
         tensors: Dict[str, np.ndarray] = {}
 
@@ -160,14 +180,13 @@ class ModelWriter:
             with SafeTensorsReader(shard_path) as reader:
                 for existing in reader.keys():
                     tensors[existing] = reader.get_tensor(existing, copy=True)
-        tensors.update(self._pending.get(shard_name, {}))
+        tensors.update(staged)
 
         ordered = {
             name: tensors[name] for name in self.layer_order if name in tensors
         }
         try:
             save_file(ordered, shard_path, metadata={"format": "pt"})
-            self._pending.pop(shard_name, None)
             logger.info("Wrote shard %s (%d tensors)", shard_name, len(ordered))
         except Exception as e:
             # Parity (writer.py:146-149): drop the corrupt file, unmark the
@@ -175,11 +194,18 @@ class ModelWriter:
             logger.error("Error saving shard %s: %s", shard_name, e)
             if shard_path.exists():
                 shard_path.unlink()
-            for name in self._pending.get(shard_name, {}):
+            for name in staged:
                 self.written_shard_layers.discard((shard_name, name))
+
+    def drain(self):
+        """Wait for in-flight background flushes (surfacing worker errors)."""
+        for future in self._flush_futures:
+            future.result()
+        self._flush_futures.clear()
 
     def finalize(self):
         """Verify all shards were written completely (reference writer.py:151-161)."""
+        self.drain()
         missing_layers = [
             (shard_name, tensor_name)
             for shard_name, tensor_names in self.shard_to_tensors.items()

@@ -159,6 +159,8 @@ class MergeTensorsBase(ABC):
             layer_order=layer_order,
             output_astype=self.config.output_astype,
             write_through=self.config.write_through,
+            # overlap shard file IO with compute; finalize() drains
+            background_flush=True,
         )
 
     async def merge(self, device: Optional[str] = None):

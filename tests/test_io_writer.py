@@ -176,3 +176,31 @@ def test_like_model(tmp_path, tiny_model_factory):
     writer = ModelWriter.like_model(path, tmp_path / "out2")
     assert set(writer.layer_order) == set(TINY_SHARD_MAP)
     assert writer.output_astype == np.dtype(ml_dtypes.bfloat16)
+
+
+def test_background_flush_identical(tmp_path, rng):
+    values = {
+        name: rng.standard_normal(shape).astype(np.float32)
+        for name, shape in TINY_SHAPES.items()
+    }
+    outs = {}
+    for tag, bg in [("sync", False), ("bg", True)]:
+        writer = ModelWriter(
+            base_index={"metadata": {}, "weight_map": dict(TINY_SHARD_MAP)},
+            output_path=tmp_path / tag,
+            layer_order=sorted(TINY_SHARD_MAP),
+            output_astype=np.dtype(ml_dtypes.bfloat16),
+            background_flush=bg,
+        )
+        for name, v in values.items():
+            writer.add_tensor(name, v)
+        writer.finalize()
+        outs[tag] = {}
+        for shard in set(TINY_SHARD_MAP.values()):
+            with SafeTensorsReader(tmp_path / tag / shard) as r:
+                for k in r.keys():
+                    outs[tag][k] = r.get_tensor(k, copy=True)
+    for k in outs["sync"]:
+        np.testing.assert_array_equal(
+            outs["sync"][k].view(np.uint16), outs["bg"][k].view(np.uint16)
+        )
