@@ -20,8 +20,6 @@ collectives, so do not call them outside a shard_map/pmap context.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

@@ -18,15 +18,14 @@ Used by tests and by __graft_entry__.dryrun_multichip (driver contract).
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..models.llama import ModelConfig, Params, forward_train, init_params
+from ..models.llama import ModelConfig, Params, forward_train
 
 __all__ = ["param_shardings", "shard_params", "make_train_step", "TrainState"]
 
