@@ -72,7 +72,7 @@ def bench_jax(a_np, b_np, iters=5):
 
     import functools
 
-    def timed(K, reps=3):
+    def timed(K, reps=2):
         fn = jax.jit(functools.partial(chain, K=K))
         out = fn(a, b)
         jax.block_until_ready(out)
@@ -83,8 +83,8 @@ def bench_jax(a_np, b_np, iters=5):
         return (time.perf_counter() - start) / reps, out
 
     t1, _ = timed(1)
-    t4, out4 = timed(4)
-    per_merge = (t4 - t1) / 3  # slope: dispatch overhead cancels
+    t2, _ = timed(2)
+    per_merge = t2 - t1  # slope: dispatch overhead cancels
     # chain feeds x back in, so out4 != single-merge output; redo one clean
     single, _ = _pair_slerp_rfft(
         a,
