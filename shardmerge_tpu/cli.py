@@ -356,6 +356,36 @@ def rewrite_reorder_command(input_dir: Path, output_dir: Path, num_shards: Optio
     reshard_and_reorder(input_dir, output_dir, num_shards)
 
 
+@cli.command("inspect")
+@click.argument("model_dir", type=click.Path(exists=True, path_type=Path))
+def inspect_command(model_dir: Path):
+    """Summarize a safetensors model directory (shards, dtypes, layers)."""
+    from .tools.inspect_model import inspect_model
+
+    inspect_model(model_dir)
+
+
+@cli.command("compare")
+@click.argument("dir_a", type=click.Path(exists=True, path_type=Path))
+@click.argument("dir_b", type=click.Path(exists=True, path_type=Path))
+@click.option("--top", type=int, default=10, help="Show N worst tensors")
+@click.option(
+    "--max-rel",
+    type=float,
+    default=None,
+    help="Exit nonzero if any tensor exceeds this max relative error",
+)
+def compare_command(dir_a: Path, dir_b: Path, top: int, max_rel: Optional[float]):
+    """Tensor-wise diff of two models (merge validation)."""
+    from .tools.inspect_model import compare_models
+
+    stats, only_a, only_b = compare_models(dir_a, dir_b, top=top)
+    if max_rel is not None:
+        worst = max((s.get("max_rel", float("inf")) for s in stats), default=0.0)
+        if worst > max_rel or only_a or only_b:
+            raise click.exceptions.Exit(1)
+
+
 @cli.command("convert-pytorch")
 @click.argument("input_path", type=click.Path(exists=True, path_type=Path))
 @click.argument("output_dir", type=click.Path(path_type=Path))

@@ -396,3 +396,41 @@ def test_cli_generate_end_to_end_real_tokenizer(tmp_path):
     )
     assert result.exit_code == 0, result.output
     assert result.output.strip()  # produced some tokens
+
+
+def test_inspect_and_compare(tmp_path, tiny_model_factory, capsys):
+    from shardmerge_tpu.tools.inspect_model import compare_models, inspect_model
+
+    path_a, t_a = tiny_model_factory("a", seed=30)
+    path_b, t_b = tiny_model_factory("bm", seed=31)
+
+    summary = inspect_model(path_a)
+    assert summary["tensors"] == len(TINY_SHARD_MAP)
+    assert summary["num_layers"] == 2
+    assert "float32" in summary["dtypes"]
+
+    # identical dirs -> all bit-identical
+    stats, oa, ob = compare_models(path_a, path_a)
+    assert not oa and not ob
+    assert all(s["identical"] for s in stats)
+
+    # different models -> differences reported
+    stats, _, _ = compare_models(path_a, path_b)
+    assert any(not s["identical"] for s in stats)
+    assert stats[0]["max_rel"] >= stats[-1].get("max_rel", 0)
+
+
+def test_cli_compare_gate(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.cli import cli
+
+    path_a, _ = tiny_model_factory("a2", seed=32)
+    path_b, _ = tiny_model_factory("b2", seed=33)
+    runner = CliRunner()
+    ok = runner.invoke(cli, ["compare", str(path_a), str(path_a), "--max-rel", "0"])
+    assert ok.exit_code == 0, ok.output
+    bad = runner.invoke(
+        cli, ["compare", str(path_a), str(path_b), "--max-rel", "1e-6"]
+    )
+    assert bad.exit_code != 0
+    shown = runner.invoke(cli, ["inspect", str(path_a)])
+    assert shown.exit_code == 0 and "tensors:" in shown.output
