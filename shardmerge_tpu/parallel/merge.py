@@ -7,11 +7,11 @@ distributed FFTs (parallel/fft2d.py) and psum reductions (ops/blend.py
 axis_name support). Numerics match the single-chip path: the order-statistic
 thresholds are exact global ranks via bit-bisection + psum counts.
 
-Note: the sharded kernels run on the full complex spectrum (not the rfft
-half-spectrum the single-chip fast path uses) because C = N/2+1 is ragged
-for the all-to-all transpose; see ROADMAP.md for the planned fix. Sharding
-is a capacity feature — it engages only for tensors that cannot fit one
-chip.
+The slerp kernel runs on the rfft half spectrum when fast_imag is on and
+N % 2P == 0 (the ragged Nyquist column rides replicated with a
+device-0-only reduction weight; fft2d.rfft2_rs_half); otherwise it falls
+back to the full complex spectrum. Sharding is a capacity feature — it
+engages only for tensors that cannot fit one chip.
 """
 
 from __future__ import annotations
@@ -28,7 +28,15 @@ from ..ops.blend import (
     arithmetic_fft_components_impl,
     interpolate_fft_components_impl,
 )
-from .fft2d import fft2_cs, fft2_rs, ifft2_cs, ifft2_rs
+from .fft2d import (
+    fft2_cs,
+    fft2_rs,
+    half_col_weights,
+    ifft2_cs,
+    ifft2_rs,
+    irfft2_half_rs,
+    rfft2_rs_half,
+)
 
 __all__ = ["sharded_pair_slerp", "sharded_pair_arith", "sharded_pair_lowratio", "row_sharding"]
 
@@ -87,6 +95,41 @@ def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
     return merged * target_norm, has_inf
 
 
+def _slerp_body_rfft(
+    a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit, target_norm,
+    use_cull,
+):
+    """Half-spectrum (rfft) fast-imag variant of _slerp_body: half the FFT
+    work and blend traffic on the mesh. Requires N % 2P == 0 (gated by the
+    caller); the ragged Nyquist column rides replicated with device-0-only
+    reduction weight (fft2d.half_col_weights)."""
+    n = a.shape[-1]
+    h0 = rfft2_rs_half(a / norm_a, _AXIS)
+    h1 = rfft2_rs_half(b / norm_b, _AXIS)
+    col_w = half_col_weights(n, h0.shape[1] - 1, _AXIS)
+    from ..ops.blend import interpolate_half_spectrum
+
+    result = interpolate_half_spectrum(
+        h0,
+        h1,
+        t,
+        jnp.float32(1.0),
+        cutoff_k,
+        cull_k,
+        cull_count_limit,
+        col_w,
+        use_cutoff=True,
+        use_cull=use_cull,
+        axis_name=_AXIS,
+    )
+    merged = irfft2_half_rs(result, _AXIS, n)
+    merged = jnp.where(jnp.isnan(merged), 0.0, merged)
+    has_inf = jax.lax.pmax(
+        jnp.any(jnp.isinf(merged)).astype(jnp.int32), _AXIS
+    ).astype(bool)
+    return merged * target_norm, has_inf
+
+
 def sharded_pair_slerp(
     mesh: Mesh,
     a: jnp.ndarray,
@@ -102,20 +145,28 @@ def sharded_pair_slerp(
     fast_imag: bool = True,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Regime (c) full SLERP-FFT path over the mesh. Same contract as
-    merge.fourier._pair_slerp, for row-shardable 2-D tensors."""
+    merge.fourier._pair_slerp, for row-shardable 2-D tensors. With
+    fast_imag and N divisible by 2P, the whole blend runs on the rfft
+    half spectrum."""
     spec = P(_AXIS, None)
+    n_dev = mesh.devices.size
+    use_rfft = fast_imag and a.shape[-1] % (2 * n_dev) == 0
 
     def build():
+        if use_rfft:
+            body = partial(_slerp_body_rfft, use_cull=use_cull)
+        else:
+            body = partial(_slerp_body, use_cull=use_cull, fast_imag=fast_imag)
         return jax.jit(
             jax.shard_map(
-                partial(_slerp_body, use_cull=use_cull, fast_imag=fast_imag),
+                body,
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P(), P(), P(), P(), P(), P()),
                 out_specs=(spec, P()),
             )
         )
 
-    fn = _cached_kernel(mesh, "slerp", build, use_cull, fast_imag)
+    fn = _cached_kernel(mesh, "slerp", build, use_cull, fast_imag, use_rfft)
     return fn(
         a,
         b,
