@@ -196,21 +196,37 @@ def _arith_body(a, b, norm_scale, weight_scale):
     return ifft2_cs(out, _AXIS)
 
 
-def sharded_pair_arith(mesh: Mesh, a, b, norm_scale: float, weight_scale: float):
+def _arith_body_rfft(a, b, norm_scale, weight_scale):
+    """Half-spectrum fast-imag arithmetic (elementwise; no weights needed)."""
+    n = a.shape[-1]
+    h0 = rfft2_rs_half(a * norm_scale, _AXIS)
+    h1 = rfft2_rs_half(b * weight_scale * norm_scale, _AXIS)
+    r0, r1 = h0.real, h1.real
+    sign_mask = jnp.sign(r0) == jnp.sign(r1)
+    # REF-QUIRK functions.py:282-284: disagreement lanes take v1
+    res_real = jnp.where(sign_mask, r0 + r1, r1)  # t=1
+    return irfft2_half_rs(jax.lax.complex(res_real, h0.imag), _AXIS, n)
+
+
+def sharded_pair_arith(
+    mesh: Mesh, a, b, norm_scale: float, weight_scale: float,
+    fast_imag: bool = True,
+):
     """Regime (b) sign-agreement arithmetic over the mesh."""
     spec = P(_AXIS, None)
+    use_rfft = fast_imag and a.shape[-1] % (2 * mesh.devices.size) == 0
 
     def build():
         return jax.jit(
             jax.shard_map(
-                _arith_body,
+                _arith_body_rfft if use_rfft else _arith_body,
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P()),
                 out_specs=spec,
             )
         )
 
-    fn = _cached_kernel(mesh, "arith", build)
+    fn = _cached_kernel(mesh, "arith", build, use_rfft)
     return fn(a, b, jnp.float32(norm_scale), jnp.float32(weight_scale))
 
 
@@ -225,20 +241,34 @@ def _lowratio_body(a, b, norm_a, norm_b, t, target_norm):
     return merged * target_norm, has_inf
 
 
-def sharded_pair_lowratio(mesh: Mesh, a, b, norm_a, norm_b, t, target_norm):
+def _lowratio_body_rfft(a, b, norm_a, norm_b, t, target_norm):
+    n = a.shape[-1]
+    h = rfft2_rs_half(a / norm_a, _AXIS) + t * rfft2_rs_half(b / norm_b, _AXIS)
+    merged = irfft2_half_rs(h, _AXIS, n)
+    merged = jnp.where(jnp.isnan(merged), 0.0, merged)
+    has_inf = jax.lax.pmax(
+        jnp.any(jnp.isinf(merged)).astype(jnp.int32), _AXIS
+    ).astype(bool)
+    return merged * target_norm, has_inf
+
+
+def sharded_pair_lowratio(
+    mesh: Mesh, a, b, norm_a, norm_b, t, target_norm, fast_imag: bool = True
+):
     spec = P(_AXIS, None)
+    use_rfft = fast_imag and a.shape[-1] % (2 * mesh.devices.size) == 0
 
     def build():
         return jax.jit(
             jax.shard_map(
-                _lowratio_body,
+                _lowratio_body_rfft if use_rfft else _lowratio_body,
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P(), P(), P()),
                 out_specs=(spec, P()),
             )
         )
 
-    fn = _cached_kernel(mesh, "lowratio", build)
+    fn = _cached_kernel(mesh, "lowratio", build, use_rfft)
     return fn(
         a,
         b,

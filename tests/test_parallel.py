@@ -325,3 +325,37 @@ def test_sharded_rfft_slerp_matches_single_chip(mesh, rng):
     np.testing.assert_allclose(
         np.asarray(shard), single_np, rtol=1e-3, atol=1e-4 * scale
     )
+
+
+def test_sharded_rfft_arith_and_lowratio_match(mesh, rng):
+    from shardmerge_tpu.merge.fourier import _pair_arith_rfft, _pair_lowratio_rfft
+    from shardmerge_tpu.parallel.merge import sharded_pair_lowratio
+
+    M, N = 32, 64
+    a = rng.standard_normal((M, N)).astype(np.float32)
+    b = rng.standard_normal((M, N)).astype(np.float32)
+
+    single = _pair_arith_rfft(
+        jnp.asarray(a), jnp.asarray(b), jnp.float32(1.3), jnp.float32(0.7)
+    )
+    shard = sharded_pair_arith(
+        mesh, _sharded(mesh, a), _sharded(mesh, b), 1.3, 0.7, fast_imag=True
+    )
+    s_np = np.asarray(single)
+    np.testing.assert_allclose(
+        np.asarray(shard), s_np, rtol=1e-3, atol=1e-4 * np.abs(s_np).max()
+    )
+
+    na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+    single_lr, _ = _pair_lowratio_rfft(
+        jnp.asarray(a), jnp.asarray(b), jnp.float32(na), jnp.float32(nb),
+        jnp.float32(0.4), jnp.float32(1.5),
+    )
+    shard_lr, _ = sharded_pair_lowratio(
+        mesh, _sharded(mesh, a), _sharded(mesh, b), na, nb, 0.4, 1.5,
+        fast_imag=True,
+    )
+    s_np = np.asarray(single_lr)
+    np.testing.assert_allclose(
+        np.asarray(shard_lr), s_np, rtol=1e-3, atol=1e-4 * np.abs(s_np).max()
+    )
