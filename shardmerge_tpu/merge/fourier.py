@@ -243,20 +243,23 @@ def _pair_lowratio(a, b, norm_a, norm_b, t, target_norm):
 # across tensors. The engine falls back to the stepwise path for >2 models,
 # meshes, and spill mode.
 
-@partial(jax.jit, static_argnames=("fast_imag",))
-def _fused_single(base, ft, *, fast_imag=False):
-    """One finetune: delta reduction degenerates to base + (ft - base)
-    (alpha NOT applied — reference apply_alpha=False semantics)."""
-    del fast_imag
-    base32 = base.astype(jnp.float32)
-    delta = ft.astype(jnp.float32) - base32
-    return _finalize(base32, delta)
+@jax.jit
+def _fused_single(out_base, ft_base, ft):
+    """One finetune: delta reduction degenerates to
+    out_base + (ft - ft_base). The delta is computed against the MODEL's own
+    base (reference base.py:121-137) and applied onto the output base; alpha
+    is NOT applied (reference apply_alpha=False)."""
+    out32 = out_base.astype(jnp.float32)
+    delta = ft.astype(jnp.float32) - ft_base.astype(jnp.float32)
+    return _finalize(out32, delta)
 
 
 @partial(jax.jit, static_argnames=("use_cull", "fast_imag"))
 def _fused_pair(
     base,
+    ft1_base,
     ft1,
+    ft2_base,
     ft2,
     alpha1,
     alpha2,
@@ -269,14 +272,16 @@ def _fused_pair(
     fast_imag,
 ):
     """Two finetunes: the full fast_fourier._merge_layer reduction for a
-    2-entry stack (one pairing round), in-graph.
+    2-entry stack (one pairing round), in-graph. Each delta is computed
+    against its model's own base (reference base.py:121-137); the blended
+    delta lands on the output base.
 
     Returns (bf16 result, has_inf flag, regime index) — regime for stats:
     0=add, 1=arith, 2=slerp-early-return, 3=slerp-lowratio, 4=slerp-full.
     """
     base32 = base.astype(jnp.float32)
-    d1 = ft1.astype(jnp.float32) - base32
-    d2 = ft2.astype(jnp.float32) - base32
+    d1 = ft1.astype(jnp.float32) - ft1_base.astype(jnp.float32)
+    d2 = ft2.astype(jnp.float32) - ft2_base.astype(jnp.float32)
     n1 = jnp.linalg.norm(d1.ravel())
     n2 = jnp.linalg.norm(d2.ravel())
     # target_norm = fp32 mean of delta norms + offset (fast_fourier.py:165)
@@ -750,9 +755,17 @@ Models merged:
         name = shard_layer.layer_name
         base_t = await self._fetch(self.config.output_base_model, name)
         fts = [await self._fetch(m.model, name) for m in models]
+        # per-model delta bases (reference base.py:121-137); reuse the output
+        # base tensor when the uris match to avoid a duplicate HBM copy
+        ft_bases = []
+        for m in models:
+            if m.base == self.config.output_base_model:
+                ft_bases.append(base_t)
+            else:
+                ft_bases.append(await self._fetch(m.base, name))
 
         if len(models) == 1:
-            out, has_inf = _fused_single(base_t, fts[0])
+            out, has_inf = _fused_single(base_t, ft_bases[0], fts[0])
             self.stats.record_pair("fused1")
             regime = None
         else:
@@ -760,7 +773,9 @@ Models merged:
             cull_pct = self.cull_start_pct
             out, has_inf, regime = _fused_pair(
                 base_t,
+                ft_bases[0],
                 fts[0],
+                ft_bases[1],
                 fts[1],
                 jnp.float32(models[0].alpha),
                 jnp.float32(models[1].alpha),

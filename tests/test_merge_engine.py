@@ -675,3 +675,30 @@ def test_three_way_merge_then_verify_tool(tmp_path, tiny_model_factory):
     merger = FourierMerge(config, index_manager=_offline_index(base_path, *paths))
     _run_merge(merger)
     assert verify_main(tmp_path / "merged") is True
+
+
+def test_per_model_base_differs_from_output_base(tmp_path, tiny_model_factory):
+    """finetune_merge entries carry their own base: deltas are computed
+    against model.base while the delta is applied onto output_base_model
+    (reference base.py:121-137 semantics)."""
+    out_base_path, out_base_t = tiny_model_factory("outbase", seed=180)
+    own_base_path, own_base_t = tiny_model_factory("ownbase", seed=181)
+    ft_path, ft_t = tiny_model_factory("ft", seed=182)
+
+    config = _make_config(
+        tmp_path,
+        out_base_path,
+        [{"model": str(ft_path), "base": str(own_base_path)}],
+    )
+    merger = FourierMerge(
+        config,
+        index_manager=_offline_index(out_base_path, own_base_path, ft_path),
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    name = "model.layers.0.mlp.down_proj.weight"
+    expect = out_base_t[name] + (ft_t[name] - own_base_t[name])
+    np.testing.assert_allclose(
+        out[name].astype(np.float32), expect, rtol=1e-2, atol=1e-2
+    )
