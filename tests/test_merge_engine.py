@@ -702,3 +702,40 @@ def test_per_model_base_differs_from_output_base(tmp_path, tiny_model_factory):
     np.testing.assert_allclose(
         out[name].astype(np.float32), expect, rtol=1e-2, atol=1e-2
     )
+
+
+def test_per_model_base_two_finetunes(tmp_path, tiny_model_factory):
+    """Fused pair path with distinct per-model bases, checked against the
+    torch oracle with own-base deltas."""
+    out_base_path, out_base_t = tiny_model_factory("outbase", seed=190)
+    base1_path, base1_t = tiny_model_factory("base1", seed=191)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=192)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=193)
+
+    config = _make_config(
+        tmp_path,
+        out_base_path,
+        [
+            {"model": str(ft1_path), "base": str(base1_path), "alpha": 0.7},
+            {"model": str(ft2_path), "base": str(out_base_path), "alpha": 0.3},
+        ],
+    )
+    merger = FourierMerge(
+        config,
+        index_manager=_offline_index(
+            out_base_path, base1_path, ft1_path, ft2_path
+        ),
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    name = "model.layers.1.self_attn.o_proj.weight"
+    # oracle with own-base deltas: shift ft1 so (ft1' - out_base) equals
+    # (ft1 - base1), then reuse the pair oracle
+    ft1_shifted = ft1_t[name] - base1_t[name] + out_base_t[name]
+    expect = _oracle_fourier_pair(
+        out_base_t[name], ft1_shifted, ft2_t[name], 0.7, 0.3
+    )
+    got = out[name].astype(np.float32)
+    scale = max(np.abs(expect).max(), 1.0)
+    _mostly_close(got, expect, rtol=2e-2, atol=2e-2 * scale)
