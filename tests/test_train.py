@@ -67,3 +67,39 @@ def test_graft_dryrun_multichip():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_graft_dryrun_multichip_hostile_env():
+    """The round-1 driver ran dryrun_multichip in a process whose default JAX
+    platform was the axon TPU (sitecustomize force-registers it); eager ops
+    landed there and crashed (MULTICHIP_r01.json). The wrapper must detect the
+    foreign platform and re-exec itself onto pure-CPU virtual devices.
+
+    This spawns a fresh interpreter WITHOUT any CPU-forcing env — exactly the
+    driver's conditions on this host — and requires success.
+    """
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("JAX_PLATFORMS", "XLA_FLAGS")
+    }
+    repo = Path(__file__).resolve().parent.parent
+    proc = subprocess.run(
+        [
+            sys.executable,
+            "-c",
+            "import __graft_entry__; __graft_entry__.dryrun_multichip(8)",
+        ],
+        env=env,
+        cwd=str(repo),
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK: 8 devices" in proc.stdout
