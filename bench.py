@@ -54,7 +54,7 @@ def bench_jax(a_np, b_np, iters=5):
         x = a
         out = None
         for _ in range(K):
-            out, _ = _pair_slerp_rfft(
+            out, _, _ = _pair_slerp_rfft(
                 x,
                 b,
                 jnp.float32(norm_a),
@@ -86,7 +86,7 @@ def bench_jax(a_np, b_np, iters=5):
     t2, _ = timed(2)
     per_merge = t2 - t1  # slope: dispatch overhead cancels
     # chain feeds x back in, so out4 != single-merge output; redo one clean
-    single, _ = _pair_slerp_rfft(
+    single, _, _ = _pair_slerp_rfft(
         a,
         b,
         jnp.float32(norm_a),

@@ -80,6 +80,13 @@ class ModelWriter:
         # finalize() with the same unlink+unmark semantics as the sync path.
         self._executor = None
         self._flush_futures: List = []
+        # Guards written_shard_layers/_pending: with background_flush the
+        # worker thread unmarks staged tensors on a failed save while
+        # add_tensor stages and evaluates shard completeness on the main
+        # thread. Never held across file IO.
+        import threading
+
+        self._state_lock = threading.Lock()
         if self.background_flush:
             from concurrent.futures import ThreadPoolExecutor
 
@@ -133,7 +140,12 @@ class ModelWriter:
         (or immediately in write_through mode)."""
         shard_name = self.base_index["weight_map"][layer_name]
 
-        if (shard_name, layer_name) in self.written_shard_layers:
+        with self._state_lock:
+            if (shard_name, layer_name) in self.written_shard_layers:
+                already = True
+            else:
+                already = False
+        if already:
             logger.info(
                 "Skipping %s: already in written shard %s", layer_name, shard_name
             )
@@ -142,11 +154,13 @@ class ModelWriter:
         arr = np.asarray(tensor)
         if arr.dtype != self.output_astype:
             arr = self._cast(arr)
-        self._pending.setdefault(shard_name, {})[layer_name] = arr
-        self.written_shard_layers.add((shard_name, layer_name))
-
-        expected = self.shard_to_tensors[shard_name]
-        done = all((shard_name, name) in self.written_shard_layers for name in expected)
+        with self._state_lock:
+            self._pending.setdefault(shard_name, {})[layer_name] = arr
+            self.written_shard_layers.add((shard_name, layer_name))
+            expected = self.shard_to_tensors[shard_name]
+            done = all(
+                (shard_name, name) in self.written_shard_layers for name in expected
+            )
         if self.write_through or done:
             self._flush_shard(shard_name)
 
@@ -163,7 +177,8 @@ class ModelWriter:
         return arr.astype(self.output_astype)
 
     def _flush_shard(self, shard_name: str):
-        staged = self._pending.pop(shard_name, {})
+        with self._state_lock:
+            staged = self._pending.pop(shard_name, {})
         if self._executor is not None:
             self._flush_futures.append(
                 self._executor.submit(self._do_flush, shard_name, staged)
@@ -194,8 +209,9 @@ class ModelWriter:
             logger.error("Error saving shard %s: %s", shard_name, e)
             if shard_path.exists():
                 shard_path.unlink()
-            for name in staged:
-                self.written_shard_layers.discard((shard_name, name))
+            with self._state_lock:
+                for name in staged:
+                    self.written_shard_layers.discard((shard_name, name))
 
     def drain(self):
         """Wait for in-flight background flushes (surfacing worker errors)."""

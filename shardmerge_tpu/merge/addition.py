@@ -3,6 +3,14 @@
 REF-QUIRK addition.py:70-82: the reference returns the SUM OF DELTAS without
 adding the base tensor back; reproduced as-is (flag-gated fix available via
 ``add_base=True``).
+
+Documented deviation (precision upgrade): the reference subtracts and
+accumulates in the loaded checkpoint dtype (typically bf16,
+addition.py:70-80); this engine computes the delta sum in fp32 and lets the
+writer quantize once to ``output_dtype``. Accumulating N bf16 roundings
+vs one final rounding differs by at most N ulps of bf16 — strictly less
+rounding error, same contract direction as the repo-wide fp32 delta policy
+(merge/base.py _delta_fp32).
 """
 
 from __future__ import annotations

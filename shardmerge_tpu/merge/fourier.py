@@ -81,14 +81,17 @@ def _pair_add(a, b):
 # term, ~1e-6 relative — far below the bf16 output quantization.
 #
 # CAVEAT (why this is gated by _FAST_IMAG_MIN_NUMEL and ndim>=2): when the
-# FFT rounds those real parts to EXACT zeros — which reliably happens for
-# small and 1-D tensors — the reference's inner slerp divides 0/0, the NaN
-# spreads through the inverse FFT, and functions.py:211-213 scrubs the WHOLE
-# merged tensor to zero: the reference's small-tensor pair merge degenerates
-# to a zero delta (library-dependent behavior; reproduced by the exact
-# path). The fast path would instead produce the clean result, so it is
-# only used where rounding noise is guaranteed nonzero and negligible.
-# ``exact_imag=True`` forces the literal noise-reproducing path everywhere.
+# imag-plane values round to EXACT zeros (deterministically for inputs whose
+# FFT is purely real, e.g. even-symmetric signals; library-dependently for
+# random small/1-D tensors — measured: XLA's 1-D fft cascades a random (16,)
+# pair, pocketfft does not) the reference's inner slerp divides 0/0, the NaN
+# spreads through the inverse FFT, and functions.py:211-213 scrubs MOST of
+# the merged tensor to zero (14/16 lanes in the pinned case,
+# tests/test_ops_blend.py::test_nan_cascade_quirk_pinned, bit-identical
+# between the torch oracle and our exact path). The fast path would instead
+# produce the clean result, so it is only used where rounding noise is
+# guaranteed nonzero and negligible. ``exact_imag=True`` forces the literal
+# noise-reproducing path everywhere.
 
 _FAST_IMAG_MIN_NUMEL = 1 << 20
 
@@ -148,9 +151,10 @@ def _pair_slerp(
         interp_imag=not fast_imag,
     )
     merged = blend.ifft2_real(result_fft)
+    nan_count = jnp.sum(jnp.isnan(merged).astype(jnp.int32))
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jnp.any(jnp.isinf(merged))
-    return merged * target_norm, has_inf
+    return merged * target_norm, nan_count, has_inf
 
 
 # --- rfft fast path ----------------------------------------------------------
@@ -195,9 +199,10 @@ def _pair_slerp_rfft(
         use_cull=use_cull,
     )
     merged = jnp.fft.irfftn(result, s=a.shape, axes=(-2, -1))
+    nan_count = jnp.sum(jnp.isnan(merged).astype(jnp.int32))
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jnp.any(jnp.isinf(merged))
-    return merged * target_norm, has_inf
+    return merged * target_norm, nan_count, has_inf
 
 
 @jax.jit
@@ -206,9 +211,10 @@ def _pair_lowratio_rfft(a, b, norm_a, norm_b, t, target_norm):
         b / norm_b, axes=(-2, -1)
     )
     merged = jnp.fft.irfftn(h, s=a.shape, axes=(-2, -1))
+    nan_count = jnp.sum(jnp.isnan(merged).astype(jnp.int32))
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jnp.any(jnp.isinf(merged))
-    return merged * target_norm, has_inf
+    return merged * target_norm, nan_count, has_inf
 
 
 @jax.jit
@@ -228,9 +234,10 @@ def _pair_lowratio(a, b, norm_a, norm_b, t, target_norm):
     """Regime (c) when norm ratio < b=0.1 inside merge_tensors_fft2_slerp
     (functions.py:199-202): additive FFT path."""
     merged = blend.ifft2_real(blend.fft2(a / norm_a) + t * blend.fft2(b / norm_b))
+    nan_count = jnp.sum(jnp.isnan(merged).astype(jnp.int32))
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jnp.any(jnp.isinf(merged))
-    return merged * target_norm, has_inf
+    return merged * target_norm, nan_count, has_inf
 
 
 # --- fully fused per-tensor merges -------------------------------------------
@@ -276,8 +283,10 @@ def _fused_pair(
     against its model's own base (reference base.py:121-137); the blended
     delta lands on the output base.
 
-    Returns (bf16 result, has_inf flag, regime index) — regime for stats:
-    0=add, 1=arith, 2=slerp-early-return, 3=slerp-lowratio, 4=slerp-full.
+    Returns (bf16 result, nan_count, has_inf flag, regime index) — regime for
+    stats: 0=add, 1=arith, 2=slerp-early-return, 3=slerp-lowratio,
+    4=slerp-full. nan_count is the number of NaNs scrubbed from the pair
+    merge's ifft output (reference functions.py:211-213 logs it).
     """
     base32 = base.astype(jnp.float32)
     d1 = ft1.astype(jnp.float32) - ft1_base.astype(jnp.float32)
@@ -316,8 +325,10 @@ def _fused_pair(
         ),
     )
 
+    zero = jnp.int32(0)
+
     def br_add(a, b):
-        return a + b, jnp.asarray(False)
+        return a + b, zero, jnp.asarray(False)
 
     def br_arith(a, b):
         norm_scale = target_norm / norm_a
@@ -328,11 +339,11 @@ def _fused_pair(
             out = _pair_arith.__wrapped__(
                 a, b, norm_scale, weight_scale, fast_imag=False
             )
-        return out, jnp.asarray(False)
+        return out, zero, jnp.asarray(False)
 
     def br_early(a, b):
         del b
-        return (a / norm_a) * target_norm, jnp.asarray(False)
+        return (a / norm_a) * target_norm, zero, jnp.asarray(False)
 
     def br_lowratio(a, b):
         fn = _pair_lowratio_rfft if fast_imag else _pair_lowratio
@@ -351,11 +362,11 @@ def _fused_pair(
             use_cutoff=True, use_cull=use_cull, fast_imag=False,
         )
 
-    merged, pair_inf = jax.lax.switch(
+    merged, nan_count, pair_inf = jax.lax.switch(
         regime, [br_add, br_arith, br_early, br_lowratio, br_slerp], a, b
     )
     out, final_inf = _finalize.__wrapped__(base32, merged)
-    return out, pair_inf | final_inf, regime
+    return out, nan_count, pair_inf | final_inf, regime
 
 
 @jax.jit
@@ -559,6 +570,7 @@ Models merged:
         )
         cull_pct = self.cull_start_pct
         inf_flags = []
+        nan_counts = []
 
         while len(layer_stack) > 1:
             layer_names = list(layer_stack)
@@ -612,7 +624,8 @@ Models merged:
                         from ..parallel.merge import sharded_pair_arith
 
                         merged = sharded_pair_arith(
-                            self.mesh, a, b, norm_scale, weight_scale
+                            self.mesh, a, b, norm_scale, weight_scale,
+                            fast_imag=not self.exact_imag,
                         )
                     elif _use_fast_imag(self.exact_imag, a):
                         merged = _pair_arith_rfft(
@@ -642,6 +655,7 @@ Models merged:
                     # still fire for tiny target_norm — honor them.
                     if norm_b < 1e-4 or norm_a < 1e-4:
                         merged = (a / norm_a) * target_norm
+                        nan_count = jnp.int32(0)
                         has_inf = jnp.asarray(False)
                     else:
                         ratio = norm_b / (norm_a + 1e-10)
@@ -650,12 +664,13 @@ Models merged:
                             if sharded:
                                 from ..parallel.merge import sharded_pair_lowratio
 
-                                merged, has_inf = sharded_pair_lowratio(
+                                merged, nan_count, has_inf = sharded_pair_lowratio(
                                     self.mesh, a, b, norm_a, norm_b, a_prop,
                                     target_norm,
+                                    fast_imag=not self.exact_imag,
                                 )
                             elif _use_fast_imag(self.exact_imag, a):
-                                merged, has_inf = _pair_lowratio_rfft(
+                                merged, nan_count, has_inf = _pair_lowratio_rfft(
                                     a,
                                     b,
                                     jnp.float32(norm_a),
@@ -664,7 +679,7 @@ Models merged:
                                     jnp.float32(target_norm),
                                 )
                             else:
-                                merged, has_inf = _pair_lowratio(
+                                merged, nan_count, has_inf = _pair_lowratio(
                                     a,
                                     b,
                                     jnp.float32(norm_a),
@@ -675,7 +690,7 @@ Models merged:
                         elif sharded:
                             from ..parallel.merge import sharded_pair_slerp
 
-                            merged, has_inf = sharded_pair_slerp(
+                            merged, nan_count, has_inf = sharded_pair_slerp(
                                 self.mesh,
                                 a,
                                 b,
@@ -690,7 +705,7 @@ Models merged:
                                 fast_imag=not self.exact_imag,
                             )
                         elif _use_fast_imag(self.exact_imag, a):
-                            merged, has_inf = _pair_slerp_rfft(
+                            merged, nan_count, has_inf = _pair_slerp_rfft(
                                 a,
                                 b,
                                 jnp.float32(norm_a),
@@ -704,7 +719,7 @@ Models merged:
                                 use_cull=cull_pct > 0,
                             )
                         else:
-                            merged, has_inf = _pair_slerp(
+                            merged, nan_count, has_inf = _pair_slerp(
                                 a,
                                 b,
                                 jnp.float32(norm_a),
@@ -719,6 +734,7 @@ Models merged:
                                 fast_imag=False,
                             )
                     inf_flags.append(has_inf)
+                    nan_counts.append(nan_count)
                     self.stats.record_pair("slerp")
                     logger.info(
                         "SLERP-FFT merged %s and %s with weight %.4g",
@@ -744,11 +760,13 @@ Models merged:
         base = await self.get_base_output_tensor(shard_layer)
         out, final_inf = _finalize(base, result_tensor)
 
-        # Defer the Inf checks to write-back time (base._process_layers
+        # Defer the Inf/NaN checks to write-back time (base._process_layers
         # flush): syncing here would stall the host behind the device queue
         # and kill the one-layer-deep pipeline. The run still aborts before
         # the offending tensor is written.
-        self._defer_check(shard_layer.layer_name, inf_flags, final_inf)
+        self._defer_check(
+            shard_layer.layer_name, inf_flags, final_inf, nan_counts=nan_counts
+        )
         return out
 
     async def _merge_layer_fused(self, shard_layer: ShardLayer, models):
@@ -764,6 +782,7 @@ Models merged:
             else:
                 ft_bases.append(await self._fetch(m.base, name))
 
+        nan_counts = []
         if len(models) == 1:
             out, has_inf = _fused_single(base_t, ft_bases[0], fts[0])
             self.stats.record_pair("fused1")
@@ -771,7 +790,7 @@ Models merged:
         else:
             numel = base_t.size
             cull_pct = self.cull_start_pct
-            out, has_inf, regime = _fused_pair(
+            out, nan_count, has_inf, regime = _fused_pair(
                 base_t,
                 ft_bases[0],
                 fts[0],
@@ -786,20 +805,36 @@ Models merged:
                 use_cull=cull_pct > 0,
                 fast_imag=_use_fast_imag(self.exact_imag, base_t),
             )
-        self._defer_check(name, [has_inf], jnp.asarray(False), regime)
+            nan_counts.append(nan_count)
+        self._defer_check(
+            name, [has_inf], jnp.asarray(False), regime, nan_counts=nan_counts
+        )
         return out
 
     _FUSED_REGIMES = ("add", "arith", "slerp-early", "lowratio", "slerp")
 
-    def _defer_check(self, layer_name, inf_flags, final_inf, regime=None):
-        self._deferred_checks.append((layer_name, inf_flags, final_inf, regime))
+    def _defer_check(
+        self, layer_name, inf_flags, final_inf, regime=None, nan_counts=()
+    ):
+        self._deferred_checks.append(
+            (layer_name, inf_flags, final_inf, regime, list(nan_counts))
+        )
 
     def _check_deferred(self, layer_name: str):
         remaining = []
-        for name, inf_flags, final_inf, regime in self._deferred_checks:
+        for name, inf_flags, final_inf, regime, nan_counts in self._deferred_checks:
             if name != layer_name:
-                remaining.append((name, inf_flags, final_inf, regime))
+                remaining.append((name, inf_flags, final_inf, regime, nan_counts))
                 continue
+            if nan_counts:
+                scrubbed = int(sum(int(c) for c in nan_counts))
+                if scrubbed:
+                    # Parity of observable behavior: the reference logs per
+                    # pair-merge when it scrubs NaNs from the ifft output
+                    # (functions.py:211-213 — its logged count is taken AFTER
+                    # the scrub, i.e. always 0; we report the real count).
+                    logger.info("Warning: NaN in ifft output: %d", scrubbed)
+                    self.stats.nans_scrubbed += scrubbed
             if inf_flags and bool(jnp.any(jnp.stack(inf_flags))):
                 raise ValueError("Inf in ifft output")
             if bool(final_inf):

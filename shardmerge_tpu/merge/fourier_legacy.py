@@ -13,9 +13,23 @@ the collision). Differences from the fast path, reproduced:
 - REF-QUIRK (:168-171): regime-(c) alphas are looked up by *stack index*
   into config.finetune_merge, which is only correct while the stack order
   matches the config order (acknowledged-unverified in the reference)
+- deltas are computed against the OUTPUT base model tensor
+  (``ft_tensor -= base_tensor``, :108-113) — the legacy engine never reads
+  ``model.base``, unlike the fast engine's per-model bases (base.py:121-137)
+- REF-QUIRK (:112-114): model identity for the task-add membership check is
+  looked up as ``config.finetune_merge[i]`` where ``i`` enumerates only the
+  layer-gated-IN models — when ``use_layer_index`` filters a model out, the
+  identities (and hence task-add membership) of the following models shift
 - input/output passthrough RAISES when no is_input/is_output model is
   configured (:59-77; the fast path falls back to the base model)
 - result is returned un-cast (:198-205); the writer applies output_dtype
+
+Documented deviation (precision upgrade): the reference subtracts in the
+LOADED checkpoint dtype (typically bf16, fourier.py:113) and hands those
+bf16 deltas to correlate_pairs/norms; this engine computes deltas and norms
+in fp32 (the spectral kernels promote to fp32 either way via
+``fft_transform(x.float())``, functions.py:45-58, so only the subtraction
+and correlation precision differ).
 """
 
 from __future__ import annotations
@@ -109,16 +123,18 @@ Models merged:
 
         layer_stack = []  # (name, delta) pairs, HBM resident
         add_stack = []
-        for model in models:
-            delta = (
-                await self.get_delta_for_models(
-                    [model], shard_layer, apply_alpha=False
-                )
-            )[0]
-            if model.model in self.task_add_models:
-                add_stack.append((model.model, delta))
+        for i, model in enumerate(models):
+            # Legacy deltas subtract the OUTPUT base tensor; model.base is
+            # never consulted (reference fourier.py:108-113).
+            ft = await self._fetch(model.model, shard_layer.layer_name)
+            delta = ft.astype(jnp.float32) - base_tensor
+            # REF-QUIRK fourier.py:112-114: identity looked up by position in
+            # the gated-in list against the FULL config list.
+            identity = self.config.finetune_merge[i]
+            if identity.model in self.task_add_models:
+                add_stack.append((identity.model, delta))
             else:
-                layer_stack.append((model.model, delta))
+                layer_stack.append((identity.model, delta))
 
         if not layer_stack:
             logger.warning(
@@ -131,6 +147,7 @@ Models merged:
         target_norm = _lower_median(mean_norms) + self.target_norm_offset
         cull_pct = self.cull_start_pct
         inf_flags = []
+        nan_counts = []
 
         while len(layer_stack) > 1:
             logger.info(
@@ -180,7 +197,7 @@ Models merged:
                         ratio = norm_b / (norm_a + 1e-10)
                         numel = a.size
                         if ratio < 0.1:
-                            merged, has_inf = _pair_lowratio(
+                            merged, nan_count, has_inf = _pair_lowratio(
                                 a,
                                 b,
                                 jnp.float32(norm_a),
@@ -189,7 +206,7 @@ Models merged:
                                 jnp.float32(target_norm),
                             )
                         else:
-                            merged, has_inf = _pair_slerp(
+                            merged, nan_count, has_inf = _pair_slerp(
                                 a,
                                 b,
                                 jnp.float32(norm_a),
@@ -203,6 +220,7 @@ Models merged:
                                 use_cull=cull_pct > 0,
                             )
                         inf_flags.append(has_inf)
+                        nan_counts.append(nan_count)
 
                 next_stack.append((f"{a_key}_{b_key}", merged))
 
@@ -221,6 +239,12 @@ Models merged:
         result_tensor = base_tensor + result_tensor
         result_tensor = jnp.where(jnp.isnan(result_tensor), 0.0, result_tensor)
 
+        if nan_counts:
+            scrubbed = int(sum(int(c) for c in nan_counts))
+            if scrubbed:
+                # reference functions.py:211-213 logs when scrubbing NaNs
+                logger.info("Warning: NaN in ifft output: %d", scrubbed)
+                self.stats.nans_scrubbed += scrubbed
         if inf_flags and bool(jnp.any(jnp.stack(inf_flags))):
             raise ValueError("Inf in ifft output")
         if bool(jnp.any(jnp.isinf(result_tensor))):

@@ -110,6 +110,7 @@ class MergeStats:
         default_factory=lambda: {"add": 0, "arith": 0, "slerp": 0, "lowratio": 0}
     )
     bytes_written: int = 0
+    nans_scrubbed: int = 0
     started_at: float = field(default_factory=time.time)
 
     def record_pair(self, regime: str):
@@ -123,4 +124,9 @@ class MergeStats:
             f"(+{self.tensors_passthrough} passthrough) in {elapsed:.1f}s; "
             f"pair regimes: {pairs or 'none'}; "
             f"wrote {self.bytes_written/2**30:.2f} GiB"
+            + (
+                f"; scrubbed {self.nans_scrubbed} NaNs"
+                if self.nans_scrubbed
+                else ""
+            )
         )

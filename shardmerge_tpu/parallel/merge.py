@@ -88,11 +88,14 @@ def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
         ifft_fn=partial(ifft2_rs, axis_name=_AXIS),  # back: RS -> CS
     )
     merged = ifft2_cs(result_fft, _AXIS)  # -> RS real
+    nan_count = jax.lax.psum(
+        jnp.sum(jnp.isnan(merged).astype(jnp.int32)), _AXIS
+    )
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jax.lax.pmax(
         jnp.any(jnp.isinf(merged)).astype(jnp.int32), _AXIS
     ).astype(bool)
-    return merged * target_norm, has_inf
+    return merged * target_norm, nan_count, has_inf
 
 
 def _slerp_body_rfft(
@@ -123,11 +126,14 @@ def _slerp_body_rfft(
         axis_name=_AXIS,
     )
     merged = irfft2_half_rs(result, _AXIS, n)
+    nan_count = jax.lax.psum(
+        jnp.sum(jnp.isnan(merged).astype(jnp.int32)), _AXIS
+    )
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jax.lax.pmax(
         jnp.any(jnp.isinf(merged)).astype(jnp.int32), _AXIS
     ).astype(bool)
-    return merged * target_norm, has_inf
+    return merged * target_norm, nan_count, has_inf
 
 
 def sharded_pair_slerp(
@@ -162,7 +168,7 @@ def sharded_pair_slerp(
                 body,
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P(), P(), P(), P(), P(), P()),
-                out_specs=(spec, P()),
+                out_specs=(spec, P(), P()),
             )
         )
 
@@ -234,22 +240,28 @@ def _lowratio_body(a, b, norm_a, norm_b, t, target_norm):
     merged = ifft2_cs(
         fft2_rs(a / norm_a, _AXIS) + t * fft2_rs(b / norm_b, _AXIS), _AXIS
     )
+    nan_count = jax.lax.psum(
+        jnp.sum(jnp.isnan(merged).astype(jnp.int32)), _AXIS
+    )
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jax.lax.pmax(
         jnp.any(jnp.isinf(merged)).astype(jnp.int32), _AXIS
     ).astype(bool)
-    return merged * target_norm, has_inf
+    return merged * target_norm, nan_count, has_inf
 
 
 def _lowratio_body_rfft(a, b, norm_a, norm_b, t, target_norm):
     n = a.shape[-1]
     h = rfft2_rs_half(a / norm_a, _AXIS) + t * rfft2_rs_half(b / norm_b, _AXIS)
     merged = irfft2_half_rs(h, _AXIS, n)
+    nan_count = jax.lax.psum(
+        jnp.sum(jnp.isnan(merged).astype(jnp.int32)), _AXIS
+    )
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jax.lax.pmax(
         jnp.any(jnp.isinf(merged)).astype(jnp.int32), _AXIS
     ).astype(bool)
-    return merged * target_norm, has_inf
+    return merged * target_norm, nan_count, has_inf
 
 
 def sharded_pair_lowratio(
@@ -264,7 +276,7 @@ def sharded_pair_lowratio(
                 _lowratio_body_rfft if use_rfft else _lowratio_body,
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P(), P(), P()),
-                out_specs=(spec, P()),
+                out_specs=(spec, P(), P()),
             )
         )
 

@@ -384,6 +384,42 @@ def test_legacy_fourier_runs(tmp_path, tiny_model_factory):
     )
 
 
+def test_legacy_fourier_ignores_per_model_bases(tmp_path, tiny_model_factory):
+    """The reference legacy engine subtracts the OUTPUT base tensor and never
+    reads model.base (reference fourier.py:88-113). Two runs differing only
+    in the configured per-model bases must produce bit-identical output."""
+    base_path, _ = tiny_model_factory("base", seed=190)
+    other_base_path, _ = tiny_model_factory("otherbase", seed=193)
+    ft1_path, _ = tiny_model_factory("ft1", seed=191)
+    ft2_path, _ = tiny_model_factory("ft2", seed=192)
+
+    outputs = []
+    for tag, ft_base in (("own", base_path), ("foreign", other_base_path)):
+        entries = [
+            {"model": str(ft1_path), "base": str(ft_base), "is_input": True,
+             "is_output": True},
+            {"model": str(ft2_path), "base": str(ft_base)},
+        ]
+        sub = tmp_path / tag
+        sub.mkdir()
+        config = _make_config(sub, base_path, entries)
+        merger = LegacyFourierMerge(
+            config,
+            index_manager=_offline_index(
+                base_path, other_base_path, ft1_path, ft2_path
+            ),
+        )
+        _run_merge(merger)
+        outputs.append(_read_output(sub / "merged"))
+
+    for name in outputs[0]:
+        np.testing.assert_array_equal(
+            outputs[0][name].view(np.uint16),
+            outputs[1][name].view(np.uint16),
+            err_msg=name,
+        )
+
+
 def test_legacy_fourier_requires_input_model(tmp_path, tiny_model_factory):
     base_path, _ = tiny_model_factory("base", seed=95)
     ft1_path, _ = tiny_model_factory("ft1", seed=96)

@@ -244,12 +244,95 @@ def test_fast_imag_mode_close_to_exact(rng):
         jnp.int32(blend.cull_limit(numel, 0.2)),
         jnp.float32(1.7),
     )
-    exact, _ = _pair_slerp(*common, use_cutoff=True, use_cull=True, fast_imag=False)
-    fast, _ = _pair_slerp(*common, use_cutoff=True, use_cull=True, fast_imag=True)
+    exact, _, _ = _pair_slerp(*common, use_cutoff=True, use_cull=True, fast_imag=False)
+    fast, _, _ = _pair_slerp(*common, use_cutoff=True, use_cull=True, fast_imag=True)
     scale = float(jnp.max(jnp.abs(exact)))
     np.testing.assert_allclose(
         np.asarray(fast), np.asarray(exact), rtol=1e-4, atol=1e-5 * scale
     )
+
+
+def _even_symmetric(rng, n):
+    """A real 1-D signal with x[k] == x[n-k]: its FFT is purely real, so the
+    imaginary plane fed to the reference's inner recursion is exactly zero."""
+    x = np.zeros(n, np.float32)
+    x[: n // 2 + 1] = rng.standard_normal(n // 2 + 1).astype(np.float32)
+    for k in range(1, n // 2):
+        x[n - k] = x[k]
+    return x
+
+
+def test_nan_cascade_quirk_pinned():
+    """Pins the reference's small-tensor NaN cascade (the claim gating
+    _FAST_IMAG_MIN_NUMEL, merge/fourier.py module comment).
+
+    With both inputs even-symmetric, the FFT imag planes are rounding noise
+    and the REAL parts of the inner recursion's FFT of those planes round to
+    exact zeros; the inner slerp then divides 0/0 (functions.py:113-134 with
+    cutoff=0: every sign-agreeing lane lands in the slerp mask), the NaN
+    spreads through the inverse FFT into most of the merged tensor, and the
+    scrub (functions.py:211-213) zeroes those lanes. The torch oracle and our
+    exact path must cascade identically — same zeroed positions, bit-equal
+    survivors — and the fast path must be gated off at this size (it would
+    return a clean, drastically different result)."""
+    import torch
+
+    from shardmerge_tpu.merge.fourier import _pair_slerp, _use_fast_imag
+
+    from . import oracle_torch as oracle
+
+    n = 16
+    rng = np.random.default_rng(3)  # a seed whose rounding hits exact zeros
+    a = _even_symmetric(rng, n)
+    b = _even_symmetric(rng, n)
+    # precondition: the real parts feeding the inner slerp are exactly zero
+    # in both libraries under test (computed on the normalized inputs, as in
+    # the real flow)
+    for arr in (a, b):
+        f_t = torch.fft.fft(torch.from_numpy(arr / np.linalg.norm(arr)))
+        assert float(torch.fft.fft(f_t.imag).real.abs().max()) == 0.0
+        f_j = jnp.fft.fft(jnp.asarray(arr / np.linalg.norm(arr)))
+        assert float(jnp.abs(jnp.fft.fft(f_j.imag).real).max()) == 0.0
+
+    theirs, _, _ = oracle.merge_tensors_fft2_slerp(
+        torch.from_numpy(a), torch.from_numpy(b),
+        t=0.6, cutoff_pct=0.08, cull_pct=0.2,
+    )
+    theirs = theirs.numpy()
+
+    common = (
+        jnp.asarray(a),
+        jnp.asarray(b),
+        jnp.float32(np.linalg.norm(a)),
+        jnp.float32(np.linalg.norm(b)),
+        jnp.float32(0.6),
+        jnp.int32(blend.cutoff_rank(n, 0.08)),
+        jnp.int32(blend.cull_rank(n, 0.2)),
+        jnp.int32(blend.cull_limit(n, 0.2)),
+        jnp.float32(1.0),
+    )
+    ours, nan_count, _ = _pair_slerp(
+        *common, use_cutoff=True, use_cull=True, fast_imag=False
+    )
+    ours = np.asarray(ours)
+
+    # the cascade fired and zeroed most of the tensor, identically
+    assert int(nan_count) > n // 2
+    assert (theirs == 0).sum() == (ours == 0).sum() == int(nan_count)
+    np.testing.assert_array_equal(ours == 0, theirs == 0)
+    np.testing.assert_array_equal(ours, theirs)
+
+    # the fast-imag gate keeps small/1-D tensors on the exact path
+    assert not _use_fast_imag(False, jnp.asarray(a))
+    assert not _use_fast_imag(False, jnp.zeros((512, 512)))  # < 1<<20 numel
+    assert _use_fast_imag(False, jnp.zeros((1024, 1024)))
+
+    # and for good reason: the fast path would produce a clean result here
+    fast, fast_nans, _ = _pair_slerp(
+        *common, use_cutoff=True, use_cull=True, fast_imag=True
+    )
+    assert int(fast_nans) == 0
+    assert (np.asarray(fast) == 0).sum() < (ours == 0).sum()
 
 
 def test_rfft_kernel_matches_fast_full_spectrum(rng):
@@ -270,10 +353,10 @@ def test_rfft_kernel_matches_fast_full_spectrum(rng):
             jnp.int32(blend.cull_limit(numel, 0.2)),
             jnp.float32(1.7),
         )
-        full, _ = _pair_slerp(
+        full, _, _ = _pair_slerp(
             *common, use_cutoff=True, use_cull=True, fast_imag=True
         )
-        half, _ = _pair_slerp_rfft(*common, use_cutoff=True, use_cull=True)
+        half, _, _ = _pair_slerp_rfft(*common, use_cutoff=True, use_cull=True)
         scale = float(jnp.max(jnp.abs(full)))
         np.testing.assert_allclose(
             np.asarray(half), np.asarray(full), rtol=1e-4, atol=1e-5 * scale

@@ -89,7 +89,7 @@ def test_sharded_slerp_matches_single_chip(mesh, rng):
 
     # fast_imag=False on both sides: the analytic fast path is gated to
     # large tensors in the engine; this small tensor compares the exact path.
-    single, single_inf = _pair_slerp(
+    single, _nan, single_inf = _pair_slerp(
         jnp.asarray(a),
         jnp.asarray(b),
         jnp.float32(norm_a),
@@ -103,7 +103,7 @@ def test_sharded_slerp_matches_single_chip(mesh, rng):
         use_cull=True,
         fast_imag=False,
     )
-    shard, shard_inf = sharded_pair_slerp(
+    shard, _snan, shard_inf = sharded_pair_slerp(
         mesh,
         _sharded(mesh, a),
         _sharded(mesh, b),
@@ -292,7 +292,7 @@ def test_sharded_rfft_slerp_matches_single_chip(mesh, rng):
     cull_k = blend.cull_rank(numel, 0.2)
     cull_lim = blend.cull_limit(numel, 0.2)
 
-    single, _ = _pair_slerp_rfft(
+    single, _, _ = _pair_slerp_rfft(
         jnp.asarray(a),
         jnp.asarray(b),
         jnp.float32(norm_a),
@@ -305,7 +305,7 @@ def test_sharded_rfft_slerp_matches_single_chip(mesh, rng):
         use_cutoff=True,
         use_cull=True,
     )
-    shard, shard_inf = sharded_pair_slerp(
+    shard, _snan, shard_inf = sharded_pair_slerp(
         mesh,
         _sharded(mesh, a),
         _sharded(mesh, b),
@@ -347,11 +347,11 @@ def test_sharded_rfft_arith_and_lowratio_match(mesh, rng):
     )
 
     na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
-    single_lr, _ = _pair_lowratio_rfft(
+    single_lr, _, _ = _pair_lowratio_rfft(
         jnp.asarray(a), jnp.asarray(b), jnp.float32(na), jnp.float32(nb),
         jnp.float32(0.4), jnp.float32(1.5),
     )
-    shard_lr, _ = sharded_pair_lowratio(
+    shard_lr, _, _ = sharded_pair_lowratio(
         mesh, _sharded(mesh, a), _sharded(mesh, b), na, nb, 0.4, 1.5,
         fast_imag=True,
     )
