@@ -128,17 +128,33 @@ def main():
     jax_time, jax_out = bench_jax(a_np, b_np)
     torch_time, torch_out = bench_torch_reference(a_np, b_np)
 
-    # sanity: the two implementations agree (allowing boundary mask flips)
+    # Acceptance (NUMERICS.md §4, measured at this exact shape on CPU XLA):
+    # the deviation from the torch oracle is dominated by fp32 global
+    # reduction order + FFT-library rounding — relL2 2.7e-3 with thresholds
+    # on, 2.2e-3 with them off (i.e. NOT threshold flips); the fast-imag
+    # identity itself contributes 2e-7 and the rfft symmetrization 2.6e-4.
+    # Assert that class with headroom for the TPU FFT differing from CPU
+    # XLA's; anything structurally wrong (flipped masks, wrong thresholds,
+    # missing rescale) lands orders of magnitude above these bounds.
     ours = np.asarray(jax_out)
     theirs = torch_out.numpy()
-    scale = max(abs(theirs).max(), 1e-6)
-    close = np.isclose(ours, theirs, rtol=2e-3, atol=2e-4 * scale)
-    mismatch = 1.0 - close.mean()
-    if mismatch > 0.02:
+    out_norm = float(np.linalg.norm(theirs))
+    rel_l2 = float(np.linalg.norm(ours - theirs)) / max(out_norm, 1e-12)
+    rms = out_norm / np.sqrt(theirs.size)
+    max_abs = float(np.abs(ours - theirs).max())
+    if rel_l2 > 6e-3 or max_abs > 0.2 * rms:
         print(
-            f"WARNING: {mismatch:.2%} elements differ from reference",
+            f"FAIL: parity outside the documented rounding class "
+            f"(relL2 {rel_l2:.3e} > 6e-3 or maxabs {max_abs:.3e} > "
+            f"{0.2 * rms:.3e})",
             file=sys.stderr,
         )
+        sys.exit(1)
+    print(
+        f"parity OK: relL2 {rel_l2:.3e}, maxabs {max_abs:.3e} "
+        f"(bounds 6e-3, {0.2 * rms:.3e})",
+        file=sys.stderr,
+    )
 
     # effective merge bandwidth: two fp32 inputs read + one written
     bytes_moved = 3 * a_np.nbytes

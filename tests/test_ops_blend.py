@@ -363,6 +363,70 @@ def test_rfft_kernel_matches_fast_full_spectrum(rng):
         )
 
 
+def test_large_shape_parity_at_fast_imag_activation():
+    """The fast-imag/rfft default path vs the exact path vs the torch oracle
+    at (1024, 1024) — exactly _FAST_IMAG_MIN_NUMEL, so this exercises the
+    path production shapes take (VERDICT r1: the previous suite topped out at
+    64x96 and never ran the gate-active path at size).
+
+    Asserts the documented deviation classes (NUMERICS.md §4, measured):
+    cross-library fp32 reduction/FFT noise ~2e-4 relL2 at 1M elements
+    (grows to ~2.7e-3 at 32M — bench.py asserts that shape); the fast-imag
+    identity ~2e-7; rfft symmetrization ~3e-4.
+    """
+    import torch
+
+    from shardmerge_tpu.merge.fourier import _pair_slerp, _pair_slerp_rfft
+
+    from . import oracle_torch as oracle
+
+    shape = (1024, 1024)
+    gen = np.random.default_rng(7)
+    a = gen.standard_normal(shape).astype(np.float32)
+    b = gen.standard_normal(shape).astype(np.float32)
+    numel = a.size
+    common = (
+        jnp.asarray(a),
+        jnp.asarray(b),
+        jnp.float32(np.linalg.norm(a)),
+        jnp.float32(np.linalg.norm(b)),
+        jnp.float32(0.6),
+        jnp.int32(blend.cutoff_rank(numel, 0.08)),
+        jnp.int32(blend.cull_rank(numel, 0.2)),
+        jnp.int32(blend.cull_limit(numel, 0.2)),
+        jnp.float32(1.0),
+    )
+    exact, _, _ = _pair_slerp(
+        *common, use_cutoff=True, use_cull=True, fast_imag=False
+    )
+    fast, _, _ = _pair_slerp(
+        *common, use_cutoff=True, use_cull=True, fast_imag=True
+    )
+    half, _, _ = _pair_slerp_rfft(*common, use_cutoff=True, use_cull=True)
+    theirs, _, _ = oracle.merge_tensors_fft2_slerp(
+        torch.from_numpy(a), torch.from_numpy(b),
+        t=0.6, cutoff_pct=0.08, cull_pct=0.2,
+    )
+    theirs = theirs.numpy()
+    exact, fast, half = map(np.asarray, (exact, fast, half))
+
+    def rel_l2(x, y):
+        return float(np.linalg.norm(x - y)) / float(np.linalg.norm(y))
+
+    # cross-library class (headroom over the measured ~2e-4)
+    assert rel_l2(exact, theirs) < 1e-3
+    assert rel_l2(half, theirs) < 1e-3
+    # identity class: fast-imag deviates from exact by far less than the
+    # library noise (measured ~2e-7)
+    assert rel_l2(fast, exact) < 1e-5
+    # rfft symmetrization class (measured ~3e-4 relative to fast)
+    assert rel_l2(half, fast) < 2e-3
+    # and the deviations are diffuse, not structural: no element moves by
+    # more than a small fraction of the output rms
+    rms = float(np.linalg.norm(theirs)) / np.sqrt(theirs.size)
+    assert float(np.abs(half - theirs).max()) < 0.2 * rms
+
+
 def test_hermitian_col_weights():
     w = blend.hermitian_col_weights(8)
     np.testing.assert_array_equal(w, [1, 2, 2, 2, 1])
