@@ -111,6 +111,9 @@ class MergeStats:
     )
     bytes_written: int = 0
     nans_scrubbed: int = 0
+    # blocking device->host fetches issued inside reduction loops (the
+    # stepwise engine targets <=1 per reduction round)
+    host_syncs: int = 0
     started_at: float = field(default_factory=time.time)
 
     def record_pair(self, regime: str):

@@ -683,6 +683,9 @@ def test_four_way_merge_matches_multi_round_oracle(tmp_path, tiny_model_factory)
     assert merger.stats.pair_merges.get("add", 0) > 0
     assert merger.stats.pair_merges.get("arith", 0) > 0
     assert merger.stats.pair_merges.get("slerp", 0) > 0
+    # <=1 blocking host fetch per reduction round (VERDICT r1 #4): 21 merged
+    # tensors x 2 rounds each; only round 2 has device-scalar norms to fetch.
+    assert merger.stats.host_syncs <= 21
 
     for name in [
         "model.layers.0.self_attn.q_proj.weight",
@@ -694,6 +697,38 @@ def test_four_way_merge_matches_multi_round_oracle(tmp_path, tiny_model_factory)
         got = out[name].astype(np.float32)
         scale = max(np.abs(expect).max(), 1.0)
         _mostly_close(got, expect, rtol=3e-2, atol=3e-2 * scale, max_flip_frac=0.05)
+
+
+def test_batched_rounds_match_per_pair_dispatch(tmp_path, tiny_model_factory):
+    """A 4-model merge with vmapped per-round dispatch must produce
+    bit-identical output to the per-pair dispatch path (batch_rounds=False):
+    vmap batches the same FFT/select/blend programs over a leading axis."""
+    base_path, _ = tiny_model_factory("base", seed=270)
+    paths = [tiny_model_factory(f"m{i}", seed=271 + i)[0] for i in range(4)]
+    entries = [
+        {"model": str(p), "base": str(base_path), "alpha": a}
+        for p, a in zip(paths, [1.0, 0.7, 0.5, 0.3])
+    ]
+
+    outputs = []
+    for tag, batch in (("batched", True), ("perpair", False)):
+        sub = tmp_path / tag
+        sub.mkdir()
+        config = _make_config(sub, base_path, entries)
+        merger = FourierMerge(
+            config,
+            index_manager=_offline_index(base_path, *paths),
+            batch_rounds=batch,
+        )
+        _run_merge(merger)
+        outputs.append(_read_output(sub / "merged"))
+
+    for name in outputs[0]:
+        np.testing.assert_array_equal(
+            outputs[0][name].view(np.uint16),
+            outputs[1][name].view(np.uint16),
+            err_msg=name,
+        )
 
 
 def test_three_way_merge_then_verify_tool(tmp_path, tiny_model_factory):
