@@ -55,6 +55,9 @@ class MergeTensorsBase(ABC):
             index_manager if index_manager is not None else HFMultiModelIndex()
         )
         self.stats = MergeStats()
+        # tensor name -> true (pre-padding) row count, for engines that pad
+        # rows to shard tensors whose row count does not divide the mesh
+        self._true_rows: dict = {}
         # Tensors below this element count compute on the host CPU backend:
         # their math is trivial, and keeping them off the accelerator avoids
         # a per-shape TPU compile and a dispatch round-trip for every
@@ -88,11 +91,22 @@ class MergeTensorsBase(ABC):
             return None  # already on CPU; leave placement implicit
         return cpus[0]
 
+    def _pad_rows_for(self, host: np.ndarray, sharding) -> int:
+        """Zero-padding rows needed for an even row shard (0 = none).
+        Engines that shard override the policy via _sharding_for; the pad is
+        recorded per tensor name in ``_true_rows`` so merge kernels can slice
+        the true spectrum (parallel/fft2d.py padded layouts)."""
+        return 0
+
     async def _fetch(self, model_uri: str, tensor_name: str) -> jnp.ndarray:
         """Fetch a tensor to the device (single host->HBM transfer)."""
         host = await self.index_manager.get_tensor(model_uri, tensor_name).get()
         sharding = self._sharding_for(host)
         if sharding:
+            pad = self._pad_rows_for(host, sharding)
+            if pad:
+                self._true_rows[tensor_name] = host.shape[0]
+                host = np.pad(host, ((0, pad),) + ((0, 0),) * (host.ndim - 1))
             return jax.device_put(host, sharding)
         device = self._device_for(host)
         return jax.device_put(host, device) if device else jax.device_put(host)
@@ -241,3 +255,4 @@ class MergeTensorsBase(ABC):
             models.add(m.base)
         for model in models:
             self.index_manager.release_tensor(model, tensor_name)
+        self._true_rows.pop(tensor_name, None)

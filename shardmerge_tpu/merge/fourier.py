@@ -484,12 +484,20 @@ class FourierMerge(MergeTensorsBase):
             self.mesh is None
             or host.ndim != 2
             or host.nbytes < self.shard_min_bytes
-            or host.shape[0] % self.mesh.devices.size != 0
         ):
             return None
         from ..parallel.merge import row_sharding
 
         return row_sharding(self.mesh)
+
+    def _pad_rows_for(self, host, sharding) -> int:
+        # Row counts that do not divide the mesh are zero-padded up to the
+        # next multiple; the distributed-FFT kernels slice the padding off
+        # after the all-to-all so every spectral op sees the true tensor
+        # (parallel/fft2d.py), and _merge_layer slices the final rows.
+        n_dev = self.mesh.devices.size
+        rem = host.shape[0] % n_dev
+        return n_dev - rem if rem else 0
 
     def _is_sharded(self, arr) -> bool:
         return (
@@ -735,6 +743,7 @@ Models merged:
                         self._dispatch_pair(
                             job, cache_get, cache_put, target_norm, cull_pct,
                             inf_flags, nan_counts,
+                            true_m=self._true_rows.get(shard_layer.layer_name),
                         )
                 for _, a_model, b_model, _, _ in group:
                     self.stats.record_pair(
@@ -762,6 +771,9 @@ Models merged:
         result_tensor = cache_get(layer_stack[0])
         base = await self.get_base_output_tensor(shard_layer)
         out, final_inf = _finalize(base, result_tensor)
+        true_rows = self._true_rows.get(shard_layer.layer_name)
+        if true_rows is not None and out.shape[0] != true_rows:
+            out = out[:true_rows]  # drop the sharding pad rows (all zeros)
 
         # Defer the Inf/NaN checks to write-back time (base._process_layers
         # flush): syncing here would stall the host behind the device queue
@@ -774,13 +786,16 @@ Models merged:
 
     def _dispatch_pair(
         self, job, cache_get, cache_put, target_norm, cull_pct,
-        inf_flags, nan_counts,
+        inf_flags, nan_counts, true_m=None,
     ):
-        """Dispatch one pair merge (sharded / spilled / singleton path)."""
+        """Dispatch one pair merge (sharded / spilled / singleton path).
+        ``true_m``: true row count when the stack rides a padded sharding."""
         regime, a_model, b_model, out_name, params = job
         a, b = cache_get(a_model), cache_get(b_model)
         sharded = self._is_sharded(a)
         fast = _use_fast_imag(self.exact_imag, a)
+        if not sharded:
+            true_m = None
 
         if regime == "add":
             merged = _pair_add(a, b)
@@ -791,7 +806,8 @@ Models merged:
 
                 merged = sharded_pair_arith(
                     self.mesh, a, b, norm_scale, weight_scale,
-                    fast_imag=not self.exact_imag,
+                    fast_imag=fast,
+                    true_m=true_m,
                 )
             elif fast:
                 merged = _pair_arith_rfft(
@@ -815,7 +831,8 @@ Models merged:
 
                 merged, nan_count, has_inf = sharded_pair_lowratio(
                     self.mesh, a, b, norm_a, norm_b, a_prop, target_norm,
-                    fast_imag=not self.exact_imag,
+                    fast_imag=fast,
+                    true_m=true_m,
                 )
             else:
                 fn = _pair_lowratio_rfft if fast else _pair_lowratio
@@ -831,7 +848,9 @@ Models merged:
             nan_counts.append(nan_count)
         else:  # slerp
             norm_a, norm_b, a_prop = params
-            numel = a.size
+            # exact order statistics rank over the TRUE element count (the
+            # padded rows never enter the spectrum)
+            numel = (true_m or a.shape[0]) * int(np.prod(a.shape[1:]))
             if sharded:
                 from ..parallel.merge import sharded_pair_slerp
 
@@ -847,7 +866,8 @@ Models merged:
                     blend.cull_limit(numel, cull_pct),
                     target_norm,
                     use_cull=cull_pct > 0,
-                    fast_imag=not self.exact_imag,
+                    fast_imag=fast,
+                    true_m=true_m,
                 )
             else:
                 fn = _pair_slerp_rfft if fast else partial(

@@ -44,7 +44,11 @@ def _a2a_cs_to_rs(x, axis_name):
     return jax.lax.all_to_all(x, axis_name, split_axis=0, concat_axis=1, tiled=True)
 
 
-def rfft2_rs_half(x, axis_name: str):
+def _pad_rows(x, pad_m: int):
+    return jnp.pad(x, ((0, pad_m - x.shape[0]),) + ((0, 0),) * (x.ndim - 1))
+
+
+def rfft2_rs_half(x, axis_name: str, true_m: int | None = None):
     """Distributed 2-D rfft of a row-sharded REAL block.
 
     Returns the half spectrum in a unified local layout (M, Nb + 1):
@@ -53,19 +57,30 @@ def rfft2_rs_half(x, axis_name: str):
     device (C = N/2+1 is ragged for the all-to-all; carrying the one extra
     column replicated keeps every downstream op uniform — reductions weight
     it on device 0 only, see half_col_weights). Requires N % 2P == 0.
+
+    ``true_m``: when the global row count does not divide the mesh, the
+    caller zero-pads rows to M_pad % P == 0 and passes the true count; the
+    padding rides the row FFT (zero rows stay zero) and is sliced off after
+    the all-to-all, so the column FFT and every downstream reduction see
+    exactly the true (true_m, N) spectrum.
     """
     h = jnp.fft.rfft(x, axis=-1)  # (M/P, N/2+1)
     body, nyq = h[:, :-1], h[:, -1:]
     body = _a2a_rs_to_cs(body, axis_name)  # (M, (N/2)/P)
     nyq = jax.lax.all_gather(nyq, axis_name, axis=0, tiled=True)  # (M, 1)
     h2 = jnp.concatenate([body, nyq], axis=1)
+    if true_m is not None:
+        h2 = h2[:true_m]
     return jnp.fft.fft(h2, axis=0)
 
 
-def irfft2_half_rs(h, axis_name: str, n: int):
+def irfft2_half_rs(h, axis_name: str, n: int, pad_m: int | None = None):
     """Inverse of :func:`rfft2_rs_half`: unified half spectrum -> row-sharded
-    (M/P, N) real."""
+    (M/P, N) real. ``pad_m`` re-inserts the zero padding rows the forward
+    sliced off (the caller slices the final result back to true_m rows)."""
     h = jnp.fft.ifft(h, axis=0)
+    if pad_m is not None:
+        h = _pad_rows(h, pad_m)
     body, nyq = h[:, :-1], h[:, -1:]
     body = _a2a_cs_to_rs(body, axis_name)  # (M/P, N/2)
     rank = jax.lax.axis_index(axis_name)
@@ -89,30 +104,44 @@ def half_col_weights(n: int, n_body_local: int, axis_name: str):
     return jnp.concatenate([body_w, nyq_w])
 
 
-def fft2_rs(x, axis_name: str):
-    """2-D FFT of a row-sharded real/complex block; returns column-sharded."""
+def fft2_rs(x, axis_name: str, true_m: int | None = None):
+    """2-D FFT of a row-sharded real/complex block; returns column-sharded.
+    ``true_m`` slices off caller-inserted zero padding rows after the
+    all-to-all (see rfft2_rs_half)."""
     y = jnp.fft.fft(x.astype(jnp.complex64) if not jnp.iscomplexobj(x) else x, axis=-1)
     y = _a2a_rs_to_cs(y, axis_name)
+    if true_m is not None:
+        y = y[:true_m]
     return jnp.fft.fft(y, axis=-2)
 
 
-def ifft2_cs(x, axis_name: str):
-    """Inverse of :func:`fft2_rs`: column-sharded complex -> row-sharded real."""
+def ifft2_cs(x, axis_name: str, pad_m: int | None = None):
+    """Inverse of :func:`fft2_rs`: column-sharded complex -> row-sharded real.
+    ``pad_m`` re-inserts zero rows before the all-to-all back."""
     y = jnp.fft.ifft(x, axis=-2)
+    if pad_m is not None:
+        y = _pad_rows(y, pad_m)
     y = _a2a_cs_to_rs(y, axis_name)
     return jnp.fft.ifft(y, axis=-1).real
 
 
-def fft2_cs(x, axis_name: str):
+def fft2_cs(x, axis_name: str, pad_m: int | None = None):
     """2-D FFT of a column-sharded block; returns row-sharded (used by the
-    imaginary double-FFT recursion whose input lives in CS layout)."""
+    imaginary double-FFT recursion whose input lives in CS layout). With
+    ``pad_m``, zero rows are appended AFTER the axis(-2) FFT purely to make
+    the all-to-all divisible; they stay zero through the row FFT and the
+    inner blend, and ifft2_rs slices them off before its axis(-2) inverse."""
     y = jnp.fft.fft(x.astype(jnp.complex64) if not jnp.iscomplexobj(x) else x, axis=-2)
+    if pad_m is not None:
+        y = _pad_rows(y, pad_m)
     y = _a2a_cs_to_rs(y, axis_name)
     return jnp.fft.fft(y, axis=-1)
 
 
-def ifft2_rs(x, axis_name: str):
+def ifft2_rs(x, axis_name: str, true_m: int | None = None):
     """Inverse of :func:`fft2_cs`: row-sharded complex -> column-sharded real."""
     y = jnp.fft.ifft(x, axis=-1)
     y = _a2a_rs_to_cs(y, axis_name)
+    if true_m is not None:
+        y = y[:true_m]
     return jnp.fft.ifft(y, axis=-2).real

@@ -62,7 +62,7 @@ def row_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
-                target_norm, use_cull, fast_imag=True):
+                target_norm, use_cull, fast_imag=True, true_m=None, pad_m=None):
     """shard_map body: blocks are row shards of the full tensors.
 
     ``fast_imag`` applies the analytic double-FFT identity (see
@@ -70,8 +70,8 @@ def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
     all-to-all transposes) per pair."""
     v0n = a / norm_a
     v1n = b / norm_b
-    fft_v0 = fft2_rs(v0n, _AXIS)  # -> CS layout
-    fft_v1 = fft2_rs(v1n, _AXIS)
+    fft_v0 = fft2_rs(v0n, _AXIS, true_m=true_m)  # -> CS layout
+    fft_v1 = fft2_rs(v1n, _AXIS, true_m=true_m)
     result_fft = interpolate_fft_components_impl(
         fft_v0,
         fft_v1,
@@ -84,10 +84,11 @@ def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
         use_cull=use_cull,
         interp_imag=not fast_imag,
         axis_name=_AXIS,
-        fft_fn=partial(fft2_cs, axis_name=_AXIS),   # imag planes: CS -> RS
-        ifft_fn=partial(ifft2_rs, axis_name=_AXIS),  # back: RS -> CS
+        # imag planes: CS -> RS (padding rows ride through as zeros)
+        fft_fn=partial(fft2_cs, axis_name=_AXIS, pad_m=pad_m),
+        ifft_fn=partial(ifft2_rs, axis_name=_AXIS, true_m=true_m),  # RS -> CS
     )
-    merged = ifft2_cs(result_fft, _AXIS)  # -> RS real
+    merged = ifft2_cs(result_fft, _AXIS, pad_m=pad_m)  # -> RS real
     nan_count = jax.lax.psum(
         jnp.sum(jnp.isnan(merged).astype(jnp.int32)), _AXIS
     )
@@ -100,15 +101,15 @@ def _slerp_body(a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit,
 
 def _slerp_body_rfft(
     a, b, norm_a, norm_b, t, cutoff_k, cull_k, cull_count_limit, target_norm,
-    use_cull,
+    use_cull, true_m=None, pad_m=None,
 ):
     """Half-spectrum (rfft) fast-imag variant of _slerp_body: half the FFT
     work and blend traffic on the mesh. Requires N % 2P == 0 (gated by the
     caller); the ragged Nyquist column rides replicated with device-0-only
     reduction weight (fft2d.half_col_weights)."""
     n = a.shape[-1]
-    h0 = rfft2_rs_half(a / norm_a, _AXIS)
-    h1 = rfft2_rs_half(b / norm_b, _AXIS)
+    h0 = rfft2_rs_half(a / norm_a, _AXIS, true_m=true_m)
+    h1 = rfft2_rs_half(b / norm_b, _AXIS, true_m=true_m)
     col_w = half_col_weights(n, h0.shape[1] - 1, _AXIS)
     from ..ops.blend import interpolate_half_spectrum
 
@@ -125,7 +126,7 @@ def _slerp_body_rfft(
         use_cull=use_cull,
         axis_name=_AXIS,
     )
-    merged = irfft2_half_rs(result, _AXIS, n)
+    merged = irfft2_half_rs(result, _AXIS, n, pad_m=pad_m)
     nan_count = jax.lax.psum(
         jnp.sum(jnp.isnan(merged).astype(jnp.int32)), _AXIS
     )
@@ -149,20 +150,29 @@ def sharded_pair_slerp(
     target_norm: float,
     use_cull: bool,
     fast_imag: bool = True,
+    true_m: int | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Regime (c) full SLERP-FFT path over the mesh. Same contract as
     merge.fourier._pair_slerp, for row-shardable 2-D tensors. With
     fast_imag and N divisible by 2P, the whole blend runs on the rfft
-    half spectrum."""
+    half spectrum. ``true_m``: true global row count when the caller
+    zero-padded rows to divide the mesh (merged rows beyond true_m are
+    zeros; the engine slices them off)."""
     spec = P(_AXIS, None)
     n_dev = mesh.devices.size
     use_rfft = fast_imag and a.shape[-1] % (2 * n_dev) == 0
+    pad_m = a.shape[0] if true_m is not None else None
 
     def build():
         if use_rfft:
-            body = partial(_slerp_body_rfft, use_cull=use_cull)
+            body = partial(
+                _slerp_body_rfft, use_cull=use_cull, true_m=true_m, pad_m=pad_m
+            )
         else:
-            body = partial(_slerp_body, use_cull=use_cull, fast_imag=fast_imag)
+            body = partial(
+                _slerp_body, use_cull=use_cull, fast_imag=fast_imag,
+                true_m=true_m, pad_m=pad_m,
+            )
         return jax.jit(
             jax.shard_map(
                 body,
@@ -172,7 +182,9 @@ def sharded_pair_slerp(
             )
         )
 
-    fn = _cached_kernel(mesh, "slerp", build, use_cull, fast_imag, use_rfft)
+    fn = _cached_kernel(
+        mesh, "slerp", build, use_cull, fast_imag, use_rfft, true_m, pad_m
+    )
     return fn(
         a,
         b,
@@ -186,59 +198,70 @@ def sharded_pair_slerp(
     )
 
 
-def _arith_body(a, b, norm_scale, weight_scale):
+def _arith_body(a, b, norm_scale, weight_scale, true_m=None, pad_m=None):
     scaled_a = a * norm_scale
     scaled_b = b * weight_scale * norm_scale
-    fft_v0 = fft2_rs(scaled_a, _AXIS)
-    fft_v1 = fft2_rs(scaled_b, _AXIS)
+    fft_v0 = fft2_rs(scaled_a, _AXIS, true_m=true_m)
+    fft_v1 = fft2_rs(scaled_b, _AXIS, true_m=true_m)
     out = arithmetic_fft_components_impl(
         fft_v0,
         fft_v1,
         jnp.float32(1.0),
         agreement=True,
-        fft_fn=partial(fft2_cs, axis_name=_AXIS),
-        ifft_fn=partial(ifft2_rs, axis_name=_AXIS),
+        fft_fn=partial(fft2_cs, axis_name=_AXIS, pad_m=pad_m),
+        ifft_fn=partial(ifft2_rs, axis_name=_AXIS, true_m=true_m),
     )
-    return ifft2_cs(out, _AXIS)
+    return ifft2_cs(out, _AXIS, pad_m=pad_m)
 
 
-def _arith_body_rfft(a, b, norm_scale, weight_scale):
+def _arith_body_rfft(a, b, norm_scale, weight_scale, true_m=None, pad_m=None):
     """Half-spectrum fast-imag arithmetic (elementwise; no weights needed)."""
     n = a.shape[-1]
-    h0 = rfft2_rs_half(a * norm_scale, _AXIS)
-    h1 = rfft2_rs_half(b * weight_scale * norm_scale, _AXIS)
+    h0 = rfft2_rs_half(a * norm_scale, _AXIS, true_m=true_m)
+    h1 = rfft2_rs_half(b * weight_scale * norm_scale, _AXIS, true_m=true_m)
     r0, r1 = h0.real, h1.real
     sign_mask = jnp.sign(r0) == jnp.sign(r1)
     # REF-QUIRK functions.py:282-284: disagreement lanes take v1
     res_real = jnp.where(sign_mask, r0 + r1, r1)  # t=1
-    return irfft2_half_rs(jax.lax.complex(res_real, h0.imag), _AXIS, n)
+    return irfft2_half_rs(
+        jax.lax.complex(res_real, h0.imag), _AXIS, n, pad_m=pad_m
+    )
 
 
 def sharded_pair_arith(
     mesh: Mesh, a, b, norm_scale: float, weight_scale: float,
     fast_imag: bool = True,
+    true_m: int | None = None,
 ):
     """Regime (b) sign-agreement arithmetic over the mesh."""
     spec = P(_AXIS, None)
     use_rfft = fast_imag and a.shape[-1] % (2 * mesh.devices.size) == 0
+    pad_m = a.shape[0] if true_m is not None else None
 
     def build():
+        body = partial(
+            _arith_body_rfft if use_rfft else _arith_body,
+            true_m=true_m, pad_m=pad_m,
+        )
         return jax.jit(
             jax.shard_map(
-                _arith_body_rfft if use_rfft else _arith_body,
+                body,
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P()),
                 out_specs=spec,
             )
         )
 
-    fn = _cached_kernel(mesh, "arith", build, use_rfft)
+    fn = _cached_kernel(mesh, "arith", build, use_rfft, true_m, pad_m)
     return fn(a, b, jnp.float32(norm_scale), jnp.float32(weight_scale))
 
 
-def _lowratio_body(a, b, norm_a, norm_b, t, target_norm):
+def _lowratio_body(a, b, norm_a, norm_b, t, target_norm, true_m=None, pad_m=None):
     merged = ifft2_cs(
-        fft2_rs(a / norm_a, _AXIS) + t * fft2_rs(b / norm_b, _AXIS), _AXIS
+        fft2_rs(a / norm_a, _AXIS, true_m=true_m)
+        + t * fft2_rs(b / norm_b, _AXIS, true_m=true_m),
+        _AXIS,
+        pad_m=pad_m,
     )
     nan_count = jax.lax.psum(
         jnp.sum(jnp.isnan(merged).astype(jnp.int32)), _AXIS
@@ -250,10 +273,14 @@ def _lowratio_body(a, b, norm_a, norm_b, t, target_norm):
     return merged * target_norm, nan_count, has_inf
 
 
-def _lowratio_body_rfft(a, b, norm_a, norm_b, t, target_norm):
+def _lowratio_body_rfft(
+    a, b, norm_a, norm_b, t, target_norm, true_m=None, pad_m=None
+):
     n = a.shape[-1]
-    h = rfft2_rs_half(a / norm_a, _AXIS) + t * rfft2_rs_half(b / norm_b, _AXIS)
-    merged = irfft2_half_rs(h, _AXIS, n)
+    h = rfft2_rs_half(a / norm_a, _AXIS, true_m=true_m) + t * rfft2_rs_half(
+        b / norm_b, _AXIS, true_m=true_m
+    )
+    merged = irfft2_half_rs(h, _AXIS, n, pad_m=pad_m)
     nan_count = jax.lax.psum(
         jnp.sum(jnp.isnan(merged).astype(jnp.int32)), _AXIS
     )
@@ -265,22 +292,28 @@ def _lowratio_body_rfft(a, b, norm_a, norm_b, t, target_norm):
 
 
 def sharded_pair_lowratio(
-    mesh: Mesh, a, b, norm_a, norm_b, t, target_norm, fast_imag: bool = True
+    mesh: Mesh, a, b, norm_a, norm_b, t, target_norm, fast_imag: bool = True,
+    true_m: int | None = None,
 ):
     spec = P(_AXIS, None)
     use_rfft = fast_imag and a.shape[-1] % (2 * mesh.devices.size) == 0
+    pad_m = a.shape[0] if true_m is not None else None
 
     def build():
+        body = partial(
+            _lowratio_body_rfft if use_rfft else _lowratio_body,
+            true_m=true_m, pad_m=pad_m,
+        )
         return jax.jit(
             jax.shard_map(
-                _lowratio_body_rfft if use_rfft else _lowratio_body,
+                body,
                 mesh=mesh,
                 in_specs=(spec, spec, P(), P(), P(), P()),
                 out_specs=(spec, P(), P()),
             )
         )
 
-    fn = _cached_kernel(mesh, "lowratio", build, use_rfft)
+    fn = _cached_kernel(mesh, "lowratio", build, use_rfft, true_m, pad_m)
     return fn(
         a,
         b,

@@ -359,3 +359,184 @@ def test_sharded_rfft_arith_and_lowratio_match(mesh, rng):
     np.testing.assert_allclose(
         np.asarray(shard_lr), s_np, rtol=1e-3, atol=1e-4 * np.abs(s_np).max()
     )
+
+
+# --- padded-rows sharding (row counts that do not divide the mesh) ----------
+
+
+def _padded(mesh, arr, pad):
+    padded = np.pad(arr, ((0, pad), (0, 0)))
+    return jax.device_put(jnp.asarray(padded), row_sharding(mesh))
+
+
+@pytest.mark.parametrize("fast_imag", [True, False])
+def test_padded_sharded_slerp_matches_single_chip(mesh, rng, fast_imag):
+    """36 rows on 8 devices: zero-padded to 40, true_m=36 — the kernels must
+    slice the padding after the all-to-all so thresholds/norms/blend see the
+    true tensor, and the merged pad rows must come back as zeros."""
+    from shardmerge_tpu.merge.fourier import _pair_slerp, _pair_slerp_rfft
+
+    M, N = 36, 64  # N % 2P == 0 so the rfft variant engages when fast_imag
+    a = rng.standard_normal((M, N)).astype(np.float32)
+    b = rng.standard_normal((M, N)).astype(np.float32)
+    norm_a, norm_b = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+    numel = a.size
+    ranks = (
+        blend.cutoff_rank(numel, 0.08),
+        blend.cull_rank(numel, 0.2),
+        blend.cull_limit(numel, 0.2),
+    )
+    common = (
+        jnp.asarray(a),
+        jnp.asarray(b),
+        jnp.float32(norm_a),
+        jnp.float32(norm_b),
+        jnp.float32(0.6),
+        jnp.int32(ranks[0]),
+        jnp.int32(ranks[1]),
+        jnp.int32(ranks[2]),
+        jnp.float32(2.5),
+    )
+    # like-for-like single-chip reference: the sharded fast_imag kernel is
+    # the half-spectrum one, so compare against _pair_slerp_rfft (threshold
+    # order statistics differ between full and half spectrum only by the
+    # symmetrization rounding class, which flips boundary elements at this
+    # tiny size)
+    if fast_imag:
+        single, _, single_inf = _pair_slerp_rfft(
+            *common, use_cutoff=True, use_cull=True
+        )
+    else:
+        single, _, single_inf = _pair_slerp(
+            *common, use_cutoff=True, use_cull=True, fast_imag=False
+        )
+    shard, _, shard_inf = sharded_pair_slerp(
+        mesh,
+        _padded(mesh, a, 4),
+        _padded(mesh, b, 4),
+        norm_a,
+        norm_b,
+        0.6,
+        *ranks,
+        2.5,
+        use_cull=True,
+        fast_imag=fast_imag,
+        true_m=M,
+    )
+    assert bool(single_inf) == bool(shard_inf) == False  # noqa: E712
+    shard_np = np.asarray(shard)
+    assert shard_np.shape == (40, N)
+    np.testing.assert_array_equal(shard_np[M:], 0.0)  # pad rows stay zero
+    single_np = np.asarray(single)
+    scale = np.abs(single_np).max()
+    np.testing.assert_allclose(
+        shard_np[:M], single_np, rtol=1e-3, atol=1e-4 * scale
+    )
+
+
+def test_padded_sharded_arith_and_lowratio_match(mesh, rng):
+    from shardmerge_tpu.merge.fourier import (
+        _pair_arith_rfft,
+        _pair_lowratio_rfft,
+    )
+    from shardmerge_tpu.parallel.merge import sharded_pair_lowratio
+
+    M, N = 52, 32  # 52 % 8 = 4 -> pad to 56
+    a = rng.standard_normal((M, N)).astype(np.float32)
+    b = rng.standard_normal((M, N)).astype(np.float32)
+    na, nb = float(np.linalg.norm(a)), float(np.linalg.norm(b))
+
+    single = np.asarray(
+        _pair_arith_rfft(
+            jnp.asarray(a), jnp.asarray(b), jnp.float32(1.3), jnp.float32(0.7)
+        )
+    )
+    shard = np.asarray(
+        sharded_pair_arith(
+            mesh, _padded(mesh, a, 4), _padded(mesh, b, 4), 1.3, 0.7,
+            true_m=M,
+        )
+    )
+    np.testing.assert_array_equal(shard[M:], 0.0)
+    np.testing.assert_allclose(
+        shard[:M], single, rtol=1e-3, atol=1e-4 * np.abs(single).max()
+    )
+
+    single_lr, _, _ = _pair_lowratio_rfft(
+        jnp.asarray(a), jnp.asarray(b), jnp.float32(na), jnp.float32(nb),
+        jnp.float32(0.4), jnp.float32(1.9),
+    )
+    shard_lr, _, _ = sharded_pair_lowratio(
+        mesh, _padded(mesh, a, 4), _padded(mesh, b, 4), na, nb, 0.4, 1.9,
+        true_m=M,
+    )
+    single_lr, shard_lr = np.asarray(single_lr), np.asarray(shard_lr)
+    np.testing.assert_array_equal(shard_lr[M:], 0.0)
+    np.testing.assert_allclose(
+        shard_lr[:M], single_lr, rtol=1e-3, atol=1e-4 * np.abs(single_lr).max()
+    )
+
+
+def test_engine_pads_odd_rows_and_falls_back_for_other_shapes(
+    tmp_path, mesh, tiny_model_factory
+):
+    """Engine policy: 2-D tensors with mesh-indivisible rows are padded and
+    sharded (not silently single-deviced); 1-D and 3-D tensors fall back."""
+    import ml_dtypes
+
+    from shardmerge_tpu.merge.fourier import FourierMerge
+    from tests.test_merge_engine import (
+        _make_config,
+        _offline_index,
+        _run_merge,
+    )
+
+    base_path, _ = tiny_model_factory("base", seed=300)
+    paths = [tiny_model_factory(f"p{i}", seed=301 + i)[0] for i in range(3)]
+    entries = [
+        {"model": str(p), "base": str(base_path), "alpha": a}
+        for p, a in zip(paths, [1.0, 0.6, 0.4])
+    ]
+    config = _make_config(tmp_path, base_path, entries)
+    merger = FourierMerge(
+        config,
+        index_manager=_offline_index(base_path, *paths),
+        mesh=mesh,
+        shard_min_bytes=0,
+        small_tensor_numel=0,
+    )
+
+    # policy unit checks
+    assert merger._sharding_for(np.zeros((26, 16), np.float32)) is not None
+    assert merger._pad_rows_for(np.zeros((26, 16), np.float32), None) == 6
+    assert merger._pad_rows_for(np.zeros((24, 16), np.float32), None) == 0
+    assert merger._sharding_for(np.zeros((16,), np.float32)) is None
+    assert merger._sharding_for(np.zeros((4, 8, 16), np.float32)) is None
+
+    # end-to-end: the tiny model's (24,16)/(16,24) tensors divide the mesh,
+    # but (26,16) does not — patch one shape set to odd rows via a custom
+    # model trio below is covered by the kernel tests; here we assert the
+    # full merge still runs and matches the unsharded engine.
+    _run_merge(merger)
+
+    from tests.test_merge_engine import _read_output
+
+    sharded_out = _read_output(tmp_path / "merged")
+
+    sub = tmp_path / "nomesh"
+    sub.mkdir()
+    config2 = _make_config(sub, base_path, entries)
+    merger2 = FourierMerge(
+        config2, index_manager=_offline_index(base_path, *paths)
+    )
+    _run_merge(merger2)
+    plain_out = _read_output(sub / "merged")
+    for name in plain_out:
+        a = sharded_out[name].astype(np.float32)
+        b = plain_out[name].astype(np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        close = np.isclose(a, b, rtol=2e-2, atol=2e-2 * scale)
+        # tiny tensors: distributed-FFT rounding flips a handful of
+        # threshold-boundary elements vs the single-chip exact path
+        assert close.mean() > 0.94, name
+    assert sharded_out[name].dtype == np.dtype(ml_dtypes.bfloat16)
