@@ -114,14 +114,18 @@ async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cac
     if config.shard_tensors:
         import jax
 
-        from .parallel.mesh import make_mesh
+        from .parallel.multihost import initialize_distributed, merge_mesh
 
+        # multi-host pods: start the distributed runtime (no-op when
+        # single-process) so jax.devices() is the global device set
+        initialize_distributed()
         if len(jax.devices()) > 1:
-            mesh = make_mesh(("x",))
+            mesh = merge_mesh()
             logger.info(
-                "Sharding tensors >= %d bytes over %d devices",
+                "Sharding tensors >= %d bytes over %d devices (%d hosts)",
                 config.shard_min_bytes,
                 mesh.devices.size,
+                jax.process_count(),
             )
 
     merger = merge_cls(

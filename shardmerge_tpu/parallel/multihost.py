@@ -1,0 +1,93 @@
+"""Multi-host (DCN) support for the merge pipeline.
+
+Design decision (round 2, resolving SURVEY.md §2.3 "optional multi-host"):
+the merge math needs NO multi-host-specific kernels. The distributed-FFT
+pair merge (parallel/merge.py) shards a tensor's rows over ONE flat mesh
+axis; GSPMD routes the all-to-all edges of that axis over ICI within a host
+and over DCN between hosts automatically. What multi-host needs is:
+
+1. runtime initialization — ``jax.distributed.initialize`` on every host so
+   ``jax.devices()`` is the global device set (``initialize_distributed``);
+2. a flat merge mesh over all global devices, ordered so consecutive mesh
+   positions are intra-host (``merge_mesh``) — the row<->column all-to-all
+   is all-pairs, but the inverse transform's paired forward reuses the same
+   layout, so keeping each host's devices contiguous maximizes the fraction
+   of shard boundaries that stay on ICI;
+3. host-local IO — every process downloads/reads only the shards it needs
+   and process 0 writes the output (the writer is host-side; sharded merged
+   tensors are gathered to host RAM on fetch, exactly as single-host spill).
+
+When to engage: a 70B fp32 delta stack (2 models x 3.9 GB/tensor peak with
+complex64 intermediates) fits a single v5p host comfortably — multi-host is
+only needed when the per-tensor working set exceeds one host's aggregate
+HBM or to ride more aggregate HBM bandwidth. The <10 min 70B target
+(BASELINE.md) is reachable single-host; this module exists so the same
+engine scales past it unchanged.
+
+This container has one TPU chip and no DCN, so ``initialize_distributed``
+is exercised in tests only in its single-process no-op form; the mesh
+construction and ordering logic runs on the 8-virtual-device CPU harness.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["initialize_distributed", "merge_mesh"]
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Initialize the JAX distributed runtime for a multi-host merge.
+
+    No-op (returns False) when single-process: either no coordinator is
+    given and the environment carries no cluster variables, or the cluster
+    is of size 1. Returns True when the distributed runtime was started.
+    On TPU pods the three arguments are auto-detected from the metadata
+    server and may all be None.
+    """
+    if coordinator_address is None and num_processes in (None, 1):
+        import os
+
+        if not any(
+            k in os.environ
+            for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
+        ):
+            logger.debug("single-process run; distributed runtime not started")
+            return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        "distributed runtime up: process %d/%d, %d global devices",
+        jax.process_index(),
+        jax.process_count(),
+        len(jax.devices()),
+    )
+    return True
+
+
+def merge_mesh(devices: Optional[Sequence] = None) -> Mesh:
+    """Flat 1-D merge mesh over all global devices, host-contiguous order.
+
+    Devices are sorted by (process_index, device id) so each host's devices
+    occupy consecutive mesh positions: the row shards a host holds are
+    contiguous, every local row-FFT touches only local HBM, and the
+    all-to-all's intra-host edges (the majority for P_local >> n_hosts) ride
+    ICI. Works identically for a single host (== make_mesh(("x",))).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    devices.sort(key=lambda d: (getattr(d, "process_index", 0), d.id))
+    return Mesh(np.asarray(devices), axis_names=("x",))

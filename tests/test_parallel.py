@@ -540,3 +540,36 @@ def test_engine_pads_odd_rows_and_falls_back_for_other_shapes(
         # threshold-boundary elements vs the single-chip exact path
         assert close.mean() > 0.94, name
     assert sharded_out[name].dtype == np.dtype(ml_dtypes.bfloat16)
+
+
+def test_multihost_merge_mesh_and_init(rng):
+    """merge_mesh orders devices host-contiguously and drives the sharded
+    kernels identically to make_mesh; initialize_distributed is a no-op
+    single-process."""
+    from shardmerge_tpu.merge.fourier import _pair_arith_rfft
+    from shardmerge_tpu.parallel.multihost import (
+        initialize_distributed,
+        merge_mesh,
+    )
+
+    assert initialize_distributed() is False  # single process: no-op
+
+    mh = merge_mesh()
+    assert mh.axis_names == ("x",)
+    assert mh.devices.size == 8
+    ids = [d.id for d in mh.devices.ravel()]
+    assert ids == sorted(ids)  # host-contiguous == id order on one host
+
+    a = rng.standard_normal((16, 32)).astype(np.float32)
+    b = rng.standard_normal((16, 32)).astype(np.float32)
+    single = np.asarray(
+        _pair_arith_rfft(
+            jnp.asarray(a), jnp.asarray(b), jnp.float32(1.1), jnp.float32(0.9)
+        )
+    )
+    shard = np.asarray(
+        sharded_pair_arith(mh, _sharded(mh, a), _sharded(mh, b), 1.1, 0.9)
+    )
+    np.testing.assert_allclose(
+        shard, single, rtol=1e-3, atol=1e-4 * np.abs(single).max()
+    )
