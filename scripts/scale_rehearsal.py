@@ -1,0 +1,284 @@
+#!/usr/bin/env python
+"""Synthetic scale rehearsal: a full Llama-8B-shaped merge on real hardware.
+
+Builds base + 2 finetunes with REAL Llama-3.1-8B tensor shapes (random
+weights — this container is zero-egress, BASELINE.md configs 1-5 cannot be
+fetched), runs the production `merge` CLI with profiling, gates the output
+with verify-safetensors, spot-checks one tensor against the torch oracle,
+and writes a JSON report with the per-phase breakdown and a measured
+projection to the 70B target (BASELINE.md).
+
+Usage:
+    python scripts/scale_rehearsal.py --out-dir /tmp/scale8b [--layers 32]
+        [--skip-oracle] [--keep]
+
+The driver-facing numbers land in <out-dir>/report.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+# Llama-3.1-8B geometry (config.json of meta-llama/Llama-3.1-8B)
+HIDDEN = 4096
+INTER = 14336
+VOCAB = 128256
+N_KV = 8
+N_HEADS = 32
+HEAD_DIM = HIDDEN // N_HEADS
+
+# Llama-3.1-70B geometry for the projection
+H70, I70, L70 = 8192, 28672, 80
+
+
+def layer_shapes(hidden=HIDDEN, inter=INTER):
+    kv = N_KV * HEAD_DIM * hidden // HIDDEN  # kv width scales with hidden
+    return {
+        "self_attn.q_proj.weight": (hidden, hidden),
+        "self_attn.k_proj.weight": (kv, hidden),
+        "self_attn.v_proj.weight": (kv, hidden),
+        "self_attn.o_proj.weight": (hidden, hidden),
+        "mlp.gate_proj.weight": (inter, hidden),
+        "mlp.up_proj.weight": (inter, hidden),
+        "mlp.down_proj.weight": (hidden, inter),
+        "input_layernorm.weight": (hidden,),
+        "post_attention_layernorm.weight": (hidden,),
+    }
+
+
+def model_shapes(layers: int):
+    shapes = {"model.embed_tokens.weight": (VOCAB, HIDDEN)}
+    for i in range(layers):
+        for k, shp in layer_shapes().items():
+            shapes[f"model.layers.{i}.{k}"] = shp
+    shapes["model.norm.weight"] = (HIDDEN,)
+    shapes["lm_head.weight"] = (VOCAB, HIDDEN)
+    return shapes
+
+
+_POOL_BUF = None  # one big gaussian buffer shared by all models
+
+
+class Pool:
+    """Cheap deterministic tensor source: one shared random buffer sized to
+    the largest tensor, sliced at per-model/per-tensor offsets.
+
+    Generating 24B independent gaussians on one core would dominate the
+    rehearsal; the merge math only needs nonzero, model-distinct deltas.
+    """
+
+    def __init__(self, seed: int):
+        global _POOL_BUF
+        if _POOL_BUF is None:
+            n = VOCAB * HIDDEN + (1 << 17)
+            # uniform is ~10x faster to generate than gaussian on this host
+            # and serves the same purpose here
+            _POOL_BUF = np.random.default_rng(0).random(n, dtype=np.float32)
+            _POOL_BUF -= 0.5
+        self.off = seed * 51_511_229
+
+    def take(self, shape):
+        n = int(np.prod(shape))
+        start = self.off % (_POOL_BUF.size - n)
+        self.off += 1_000_003  # co-prime-ish walk so tensors differ
+        return _POOL_BUF[start:start + n].reshape(shape).copy()
+
+
+def write_model(path: Path, seed: int, layers: int, base_dir: Path | None,
+                delta_scale: float = 2e-3, shard_bytes: int = 4 << 30):
+    """Write a sharded bf16 safetensors model; if base_dir is given, tensors
+    are base + delta_scale * noise (a finetune)."""
+    import ml_dtypes
+
+    from shardmerge_tpu.io import native
+    from shardmerge_tpu.io import safetensors_io as stio
+
+    path.mkdir(parents=True, exist_ok=True)
+    shapes = model_shapes(layers)
+    pool = Pool(seed)
+    base_reader = {}
+    if base_dir is not None:
+        base_idx = json.load(open(base_dir / "model.safetensors.index.json"))
+        base_map = base_idx["weight_map"]
+
+    weight_map, shard, shard_size, shard_id = {}, {}, 0, 1
+    names = list(shapes)
+    total = 0
+
+    def flush(shard, shard_id, n_shards_guess=99):
+        fname = f"model-{shard_id:05d}-of-{n_shards_guess:05d}.safetensors"
+        stio.save_file(shard, path / fname, metadata={"format": "pt"})
+        return fname
+
+    pending = []  # (fname, names)
+    for name in names:
+        shp = shapes[name]
+        t = pool.take(shp)
+        if base_dir is not None:
+            with stio.SafeTensorsReader(base_dir / base_map[name]) as r:
+                # ml_dtypes .astype on an mmap view runs ~25x slower than on
+                # RAM; copy first, then widen with the native converter
+                bt = native.bf16_to_f32(r.get_tensor(name, copy=True))
+            t = bt + delta_scale * t
+        bf = native.f32_to_bf16(np.ascontiguousarray(t))
+        shard[name] = bf
+        shard_size += bf.nbytes
+        total += bf.nbytes
+        if shard_size >= shard_bytes:
+            pending.append((flush(shard, shard_id), list(shard)))
+            shard, shard_size, shard_id = {}, 0, shard_id + 1
+    if shard:
+        pending.append((flush(shard, shard_id), list(shard)))
+
+    n_shards = len(pending)
+    for fname, members in pending:
+        final = fname.replace("-of-00099", f"-of-{n_shards:05d}")
+        os.rename(path / fname, path / final)
+        for m in members:
+            weight_map[m] = final
+    index = {"metadata": {"total_size": total}, "weight_map": weight_map}
+    json.dump(index, open(path / "model.safetensors.index.json", "w"), indent=2)
+    return total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", type=Path, default=Path("/tmp/scale8b"))
+    ap.add_argument("--layers", type=int, default=32)
+    ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument("--keep", action="store_true", help="keep model dirs")
+    args = ap.parse_args()
+
+    out = args.out_dir
+    out.mkdir(parents=True, exist_ok=True)
+    report = {"layers": args.layers, "shapes": "llama-3.1-8b"}
+
+    t0 = time.time()
+    sizes = {}
+
+    def synth(name, seed, base):
+        if (out / name / "model.safetensors.index.json").exists():
+            idx = json.load(open(out / name / "model.safetensors.index.json"))
+            print(f"{name}: reusing existing synthesis", flush=True)
+            return idx["metadata"]["total_size"]
+        t = time.time()
+        n = write_model(out / name, seed, args.layers, base)
+        print(f"{name}: {n/2**30:.1f} GiB in {time.time()-t:.0f}s", flush=True)
+        return n
+
+    sizes["base"] = synth("base", 1, None)
+    for i, name in enumerate(["ft1", "ft2"]):
+        sizes[name] = synth(name, 2 + i, out / "base")
+    report["synthesis_s"] = round(time.time() - t0, 1)
+    report["input_bytes"] = sum(sizes.values())
+    print(f"synthesized {report['input_bytes']/2**30:.1f} GiB in "
+          f"{report['synthesis_s']}s", flush=True)
+
+    cfg = out / "config.yaml"
+    cfg.write_text(
+        f"""output_base_model: "{out}/base"
+finetune_merge:
+  - {{model: "{out}/ft1", base: "{out}/base", alpha: 0.8}}
+  - {{model: "{out}/ft2", base: "{out}/base", alpha: 0.4}}
+output_dir: "{out}/merged"
+cache_dir: "{out}/cache"
+storage_dir: "{out}/storage"
+"""
+    )
+
+    env = dict(os.environ, SHARDMERGE_PROFILE="1")
+    t1 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "shardmerge_tpu", "merge", str(cfg)],
+        cwd=str(REPO), env=env, capture_output=True, text=True,
+    )
+    merge_wall = time.time() - t1
+    (out / "merge.log").write_text(proc.stdout + proc.stderr)
+    if proc.returncode != 0:
+        print(proc.stderr[-3000:])
+        sys.exit(1)
+    report["merge_wall_s"] = round(merge_wall, 1)
+
+    # phase breakdown from the profiler lines
+    phases = {}
+    for m in re.finditer(r"\[profile\] merge ([\w.]+): ([\d.]+) ms",
+                         proc.stdout + proc.stderr):
+        name, ms = m.group(1), float(m.group(2))
+        key = re.sub(r"layers\.\d+\.", "layers.N.", name)
+        phases.setdefault(key, []).append(ms)
+    report["per_tensor_ms"] = {
+        k: round(float(np.mean(v)), 1) for k, v in sorted(phases.items())
+    }
+
+    # verify gate
+    v = subprocess.run(
+        [sys.executable, "-m", "shardmerge_tpu", "verify-safetensors",
+         "--model_dir", str(out / "merged")],
+        cwd=str(REPO), capture_output=True, text=True,
+    )
+    report["verify_ok"] = v.returncode == 0 and "align perfectly" in v.stdout
+    print("verify:", report["verify_ok"], flush=True)
+
+    # oracle spot-check (one q_proj tensor, reference-semantics torch path)
+    if not args.skip_oracle:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        from shardmerge_tpu.io import safetensors_io as stio
+        from tests.test_merge_engine import _oracle_fourier_pair
+
+        def load(d, n):
+            idx = json.load(open(Path(d) / "model.safetensors.index.json"))
+            with stio.SafeTensorsReader(Path(d) / idx["weight_map"][n]) as r:
+                return r.get_tensor(n, copy=True).astype(np.float32)
+
+        name = "model.layers.0.self_attn.q_proj.weight"
+        got = load(out / "merged", name)
+        expect = np.asarray(_oracle_fourier_pair(
+            load(out / "base", name), load(out / "ft1", name),
+            load(out / "ft2", name), 0.8, 0.4,
+        ))
+        scale = max(np.abs(expect).max(), 1e-6)
+        agree = float(np.isclose(got, expect, rtol=2e-2,
+                                 atol=2e-2 * scale).mean())
+        report["oracle_agreement"] = round(agree, 4)
+        print("oracle agreement:", agree, flush=True)
+
+    # projection: per-layer cost scales with tensor elements; 70B has 80
+    # layers of (H70, I70) geometry
+    layer_keys = [k for k in report["per_tensor_ms"] if "layers.N" in k]
+    per_layer_ms = sum(
+        report["per_tensor_ms"][k] for k in layer_keys
+    )
+    el_8b = sum(int(np.prod(s)) for s in layer_shapes().values())
+    el_70b = sum(int(np.prod(s)) for s in layer_shapes(H70, I70).values())
+    embed_ms = report["per_tensor_ms"].get("model.embed_tokens.weight", 0)
+    head_ms = report["per_tensor_ms"].get("lm_head.weight", 0)
+    proj_s = (L70 * per_layer_ms * el_70b / el_8b + embed_ms * 2 + head_ms) / 1e3
+    report["measured_per_layer_ms"] = round(per_layer_ms, 1)
+    report["projected_70b_compute_s"] = round(proj_s, 1)
+    report["total_wall_s"] = round(time.time() - t0, 1)
+
+    json.dump(report, open(out / "report.json", "w"), indent=2)
+    print(json.dumps(report, indent=2))
+
+    if not args.keep:
+        for d in ["base", "ft1", "ft2", "cache", "storage"]:
+            shutil.rmtree(out / d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

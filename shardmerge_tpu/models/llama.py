@@ -1,4 +1,5 @@
-"""JAX Llama-family forward pass (Llama 2/3, Qwen2, Mistral).
+"""JAX Llama-family forward pass (Llama 2/3, Qwen2, Mistral, Mixtral,
+Gemma 1/2, Phi-3).
 
 Replaces the reference's transformers+bitsandbytes inference path
 (shard/inference.py:65-119) with a pure-JAX functional model:
@@ -8,8 +9,11 @@ Replaces the reference's transformers+bitsandbytes inference path
 - one jitted function serves both prefill and single-token decode against a
   fixed-size KV cache (static shapes; no retrace per step)
 - bf16 weights/activations, fp32 RMSNorm/softmax/logits
-- GQA, RoPE (with llama3 rope scaling), SwiGLU, optional attention biases
-  (Qwen2), optional tied embeddings
+- GQA, RoPE (with llama3 rope scaling), SwiGLU/GeGLU, optional attention
+  biases (Qwen2), optional tied embeddings; Gemma (1+w) norms and
+  sqrt(hidden) embed scale; Gemma-2 post-norm blocks, logit softcapping and
+  alternating sliding-window attention; Phi-3 fused-qkv checkpoints split
+  on load
 - weights may be int8/int4-quantized per output channel (models/quant.py);
   dequantization happens inside the matmul helper
 
@@ -49,10 +53,36 @@ class ModelConfig:
     # MoE (Mixtral): 0 experts means a dense MLP
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # Gemma family
+    head_dim_override: Optional[int] = None  # gemma2 sets head_dim explicitly
+    hidden_act: str = "silu"  # gemma: gelu_pytorch_tanh (GeGLU)
+    query_pre_attn_scalar: Optional[float] = None  # gemma2 score scale
+    attn_logit_softcapping: Optional[float] = None  # gemma2
+    final_logit_softcapping: Optional[float] = None  # gemma2
+    sliding_window: Optional[int] = None  # gemma2 alternating local attn
 
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def is_gemma(self) -> bool:
+        return self.model_type.startswith("gemma")
+
+    @property
+    def is_gemma2(self) -> bool:
+        return self.model_type == "gemma2"
+
+    def layer_is_sliding(self, layer_idx: int) -> bool:
+        """gemma2 alternates local (sliding-window) and global attention;
+        HF applies the window on even layer indices."""
+        return (
+            self.is_gemma2
+            and self.sliding_window is not None
+            and layer_idx % 2 == 0
+        )
 
     @classmethod
     def from_hf_config(cls, config: dict) -> "ModelConfig":
@@ -70,13 +100,27 @@ class ModelConfig:
             rms_norm_eps=config.get("rms_norm_eps", 1e-5),
             rope_theta=config.get("rope_theta", 10000.0),
             rope_scaling=config.get("rope_scaling"),
-            tie_word_embeddings=config.get("tie_word_embeddings", False),
+            tie_word_embeddings=config.get(
+                "tie_word_embeddings", model_type.startswith("gemma")
+            ),
             attention_bias=config.get(
                 "attention_bias", model_type == "qwen2"
             ),
             model_type=model_type,
             num_local_experts=config.get("num_local_experts", 0),
             num_experts_per_tok=config.get("num_experts_per_tok", 2),
+            head_dim_override=config.get("head_dim")
+            if model_type.startswith("gemma")
+            else None,
+            hidden_act=config.get(
+                "hidden_activation", config.get("hidden_act", "silu")
+            ),
+            query_pre_attn_scalar=config.get("query_pre_attn_scalar"),
+            attn_logit_softcapping=config.get("attn_logit_softcapping"),
+            final_logit_softcapping=config.get("final_logit_softcapping"),
+            sliding_window=config.get("sliding_window")
+            if model_type == "gemma2"
+            else None,
         )
 
     @classmethod
@@ -89,10 +133,17 @@ class ModelConfig:
 # Building blocks
 # ---------------------------------------------------------------------------
 
-def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+def rms_norm(
+    x: jnp.ndarray, weight: jnp.ndarray, eps: float, plus_one: bool = False
+) -> jnp.ndarray:
+    """RMSNorm in fp32. ``plus_one``: Gemma stores zero-centered weights and
+    multiplies by (1 + w)."""
     x32 = x.astype(jnp.float32)
     normed = x32 * jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
-    return (normed * weight.astype(jnp.float32)).astype(x.dtype)
+    w32 = weight.astype(jnp.float32)
+    if plus_one:
+        w32 = 1.0 + w32
+    return (normed * w32).astype(x.dtype)
 
 
 def _rope_inv_freq(cfg: ModelConfig) -> np.ndarray:
@@ -174,23 +225,34 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
 
     params: Params = {
         "embed_tokens": dense(keys[0], (cfg.vocab_size, cfg.hidden_size)),
-        "norm": jnp.ones((cfg.hidden_size,), dtype),
+        "norm": (jnp.zeros if cfg.is_gemma else jnp.ones)(
+            (cfg.hidden_size,), dtype
+        ),
         "layers": [],
     }
     if not cfg.tie_word_embeddings:
         params["lm_head"] = dense(keys[1], (cfg.vocab_size, cfg.hidden_size))
 
     kv_dim = cfg.num_key_value_heads * cfg.head_dim
+    q_dim = cfg.num_attention_heads * cfg.head_dim
+    norm_init = jnp.zeros if cfg.is_gemma else jnp.ones  # gemma: (1+w) form
     for i in range(cfg.num_hidden_layers):
         k = jax.random.split(keys[i + 2], 8)
         layer = {
-            "q_proj": dense(k[0], (cfg.hidden_size, cfg.hidden_size)),
+            "q_proj": dense(k[0], (q_dim, cfg.hidden_size)),
             "k_proj": dense(k[1], (kv_dim, cfg.hidden_size)),
             "v_proj": dense(k[2], (kv_dim, cfg.hidden_size)),
-            "o_proj": dense(k[3], (cfg.hidden_size, cfg.hidden_size)),
-            "input_layernorm": jnp.ones((cfg.hidden_size,), dtype),
-            "post_attention_layernorm": jnp.ones((cfg.hidden_size,), dtype),
+            "o_proj": dense(k[3], (cfg.hidden_size, q_dim)),
+            "input_layernorm": norm_init((cfg.hidden_size,), dtype),
+            "post_attention_layernorm": norm_init((cfg.hidden_size,), dtype),
         }
+        if cfg.is_gemma2:
+            layer["pre_feedforward_layernorm"] = norm_init(
+                (cfg.hidden_size,), dtype
+            )
+            layer["post_feedforward_layernorm"] = norm_init(
+                (cfg.hidden_size,), dtype
+            )
         if cfg.num_local_experts > 0:
             gk = jax.random.split(k[4], cfg.num_local_experts + 1)
             layer["moe_gate"] = dense(
@@ -267,9 +329,13 @@ def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
     S = k_cache.shape[2]
     # (B, KVH, group, T, D) x (B, KVH, S, D) -> (B, KVH, group, T, S)
     qg = q.reshape(B, KVH, group, T, D)
+    scale = jnp.sqrt(jnp.float32(cfg.query_pre_attn_scalar or D))
     scores = jnp.einsum(
         "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
-    ) / jnp.sqrt(jnp.float32(D))
+    ) / scale
+    if cfg.attn_logit_softcapping:
+        cap = jnp.float32(cfg.attn_logit_softcapping)
+        scores = cap * jnp.tanh(scores / cap)
     scores = scores + mask[:, None, None, :, :]  # mask: (B, T, S)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgts,bksd->bkgtd", probs, v_cache.astype(jnp.float32))
@@ -278,10 +344,15 @@ def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
     return out, k_cache, v_cache
 
 
-def _mlp(layer, x):
+def _mlp(layer, x, hidden_act: str = "silu"):
     gate = matmul(x, layer["gate_proj"])
     up = matmul(x, layer["up_proj"])
-    return matmul(jax.nn.silu(gate.astype(jnp.float32)).astype(x.dtype) * up, layer["down_proj"])
+    g32 = gate.astype(jnp.float32)
+    if hidden_act in ("gelu_pytorch_tanh", "gelu_tanh", "gelu"):
+        act = jax.nn.gelu(g32, approximate=True)
+    else:
+        act = jax.nn.silu(g32)
+    return matmul(act.astype(x.dtype) * up, layer["down_proj"])
 
 
 def _moe(cfg: ModelConfig, layer, x):
@@ -314,6 +385,7 @@ def _moe(cfg: ModelConfig, layer, x):
                 "down_proj": expert["w2"],
             },
             x,
+            cfg.hidden_act,
         )
         out = out + h.astype(jnp.float32) * weights[..., e : e + 1]
     return out.astype(x.dtype)
@@ -322,7 +394,7 @@ def _moe(cfg: ModelConfig, layer, x):
 def _ffn(cfg: ModelConfig, layer, x):
     if "experts" in layer:
         return _moe(cfg, layer, x)
-    return _mlp(layer, x)
+    return _mlp(layer, x, cfg.hidden_act)
 
 
 def forward(
@@ -346,6 +418,10 @@ def forward(
 
         embed = dequant(embed)
     x = embed[input_ids]
+    po = cfg.is_gemma  # (1+w) norms
+    if cfg.is_gemma:
+        # HF Gemma scales embeddings by sqrt(hidden), normalizer cast to dtype
+        x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
 
     B, T = input_ids.shape
     S = kv_cache["k"].shape[3]
@@ -355,11 +431,15 @@ def forward(
     pos = positions[:, :, None]  # (B, T, 1)
     valid = (slot <= pos) & (slot < attn_len)
     mask = jnp.where(valid, 0.0, jnp.float32(-1e9))
+    mask_sliding = None
+    if cfg.sliding_window is not None:
+        valid_sl = valid & (slot > pos - cfg.sliding_window)
+        mask_sliding = jnp.where(valid_sl, 0.0, jnp.float32(-1e9))
 
     new_k = []
     new_v = []
     for i, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
         attn_out, k_c, v_c = _attention(
             cfg,
             layer,
@@ -369,17 +449,34 @@ def forward(
             positions,
             (kv_cache["k"][i], kv_cache["v"][i]),
             cache_pos,
-            mask,
+            mask_sliding if cfg.layer_is_sliding(i) else mask,
         )
         new_k.append(k_c)
         new_v.append(v_c)
-        x = x + attn_out
-        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + _ffn(cfg, layer, h)
+        if "pre_feedforward_layernorm" in layer:  # gemma2 post-norm blocks
+            x = x + rms_norm(
+                attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, po
+            )
+            h = rms_norm(
+                x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, po
+            )
+            x = x + rms_norm(
+                _ffn(cfg, layer, h),
+                layer["post_feedforward_layernorm"],
+                cfg.rms_norm_eps,
+                po,
+            )
+        else:
+            x = x + attn_out
+            h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, po)
+            x = x + _ffn(cfg, layer, h)
 
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, po)
     head = params.get("lm_head", params["embed_tokens"])
     logits = matmul(x, head).astype(jnp.float32)
+    if cfg.final_logit_softcapping:
+        cap = jnp.float32(cfg.final_logit_softcapping)
+        logits = cap * jnp.tanh(logits / cap)
 
     return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
 
@@ -398,14 +495,26 @@ def forward_train(params: Params, cfg: ModelConfig, input_ids: jnp.ndarray):
 
         embed = dequant(embed)
     x = embed[input_ids]
+    po = cfg.is_gemma
+    if cfg.is_gemma:
+        x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
 
     cos, sin = rope_tables(cfg, T)
     positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
     causal = jnp.tril(jnp.ones((T, T), bool))
-    mask = jnp.where(causal, 0.0, jnp.float32(-1e9))
+    mask_full = jnp.where(causal, 0.0, jnp.float32(-1e9))
+    mask_sliding = None
+    if cfg.sliding_window is not None:
+        ii = jnp.arange(T)[:, None]
+        jj = jnp.arange(T)[None, :]
+        sl = causal & (jj > ii - cfg.sliding_window)
+        mask_sliding = jnp.where(sl, 0.0, jnp.float32(-1e9))
 
-    for layer in params["layers"]:
-        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps)
+    for li, layer in enumerate(params["layers"]):
+        mask = (
+            mask_sliding if cfg.layer_is_sliding(li) else mask_full
+        )
+        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
         q = matmul(h, layer["q_proj"])
         k = matmul(h, layer["k_proj"])
         v = matmul(h, layer["v_proj"])
@@ -420,17 +529,40 @@ def forward_train(params: Params, cfg: ModelConfig, input_ids: jnp.ndarray):
 
         group = H // KVH
         qg = q.reshape(B, KVH, group, T, D)
+        scale = jnp.sqrt(jnp.float32(cfg.query_pre_attn_scalar or D))
         scores = jnp.einsum(
             "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k.astype(jnp.float32)
-        ) / jnp.sqrt(jnp.float32(D))
+        ) / scale
+        if cfg.attn_logit_softcapping:
+            cap = jnp.float32(cfg.attn_logit_softcapping)
+            scores = cap * jnp.tanh(scores / cap)
         scores = scores + mask[None, None, None]
         probs = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
         out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
-        x = x + matmul(out.astype(x.dtype), layer["o_proj"])
-        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps)
-        x = x + _ffn(cfg, layer, h)
+        attn_out = matmul(out.astype(x.dtype), layer["o_proj"])
+        if "pre_feedforward_layernorm" in layer:  # gemma2 post-norm blocks
+            x = x + rms_norm(
+                attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, po
+            )
+            h = rms_norm(
+                x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, po
+            )
+            x = x + rms_norm(
+                _ffn(cfg, layer, h),
+                layer["post_feedforward_layernorm"],
+                cfg.rms_norm_eps,
+                po,
+            )
+        else:
+            x = x + attn_out
+            h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, po)
+            x = x + _ffn(cfg, layer, h)
 
-    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, po)
     head = params.get("lm_head", params["embed_tokens"])
-    return matmul(x, head).astype(jnp.float32)
+    logits = matmul(x, head).astype(jnp.float32)
+    if cfg.final_logit_softcapping:
+        cap = jnp.float32(cfg.final_logit_softcapping)
+        logits = cap * jnp.tanh(logits / cap)
+    return logits

@@ -39,6 +39,9 @@ _LAYER_WEIGHTS = {
     "self_attn.q_proj.bias": "q_bias",
     "self_attn.k_proj.bias": "k_bias",
     "self_attn.v_proj.bias": "v_bias",
+    # gemma2 post-norm blocks
+    "pre_feedforward_layernorm.weight": "pre_feedforward_layernorm",
+    "post_feedforward_layernorm.weight": "post_feedforward_layernorm",
 }
 _QUANTIZABLE = {
     "q_proj",
@@ -114,6 +117,29 @@ def load_params(
                         if quant_bits:
                             w = quantize(w, bits=quant_bits)
                         experts[expert_idx][wname] = w
+                        continue
+                    if suffix == "self_attn.qkv_proj.weight":
+                        # phi3 fuses q/k/v row-wise: split by head geometry
+                        q_dim = cfg.num_attention_heads * cfg.head_dim
+                        kv_dim = cfg.num_key_value_heads * cfg.head_dim
+                        for key, part in zip(
+                            ("q_proj", "k_proj", "v_proj"),
+                            np.split(arr, [q_dim, q_dim + kv_dim], axis=0),
+                        ):
+                            w = _to_device(np.ascontiguousarray(part), dtype)
+                            if quant_bits:
+                                w = quantize(w, bits=quant_bits)
+                            layer[key] = w
+                        continue
+                    if suffix == "mlp.gate_up_proj.weight":
+                        # phi3 fuses gate/up row-wise: equal halves
+                        for key, part in zip(
+                            ("gate_proj", "up_proj"), np.split(arr, 2, axis=0)
+                        ):
+                            w = _to_device(np.ascontiguousarray(part), dtype)
+                            if quant_bits:
+                                w = quantize(w, bits=quant_bits)
+                            layer[key] = w
                         continue
                     key = _LAYER_WEIGHTS.get(suffix)
                     if key is None:

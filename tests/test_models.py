@@ -457,3 +457,114 @@ def test_engine_8bit_quantized_close(tmp_path):
     # int8 weight quantization should rarely flip greedy tokens on a tiny model;
     # at minimum both produce valid output of the same length scale
     assert out_q8 and out_full
+
+
+def test_gemma_matches_transformers(tmp_path):
+    """Gemma-1: (1+w) RMSNorm, sqrt(hidden) embed scale, GeGLU, tied head."""
+    import torch
+    from transformers import GemmaConfig, GemmaForCausalLM
+
+    torch.manual_seed(4)
+    config = GemmaConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    model = GemmaForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "gemma"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.is_gemma and cfg.tie_word_embeddings
+    assert cfg.hidden_act == "gelu_pytorch_tanh"
+    params = load_params(path, cfg, dtype=jnp.float32)
+    ids = np.array([[3, 7, 29, 55, 101]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_gemma2_matches_transformers(tmp_path):
+    """Gemma-2: post-norm blocks, logit softcapping, query_pre_attn_scalar,
+    alternating sliding-window attention, explicit head_dim."""
+    import torch
+    from transformers import Gemma2Config, Gemma2ForCausalLM
+
+    torch.manual_seed(5)
+    config = Gemma2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        hidden_activation="gelu_pytorch_tanh",
+        query_pre_attn_scalar=16,
+        attn_logit_softcapping=50.0,
+        final_logit_softcapping=30.0,
+        sliding_window=4,  # shorter than the prompt so the window matters
+    )
+    model = Gemma2ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "gemma2"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.is_gemma2 and cfg.sliding_window == 4
+    assert cfg.layer_is_sliding(0) and not cfg.layer_is_sliding(1)
+    params = load_params(path, cfg, dtype=jnp.float32)
+    assert "pre_feedforward_layernorm" in params["layers"][0]
+    ids = np.array([[2, 9, 31, 60, 99, 12, 47, 88]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+
+def test_phi3_fused_weights_match_transformers(tmp_path):
+    """Phi-3: fused qkv_proj / gate_up_proj checkpoints split on load."""
+    import torch
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(6)
+    config = Phi3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        pad_token_id=0,  # default 32000 overflows the tiny vocab
+    )
+    model = Phi3ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "phi3"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+    assert "q_proj" in params["layers"][0]
+    assert "gate_proj" in params["layers"][0]
+    ids = np.array([[4, 11, 76, 23]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
