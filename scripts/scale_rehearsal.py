@@ -212,15 +212,19 @@ storage_dir: "{out}/storage"
         sys.exit(1)
     report["merge_wall_s"] = round(merge_wall, 1)
 
-    # phase breakdown from the profiler lines
+    # phase breakdown from the profiler lines; median = steady state, the
+    # first occurrence of each shape carries the XLA compile
     phases = {}
     for m in re.finditer(r"\[profile\] merge ([\w.]+): ([\d.]+) ms",
                          proc.stdout + proc.stderr):
         name, ms = m.group(1), float(m.group(2))
         key = re.sub(r"layers\.\d+\.", "layers.N.", name)
         phases.setdefault(key, []).append(ms)
-    report["per_tensor_ms"] = {
-        k: round(float(np.mean(v)), 1) for k, v in sorted(phases.items())
+    report["per_tensor_ms_median"] = {
+        k: round(float(np.median(v)), 1) for k, v in sorted(phases.items())
+    }
+    report["per_tensor_ms_first_incl_compile"] = {
+        k: round(v[0], 1) for k, v in sorted(phases.items())
     }
 
     # verify gate
@@ -259,17 +263,26 @@ storage_dir: "{out}/storage"
 
     # projection: per-layer cost scales with tensor elements; 70B has 80
     # layers of (H70, I70) geometry
-    layer_keys = [k for k in report["per_tensor_ms"] if "layers.N" in k]
-    per_layer_ms = sum(
-        report["per_tensor_ms"][k] for k in layer_keys
-    )
+    med = report["per_tensor_ms_median"]
+    layer_keys = [k for k in med if "layers.N" in k]
+    per_layer_ms = sum(med[k] for k in layer_keys)
     el_8b = sum(int(np.prod(s)) for s in layer_shapes().values())
     el_70b = sum(int(np.prod(s)) for s in layer_shapes(H70, I70).values())
-    embed_ms = report["per_tensor_ms"].get("model.embed_tokens.weight", 0)
-    head_ms = report["per_tensor_ms"].get("lm_head.weight", 0)
+    embed_ms = med.get("model.embed_tokens.weight", 0)
+    head_ms = med.get("lm_head.weight", 0)
     proj_s = (L70 * per_layer_ms * el_70b / el_8b + embed_ms * 2 + head_ms) / 1e3
     report["measured_per_layer_ms"] = round(per_layer_ms, 1)
-    report["projected_70b_compute_s"] = round(proj_s, 1)
+    # This host routes every host<->device byte through a loopback TCP relay
+    # (~85 MB/s observed): the steady-state tensor time is TRANSFER-bound,
+    # so this projection is an upper bound specific to the tunnel. A real
+    # TPU host moves the same bytes over PCIe/DMA; the kernel-bound
+    # projection below uses the bench-measured merge kernel rate instead.
+    report["projected_70b_s_on_this_tunnel"] = round(proj_s, 1)
+    kernel_ms_per_melem = 24.2 / 32.0  # bench.py: 24.2 ms / 32M elements
+    layer_melem_70b = el_70b / 1e6
+    report["projected_70b_kernel_compute_s"] = round(
+        L70 * layer_melem_70b * kernel_ms_per_melem / 1e3, 1
+    )
     report["total_wall_s"] = round(time.time() - t0, 1)
 
     json.dump(report, open(out / "report.json", "w"), indent=2)
