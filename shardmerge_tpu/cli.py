@@ -132,6 +132,7 @@ async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cac
         config=config,
         index_manager=index_manager,
         mesh=mesh,
+        exact_imag=config.exact_imag,
         shard_min_bytes=config.shard_min_bytes,
         hbm_budget_bytes=(
             int(config.hbm_budget_gb * 2**30)

@@ -99,3 +99,29 @@ def test_to_dict_flattens_models():
     d = cfg.to_dict()
     assert d["finetune_merge"] == ["m1", "m2"]
     assert "output_dtype" not in d
+
+
+def test_exact_imag_config_flag(tmp_path):
+    """exact_imag rides the YAML config into the engine (bit-parity mode)."""
+    import yaml
+
+    from shardmerge_tpu.config import MergeConfig
+
+    cfg_dict = {
+        "output_base_model": "b",
+        "finetune_merge": [{"model": "m", "base": "b"}],
+        "output_dir": str(tmp_path / "out"),
+        "exact_imag": True,
+    }
+    p = tmp_path / "c.yaml"
+    p.write_text(yaml.safe_dump(cfg_dict))
+    cfg = MergeConfig.from_yaml(p)
+    assert cfg.exact_imag is True
+
+    from shardmerge_tpu.merge import FourierMerge
+    from shardmerge_tpu.io.index import OfflineMultiModelIndex
+
+    merger = FourierMerge(
+        cfg, index_manager=OfflineMultiModelIndex(), exact_imag=cfg.exact_imag
+    )
+    assert merger.exact_imag is True
