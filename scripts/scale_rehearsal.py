@@ -109,7 +109,6 @@ def write_model(path: Path, seed: int, layers: int, base_dir: Path | None,
     path.mkdir(parents=True, exist_ok=True)
     shapes = model_shapes(layers)
     pool = Pool(seed)
-    base_reader = {}
     if base_dir is not None:
         base_idx = json.load(open(base_dir / "model.safetensors.index.json"))
         base_map = base_idx["weight_map"]

@@ -118,7 +118,7 @@ async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cac
 
         # multi-host pods: start the distributed runtime (no-op when
         # single-process) so jax.devices() is the global device set
-        initialize_distributed()
+        initialize_distributed(force=config.distributed)
         if len(jax.devices()) > 1:
             mesh = merge_mesh()
             logger.info(

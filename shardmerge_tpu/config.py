@@ -98,6 +98,8 @@ class MergeConfig:
     shard_tensors: bool = False  # row-shard huge tensors over all devices
     shard_min_bytes: int = 1 << 30  # sharding threshold (per-tensor fp32 bytes)
     hbm_budget_gb: Optional[float] = None  # spill delta stack to host RAM above this
+    distributed: bool = False  # force jax.distributed.initialize (GCE TPU
+    # pods auto-detect the cluster only inside initialize itself)
     exact_imag: bool = False  # reproduce the reference's literal double-FFT
     # imaginary recursion everywhere (6 FFTs/pair) instead of the analytic
     # identity on large tensors (bit-parity mode; see merge/fourier.py)

@@ -68,6 +68,12 @@ class ModelWriter:
     output_astype: np.dtype
     write_through: bool = False
     background_flush: bool = False
+    # Multi-host: non-primary processes run the merge loop for the
+    # collectives but must not touch the output directory. A read_only
+    # writer still derives the resume skip-list from existing shards
+    # (so every process's layer schedule matches) and tracks staged
+    # completeness, but never writes index or shard files.
+    read_only: bool = False
     written_shard_layers: Set[tuple] = field(default_factory=set)
     shard_to_tensors: Dict[str, Set[str]] = field(default_factory=dict)
 
@@ -95,8 +101,9 @@ class ModelWriter:
         # Copy of the base index is the output index (reference writer.py:74-81).
         self.index_path = self.output_path / "model.safetensors.index.json"
         if not self.index_path.exists():
-            with open(self.index_path, "w") as f:
-                json.dump(self.base_index, f, indent=2)
+            if not self.read_only:
+                with open(self.index_path, "w") as f:
+                    json.dump(self.base_index, f, indent=2)
         else:
             logger.info("Index already exists: %s", self.index_path)
             with open(self.index_path) as f:
@@ -187,6 +194,8 @@ class ModelWriter:
             self._do_flush(shard_name, staged)
 
     def _do_flush(self, shard_name: str, staged: Dict[str, np.ndarray]):
+        if self.read_only:
+            return
         shard_path = self.output_path / shard_name
         tensors: Dict[str, np.ndarray] = {}
 

@@ -166,6 +166,22 @@ class MergeTensorsBase(ABC):
         if asyncio.iscoroutine(result):
             await result
 
+    def _is_primary(self) -> bool:
+        """Multi-host: only process 0 writes output files."""
+        try:
+            return jax.process_index() == 0
+        except Exception:
+            return True
+
+    def _to_host(self, tensor) -> np.ndarray:
+        """Device->host, gathering cross-host shards first (collective —
+        every process must call it for every tensor, in order)."""
+        if isinstance(tensor, jax.Array) and not tensor.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            tensor = multihost_utils.process_allgather(tensor, tiled=True)
+        return np.asarray(tensor)
+
     def get_writer(self, layer_order: List[str]) -> ModelWriter:
         return ModelWriter(
             base_index=self.index_doc,
@@ -175,6 +191,9 @@ class MergeTensorsBase(ABC):
             write_through=self.config.write_through,
             # overlap shard file IO with compute; finalize() drains
             background_flush=True,
+            # multi-host: non-primary processes run the merge loop for the
+            # collectives but never touch the output directory
+            read_only=not self._is_primary(),
         )
 
     async def merge(self, device: Optional[str] = None):
@@ -201,8 +220,9 @@ class MergeTensorsBase(ABC):
         if readme is None:
             readme = "No README defined"
             logger.warning("No README defined. Using default.")
-        with open(self.config.output_path / "README.md", "w") as f:
-            f.write(readme)
+        if self._is_primary():
+            with open(self.config.output_path / "README.md", "w") as f:
+                f.write(readme)
         logger.info("Merge complete. Output saved to %s", self.config.output_path)
         logger.info("Merge stats: %s", self.stats.summary())
 
@@ -220,7 +240,8 @@ class MergeTensorsBase(ABC):
         def flush(entry):
             layer, tensor = entry
             self._check_deferred(layer.layer_name)
-            host_tensor = np.asarray(tensor)  # waits on the async D2H copy
+            # waits on the async D2H copy; gathers cross-host shards
+            host_tensor = self._to_host(tensor)
             writer.add_tensor(layer.layer_name, host_tensor)
             self.stats.tensors_merged += 1
             self.stats.bytes_written += host_tensor.nbytes

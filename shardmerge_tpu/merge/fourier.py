@@ -489,6 +489,10 @@ class FourierMerge(MergeTensorsBase):
             self.mesh is None
             or host.ndim != 2
             or host.nbytes < self.shard_min_bytes
+            # the all-to-all transpose splits the LAST dim over the mesh:
+            # columns must divide it (rows may be zero-padded, see
+            # _pad_rows_for) — otherwise fall back to a single device
+            or host.shape[-1] % self.mesh.devices.size != 0
         ):
             return None
         from ..parallel.merge import row_sharding
@@ -895,13 +899,35 @@ Models merged:
             nan_counts.append(nan_count)
         cache_put(out_name, merged)
 
+    # Pairs per vmapped dispatch: bounds the stacked-operand footprint (the
+    # stack is a copy; with the originals it peaks at ~2x the group's delta
+    # bytes until XLA frees the inputs after the stack op runs).
+    _BATCH_CHUNK = 4
+
     def _dispatch_round_batch(
         self, regime, group, cache, cache_put, target_norm, cull_pct,
         fast_imag, inf_flags, nan_counts,
     ):
-        """Dispatch a round's same-regime pairs as ONE vmapped XLA call."""
+        """Dispatch a round's same-regime pairs as vmapped XLA calls (one
+        per _BATCH_CHUNK pairs)."""
+        for i in range(0, len(group), self._BATCH_CHUNK):
+            self._dispatch_batch_chunk(
+                regime, group[i : i + self._BATCH_CHUNK], cache, cache_put,
+                target_norm, cull_pct, fast_imag, inf_flags, nan_counts,
+            )
+
+    def _dispatch_batch_chunk(
+        self, regime, group, cache, cache_put, target_norm, cull_pct,
+        fast_imag, inf_flags, nan_counts,
+    ):
         A = jnp.stack([cache[j[1]] for j in group])
         B = jnp.stack([cache[j[2]] for j in group])
+        # free the operand originals as soon as the stack consumes them (the
+        # engine's round-end pop would otherwise keep them alive through the
+        # FFTs); each model is consumed by exactly one pair per round
+        for j in group:
+            cache.pop(j[1], None)
+            cache.pop(j[2], None)
         if regime == "add":
             merged, norms = _batched_kernel("add")(A, B)
         elif regime == "arith":

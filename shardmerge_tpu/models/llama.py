@@ -60,6 +60,9 @@ class ModelConfig:
     attn_logit_softcapping: Optional[float] = None  # gemma2
     final_logit_softcapping: Optional[float] = None  # gemma2
     sliding_window: Optional[int] = None  # gemma2 alternating local attn
+    # phi3 longrope: pretraining context length (scaling switches factors
+    # and the attention scale at this boundary)
+    original_max_position_embeddings: Optional[int] = None
 
     @property
     def head_dim(self) -> int:
@@ -121,6 +124,9 @@ class ModelConfig:
             sliding_window=config.get("sliding_window")
             if model_type == "gemma2"
             else None,
+            original_max_position_embeddings=config.get(
+                "original_max_position_embeddings"
+            ),
         )
 
     @classmethod
@@ -146,14 +152,38 @@ def rms_norm(
     return (normed * w32).astype(x.dtype)
 
 
-def _rope_inv_freq(cfg: ModelConfig) -> np.ndarray:
-    """Rotary inverse frequencies, with llama3-style scaling when configured."""
+def _rope_inv_freq(cfg: ModelConfig, seq_len: int = 0) -> tuple:
+    """Rotary inverse frequencies + cos/sin post-scale, honoring the
+    configured rope_scaling (llama3, linear, longrope). Unknown scaling
+    types raise: silently ignoring them produces plausible-looking but
+    wrong logits."""
     head_dim = cfg.head_dim
     inv_freq = 1.0 / (
         cfg.rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
     )
     scaling = cfg.rope_scaling or {}
     rope_type = scaling.get("rope_type", scaling.get("type"))
+    if rope_type == "longrope":
+        # phi3 (transformers modeling_rope_utils._compute_longrope_parameters)
+        original = (
+            cfg.original_max_position_embeddings or cfg.max_position_embeddings
+        )
+        factor = scaling.get("factor")
+        if cfg.original_max_position_embeddings:
+            factor = cfg.max_position_embeddings / original
+        attention_factor = scaling.get("attention_factor")
+        if attention_factor is None:
+            attention_factor = (
+                1.0
+                if (factor or 1.0) <= 1.0
+                else float(np.sqrt(1 + np.log(factor) / np.log(original)))
+            )
+        ext = np.asarray(
+            scaling["long_factor"] if seq_len > original else scaling["short_factor"],
+            dtype=np.float64,
+        )
+        inv_freq = inv_freq / ext
+        return inv_freq.astype(np.float32), float(attention_factor)
     if rope_type == "llama3":
         factor = scaling["factor"]
         low = scaling["low_freq_factor"]
@@ -169,15 +199,23 @@ def _rope_inv_freq(cfg: ModelConfig) -> np.ndarray:
         inv_freq = np.where(is_medium, smoothed, scaled)
     elif rope_type == "linear":
         inv_freq = inv_freq / scaling["factor"]
-    return inv_freq.astype(np.float32)
+    elif rope_type is not None:
+        raise NotImplementedError(
+            f"rope_scaling type {rope_type!r} is not supported "
+            "(supported: llama3, linear, longrope)"
+        )
+    return inv_freq.astype(np.float32), 1.0
 
 
 def rope_tables(cfg: ModelConfig, max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    inv_freq = _rope_inv_freq(cfg)
+    inv_freq, attention_factor = _rope_inv_freq(cfg, seq_len=max_len)
     t = np.arange(max_len, dtype=np.float32)
     freqs = np.outer(t, inv_freq)  # (max_len, head_dim/2)
     emb = np.concatenate([freqs, freqs], axis=-1)
-    return jnp.asarray(np.cos(emb)), jnp.asarray(np.sin(emb))
+    return (
+        jnp.asarray(np.cos(emb) * attention_factor),
+        jnp.asarray(np.sin(emb) * attention_factor),
+    )
 
 
 def _rotate_half(x):

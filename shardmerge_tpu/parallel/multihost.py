@@ -13,9 +13,14 @@ and over DCN between hosts automatically. What multi-host needs is:
    is all-pairs, but the inverse transform's paired forward reuses the same
    layout, so keeping each host's devices contiguous maximizes the fraction
    of shard boundaries that stay on ICI;
-3. host-local IO — every process downloads/reads only the shards it needs
-   and process 0 writes the output (the writer is host-side; sharded merged
-   tensors are gathered to host RAM on fetch, exactly as single-host spill).
+3. host-local IO — every process reads the input shards; merged tensors
+   that span hosts are gathered with
+   ``jax.experimental.multihost_utils.process_allgather`` at write-back
+   (merge/base.py ``_to_host``) and ONLY process 0 writes output files
+   (non-primary processes get a read_only ModelWriter). For resume to stay
+   consistent, ``output_dir`` must be on storage every process can READ
+   (all processes derive the skip-list from the existing output shards);
+   only process 0 ever writes to it.
 
 When to engage: a 70B fp32 delta stack (2 models x 3.9 GB/tensor peak with
 complex64 intermediates) fits a single v5p host comfortably — multi-host is
@@ -43,40 +48,67 @@ logger = logging.getLogger(__name__)
 __all__ = ["initialize_distributed", "merge_mesh"]
 
 
+_CLUSTER_ENV_VARS = (
+    # explicit jax.distributed coordination
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "JAX_NUM_PROCESSES",
+    # TPU pod runtimes
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",
+    "TPU_PROCESS_ADDRESSES",
+    "CLOUD_TPU_TASK_ID",
+    # generic schedulers jax's ClusterEnv understands
+    "SLURM_JOB_NUM_NODES",
+    "OMPI_COMM_WORLD_SIZE",
+)
+
+
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    force: bool = False,
 ) -> bool:
     """Initialize the JAX distributed runtime for a multi-host merge.
 
-    No-op (returns False) when single-process: either no coordinator is
-    given and the environment carries no cluster variables, or the cluster
-    is of size 1. Returns True when the distributed runtime was started.
-    On TPU pods the three arguments are auto-detected from the metadata
-    server and may all be None.
+    Attempts ``jax.distributed.initialize`` when (a) explicit coordination
+    arguments are given, (b) a known cluster environment variable is set, or
+    (c) ``force=True`` (the YAML config's ``distributed: true``). GCE TPU
+    pods auto-detect the cluster through the metadata server, which only
+    ``jax.distributed.initialize`` itself can probe — that path needs
+    ``force``/``distributed: true`` because probing it from a non-pod host
+    can block; the env-var detection covers GKE/Slurm/MPI launches without
+    any flag. Returns True when the distributed runtime came up with more
+    than one process; a failed or single-process probe degrades to a
+    single-process run.
     """
-    if coordinator_address is None and num_processes in (None, 1):
-        import os
+    import os
 
-        if not any(
-            k in os.environ
-            for k in ("COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS")
-        ):
-            logger.debug("single-process run; distributed runtime not started")
-            return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    explicit = coordinator_address is not None or num_processes not in (None, 1)
+    if not (
+        force or explicit or any(k in os.environ for k in _CLUSTER_ENV_VARS)
+    ):
+        logger.debug("single-process run; distributed runtime not started")
+        return False
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except Exception as e:
+        logger.info(
+            "distributed runtime not started (%s); running single-process", e
+        )
+        return False
     logger.info(
         "distributed runtime up: process %d/%d, %d global devices",
         jax.process_index(),
         jax.process_count(),
         len(jax.devices()),
     )
-    return True
+    return jax.process_count() > 1
 
 
 def merge_mesh(devices: Optional[Sequence] = None) -> Mesh:

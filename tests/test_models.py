@@ -568,3 +568,60 @@ def test_phi3_fused_weights_match_transformers(tmp_path):
         expected = model(torch.from_numpy(ids).long()).logits.numpy()
     logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_phi3_longrope_matches_transformers(tmp_path):
+    """Phi-3 128k checkpoints ship rope_scaling type 'longrope': per-dim
+    short/long inverse-frequency factors plus a cos/sin attention factor
+    derived from max/original position embeddings. Compare within the
+    original window (short factors + attention factor active since
+    factor = max/original = 2 > 1)."""
+    import torch
+    from transformers import Phi3Config, Phi3ForCausalLM
+
+    torch.manual_seed(7)
+    short = [1.0 + 0.05 * i for i in range(8)]
+    long = [2.0 + 0.1 * i for i in range(8)]
+    config = Phi3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+        original_max_position_embeddings=32,
+        rope_theta=10000.0,
+        rope_scaling={
+            "type": "longrope",
+            "short_factor": short,
+            "long_factor": long,
+        },
+        tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    model = Phi3ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "phi3lr"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.original_max_position_embeddings == 32
+    params = load_params(path, cfg, dtype=jnp.float32)
+    ids = np.array([[5, 19, 44, 91, 7, 63]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    # cache_len == original window -> short factors, like HF's default init
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids), cache_len=32)
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_unknown_rope_scaling_raises():
+    cfg = _tiny_cfg(rope_scaling={"type": "yarn", "factor": 2.0})
+    import pytest as _pytest
+
+    from shardmerge_tpu.models.llama import rope_tables
+
+    with _pytest.raises(NotImplementedError, match="yarn"):
+        rope_tables(cfg, 16)

@@ -512,6 +512,9 @@ def test_engine_pads_odd_rows_and_falls_back_for_other_shapes(
     assert merger._pad_rows_for(np.zeros((24, 16), np.float32), None) == 0
     assert merger._sharding_for(np.zeros((16,), np.float32)) is None
     assert merger._sharding_for(np.zeros((4, 8, 16), np.float32)) is None
+    # columns must divide the mesh (the all-to-all splits the LAST dim;
+    # only rows can be padded) — indivisible columns fall back to one device
+    assert merger._sharding_for(np.zeros((26, 18), np.float32)) is None
 
     # end-to-end: the tiny model's (24,16)/(16,24) tensors divide the mesh,
     # but (26,16) does not — patch one shape set to odd rows via a custom
