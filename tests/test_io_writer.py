@@ -204,3 +204,49 @@ def test_background_flush_identical(tmp_path, rng):
         np.testing.assert_array_equal(
             outs["sync"][k].view(np.uint16), outs["bg"][k].view(np.uint16)
         )
+
+
+def test_read_only_writer_never_touches_disk(tmp_path):
+    """Multi-host non-primary processes: read_only writers track staged
+    completeness and derive resume state, but write no files."""
+    import numpy as np
+
+    from shardmerge_tpu.io.writer import ModelWriter
+
+    base_index = {
+        "metadata": {},
+        "weight_map": {"a": "model-00001-of-00001.safetensors",
+                       "b": "model-00001-of-00001.safetensors"},
+    }
+    out = tmp_path / "out"
+    w = ModelWriter(
+        base_index=base_index,
+        output_path=out,
+        layer_order=["a", "b"],
+        output_astype=np.dtype(np.float32),
+        read_only=True,
+    )
+    w.add_tensor("a", np.zeros((2, 2), np.float32))
+    w.add_tensor("b", np.ones((2, 2), np.float32))
+    w.finalize()  # completeness tracked
+    assert list(out.iterdir()) == []  # no index, no shards
+
+    # and it derives the skip-list from shards a primary writer wrote
+    w2 = ModelWriter(
+        base_index=base_index,
+        output_path=out,
+        layer_order=["a", "b"],
+        output_astype=np.dtype(np.float32),
+    )
+    w2.add_tensor("a", np.zeros((2, 2), np.float32))
+    w2.add_tensor("b", np.ones((2, 2), np.float32))
+    w2.finalize()
+    w3 = ModelWriter(
+        base_index=base_index,
+        output_path=out,
+        layer_order=["a", "b"],
+        output_astype=np.dtype(np.float32),
+        read_only=True,
+    )
+    assert ("model-00001-of-00001.safetensors", "a") in w3.written_shard_layers
+    assert ("model-00001-of-00001.safetensors", "b") in w3.written_shard_layers

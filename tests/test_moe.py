@@ -172,3 +172,45 @@ def test_mixtral_merge_end_to_end(tmp_path):
     np.testing.assert_allclose(
         out[name].astype(np.float32), ft_t[name], rtol=1e-2, atol=1e-2
     )
+
+
+def test_capacity_dispatch_matches_dense():
+    """Sparse capacity-based MoE dispatch == dense-and-mask when no expert
+    overflows its capacity (capacity_factor = n_experts guarantees it)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shardmerge_tpu.models.llama import ModelConfig, init_params, _ffn
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    layer = params["layers"][0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, cfg.hidden_size), jnp.float32)
+
+    dense = _ffn(cfg, layer, x)
+    cap_cfg = dataclasses.replace(
+        cfg, moe_dispatch="capacity",
+        moe_capacity_factor=float(cfg.num_local_experts),  # no drops possible
+    )
+    sparse = _ffn(cap_cfg, layer, x)
+    np.testing.assert_allclose(
+        np.asarray(sparse), np.asarray(dense), rtol=2e-5, atol=2e-6
+    )
+
+    # at a realistic factor the path still runs jitted with static shapes
+    cap_cfg = dataclasses.replace(cfg, moe_dispatch="capacity")
+    out = jax.jit(lambda p, x: _ffn(cap_cfg, p, x))(layer, x)
+    assert out.shape == x.shape
+    assert np.all(np.isfinite(np.asarray(out)))
