@@ -449,3 +449,72 @@ def test_weighted_select_equals_mirrored_full():
     for k in [0, 5, len(full) // 2, len(full) - 1]:
         got = float(kth_smallest_weighted(jnp.asarray(x), k, jnp.asarray(w)))
         assert got == full_sorted[k], (k, got, full_sorted[k])
+
+
+def test_batched_kernels_match_per_pair(rng):
+    """The vmapped per-round kernels (merge/fourier._batched_kernel) must
+    reproduce the single-pair kernels exactly for every regime, including
+    the rfft fast-imag variants the tiny-tensor engine tests never reach."""
+    from shardmerge_tpu.merge.fourier import (
+        _batched_kernel,
+        _pair_arith_rfft,
+        _pair_lowratio_rfft,
+        _pair_slerp_rfft,
+    )
+
+    K, M, N = 3, 16, 24
+    A = rng.standard_normal((K, M, N)).astype(np.float32)
+    B = rng.standard_normal((K, M, N)).astype(np.float32)
+    na = np.linalg.norm(A.reshape(K, -1), axis=1).astype(np.float32)
+    nb = np.linalg.norm(B.reshape(K, -1), axis=1).astype(np.float32)
+    ts = np.asarray([0.3, 0.5, 0.7], np.float32)
+    numel = M * N
+    ranks = (
+        jnp.int32(blend.cutoff_rank(numel, 0.08)),
+        jnp.int32(blend.cull_rank(numel, 0.2)),
+        jnp.int32(blend.cull_limit(numel, 0.2)),
+    )
+
+    # slerp (rfft fast-imag)
+    bm, bn, bnan, binf = _batched_kernel("slerp", use_cull=True, fast_imag=True)(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(ts), *ranks, jnp.float32(1.7),
+    )
+    for i in range(K):
+        single, _, _ = _pair_slerp_rfft(
+            jnp.asarray(A[i]), jnp.asarray(B[i]),
+            jnp.float32(na[i]), jnp.float32(nb[i]), jnp.float32(ts[i]),
+            *ranks, jnp.float32(1.7), use_cutoff=True, use_cull=True,
+        )
+        np.testing.assert_array_equal(np.asarray(bm[i]), np.asarray(single))
+        np.testing.assert_allclose(
+            float(bn[i]), float(jnp.linalg.norm(single.ravel())), rtol=1e-6
+        )
+
+    # lowratio (rfft)
+    bm, bn, _, _ = _batched_kernel("lowratio", fast_imag=True)(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(na), jnp.asarray(nb),
+        jnp.asarray(ts), jnp.float32(1.7),
+    )
+    for i in range(K):
+        single, _, _ = _pair_lowratio_rfft(
+            jnp.asarray(A[i]), jnp.asarray(B[i]),
+            jnp.float32(na[i]), jnp.float32(nb[i]), jnp.float32(ts[i]),
+            jnp.float32(1.7),
+        )
+        np.testing.assert_array_equal(np.asarray(bm[i]), np.asarray(single))
+
+    # arith (rfft)
+    bm, bn = _batched_kernel("arith", fast_imag=True)(
+        jnp.asarray(A), jnp.asarray(B), jnp.asarray(na), jnp.asarray(nb)
+    )
+    for i in range(K):
+        single = _pair_arith_rfft(
+            jnp.asarray(A[i]), jnp.asarray(B[i]),
+            jnp.float32(na[i]), jnp.float32(nb[i]),
+        )
+        np.testing.assert_array_equal(np.asarray(bm[i]), np.asarray(single))
+
+    # add
+    bm, bn = _batched_kernel("add")(jnp.asarray(A), jnp.asarray(B))
+    np.testing.assert_array_equal(np.asarray(bm), A + B)
