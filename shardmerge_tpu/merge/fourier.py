@@ -185,9 +185,13 @@ def _pair_slerp_rfft(
     # fuses into the blend's first read instead of costing a full pre-FFT
     # memory pass per input. Scaling after vs before the FFT differs only in
     # rounding order — the same class as the fast-imag identity this kernel
-    # already assumes. (A stacked rfftn over both inputs was measured SLOWER
-    # than two separate transforms on v5e — 33.8 ms vs 24 ms per pair merge —
-    # XLA's batched FFT path degrades; keep them separate.)
+    # already assumes. Forward variants measured end-to-end on v5e and
+    # REJECTED: a stacked batched rfftn over both inputs (33.8 ms/merge vs
+    # 24.2 — XLA's batched FFT path degrades) and a packed complex FFT
+    # (z = a+ib) with Hermitian unpack (28.6 ms/merge — the full-spectrum
+    # flip/roll gather of the unpack costs more than the saved transform;
+    # an isolated probe of it looked 15% faster only because XLA dead-code
+    # eliminated the unpack when just one element was consumed).
     h0 = jnp.fft.rfftn(a, axes=(-2, -1)) * (1.0 / norm_a)
     h1 = jnp.fft.rfftn(b, axes=(-2, -1)) * (1.0 / norm_b)
     col_w = jnp.asarray(blend.hermitian_col_weights(a.shape[-1]))
@@ -480,9 +484,14 @@ class FourierMerge(MergeTensorsBase):
         # analogue — one device_put per reuse instead of a file read).
         self.hbm_budget_bytes = kwargs.get("hbm_budget_bytes")
         # One vmapped dispatch per regime per reduction round (>2-model
-        # merges); False forces the per-pair dispatch path (used by tests to
-        # assert the two produce identical outputs).
-        self.batch_rounds = kwargs.get("batch_rounds", True)
+        # merges). Default OFF: measured on v5e, a k=2 vmapped slerp batch
+        # runs 134.7 ms vs 95.7 ms for two sequential dispatches — XLA's
+        # TPU FFT degrades under a batch dimension (same pathology as the
+        # stacked-rfftn probe, BASELINE.md), and dispatches are async so
+        # relay latency pipelines anyway. The <=1-host-sync-per-round norm
+        # batching is independent and always on. batch_rounds=True remains
+        # available (bit-identical outputs; tests assert it).
+        self.batch_rounds = kwargs.get("batch_rounds", False)
 
     def _sharding_for(self, host):
         if (
