@@ -76,8 +76,18 @@ def _enable_compile_cache(cache_dir: Path):
         logger.debug("compilation cache unavailable: %s", e)
 
 
-async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cache: bool = False, **kwargs):
-    """Wire up transport + index + merger and run (reference __main__.py:47-76)."""
+async def run_merge(
+    config: MergeConfig,
+    device: Optional[str] = None,
+    clean_cache: bool = False,
+    dry_run: bool = False,
+    **kwargs,
+):
+    """Wire up transport + index + merger and run (reference __main__.py:47-76).
+
+    ``dry_run`` resolves every model index, validates architectures, and
+    prints the merge plan (shards, tensors, resume state, placement policy)
+    without fetching weights or computing anything."""
     from .merge import MERGE_METHODS
 
     _enable_compile_cache(config.cache_path)
@@ -141,10 +151,56 @@ async def run_merge(config: MergeConfig, device: Optional[str] = None, clean_cac
         ),
         **kwargs,
     )
+    if dry_run:
+        await _print_plan(merger, config, mesh)
+        return
     await merger.merge(device=device)
 
     if clean_cache and download_manager is not None:
         await download_manager.cleanup()
+
+
+async def _print_plan(merger, config: MergeConfig, mesh):
+    """Resolve indexes and print the merge plan without computing."""
+    import numpy as np
+
+    await merger.initialize()
+    layer_order = merger.index_manager.get_layer_order(config.output_base_model)
+    writer = merger.get_writer(layer_order)
+
+    total = 0
+    done = 0
+    n_tensors = 0
+    shards = 0
+    sharded_over_mesh = 0
+    weight_map = merger.index_doc["weight_map"]
+    for shard_layers in writer.shard_layers():
+        shards += 1
+        for sl in shard_layers:
+            n_tensors += 1
+            if sl.written:
+                done += 1
+    click.echo(f"merge plan: {config.merge_method} of "
+               f"{len(config.finetune_merge)} finetunes onto "
+               f"{config.output_base_model}")
+    click.echo(f"  output: {config.output_path} "
+               f"({shards} shards, {n_tensors} tensors, dtype {config.output_dtype})")
+    if done:
+        click.echo(f"  resume: {done}/{n_tensors} tensors already written "
+                   "(will be skipped)")
+    if mesh is not None:
+        click.echo(f"  mesh: {mesh.devices.size} devices; tensors >= "
+                   f"{config.shard_min_bytes} bytes row-shard (pad if needed)")
+    click.echo(f"  models: " + ", ".join(
+        f"{m.model} (base {m.base}, alpha {m.alpha})"
+        for m in config.finetune_merge
+    ))
+    click.echo("  gates: " + (", ".join(
+        f"{m.model}[{m.start_layer}:{m.end_layer}]"
+        for m in config.finetune_merge
+        if m.start_layer != 0 or m.end_layer != -1
+    ) or "none"))
+    click.echo(f"plan OK — nothing was fetched or computed")
 
 
 @click.group()
@@ -190,6 +246,12 @@ def cli():
     "--profile",
     is_flag=True,
     help="Log per-phase wall clock / RSS / HBM (same as SHARDMERGE_PROFILE=1)",
+)
+@click.option(
+    "--dry-run",
+    is_flag=True,
+    help="Resolve indexes, validate architectures and print the merge plan "
+    "without fetching weights or computing",
 )
 def merge_command(
     config_file: Path,
@@ -238,7 +300,13 @@ def merge_command(
         from .ops.profiling import trace
 
         with trace(str(trace_dir) if trace_dir else None):
-            asyncio.run(run_merge(config=config, **config.to_dict()))
+            asyncio.run(
+                run_merge(
+                    config=config,
+                    dry_run=bool(kwargs.get("dry_run")),
+                    **config.to_dict(),
+                )
+            )
     except ConfigError as e:
         raise click.BadParameter(str(e))
     except Exception as e:

@@ -434,3 +434,31 @@ def test_cli_compare_gate(tmp_path, tiny_model_factory):
     assert bad.exit_code != 0
     shown = runner.invoke(cli, ["inspect", str(path_a)])
     assert shown.exit_code == 0 and "tensors:" in shown.output
+
+
+def test_merge_dry_run_prints_plan(tmp_path, tiny_model_factory):
+    """--dry-run resolves indexes and prints the plan without writing any
+    weights (only the output index is materialized by writer init)."""
+    from click.testing import CliRunner
+
+    from shardmerge_tpu.cli import cli
+
+    base_path, _ = tiny_model_factory("base", seed=400)
+    ft_path, _ = tiny_model_factory("ft", seed=401)
+    out_dir = tmp_path / "merged"
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        f"""output_base_model: "{base_path}"
+finetune_merge:
+  - {{model: "{ft_path}", base: "{base_path}", alpha: 0.9}}
+output_dir: "{out_dir}"
+cache_dir: "{tmp_path}/cache"
+storage_dir: "{tmp_path}/storage"
+"""
+    )
+    result = CliRunner().invoke(cli, ["merge", str(cfg), "--dry-run"])
+    assert result.exit_code == 0, result.output
+    assert "merge plan: fourier of 1 finetunes" in result.output
+    assert "plan OK" in result.output
+    # no shard files were written
+    assert not list(out_dir.glob("*.safetensors"))
