@@ -434,29 +434,16 @@ def _moe(cfg: ModelConfig, layer, x):
     return out.astype(x.dtype)
 
 
-def _moe_capacity(cfg: ModelConfig, layer, x, capacity_factor: float = 1.25):
-    """Capacity-based sparse MoE dispatch (serving path).
+def capacity_tables(router_probs, k: int, capacity: int):
+    """Token->expert dispatch tables for capacity-based MoE.
 
-    Instead of computing every expert densely (O(n_experts) FLOPs,
-    :func:`_moe`), tokens are gathered into fixed-capacity per-expert
-    blocks — C = ceil(tokens*k/n_experts * capacity_factor) — batched
-    through the expert SwiGLUs as one (n_exp, C, ·) einsum chain on the
-    MXU, and scattered back weighted. Static shapes throughout (XLA-
-    friendly); tokens beyond an expert's capacity are dropped, the
-    standard capacity trade-off — with capacity_factor >= n_experts/k it
-    is exact and matches :func:`_moe` to float tolerance.
-    """
-    B, T, E = x.shape
-    n_exp = cfg.num_local_experts
-    k = cfg.num_experts_per_tok
-    S = B * T
-    C = int(np.ceil(S * k / n_exp * capacity_factor))
-    C = min(C, S)  # an expert can receive at most every token once
-
-    xf = x.reshape(S, E)
-    router_logits = matmul(xf, layer["moe_gate"]).astype(jnp.float32)
-    probs = jax.nn.softmax(router_logits, axis=-1)
-    topk_probs, topk_idx = jax.lax.top_k(probs, k)
+    From (S, n_exp) router probabilities, build gather_idx (n_exp, C) of
+    token ids per expert slot (S = padding row for empty/overflow slots)
+    and w_slot (n_exp, C) renormalized routing weights. Static shapes;
+    tokens beyond an expert's capacity are dropped (the standard capacity
+    trade-off)."""
+    S, n_exp = router_probs.shape
+    topk_probs, topk_idx = jax.lax.top_k(router_probs, k)
     topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
 
     # flatten the S*k assignments and rank each within its expert
@@ -465,28 +452,30 @@ def _moe_capacity(cfg: ModelConfig, layer, x, capacity_factor: float = 1.25):
     weights = topk_probs.reshape(-1).astype(jnp.float32)
     onehot = jax.nn.one_hot(expert_ids, n_exp, dtype=jnp.int32)  # (S*k, n)
     pos = jnp.sum((jnp.cumsum(onehot, axis=0) - 1) * onehot, axis=1)  # (S*k,)
-    slot = jnp.minimum(pos, C)  # overflow lands in a trash column
+    slot = jnp.minimum(pos, capacity)  # overflow lands in a trash column
 
-    # per-expert token gather map: (n_exp, C+1), column C is trash
-    gather_idx = jnp.full((n_exp, C + 1), S, jnp.int32)
+    gather_idx = jnp.full((n_exp, capacity + 1), S, jnp.int32)
     gather_idx = gather_idx.at[expert_ids, slot].set(token_ids)
-    w_slot = jnp.zeros((n_exp, C + 1), jnp.float32)
+    w_slot = jnp.zeros((n_exp, capacity + 1), jnp.float32)
     w_slot = w_slot.at[expert_ids, slot].set(weights)
-    gather_idx = gather_idx[:, :C]
-    w_slot = w_slot[:, :C]
+    return gather_idx[:, :capacity], w_slot[:, :capacity]
 
+
+def capacity_experts_apply(xf, gather_idx, w_slot, W1, W3, W2, hidden_act):
+    """Gather tokens into expert blocks, run the batched SwiGLU einsums on
+    the MXU, scatter back weighted. xf: (S, E) tokens; W*: stacked
+    (n_exp, ., .) expert weights (may be a local expert slice, with
+    gather_idx/w_slot sliced to match). Returns fp32 (S, E)."""
+    S, E = xf.shape
     xpad = jnp.concatenate([xf, jnp.zeros((1, E), xf.dtype)])  # row S = zero
     xe = xpad[gather_idx]  # (n_exp, C, E)
 
-    W1 = jnp.stack([e["w1"] for e in layer["experts"]])  # (n_exp, I, E)
-    W3 = jnp.stack([e["w3"] for e in layer["experts"]])
-    W2 = jnp.stack([e["w2"] for e in layer["experts"]])  # (n_exp, E, I)
     gate = jnp.einsum("ecd,eid->eci", xe, W1)  # d = hidden, i = intermediate
     up = jnp.einsum("ecd,eid->eci", xe, W3)
     g32 = gate.astype(jnp.float32)
     act = (
         jax.nn.gelu(g32, approximate=True)
-        if cfg.hidden_act in ("gelu_pytorch_tanh", "gelu_tanh", "gelu")
+        if hidden_act in ("gelu_pytorch_tanh", "gelu_tanh", "gelu")
         else jax.nn.silu(g32)
     )
     h = act.astype(xe.dtype) * up
@@ -495,7 +484,39 @@ def _moe_capacity(cfg: ModelConfig, layer, x, capacity_factor: float = 1.25):
     contrib = ye.astype(jnp.float32) * w_slot[..., None]
     out = jnp.zeros((S + 1, E), jnp.float32)
     out = out.at[gather_idx.reshape(-1)].add(contrib.reshape(-1, E))
-    return out[:S].reshape(B, T, E).astype(x.dtype)
+    return out[:S]
+
+
+def _moe_capacity(cfg: ModelConfig, layer, x, capacity_factor: float = 1.25):
+    """Capacity-based sparse MoE dispatch (serving path).
+
+    Instead of computing every expert densely (O(n_experts) FLOPs,
+    :func:`_moe`), tokens are gathered into fixed-capacity per-expert
+    blocks — C = ceil(tokens*k/n_experts * capacity_factor) — batched
+    through the expert SwiGLUs as one (n_exp, C, ·) einsum chain on the
+    MXU, and scattered back weighted. Static shapes throughout (XLA-
+    friendly); with capacity_factor >= n_experts/k it is exact and matches
+    :func:`_moe` to float tolerance. parallel/moe.py shards this over an
+    expert-parallel mesh axis.
+    """
+    B, T, E = x.shape
+    n_exp = cfg.num_local_experts
+    k = cfg.num_experts_per_tok
+    S = B * T
+    C = min(int(np.ceil(S * k / n_exp * capacity_factor)), S)
+
+    xf = x.reshape(S, E)
+    router_logits = matmul(xf, layer["moe_gate"]).astype(jnp.float32)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    gather_idx, w_slot = capacity_tables(probs, k, C)
+
+    W1 = jnp.stack([e["w1"] for e in layer["experts"]])  # (n_exp, I, E)
+    W3 = jnp.stack([e["w3"] for e in layer["experts"]])
+    W2 = jnp.stack([e["w2"] for e in layer["experts"]])  # (n_exp, E, I)
+    out = capacity_experts_apply(
+        xf, gather_idx, w_slot, W1, W3, W2, cfg.hidden_act
+    )
+    return out.reshape(B, T, E).astype(x.dtype)
 
 
 def _ffn(cfg: ModelConfig, layer, x):

@@ -1,0 +1,113 @@
+"""Expert-parallel (EP) MoE dispatch over a mesh axis.
+
+SURVEY.md §2.3 lists expert parallelism among the axes the reference lacks.
+parallel/train.py already shards each expert's matrices Megatron-style
+(intra-expert TP); this module shards the EXPERT axis instead: each device
+owns n_experts/P complete experts and computes only the token slots routed
+to them.
+
+Serving pattern (small-batch inference): activations are replicated over
+the EP axis, the router is deterministic and replicated, so every device
+derives the SAME dispatch tables, slices its own experts' rows, computes
+its local expert blocks, and one psum over the axis assembles the output —
+expert FLOPs and expert weight memory both scale 1/P with zero token
+all-to-alls (the psum of the (S, E) activations is the only collective).
+
+Exactness: identical to the single-device capacity dispatch
+(models/llama._moe_capacity), which itself matches the dense-and-mask MoE
+when no expert exceeds capacity.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import (
+    ModelConfig,
+    capacity_experts_apply,
+    capacity_tables,
+    matmul,
+)
+
+__all__ = ["expert_parallel_ffn", "shard_experts"]
+
+_AXIS = "ep"
+
+
+def shard_experts(mesh: Mesh, layer: dict):
+    """Stack a layer's expert weights and shard the expert axis over 'ep'.
+
+    Returns (gate_w, W1, W3, W2) with W* placed as (n_exp/P local experts
+    per device); the tiny router matrix is replicated.
+    """
+    exp_sharded = NamedSharding(mesh, P(_AXIS, None, None))
+    rep = NamedSharding(mesh, P())
+    W1 = jax.device_put(jnp.stack([e["w1"] for e in layer["experts"]]), exp_sharded)
+    W3 = jax.device_put(jnp.stack([e["w3"] for e in layer["experts"]]), exp_sharded)
+    W2 = jax.device_put(jnp.stack([e["w2"] for e in layer["experts"]]), exp_sharded)
+    gate_w = jax.device_put(layer["moe_gate"], rep)
+    return gate_w, W1, W3, W2
+
+
+def expert_parallel_ffn(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    gate_w,
+    W1,
+    W3,
+    W2,
+    x,
+    capacity_factor: float = 1.25,
+):
+    """Run one MoE FFN with experts sharded over mesh axis 'ep'.
+
+    ``x``: (B, T, E) activations, replicated over the axis. Experts must
+    divide the axis size. Returns (B, T, E) in x.dtype.
+    """
+    n_exp = cfg.num_local_experts
+    n_dev = mesh.devices.size
+    if n_exp % n_dev != 0:
+        raise ValueError(f"{n_exp} experts do not divide {n_dev} devices")
+    B, T, E = x.shape
+    S = B * T
+    C = min(int(np.ceil(S * cfg.num_experts_per_tok / n_exp * capacity_factor)), S)
+
+    body = partial(
+        _ep_body, k=cfg.num_experts_per_tok, capacity=C,
+        hidden_act=cfg.hidden_act,
+    )
+    fn = jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P(), P(), P(_AXIS, None, None), P(_AXIS, None, None),
+                      P(_AXIS, None, None)),
+            out_specs=P(),
+        )
+    )
+    out = fn(x.reshape(S, E), gate_w, W1, W3, W2)
+    return out.reshape(B, T, E).astype(x.dtype)
+
+
+def _ep_body(xf, gate_w, W1l, W3l, W2l, *, k, capacity, hidden_act):
+    """shard_map body: xf replicated (S, E); W*l = this device's experts."""
+    n_local = W1l.shape[0]
+    n_exp = n_local * jax.lax.axis_size(_AXIS)
+    rank = jax.lax.axis_index(_AXIS)
+
+    # replicated router -> identical dispatch tables on every device
+    router_logits = matmul(xf, gate_w).astype(jnp.float32)
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    gather_idx, w_slot = capacity_tables(probs, k, capacity)  # (n_exp, C)
+
+    # slice this device's expert rows
+    gi = jax.lax.dynamic_slice_in_dim(gather_idx, rank * n_local, n_local, 0)
+    ws = jax.lax.dynamic_slice_in_dim(w_slot, rank * n_local, n_local, 0)
+
+    local = capacity_experts_apply(xf, gi, ws, W1l, W3l, W2l, hidden_act)
+    return jax.lax.psum(local, _AXIS)

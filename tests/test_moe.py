@@ -214,3 +214,54 @@ def test_capacity_dispatch_matches_dense():
     out = jax.jit(lambda p, x: _ffn(cap_cfg, p, x))(layer, x)
     assert out.shape == x.shape
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_expert_parallel_matches_single_device():
+    """EP dispatch over an 8-device 'ep' mesh == single-device capacity
+    dispatch == dense-and-mask MoE (at non-dropping capacity)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shardmerge_tpu.models.llama import ModelConfig, init_params, _ffn
+    from shardmerge_tpu.parallel.mesh import make_mesh
+    from shardmerge_tpu.parallel.moe import expert_parallel_ffn, shard_experts
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=8,
+        num_experts_per_tok=2,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    layer = params["layers"][0]
+    x = jax.random.normal(
+        jax.random.PRNGKey(1), (2, 12, cfg.hidden_size), jnp.float32
+    )
+
+    dense = np.asarray(_ffn(cfg, layer, x))
+
+    mesh = make_mesh(("ep",))
+    gate_w, W1, W3, W2 = shard_experts(mesh, layer)
+    # non-dropping capacity: equality with dense must be exact-class
+    ep = np.asarray(
+        expert_parallel_ffn(
+            mesh, cfg, gate_w, W1, W3, W2, x,
+            capacity_factor=float(cfg.num_local_experts),
+        )
+    )
+    np.testing.assert_allclose(ep, dense, rtol=2e-5, atol=2e-6)
+
+    # and it equals the single-device capacity dispatch at a tight capacity
+    cap_cfg = dataclasses.replace(cfg, moe_dispatch="capacity")
+    single = np.asarray(_ffn(cap_cfg, layer, x))
+    ep_tight = np.asarray(
+        expert_parallel_ffn(mesh, cfg, gate_w, W1, W3, W2, x)
+    )
+    np.testing.assert_allclose(ep_tight, single, rtol=2e-5, atol=2e-6)
