@@ -72,19 +72,32 @@ def bench_jax(a_np, b_np, iters=5):
 
     import functools
 
-    def timed(K, reps=2):
+    def timed(K, reps=6):
+        # min-of-N: the relay's per-dispatch latency jitter (tens of ms) is
+        # the same order as one merge, so an average over few reps can even
+        # make the K=2 chain 'faster' than K=1 — the minimum is stable.
         fn = jax.jit(functools.partial(chain, K=K))
         out = fn(a, b)
         jax.block_until_ready(out)
-        start = time.perf_counter()
+        best = float("inf")
         for _ in range(reps):
+            start = time.perf_counter()
             out = fn(a, b)
             jax.block_until_ready(out)
-        return (time.perf_counter() - start) / reps, out
+            best = min(best, time.perf_counter() - start)
+        return best, out
 
     t1, _ = timed(1)
     t2, _ = timed(2)
     per_merge = t2 - t1  # slope: dispatch overhead cancels
+    if per_merge <= 0:
+        # jitter still swamped the slope; the K=2 chain alone bounds it
+        print(
+            f"WARNING: non-positive slope (t1={t1*1e3:.1f} ms, "
+            f"t2={t2*1e3:.1f} ms); using t2/2",
+            file=sys.stderr,
+        )
+        per_merge = t2 / 2
     # chain feeds x back in, so out4 != single-merge output; redo one clean
     single, _, _ = _pair_slerp_rfft(
         a,
