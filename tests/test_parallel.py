@@ -576,3 +576,32 @@ def test_multihost_merge_mesh_and_init(rng):
     np.testing.assert_allclose(
         shard, single, rtol=1e-3, atol=1e-4 * np.abs(single).max()
     )
+
+
+def test_initialize_distributed_env_detection(monkeypatch):
+    """Cluster env vars trigger an initialize attempt (which fails cleanly
+    single-process); a bare environment stays a no-op without touching
+    jax.distributed."""
+    from shardmerge_tpu.parallel import multihost
+
+    for var in multihost._CLUSTER_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+
+    called = []
+
+    def fake_init(**kw):
+        called.append(kw)
+        raise RuntimeError("no cluster")
+
+    monkeypatch.setattr(multihost.jax.distributed, "initialize", fake_init)
+
+    assert multihost.initialize_distributed() is False
+    assert called == []  # bare env: never probed
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "h0,h1")
+    assert multihost.initialize_distributed() is False  # probe failed cleanly
+    assert len(called) == 1
+
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    assert multihost.initialize_distributed(force=True) is False
+    assert len(called) == 2
