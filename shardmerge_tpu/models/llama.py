@@ -1,5 +1,5 @@
-"""JAX Llama-family forward pass (Llama 2/3, Qwen2, Mistral, Mixtral,
-Gemma 1/2, Phi-3).
+"""JAX Llama-family forward pass (Llama 2/3, Qwen2, Qwen3, Qwen3-MoE,
+Mistral, Mixtral, Gemma 1/2, Phi-3).
 
 Replaces the reference's transformers+bitsandbytes inference path
 (shard/inference.py:65-119) with a pure-JAX functional model:
@@ -12,8 +12,10 @@ Replaces the reference's transformers+bitsandbytes inference path
 - GQA, RoPE (with llama3 rope scaling), SwiGLU/GeGLU, optional attention
   biases (Qwen2), optional tied embeddings; Gemma (1+w) norms and
   sqrt(hidden) embed scale; Gemma-2 post-norm blocks, logit softcapping and
-  alternating sliding-window attention; Phi-3 fused-qkv checkpoints split
-  on load
+  alternating sliding-window attention; Mistral all-layer sliding window;
+  Qwen3 per-head q/k RMSNorm; Qwen3-MoE sparse layers (mlp.gate /
+  mlp.experts naming, norm_topk_prob gate); Phi-3 fused-qkv checkpoints
+  split on load
 - weights may be int8/int4-quantized per output channel (models/quant.py);
   dequantization happens inside the matmul helper
 
@@ -50,9 +52,15 @@ class ModelConfig:
     tie_word_embeddings: bool = False
     attention_bias: bool = False  # Qwen2 uses q/k/v biases
     model_type: str = "llama"
-    # MoE (Mixtral): 0 experts means a dense MLP
+    # MoE (Mixtral/Qwen3-MoE): 0 experts means a dense MLP
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # Qwen3-MoE: expert FFNs are narrower than the dense intermediate size,
+    # and renormalizing the top-k router weights is a config choice
+    moe_intermediate_size: Optional[int] = None
+    norm_topk_prob: bool = True
+    # Qwen3: per-head RMSNorm on q/k before RoPE
+    qk_norm: bool = False
     # Gemma family
     head_dim_override: Optional[int] = None  # gemma2 sets head_dim explicitly
     hidden_act: str = "silu"  # gemma: gelu_pytorch_tanh (GeGLU)
@@ -84,13 +92,14 @@ class ModelConfig:
         return self.model_type == "gemma2"
 
     def layer_is_sliding(self, layer_idx: int) -> bool:
-        """gemma2 alternates local (sliding-window) and global attention;
-        HF applies the window on even layer indices."""
-        return (
-            self.is_gemma2
-            and self.sliding_window is not None
-            and layer_idx % 2 == 0
-        )
+        """gemma2 alternates local (sliding-window) and global attention
+        (HF applies the window on even layer indices); mistral applies the
+        window to every layer."""
+        if self.sliding_window is None:
+            return False
+        if self.is_gemma2:
+            return layer_idx % 2 == 0
+        return self.model_type == "mistral"
 
     @classmethod
     def from_hf_config(cls, config: dict) -> "ModelConfig":
@@ -115,11 +124,16 @@ class ModelConfig:
                 "attention_bias", model_type == "qwen2"
             ),
             model_type=model_type,
-            num_local_experts=config.get("num_local_experts", 0),
+            # Mixtral names the field num_local_experts; Qwen3-MoE num_experts
+            num_local_experts=config.get(
+                "num_local_experts", config.get("num_experts", 0)
+            ),
             num_experts_per_tok=config.get("num_experts_per_tok", 2),
-            head_dim_override=config.get("head_dim")
-            if model_type.startswith("gemma")
-            else None,
+            moe_intermediate_size=config.get("moe_intermediate_size"),
+            norm_topk_prob=config.get("norm_topk_prob", True),
+            qk_norm=model_type.startswith("qwen3"),
+            # explicit head_dim (gemma always; qwen3/new-mistral when present)
+            head_dim_override=config.get("head_dim"),
             hidden_act=config.get(
                 "hidden_activation", config.get("hidden_act", "silu")
             ),
@@ -127,7 +141,7 @@ class ModelConfig:
             attn_logit_softcapping=config.get("attn_logit_softcapping"),
             final_logit_softcapping=config.get("final_logit_softcapping"),
             sliding_window=config.get("sliding_window")
-            if model_type == "gemma2"
+            if model_type in ("gemma2", "mistral")
             else None,
             original_max_position_embeddings=config.get(
                 "original_max_position_embeddings"
@@ -289,6 +303,9 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
             "input_layernorm": norm_init((cfg.hidden_size,), dtype),
             "post_attention_layernorm": norm_init((cfg.hidden_size,), dtype),
         }
+        if cfg.qk_norm:
+            layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
+            layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
         if cfg.is_gemma2:
             layer["pre_feedforward_layernorm"] = norm_init(
                 (cfg.hidden_size,), dtype
@@ -297,6 +314,7 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
                 (cfg.hidden_size,), dtype
             )
         if cfg.num_local_experts > 0:
+            moe_inter = cfg.moe_intermediate_size or cfg.intermediate_size
             gk = jax.random.split(k[4], cfg.num_local_experts + 1)
             layer["moe_gate"] = dense(
                 gk[0], (cfg.num_local_experts, cfg.hidden_size)
@@ -306,9 +324,9 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
                 ek = jax.random.split(gk[e + 1], 3)
                 layer["experts"].append(
                     {
-                        "w1": dense(ek[0], (cfg.intermediate_size, cfg.hidden_size)),
-                        "w3": dense(ek[1], (cfg.intermediate_size, cfg.hidden_size)),
-                        "w2": dense(ek[2], (cfg.hidden_size, cfg.intermediate_size)),
+                        "w1": dense(ek[0], (moe_inter, cfg.hidden_size)),
+                        "w3": dense(ek[1], (moe_inter, cfg.hidden_size)),
+                        "w2": dense(ek[2], (cfg.hidden_size, moe_inter)),
                     }
                 )
         else:
@@ -361,6 +379,9 @@ def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
     q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
+    if "q_norm" in layer:  # qwen3: per-head RMSNorm before RoPE
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
 
     q, k = apply_rope(q, k, cos, sin, positions)
 
@@ -413,7 +434,8 @@ def _moe(cfg: ModelConfig, layer, x):
     router_logits = matmul(x, layer["moe_gate"]).astype(jnp.float32)  # (B,T,n)
     probs = jax.nn.softmax(router_logits, axis=-1)
     topk_probs, topk_idx = jax.lax.top_k(probs, k)
-    topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
+    if cfg.norm_topk_prob:  # mixtral always; qwen3-moe per config
+        topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
     # dense per-expert weights: (B, T, n_exp)
     onehot = jax.nn.one_hot(topk_idx, n_exp, dtype=probs.dtype)  # (B,T,k,n)
     weights = jnp.einsum("btk,btkn->btn", topk_probs, onehot)
@@ -434,17 +456,19 @@ def _moe(cfg: ModelConfig, layer, x):
     return out.astype(x.dtype)
 
 
-def capacity_tables(router_probs, k: int, capacity: int):
+def capacity_tables(router_probs, k: int, capacity: int, norm_topk: bool = True):
     """Token->expert dispatch tables for capacity-based MoE.
 
     From (S, n_exp) router probabilities, build gather_idx (n_exp, C) of
     token ids per expert slot (S = padding row for empty/overflow slots)
-    and w_slot (n_exp, C) renormalized routing weights. Static shapes;
-    tokens beyond an expert's capacity are dropped (the standard capacity
-    trade-off)."""
+    and w_slot (n_exp, C) routing weights (renormalized over the top-k when
+    ``norm_topk`` — mixtral semantics; qwen3-moe gates it per config).
+    Static shapes; tokens beyond an expert's capacity are dropped (the
+    standard capacity trade-off)."""
     S, n_exp = router_probs.shape
     topk_probs, topk_idx = jax.lax.top_k(router_probs, k)
-    topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
+    if norm_topk:
+        topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
 
     # flatten the S*k assignments and rank each within its expert
     expert_ids = topk_idx.reshape(-1)  # (S*k,)
@@ -508,7 +532,7 @@ def _moe_capacity(cfg: ModelConfig, layer, x, capacity_factor: float = 1.25):
     xf = x.reshape(S, E)
     router_logits = matmul(xf, layer["moe_gate"]).astype(jnp.float32)
     probs = jax.nn.softmax(router_logits, axis=-1)
-    gather_idx, w_slot = capacity_tables(probs, k, C)
+    gather_idx, w_slot = capacity_tables(probs, k, C, cfg.norm_topk_prob)
 
     W1 = jnp.stack([e["w1"] for e in layer["experts"]])  # (n_exp, I, E)
     W3 = jnp.stack([e["w3"] for e in layer["experts"]])
@@ -657,6 +681,9 @@ def forward_train(params: Params, cfg: ModelConfig, input_ids: jnp.ndarray):
         q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
         k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
         v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
+        if "q_norm" in layer:  # qwen3: per-head RMSNorm before RoPE
+            q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
         q, k = apply_rope(q, k, cos, sin, positions)
 
         group = H // KVH

@@ -42,7 +42,12 @@ _LAYER_WEIGHTS = {
     # gemma2 post-norm blocks
     "pre_feedforward_layernorm.weight": "pre_feedforward_layernorm",
     "post_feedforward_layernorm.weight": "post_feedforward_layernorm",
+    # qwen3 per-head q/k norms
+    "self_attn.q_norm.weight": "q_norm",
+    "self_attn.k_norm.weight": "k_norm",
 }
+# qwen3-moe expert weights use HF mlp names; the pytree keeps mixtral's w1/w3/w2
+_EXPERT_WEIGHTS = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
 _QUANTIZABLE = {
     "q_proj",
     "k_proj",
@@ -102,13 +107,17 @@ def load_params(
                     layer_idx = int(parts[2])
                     suffix = ".".join(parts[3:])
                     layer = params["layers"][layer_idx]
-                    if suffix == "block_sparse_moe.gate.weight":
+                    if suffix in ("block_sparse_moe.gate.weight", "mlp.gate.weight"):
+                        # mixtral / qwen3-moe router
                         layer["moe_gate"] = _to_device(arr, dtype)
                         continue
-                    if suffix.startswith("block_sparse_moe.experts."):
-                        # model.layers.N.block_sparse_moe.experts.E.w{1,2,3}.weight
+                    if suffix.startswith(
+                        ("block_sparse_moe.experts.", "mlp.experts.")
+                    ):
+                        # mixtral:   model.layers.N.block_sparse_moe.experts.E.w{1,2,3}.weight
+                        # qwen3-moe: model.layers.N.mlp.experts.E.{gate,up,down}_proj.weight
                         expert_idx = int(parts[5])
-                        wname = parts[6]
+                        wname = _EXPERT_WEIGHTS.get(parts[6], parts[6])
                         experts = layer.setdefault(
                             "experts",
                             [dict() for _ in range(cfg.num_local_experts)],

@@ -79,7 +79,7 @@ def expert_parallel_ffn(
 
     body = partial(
         _ep_body, k=cfg.num_experts_per_tok, capacity=C,
-        hidden_act=cfg.hidden_act,
+        hidden_act=cfg.hidden_act, norm_topk=cfg.norm_topk_prob,
     )
     fn = jax.jit(
         jax.shard_map(
@@ -94,7 +94,7 @@ def expert_parallel_ffn(
     return out.reshape(B, T, E).astype(x.dtype)
 
 
-def _ep_body(xf, gate_w, W1l, W3l, W2l, *, k, capacity, hidden_act):
+def _ep_body(xf, gate_w, W1l, W3l, W2l, *, k, capacity, hidden_act, norm_topk=True):
     """shard_map body: xf replicated (S, E); W*l = this device's experts."""
     n_local = W1l.shape[0]
     n_exp = n_local * jax.lax.axis_size(_AXIS)
@@ -103,7 +103,7 @@ def _ep_body(xf, gate_w, W1l, W3l, W2l, *, k, capacity, hidden_act):
     # replicated router -> identical dispatch tables on every device
     router_logits = matmul(xf, gate_w).astype(jnp.float32)
     probs = jax.nn.softmax(router_logits, axis=-1)
-    gather_idx, w_slot = capacity_tables(probs, k, capacity)  # (n_exp, C)
+    gather_idx, w_slot = capacity_tables(probs, k, capacity, norm_topk)  # (n_exp, C)
 
     # slice this device's expert rows
     gi = jax.lax.dynamic_slice_in_dim(gather_idx, rank * n_local, n_local, 0)

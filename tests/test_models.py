@@ -625,3 +625,135 @@ def test_unknown_rope_scaling_raises():
 
     with _pytest.raises(NotImplementedError, match="yarn"):
         rope_tables(cfg, 16)
+
+
+def test_qwen3_qk_norm_matches_transformers(tmp_path):
+    """Qwen3: per-head q/k RMSNorm before RoPE, explicit head_dim, no
+    attention biases."""
+    import torch
+    from transformers import Qwen3Config, Qwen3ForCausalLM
+
+    torch.manual_seed(8)
+    config = Qwen3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    model = Qwen3ForCausalLM(config).eval().to(torch.float32)
+    # nontrivial norm weights so the q/k norms are actually exercised
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_norm.weight.uniform_(0.5, 1.5)
+            layer.self_attn.k_norm.weight.uniform_(0.5, 1.5)
+    path = tmp_path / "qwen3"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.qk_norm and not cfg.attention_bias
+    params = load_params(path, cfg, dtype=jnp.float32)
+    assert "q_norm" in params["layers"][0]
+    ids = np.array([[6, 14, 83, 27, 119]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_mistral_sliding_window_matches_transformers(tmp_path):
+    """Mistral: llama arch + sliding-window attention on EVERY layer. The
+    window is shorter than the prompt so the mask actually matters."""
+    import torch
+    from transformers import MistralConfig, MistralForCausalLM
+
+    torch.manual_seed(9)
+    config = MistralConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        sliding_window=3,
+        tie_word_embeddings=False,
+    )
+    model = MistralForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "mistral"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.sliding_window == 3
+    assert cfg.layer_is_sliding(0) and cfg.layer_is_sliding(1)
+    params = load_params(path, cfg, dtype=jnp.float32)
+    ids = np.array([[2, 9, 31, 60, 99, 12, 47, 88]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=2e-4)
+
+
+def test_qwen3_moe_matches_transformers(tmp_path):
+    """Qwen3-MoE: mlp.gate/mlp.experts naming, moe_intermediate_size
+    narrower than the dense width, norm_topk_prob honored, q/k norms."""
+    import torch
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    torch.manual_seed(10)
+    config = Qwen3MoeConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        moe_intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        decoder_sparse_step=1,
+        mlp_only_layers=[],
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    model = Qwen3MoeForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "qwen3moe"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.num_local_experts == 4 and cfg.moe_intermediate_size == 48
+    assert cfg.norm_topk_prob and cfg.qk_norm
+    params = load_params(path, cfg, dtype=jnp.float32)
+    layer0 = params["layers"][0]
+    assert "experts" in layer0 and layer0["experts"][0]["w1"].shape == (48, 64)
+    ids = np.array([[1, 22, 87, 45, 103, 9]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+    # capacity dispatch must agree with the dense-and-mask path here too
+    import dataclasses
+
+    cfg_cap = dataclasses.replace(
+        cfg, moe_dispatch="capacity", moe_capacity_factor=float(cfg.num_local_experts)
+    )
+    logits_cap, _ = _run_forward(cfg_cap, params, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(logits_cap), np.asarray(logits), rtol=1e-5, atol=1e-5
+    )
