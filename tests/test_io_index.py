@@ -183,3 +183,29 @@ def test_hf_index_concurrent_same_shard(tmp_path, tiny_model_factory):
             assert server.hits[hits[0]] == 1
 
     asyncio.run(main())
+
+
+def test_ordered_weights_moe_namings():
+    """MoE checkpoints (mixtral block_sparse_moe.*, qwen3-moe mlp.experts.*)
+    flow through the layer-0 component discovery without loss; expert
+    indices order as strings (experts.10 < experts.2), matching the
+    reference's sorted() semantics (reference index.py:158-161)."""
+    for gate, expert_fmt in [
+        ("block_sparse_moe.gate.weight", "block_sparse_moe.experts.{e}.w1.weight"),
+        ("mlp.gate.weight", "mlp.experts.{e}.gate_proj.weight"),
+    ]:
+        weight_map = {"model.embed_tokens.weight": "a", "model.norm.weight": "a"}
+        for layer in range(2):
+            weight_map[f"model.layers.{layer}.self_attn.q_proj.weight"] = "a"
+            weight_map[f"model.layers.{layer}.{gate}"] = "a"
+            for e in range(12):
+                weight_map[
+                    f"model.layers.{layer}." + expert_fmt.format(e=e)
+                ] = "a"
+        order = ordered_weights(weight_map)
+        assert set(order) == set(weight_map)
+        comps = [w for w in order if w.startswith("model.layers.0.")]
+        assert comps == sorted(comps)  # string sort: experts.10 < experts.2
+        i0 = max(i for i, w in enumerate(order) if ".layers.0." in w)
+        i1 = min(i for i, w in enumerate(order) if ".layers.1." in w)
+        assert i0 < i1
