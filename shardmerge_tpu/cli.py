@@ -405,6 +405,43 @@ def generate_command(
         raise click.Abort()
 
 
+@cli.command("serve")
+@click.argument("model_path", type=click.Path(exists=True, path_type=Path))
+@click.option("--host", type=str, default="127.0.0.1", help="Bind address")
+@click.option("--port", type=int, default=8000, help="Bind port")
+@click.option("-4", "--load-in-4bit", is_flag=True, help="int4 weight quantization")
+@click.option("-8", "--load-in-8bit", is_flag=True, help="int8 weight quantization")
+def serve_command(
+    model_path: Path,
+    host: str,
+    port: int,
+    load_in_4bit: bool,
+    load_in_8bit: bool,
+):
+    """Serve a merged model over HTTP (OpenAI-style /v1/completions).
+
+    List-valued prompts run the batched lockstep decode; see
+    shardmerge_tpu/serve.py for the API shape.
+    """
+    import time
+
+    from .serve import serve
+
+    server = serve(
+        str(model_path),
+        host=host,
+        port=port,
+        load_in_4bit=load_in_4bit,
+        load_in_8bit=load_in_8bit,
+    )
+    click.echo(f"Serving {model_path} on http://{host}:{port} (Ctrl-C to stop)")
+    try:
+        while True:
+            time.sleep(3600)
+    except KeyboardInterrupt:
+        server.stop()
+
+
 @cli.command("verify-safetensors")
 @click.option("--model_dir", type=click.Path(exists=True, path_type=Path), required=True)
 @click.option("--index_path", type=click.Path(path_type=Path), default=None)

@@ -60,6 +60,10 @@ class InferenceEngine:
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
+        # activations (and so the KV cache) take the embedding dtype;
+        # quantized embeddings dequantize to bf16
+        embed = params["embed_tokens"]
+        self._kv_dtype = jnp.bfloat16 if isinstance(embed, dict) else embed.dtype
         self._decode_step = jax.jit(
             partial(forward, cfg=cfg), donate_argnames=("kv_cache",)
         )
@@ -151,7 +155,7 @@ class InferenceEngine:
         total = prompt_len + max_new_tokens
         cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
         rope = rope_tables(cfg, cache_len)
-        kv = init_kv_cache(cfg, 1, cache_len)
+        kv = init_kv_cache(cfg, 1, cache_len, self._kv_dtype)
 
         # Pad the prompt to a bucket so prefill compiles once per bucket, not
         # once per prompt length. Causality keeps the tail inert: only the
@@ -220,3 +224,119 @@ class InferenceEngine:
                 attn_len=pos + 1,
             )
             last = logits[:, -1, :]
+
+    def generate_batch(
+        self,
+        prompts: List[str],
+        max_new_tokens: int = 128,
+        temperature: float = 0.7,
+        top_p: float = 0.95,
+        top_k: int = 40,
+        repetition_penalty: float = 1.1,
+        use_template: bool = True,
+        system_prompt: Optional[str] = None,
+        greedy: bool = False,
+        seed: int = 0,
+    ) -> List[str]:
+        """Generate completions for a whole batch in lockstep (serving path).
+
+        Ragged prompts are LEFT-padded to one bucketed length so every row's
+        last prompt token sits at the same slot and decode advances one
+        shared cache position per step (static shapes: one compile per
+        (batch, prompt-bucket, cache-bucket) triple, zero per-row scatter).
+        Pad slots are masked out of attention via the forward's
+        ``token_valid`` mask; RoPE positions start at 0 on each row's first
+        real token, so outputs match the single-sequence path. Rows that hit
+        EOS keep decoding (their tokens are discarded) until all rows finish.
+        """
+        cfg = self.cfg
+        seqs = [
+            self._encode(p, use_template, system_prompt, None) for p in prompts
+        ]
+        if not seqs:
+            return []
+        if any(len(s) == 0 for s in seqs):
+            raise ValueError("generate_batch: empty prompt after encoding")
+        B = len(seqs)
+        max_len = max(len(s) for s in seqs)
+        L = -(-max_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
+        total = L + max_new_tokens
+        cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
+        rope = rope_tables(cfg, cache_len)
+        kv = init_kv_cache(cfg, B, cache_len, self._kv_dtype)
+
+        pad = np.asarray([L - len(s) for s in seqs], np.int32)  # left pads
+        ids = np.zeros((B, L), np.int32)
+        for b, s in enumerate(seqs):
+            ids[b, pad[b] :] = s
+        slot_idx = np.broadcast_to(np.arange(L, dtype=np.int32), (B, L))
+        rope_pos = np.maximum(slot_idx - pad[:, None], 0)  # pads masked anyway
+        token_valid = jnp.asarray(
+            np.arange(cache_len, dtype=np.int32)[None, :] >= pad[:, None]
+        )
+
+        logits, kv = self._prefill(
+            self.params,
+            input_ids=jnp.asarray(ids),
+            positions=jnp.asarray(rope_pos),
+            kv_cache=kv,
+            cache_pos=0,
+            rope=rope,
+            attn_len=L,
+            mask_positions=jnp.asarray(slot_idx),
+            token_valid=token_valid,
+        )
+        # left padding: every row's final prompt token is at slot L-1
+        last = logits[:, -1, :]
+
+        key = jax.random.PRNGKey(seed)
+        eos_ids = self._eos_ids()
+        generated_mask = jnp.zeros((B, cfg.vocab_size), bool)
+        tokens: List[List[int]] = [[] for _ in range(B)]
+        finished = [False] * B
+
+        for step in range(max_new_tokens):
+            key, sample_key = jax.random.split(key)
+            next_token = sample_token(
+                last,
+                sample_key,
+                generated_mask,
+                jnp.float32(temperature),
+                top_k,
+                jnp.float32(top_p),
+                jnp.float32(repetition_penalty),
+                greedy=greedy,
+            )
+            token_ids = np.asarray(next_token)
+            generated_mask = generated_mask.at[
+                jnp.arange(B), next_token
+            ].set(True)
+            for b in range(B):
+                if not finished[b]:
+                    tid = int(token_ids[b])
+                    if tid in eos_ids:
+                        finished[b] = True
+                    else:
+                        tokens[b].append(tid)
+            if all(finished) or step == max_new_tokens - 1:
+                break
+
+            pos_slot = L + step
+            logits, kv = self._decode_step(
+                self.params,
+                input_ids=next_token[:, None].astype(jnp.int32),
+                positions=jnp.asarray(
+                    pos_slot - pad[:, None], jnp.int32
+                ),
+                kv_cache=kv,
+                cache_pos=pos_slot,
+                rope=rope,
+                attn_len=pos_slot + 1,
+                mask_positions=jnp.full((B, 1), pos_slot, jnp.int32),
+                token_valid=token_valid,
+            )
+            last = logits[:, -1, :]
+
+        return [
+            self.tokenizer.decode(t, skip_special_tokens=True) for t in tokens
+        ]

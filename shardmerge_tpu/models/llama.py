@@ -562,8 +562,20 @@ def forward(
     cache_pos,  # scalar: write offset into the cache
     rope: Tuple[jnp.ndarray, jnp.ndarray],
     attn_len,  # scalar: number of valid cache slots after this call
+    mask_positions: Optional[jnp.ndarray] = None,  # (B, T) slot indices
+    token_valid: Optional[jnp.ndarray] = None,  # (B, S) bool
 ):
     """One forward pass (prefill when T>1, decode when T==1).
+
+    Batched serving (inference.generate_batch) left-pads ragged prompts to
+    one length; ``token_valid`` masks the pad slots out of attention and
+    ``mask_positions`` carries the cache-SLOT index of each query (its
+    causal horizon) while ``positions`` stays the RoPE position (slot minus
+    pad count). Both default to the single-sequence behavior where slot
+    index == position. With sliding windows the window is measured in cache
+    slots, so a left-padded row's earliest tokens see a window shortened by
+    its pad count — batch rows of equal length (or avoid mixing ragged
+    prompts with window < prompt length) when that matters.
 
     Returns (logits fp32 (B, T, V), new kv_cache).
     """
@@ -581,11 +593,15 @@ def forward(
 
     B, T = input_ids.shape
     S = kv_cache["k"].shape[3]
-    # causal mask over cache slots: token at absolute position p attends to
-    # cache slots [0, p]; slots beyond attn_len are invalid.
+    # causal mask over cache slots: the query at slot index p attends to
+    # cache slots [0, p]; slots beyond attn_len (and padding slots, when
+    # token_valid is given) are invalid.
     slot = jnp.arange(S)[None, None, :]  # (1, 1, S)
-    pos = positions[:, :, None]  # (B, T, 1)
+    mpos = positions if mask_positions is None else mask_positions
+    pos = mpos[:, :, None]  # (B, T, 1)
     valid = (slot <= pos) & (slot < attn_len)
+    if token_valid is not None:
+        valid = valid & token_valid[:, None, :]
     mask = jnp.where(valid, 0.0, jnp.float32(-1e9))
     mask_sliding = None
     if cfg.sliding_window is not None:

@@ -757,3 +757,132 @@ def test_qwen3_moe_matches_transformers(tmp_path):
     np.testing.assert_allclose(
         np.asarray(logits_cap), np.asarray(logits), rtol=1e-5, atol=1e-5
     )
+
+
+def test_generate_batch_matches_single(tmp_path):
+    """Batched generation (left-padded ragged prompts, shared cache slots,
+    token_valid masking) reproduces the single-sequence greedy output for
+    every row — i.e. padding never leaks into attention."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(11)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    model = LlamaForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "m"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.inference import InferenceEngine
+
+    engine = InferenceEngine.from_pretrained(str(path), tokenizer=StubTokenizer())
+    prompts = ["hi", "a much longer prompt with many tokens", "mid size one"]
+    singles = [
+        "".join(
+            engine.stream_generation(
+                p, max_new_tokens=12, greedy=True, use_template=False
+            )
+        )
+        for p in prompts
+    ]
+    batch = engine.generate_batch(
+        prompts, max_new_tokens=12, greedy=True, use_template=False
+    )
+    assert batch == singles
+
+    # sampled path: deterministic across calls with the same seed
+    s1 = engine.generate_batch(
+        prompts, max_new_tokens=6, use_template=False, seed=3
+    )
+    s2 = engine.generate_batch(
+        prompts, max_new_tokens=6, use_template=False, seed=3
+    )
+    assert s1 == s2 and len(s1) == 3
+
+
+def test_generate_batch_empty_and_errors(tmp_path):
+    from shardmerge_tpu.inference import InferenceEngine
+    from shardmerge_tpu.models.llama import ModelConfig, init_params
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    engine = InferenceEngine(cfg, params, StubTokenizer())
+    assert engine.generate_batch([]) == []
+    with pytest.raises(ValueError, match="empty prompt"):
+        engine.generate_batch(["ok", ""], use_template=False)
+
+
+def test_model_server_endpoints(tmp_path):
+    """HTTP serving surface: health, models, single + batched completions,
+    and 400s on malformed requests."""
+    import json as _json
+    import urllib.request
+
+    from shardmerge_tpu.inference import InferenceEngine
+    from shardmerge_tpu.models.llama import ModelConfig, init_params
+    from shardmerge_tpu.serve import ModelServer
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(1), jnp.float32)
+    engine = InferenceEngine(cfg, params, StubTokenizer())
+    server = ModelServer(engine, model_id="tiny-test")
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}"
+
+    def call(path, payload=None):
+        if payload is None:
+            req = urllib.request.Request(base + path)
+        else:
+            req = urllib.request.Request(
+                base + path,
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            )
+        try:
+            with urllib.request.urlopen(req) as resp:
+                return resp.status, _json.loads(resp.read())
+        except urllib.error.HTTPError as e:
+            return e.code, _json.loads(e.read())
+
+    try:
+        status, body = call("/health")
+        assert status == 200 and body["model"] == "tiny-test"
+        status, body = call("/v1/models")
+        assert status == 200 and body["data"][0]["id"] == "tiny-test"
+
+        status, body = call(
+            "/v1/completions",
+            {"prompt": "hi", "max_tokens": 6, "greedy": True},
+        )
+        assert status == 200 and len(body["choices"]) == 1
+        single = body["choices"][0]["text"]
+
+        status, body = call(
+            "/v1/completions",
+            {"prompt": ["hi", "longer prompt here"], "max_tokens": 6,
+             "greedy": True},
+        )
+        assert status == 200 and len(body["choices"]) == 2
+        assert body["choices"][0]["text"] == single  # batch == single greedy
+
+        for bad in [{}, {"prompt": []}, {"prompt": ["ok", ""]},
+                    {"prompt": "x", "max_tokens": 0}]:
+            status, body = call("/v1/completions", bad)
+            assert status == 400 and "error" in body, bad
+        status, _ = call("/nope")
+        assert status == 404
+    finally:
+        server.stop()
