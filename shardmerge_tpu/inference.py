@@ -225,6 +225,13 @@ class InferenceEngine:
             )
             last = logits[:, -1, :]
 
+        # final flush: the incremental decoder withholds text ending in
+        # U+FFFD (incomplete multi-byte character); emit whatever decoded
+        # text remains so callers that join the stream get the full output
+        text = self.tokenizer.decode(generated, skip_special_tokens=True)
+        if len(text) > len(emitted_text):
+            yield text[len(emitted_text) :]
+
     def generate_batch(
         self,
         prompts: List[str],
@@ -237,7 +244,8 @@ class InferenceEngine:
         system_prompt: Optional[str] = None,
         greedy: bool = False,
         seed: int = 0,
-    ) -> List[str]:
+        return_meta: bool = False,
+    ):
         """Generate completions for a whole batch in lockstep (serving path).
 
         Ragged prompts are LEFT-padded to one bucketed length so every row's
@@ -248,13 +256,17 @@ class InferenceEngine:
         ``token_valid`` mask; RoPE positions start at 0 on each row's first
         real token, so outputs match the single-sequence path. Rows that hit
         EOS keep decoding (their tokens are discarded) until all rows finish.
+
+        Returns a list of texts; with ``return_meta=True`` returns
+        ``(texts, finish_reasons)`` where each reason is ``"stop"`` (EOS)
+        or ``"length"`` (truncated by max_new_tokens).
         """
         cfg = self.cfg
         seqs = [
             self._encode(p, use_template, system_prompt, None) for p in prompts
         ]
         if not seqs:
-            return []
+            return ([], []) if return_meta else []
         if any(len(s) == 0 for s in seqs):
             raise ValueError("generate_batch: empty prompt after encoding")
         B = len(seqs)
@@ -337,6 +349,10 @@ class InferenceEngine:
             )
             last = logits[:, -1, :]
 
-        return [
+        texts = [
             self.tokenizer.decode(t, skip_special_tokens=True) for t in tokens
         ]
+        if return_meta:
+            reasons = ["stop" if f else "length" for f in finished]
+            return texts, reasons
+        return texts

@@ -572,10 +572,10 @@ def forward(
     ``mask_positions`` carries the cache-SLOT index of each query (its
     causal horizon) while ``positions`` stays the RoPE position (slot minus
     pad count). Both default to the single-sequence behavior where slot
-    index == position. With sliding windows the window is measured in cache
-    slots, so a left-padded row's earliest tokens see a window shortened by
-    its pad count — batch rows of equal length (or avoid mixing ragged
-    prompts with window < prompt length) when that matters.
+    index == position. Sliding windows stay exact under left padding: a
+    row's pad count shifts its query and key slots equally, so
+    ``slot > pos - window`` reduces to the same true-position inequality as
+    the unpadded case, and ``token_valid`` removes the pad slots.
 
     Returns (logits fp32 (B, T, V), new kv_cache).
     """

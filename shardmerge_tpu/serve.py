@@ -8,9 +8,13 @@ weights per prompt:
 
 - ``POST /v1/completions`` — ``{"prompt": str | [str, ...], "max_tokens",
   "temperature", "top_p", "top_k", "repetition_penalty", "greedy", "seed"}``
-  → ``{"choices": [{"index", "text", "finish_reason"}, ...]}``. A list
-  prompt runs the batched decode path (InferenceEngine.generate_batch):
-  one jitted lockstep decode for the whole batch.
+  → ``{"choices": [{"index", "text", "finish_reason"}, ...]}`` with
+  ``finish_reason`` "stop" (EOS) or "length" (max_tokens truncation).
+  Every request — single or list prompt — runs the batched decode path
+  (InferenceEngine.generate_batch): one jitted lockstep decode per batch.
+  Batch size and prompt length are capped (_MAX_BATCH/_MAX_PROMPT_CHARS):
+  each new (batch, length) shape is a fresh XLA compile, so unbounded
+  requests could stall the device lock for minutes.
 - ``GET /v1/models`` / ``GET /health`` — model id + readiness.
 
 Design notes (TPU-first): requests are served strictly one at a time
@@ -33,6 +37,8 @@ logger = logging.getLogger(__name__)
 __all__ = ["ModelServer", "serve"]
 
 _MAX_BODY = 32 * 1024 * 1024
+_MAX_BATCH = 64  # one compile per batch shape; cap what a request can cost
+_MAX_PROMPT_CHARS = 256 * 1024  # bounds prompt length and so the KV cache
 
 
 class ModelServer:
@@ -41,49 +47,64 @@ class ModelServer:
     def __init__(self, engine, model_id: str = "shardmerge-tpu"):
         self.engine = engine
         self.model_id = model_id
+        self.port: Optional[int] = None  # bound port once start()ed
         self._device_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
 
     # -- request handling ---------------------------------------------------
 
-    def _complete(self, payload: dict) -> dict:
+    def _validate(self, payload: dict):
+        """Parse + validate a completions payload. Raises ValueError (HTTP
+        400) on caller mistakes; generation itself runs in _generate so
+        engine failures surface as 500s, not as 'bad request'."""
         prompt = payload.get("prompt")
         if prompt is None:
             raise ValueError("missing 'prompt'")
         prompts = prompt if isinstance(prompt, list) else [prompt]
         if not prompts:
             raise ValueError("'prompt' list is empty")
+        if len(prompts) > _MAX_BATCH:
+            raise ValueError(f"at most {_MAX_BATCH} prompts per request")
         if not all(isinstance(p, str) and p for p in prompts):
             raise ValueError("'prompt' entries must be non-empty strings")
+        if any(len(p) > _MAX_PROMPT_CHARS for p in prompts):
+            raise ValueError(f"prompts are capped at {_MAX_PROMPT_CHARS} chars")
 
-        kwargs = dict(
-            max_new_tokens=int(payload.get("max_tokens", 128)),
-            temperature=float(payload.get("temperature", 0.7)),
-            top_p=float(payload.get("top_p", 0.95)),
-            top_k=int(payload.get("top_k", 40)),
-            repetition_penalty=float(payload.get("repetition_penalty", 1.1)),
-            greedy=bool(payload.get("greedy", False)),
-            seed=int(payload.get("seed", 0)),
-            use_template=bool(payload.get("use_template", False)),
-        )
+        try:
+            kwargs = dict(
+                max_new_tokens=int(payload.get("max_tokens", 128)),
+                temperature=float(payload.get("temperature", 0.7)),
+                top_p=float(payload.get("top_p", 0.95)),
+                top_k=int(payload.get("top_k", 40)),
+                repetition_penalty=float(payload.get("repetition_penalty", 1.1)),
+                greedy=bool(payload.get("greedy", False)),
+                seed=int(payload.get("seed", 0)),
+                use_template=bool(payload.get("use_template", False)),
+            )
+        except (TypeError, ValueError):
+            raise ValueError("sampling parameters must be numeric")
         if kwargs["max_new_tokens"] < 1 or kwargs["max_new_tokens"] > 4096:
             raise ValueError("max_tokens must be in [1, 4096]")
+        if kwargs["top_k"] < 0:
+            raise ValueError("top_k must be >= 0")
+        # lax.top_k rejects k > vocab; clamping matches the 'consider
+        # everything' intent of a huge top_k
+        kwargs["top_k"] = min(kwargs["top_k"], self.engine.cfg.vocab_size)
+        return prompts, kwargs
 
+    def _generate(self, prompts, kwargs) -> dict:
+        # single prompts go through the same batched path as lists: one
+        # code path, and finish_reason comes back per row
         with self._device_lock:
-            if isinstance(prompt, list):
-                texts = self.engine.generate_batch(prompts, **kwargs)
-            else:
-                texts = [
-                    "".join(
-                        self.engine.stream_generation(prompts[0], **kwargs)
-                    )
-                ]
+            texts, reasons = self.engine.generate_batch(
+                prompts, return_meta=True, **kwargs
+            )
         return {
             "object": "text_completion",
             "model": self.model_id,
             "choices": [
-                {"index": i, "text": t, "finish_reason": "stop"}
-                for i, t in enumerate(texts)
+                {"index": i, "text": t, "finish_reason": r}
+                for i, (t, r) in enumerate(zip(texts, reasons))
             ],
         }
 
@@ -133,9 +154,12 @@ class ModelServer:
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     if not isinstance(payload, dict):
                         raise ValueError("body must be a JSON object")
-                    self._send(200, server._complete(payload))
-                except (ValueError, KeyError, TypeError) as e:
+                    prompts, kwargs = server._validate(payload)
+                except (ValueError, json.JSONDecodeError) as e:
                     self._send(400, {"error": str(e)})
+                    return
+                try:
+                    self._send(200, server._generate(prompts, kwargs))
                 except Exception as e:  # device/engine failure: loud 500
                     logger.exception("completion failed")
                     self._send(500, {"error": str(e)})
@@ -143,9 +167,9 @@ class ModelServer:
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         thread.start()
-        bound = self._httpd.server_address[1]
-        logger.info("Serving %s on http://%s:%d", self.model_id, host, bound)
-        return bound
+        self.port = self._httpd.server_address[1]
+        logger.info("Serving %s on http://%s:%d", self.model_id, host, self.port)
+        return self.port
 
     def stop(self):
         if self._httpd is not None:

@@ -806,6 +806,17 @@ def test_generate_batch_matches_single(tmp_path):
     )
     assert s1 == s2 and len(s1) == 3
 
+    # finish reasons: rows that never hit EOS report "length"
+    texts, reasons = engine.generate_batch(
+        prompts, max_new_tokens=4, greedy=True, use_template=False,
+        return_meta=True,
+    )
+    assert len(texts) == len(reasons) == 3
+    for t, r in zip(texts, reasons):
+        assert r in ("stop", "length")
+        if r == "length":
+            assert len(t) > 0
+
 
 def test_generate_batch_empty_and_errors(tmp_path):
     from shardmerge_tpu.inference import InferenceEngine
@@ -869,6 +880,8 @@ def test_model_server_endpoints(tmp_path):
         )
         assert status == 200 and len(body["choices"]) == 1
         single = body["choices"][0]["text"]
+        # random weights never emit EOS id 0 here in 6 tokens -> truncated
+        assert body["choices"][0]["finish_reason"] in ("stop", "length")
 
         status, body = call(
             "/v1/completions",
@@ -879,7 +892,10 @@ def test_model_server_endpoints(tmp_path):
         assert body["choices"][0]["text"] == single  # batch == single greedy
 
         for bad in [{}, {"prompt": []}, {"prompt": ["ok", ""]},
-                    {"prompt": "x", "max_tokens": 0}]:
+                    {"prompt": "x", "max_tokens": 0},
+                    {"prompt": ["x"] * 65},  # batch cap
+                    {"prompt": "y" * (256 * 1024 + 1)},  # length cap
+                    {"prompt": "x", "temperature": "hot"}]:
             status, body = call("/v1/completions", bad)
             assert status == 400 and "error" in body, bad
         status, _ = call("/nope")
