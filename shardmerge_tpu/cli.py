@@ -153,6 +153,9 @@ async def run_merge(
     )
     if dry_run:
         await _print_plan(merger, config, mesh)
+        if clean_cache and download_manager is not None:
+            # index resolution may have downloaded index/config files
+            await download_manager.cleanup()
         return
     await merger.merge(device=device)
 
@@ -161,19 +164,18 @@ async def run_merge(
 
 
 async def _print_plan(merger, config: MergeConfig, mesh):
-    """Resolve indexes and print the merge plan without computing."""
-    import numpy as np
+    """Resolve indexes and print the merge plan without computing.
 
+    The planning writer is read_only: a dry run must not create the output
+    directory or write an index file there (a stale dry-run index would be
+    loaded in preference to the base index on the next real run)."""
     await merger.initialize()
     layer_order = merger.index_manager.get_layer_order(config.output_base_model)
-    writer = merger.get_writer(layer_order)
+    writer = merger.get_writer(layer_order, read_only=True)
 
-    total = 0
     done = 0
     n_tensors = 0
     shards = 0
-    sharded_over_mesh = 0
-    weight_map = merger.index_doc["weight_map"]
     for shard_layers in writer.shard_layers():
         shards += 1
         for sl in shard_layers:

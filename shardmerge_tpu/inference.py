@@ -64,6 +64,16 @@ class InferenceEngine:
         # quantized embeddings dequantize to bf16
         embed = params["embed_tokens"]
         self._kv_dtype = jnp.bfloat16 if isinstance(embed, dict) else embed.dtype
+        if cfg.moe_dispatch == "capacity" and cfg.num_local_experts > 0:
+            from .models.llama import stack_expert_weights
+
+            # stack expert weights once so the jitted forward does not
+            # re-materialize them per MoE layer per call
+            if not stack_expert_weights(params):
+                logger.warning(
+                    "moe_dispatch='capacity' needs raw expert matrices; "
+                    "quantized experts serve via the dense-and-mask path"
+                )
         self._decode_step = jax.jit(
             partial(forward, cfg=cfg), donate_argnames=("kv_cache",)
         )

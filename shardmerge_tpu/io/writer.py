@@ -79,7 +79,8 @@ class ModelWriter:
 
     def __post_init__(self):
         self.output_path = Path(self.output_path)
-        self.output_path.mkdir(parents=True, exist_ok=True)
+        if not self.read_only:
+            self.output_path.mkdir(parents=True, exist_ok=True)
         # Background flushing overlaps shard file IO with compute. A single
         # worker serializes writes (a shard may be flushed repeatedly in
         # write_through mode); failures are collected and resolved in

@@ -182,7 +182,11 @@ class MergeTensorsBase(ABC):
             tensor = multihost_utils.process_allgather(tensor, tiled=True)
         return np.asarray(tensor)
 
-    def get_writer(self, layer_order: List[str]) -> ModelWriter:
+    def get_writer(
+        self, layer_order: List[str], read_only: Optional[bool] = None
+    ) -> ModelWriter:
+        """``read_only=True`` forces a writer that never touches the output
+        directory (dry-run planning); default: primary process writes."""
         return ModelWriter(
             base_index=self.index_doc,
             output_path=self.config.output_path,
@@ -193,7 +197,9 @@ class MergeTensorsBase(ABC):
             background_flush=True,
             # multi-host: non-primary processes run the merge loop for the
             # collectives but never touch the output directory
-            read_only=not self._is_primary(),
+            read_only=(
+                read_only if read_only is not None else not self._is_primary()
+            ),
         )
 
     async def merge(self, device: Optional[str] = None):

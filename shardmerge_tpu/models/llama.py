@@ -408,14 +408,19 @@ def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
     return out, k_cache, v_cache
 
 
+def _act(g32: jnp.ndarray, hidden_act: str) -> jnp.ndarray:
+    """Gate activation in fp32 — the single source of truth for every FFN
+    path (dense, capacity, expert-parallel), so a new activation variant
+    cannot silently diverge between them."""
+    if hidden_act in ("gelu_pytorch_tanh", "gelu_tanh", "gelu"):
+        return jax.nn.gelu(g32, approximate=True)
+    return jax.nn.silu(g32)
+
+
 def _mlp(layer, x, hidden_act: str = "silu"):
     gate = matmul(x, layer["gate_proj"])
     up = matmul(x, layer["up_proj"])
-    g32 = gate.astype(jnp.float32)
-    if hidden_act in ("gelu_pytorch_tanh", "gelu_tanh", "gelu"):
-        act = jax.nn.gelu(g32, approximate=True)
-    else:
-        act = jax.nn.silu(g32)
+    act = _act(gate.astype(jnp.float32), hidden_act)
     return matmul(act.astype(x.dtype) * up, layer["down_proj"])
 
 
@@ -496,12 +501,7 @@ def capacity_experts_apply(xf, gather_idx, w_slot, W1, W3, W2, hidden_act):
 
     gate = jnp.einsum("ecd,eid->eci", xe, W1)  # d = hidden, i = intermediate
     up = jnp.einsum("ecd,eid->eci", xe, W3)
-    g32 = gate.astype(jnp.float32)
-    act = (
-        jax.nn.gelu(g32, approximate=True)
-        if hidden_act in ("gelu_pytorch_tanh", "gelu_tanh", "gelu")
-        else jax.nn.silu(g32)
-    )
+    act = _act(gate.astype(jnp.float32), hidden_act)
     h = act.astype(xe.dtype) * up
     ye = jnp.einsum("eci,edi->ecd", h, W2)  # (n_exp, C, E)
 
@@ -534,16 +534,50 @@ def _moe_capacity(cfg: ModelConfig, layer, x, capacity_factor: float = 1.25):
     probs = jax.nn.softmax(router_logits, axis=-1)
     gather_idx, w_slot = capacity_tables(probs, k, C, cfg.norm_topk_prob)
 
-    W1 = jnp.stack([e["w1"] for e in layer["experts"]])  # (n_exp, I, E)
-    W3 = jnp.stack([e["w3"] for e in layer["experts"]])
-    W2 = jnp.stack([e["w2"] for e in layer["experts"]])  # (n_exp, E, I)
+    if "experts_stacked" in layer:  # pre-stacked once (stack_expert_weights)
+        W1, W3, W2 = layer["experts_stacked"]
+    else:
+        W1 = jnp.stack([e["w1"] for e in layer["experts"]])  # (n_exp, I, E)
+        W3 = jnp.stack([e["w3"] for e in layer["experts"]])
+        W2 = jnp.stack([e["w2"] for e in layer["experts"]])  # (n_exp, E, I)
     out = capacity_experts_apply(
         xf, gather_idx, w_slot, W1, W3, W2, cfg.hidden_act
     )
     return out.reshape(B, T, E).astype(x.dtype)
 
 
+def stack_expert_weights(params: Params) -> bool:
+    """Convert per-expert weight dicts to stacked (n_exp, ., .) arrays for
+    the capacity dispatch: ``layer["experts_stacked"] = (W1, W3, W2)``,
+    replacing ``layer["experts"]`` so expert HBM is not held twice. Done
+    once at load time — re-stacking inside every jitted forward would
+    materialize a copy of all expert weights per MoE layer per call.
+
+    Returns False (and changes nothing) when experts are quantized: the
+    capacity einsums need raw matrices, so quantized MoE serves via the
+    dense-and-mask path.
+    """
+    layers = params.get("layers", [])
+    if not any("experts" in layer for layer in layers):
+        return False
+    for layer in layers:
+        if "experts" in layer and isinstance(layer["experts"][0]["w1"], dict):
+            return False  # quantized: caller should warn + use dense
+    for layer in layers:
+        if "experts" not in layer:
+            continue
+        experts = layer.pop("experts")
+        layer["experts_stacked"] = (
+            jnp.stack([e["w1"] for e in experts]),
+            jnp.stack([e["w3"] for e in experts]),
+            jnp.stack([e["w2"] for e in experts]),
+        )
+    return True
+
+
 def _ffn(cfg: ModelConfig, layer, x):
+    if "experts_stacked" in layer:  # pre-stacked => capacity dispatch
+        return _moe_capacity(cfg, layer, x, cfg.moe_capacity_factor)
     if "experts" in layer:
         if cfg.moe_dispatch == "capacity" and not isinstance(
             layer["experts"][0]["w1"], dict

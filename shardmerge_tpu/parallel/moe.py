@@ -38,6 +38,11 @@ __all__ = ["expert_parallel_ffn", "shard_experts"]
 
 _AXIS = "ep"
 
+# jit(shard_map(...)) closures cached per (mesh, static config) — rebuilding
+# the partial+jit wrapper per call would miss jit's identity-keyed trace
+# cache and recompile on every invocation (parallel/merge.py pattern)
+_FFN_CACHE: dict = {}
+
 
 def shard_experts(mesh: Mesh, layer: dict):
     """Stack a layer's expert weights and shard the expert axis over 'ep'.
@@ -77,19 +82,24 @@ def expert_parallel_ffn(
     S = B * T
     C = min(int(np.ceil(S * cfg.num_experts_per_tok / n_exp * capacity_factor)), S)
 
-    body = partial(
-        _ep_body, k=cfg.num_experts_per_tok, capacity=C,
-        hidden_act=cfg.hidden_act, norm_topk=cfg.norm_topk_prob,
-    )
-    fn = jax.jit(
-        jax.shard_map(
-            body,
-            mesh=mesh,
-            in_specs=(P(), P(), P(_AXIS, None, None), P(_AXIS, None, None),
-                      P(_AXIS, None, None)),
-            out_specs=P(),
+    key = (id(mesh), cfg.num_experts_per_tok, C, cfg.hidden_act,
+           cfg.norm_topk_prob)
+    fn = _FFN_CACHE.get(key)
+    if fn is None:
+        body = partial(
+            _ep_body, k=cfg.num_experts_per_tok, capacity=C,
+            hidden_act=cfg.hidden_act, norm_topk=cfg.norm_topk_prob,
         )
-    )
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(P(), P(), P(_AXIS, None, None), P(_AXIS, None, None),
+                          P(_AXIS, None, None)),
+                out_specs=P(),
+            )
+        )
+        _FFN_CACHE[key] = fn
     out = fn(x.reshape(S, E), gate_w, W1, W3, W2)
     return out.reshape(B, T, E).astype(x.dtype)
 

@@ -229,7 +229,7 @@ def test_read_only_writer_never_touches_disk(tmp_path):
     w.add_tensor("a", np.zeros((2, 2), np.float32))
     w.add_tensor("b", np.ones((2, 2), np.float32))
     w.finalize()  # completeness tracked
-    assert list(out.iterdir()) == []  # no index, no shards
+    assert not out.exists()  # no directory, no index, no shards
 
     # and it derives the skip-list from shards a primary writer wrote
     w2 = ModelWriter(

@@ -265,3 +265,55 @@ def test_expert_parallel_matches_single_device():
         expert_parallel_ffn(mesh, cfg, gate_w, W1, W3, W2, x)
     )
     np.testing.assert_allclose(ep_tight, single, rtol=2e-5, atol=2e-6)
+
+
+def test_stack_expert_weights_for_capacity_dispatch():
+    """Engine-side pre-stacking: experts convert to stacked (n_exp, ., .)
+    arrays once (no per-forward restack), outputs unchanged; quantized
+    experts refuse the conversion and keep the dense path."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shardmerge_tpu.models.llama import (
+        ModelConfig,
+        _ffn,
+        init_params,
+        stack_expert_weights,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        moe_dispatch="capacity",
+        moe_capacity_factor=4.0,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    layer = params["layers"][0]
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 9, cfg.hidden_size), jnp.float32)
+    before = _ffn(cfg, layer, x)
+
+    assert stack_expert_weights(params)
+    assert "experts" not in layer and "experts_stacked" in layer
+    after = _ffn(cfg, layer, x)
+    np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+
+    # quantized experts: conversion refused, dense path still works
+    from shardmerge_tpu.models.quant import quantize
+
+    qparams = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    for e in qparams["layers"][0]["experts"]:
+        for k in ("w1", "w3", "w2"):
+            e[k] = quantize(e[k], bits=8)
+    assert not stack_expert_weights(qparams)
+    assert "experts" in qparams["layers"][0]
+    out = _ffn(cfg, qparams["layers"][0], x)
+    assert out.shape == x.shape

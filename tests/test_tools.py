@@ -460,5 +460,6 @@ storage_dir: "{tmp_path}/storage"
     assert result.exit_code == 0, result.output
     assert "merge plan: fourier of 1 finetunes" in result.output
     assert "plan OK" in result.output
-    # no shard files were written
-    assert not list(out_dir.glob("*.safetensors"))
+    # a dry run must leave NO trace in the output location: a stale index
+    # written here would be loaded instead of the base index on the real run
+    assert not out_dir.exists()
