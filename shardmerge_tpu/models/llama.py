@@ -687,13 +687,74 @@ def forward(
     return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
 
 
+def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask):
+    """One cache-free decoder block (attention + FFN with residuals).
+
+    The body of forward_train's layer loop, factored out so the pipeline-
+    parallel schedule (parallel/pipeline.py) can lax.scan the SAME math over
+    a stage's stacked layer weights. ``mask``: (T, S) additive.
+    Differentiable.
+    """
+    B, T, _ = x.shape
+    H, KVH, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    po = cfg.is_gemma
+
+    h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
+    q = matmul(h, layer["q_proj"])
+    k = matmul(h, layer["k_proj"])
+    v = matmul(h, layer["v_proj"])
+    if "q_bias" in layer:
+        q = q + layer["q_bias"]
+        k = k + layer["k_bias"]
+        v = v + layer["v_bias"]
+    q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
+    k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
+    if "q_norm" in layer:  # qwen3: per-head RMSNorm before RoPE
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+    q, k = apply_rope(q, k, cos, sin, positions)
+
+    group = H // KVH
+    qg = q.reshape(B, KVH, group, T, D)
+    scale = jnp.sqrt(jnp.float32(cfg.query_pre_attn_scalar or D))
+    scores = jnp.einsum(
+        "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k.astype(jnp.float32)
+    ) / scale
+    if cfg.attn_logit_softcapping:
+        cap = jnp.float32(cfg.attn_logit_softcapping)
+        scores = cap * jnp.tanh(scores / cap)
+    scores = scores + mask[None, None, None]
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
+    out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
+    attn_out = matmul(out.astype(x.dtype), layer["o_proj"])
+    if "pre_feedforward_layernorm" in layer:  # gemma2 post-norm blocks
+        x = x + rms_norm(
+            attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, po
+        )
+        h = rms_norm(
+            x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, po
+        )
+        x = x + rms_norm(
+            _ffn(cfg, layer, h),
+            layer["post_feedforward_layernorm"],
+            cfg.rms_norm_eps,
+            po,
+        )
+    else:
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, po)
+        x = x + _ffn(cfg, layer, h)
+    return x
+
+
 def forward_train(params: Params, cfg: ModelConfig, input_ids: jnp.ndarray):
     """Cache-free causal forward for training (B, T) -> fp32 logits (B, T, V).
 
     Used by parallel/train.py's sharded train step; differentiable.
     """
     B, T = input_ids.shape
-    H, KVH, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
 
     embed = params["embed_tokens"]
     if isinstance(embed, dict):
@@ -720,53 +781,7 @@ def forward_train(params: Params, cfg: ModelConfig, input_ids: jnp.ndarray):
         mask = (
             mask_sliding if cfg.layer_is_sliding(li) else mask_full
         )
-        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
-        q = matmul(h, layer["q_proj"])
-        k = matmul(h, layer["k_proj"])
-        v = matmul(h, layer["v_proj"])
-        if "q_bias" in layer:
-            q = q + layer["q_bias"]
-            k = k + layer["k_bias"]
-            v = v + layer["v_bias"]
-        q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
-        k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
-        v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
-        if "q_norm" in layer:  # qwen3: per-head RMSNorm before RoPE
-            q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
-            k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-        q, k = apply_rope(q, k, cos, sin, positions)
-
-        group = H // KVH
-        qg = q.reshape(B, KVH, group, T, D)
-        scale = jnp.sqrt(jnp.float32(cfg.query_pre_attn_scalar or D))
-        scores = jnp.einsum(
-            "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k.astype(jnp.float32)
-        ) / scale
-        if cfg.attn_logit_softcapping:
-            cap = jnp.float32(cfg.attn_logit_softcapping)
-            scores = cap * jnp.tanh(scores / cap)
-        scores = scores + mask[None, None, None]
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
-        out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
-        attn_out = matmul(out.astype(x.dtype), layer["o_proj"])
-        if "pre_feedforward_layernorm" in layer:  # gemma2 post-norm blocks
-            x = x + rms_norm(
-                attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, po
-            )
-            h = rms_norm(
-                x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, po
-            )
-            x = x + rms_norm(
-                _ffn(cfg, layer, h),
-                layer["post_feedforward_layernorm"],
-                cfg.rms_norm_eps,
-                po,
-            )
-        else:
-            x = x + attn_out
-            h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, po)
-            x = x + _ffn(cfg, layer, h)
+        x = block_train(cfg, layer, x, cos, sin, positions, mask)
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, po)
     head = params.get("lm_head", params["embed_tokens"])

@@ -1,0 +1,233 @@
+"""Pipeline parallelism (PP) over a 'pp' mesh axis — GPipe schedule.
+
+Completes the parallelism axes SURVEY.md §2.3 lists as new TPU-native work
+(dp/tp/sp live in parallel/train.py, ep in parallel/moe.py): the decoder
+stack is cut into ``pp`` equal stages, each device holds only its stage's
+layer weights (1/P of the block parameters), and microbatched activations
+flow stage-to-stage over ICI via ``lax.ppermute``.
+
+Schedule (single-direction GPipe): with M microbatches and P stages the
+pipeline runs M + P - 1 ticks; microbatch m enters stage 0 at tick m,
+reaches stage r at tick m + r, and the last stage emits it at tick
+m + P - 1. Devices compute every tick (bubble ticks produce discarded
+values — simpler and XLA-friendlier than predication, and the bubble
+fraction (P-1)/(M+P-1) is the standard GPipe trade-off).
+
+Embedding, final norm and the LM head run replicated outside the pipeline
+(they are a small fraction of weights; the blocks dominate). The whole
+schedule is ``lax.scan``-over-ticks of ``lax.scan``-over-stage-layers of the
+SAME ``block_train`` the dp x tp path uses, so PP is numerically identical
+to the single-device forward — and differentiable, so ``make_pp_loss`` can
+back a training step.
+
+Restrictions: homogeneous dense decoder stacks only (no per-layer sliding
+windows — the scanned stage body is layer-index-blind), layers divisible by
+the stage count.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.llama import ModelConfig, Params, block_train, matmul, rms_norm, rope_tables
+
+__all__ = ["stack_stages", "pipeline_forward_train", "make_pp_loss"]
+
+_AXIS = "pp"
+
+# jitted schedules cached per (mesh, cfg fingerprint, micro count) — see
+# parallel/merge.py: rebuilding jit(shard_map(...)) per call would retrace
+_PP_CACHE: dict = {}
+
+
+def _check_cfg(cfg: ModelConfig):
+    if cfg.sliding_window is not None:
+        raise NotImplementedError(
+            "pipeline stages are layer-index-blind; per-layer sliding "
+            "windows (gemma2) cannot be scheduled"
+        )
+
+
+def stack_stages(mesh: Mesh, params: Params, n_stages: int) -> Params:
+    """Stack per-layer weights into (n_stages, layers_per_stage, ...) leaves
+    sharded over 'pp' (each device materializes only its own stage), and
+    replicate embed/norm/head.
+
+    All layers must share one structure (dense llama-family stacks do).
+    """
+    layers = params["layers"]
+    if len(layers) % n_stages != 0:
+        raise ValueError(
+            f"{len(layers)} layers do not divide {n_stages} pipeline stages"
+        )
+    per = len(layers) // n_stages
+    keys = set(layers[0].keys())
+    for i, layer in enumerate(layers[1:], 1):
+        if set(layer.keys()) != keys:
+            raise ValueError(
+                f"layer {i} structure differs from layer 0; pipeline stages "
+                "must be homogeneous"
+            )
+
+    def stage_stack(key):
+        # (n_stages, per, *leaf): stage-major stacking
+        return jnp.stack(
+            [
+                jnp.stack([layers[s * per + i][key] for i in range(per)])
+                for s in range(n_stages)
+            ]
+        )
+
+    stacked = {k: stage_stack(k) for k in keys}
+    pp_shard = {
+        k: jax.device_put(
+            v, NamedSharding(mesh, P(_AXIS, *([None] * (v.ndim - 1))))
+        )
+        for k, v in stacked.items()
+    }
+    rep = NamedSharding(mesh, P())
+    out: Params = {
+        "embed_tokens": jax.device_put(params["embed_tokens"], rep),
+        "norm": jax.device_put(params["norm"], rep),
+        "blocks": pp_shard,
+    }
+    if "lm_head" in params:
+        out["lm_head"] = jax.device_put(params["lm_head"], rep)
+    return out
+
+
+def _schedule_body(blocks, xs, cos, sin, positions, mask, *, cfg, n_stages):
+    """shard_map body: run the GPipe ticks for this device's stage.
+
+    blocks: this stage's stacked layer weights, leaves (1, per, ...);
+    xs: (n_micro, mb, T, E) embedded microbatches, replicated.
+    Returns (n_micro, mb, T, E) final-stage activations, replicated (psum).
+    """
+    blocks = jax.tree.map(lambda v: v[0], blocks)  # (per, ...)
+    rank = jax.lax.axis_index(_AXIS)
+    n_micro = xs.shape[0]
+
+    def stage_apply(x):
+        def one_layer(h, layer):
+            return block_train(cfg, layer, h, cos, sin, positions, mask), None
+
+        h, _ = jax.lax.scan(one_layer, x, blocks)
+        return h
+
+    def tick(carry, t):
+        out_buf, recv = carry
+        # stage 0 injects microbatch t (clamped during bubble ticks);
+        # other stages consume what the previous stage sent last tick
+        x_in = jnp.where(
+            rank == 0,
+            xs[jnp.clip(t, 0, n_micro - 1)],
+            recv,
+        )
+        y = stage_apply(x_in)
+        # hand this tick's result to the next stage
+        sent = jax.lax.ppermute(
+            y, _AXIS, [(i, i + 1) for i in range(n_stages - 1)]
+        )
+        # the LAST stage's tick t completes microbatch t - (n_stages - 1)
+        idx = t - (n_stages - 1)
+        store = (rank == n_stages - 1) & (idx >= 0)
+        out_buf = jnp.where(
+            store,
+            out_buf.at[jnp.clip(idx, 0, n_micro - 1)].set(y),
+            out_buf,
+        )
+        return (out_buf, sent), None
+
+    # the carry becomes device-varying after the first tick; mark the
+    # replicated zeros as varying up front so scan's carry type is stable
+    init = jax.lax.pcast(
+        (jnp.zeros_like(xs), jnp.zeros_like(xs[0])), (_AXIS,), to="varying"
+    )
+    (out_buf, _), _ = jax.lax.scan(
+        tick, init, jnp.arange(n_micro + n_stages - 1)
+    )
+    # replicate the last stage's results to every device
+    out_buf = jnp.where(rank == n_stages - 1, out_buf, 0.0)
+    return jax.lax.psum(out_buf, _AXIS)
+
+
+def pipeline_forward_train(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    pp_params: Params,
+    input_ids: jnp.ndarray,  # (B, T)
+    n_microbatches: int,
+):
+    """Causal forward with the decoder stack pipelined over 'pp'.
+
+    ``pp_params`` comes from :func:`stack_stages`. The batch must divide
+    ``n_microbatches``. Numerically identical to
+    :func:`models.llama.forward_train` (same block math, fp32 logits);
+    differentiable end to end.
+    """
+    _check_cfg(cfg)
+    n_stages = mesh.shape[_AXIS]
+    B, T = input_ids.shape
+    if B % n_microbatches != 0:
+        raise ValueError(f"batch {B} does not divide {n_microbatches} microbatches")
+    mb = B // n_microbatches
+
+    embed = pp_params["embed_tokens"]
+    x = embed[input_ids]
+    if cfg.is_gemma:
+        x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
+    xs = x.reshape(n_microbatches, mb, T, -1)
+
+    cos, sin = rope_tables(cfg, T)
+    positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(mb, axis=0)
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    mask = jnp.where(causal, 0.0, jnp.float32(-1e9))
+
+    blocks = pp_params["blocks"]
+    key = (id(mesh), id(cfg), n_microbatches, mb, T)
+    fn = _PP_CACHE.get(key)
+    if fn is None:
+        body = partial(_schedule_body, cfg=cfg, n_stages=n_stages)
+        block_specs = jax.tree.map(
+            lambda v: P(_AXIS, *([None] * (v.ndim - 1))), blocks
+        )
+        fn = jax.jit(
+            jax.shard_map(
+                body,
+                mesh=mesh,
+                in_specs=(block_specs, P(), P(), P(), P(), P()),
+                out_specs=P(),
+            )
+        )
+        _PP_CACHE[key] = fn
+    out = fn(blocks, xs, cos, sin, positions, mask)
+
+    x = out.reshape(B, T, -1)
+    x = rms_norm(x, pp_params["norm"], cfg.rms_norm_eps, cfg.is_gemma)
+    head = pp_params.get("lm_head", pp_params["embed_tokens"])
+    logits = matmul(x, head).astype(jnp.float32)
+    if cfg.final_logit_softcapping:
+        cap = jnp.float32(cfg.final_logit_softcapping)
+        logits = cap * jnp.tanh(logits / cap)
+    return logits
+
+
+def make_pp_loss(mesh: Mesh, cfg: ModelConfig, n_microbatches: int):
+    """Next-token cross-entropy through the pipeline — differentiable, so
+    ``jax.value_and_grad`` of this is a PP training step's core."""
+
+    def loss_fn(pp_params: Params, batch: jnp.ndarray) -> jnp.ndarray:
+        inputs = batch[:, :-1]
+        targets = batch[:, 1:]
+        logits = pipeline_forward_train(
+            mesh, cfg, pp_params, inputs, n_microbatches
+        )
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    return loss_fn
