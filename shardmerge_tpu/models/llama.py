@@ -687,13 +687,20 @@ def forward(
     return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
 
 
-def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask):
+def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask, reduce=None):
     """One cache-free decoder block (attention + FFN with residuals).
 
     The body of forward_train's layer loop, factored out so the pipeline-
     parallel schedule (parallel/pipeline.py) can lax.scan the SAME math over
     a stage's stacked layer weights. ``mask``: (T, S) additive.
     Differentiable.
+
+    ``reduce``: optional partial-sum reduction applied to the attention
+    output (after o_proj) and the FFN output (after down_proj) — the two
+    row-parallel matmuls of Megatron tensor parallelism. With weights
+    column/row-sliced per device and ``cfg`` scaled to the local head
+    counts, ``reduce=lambda y: psum(y, 'tp')`` makes this block the manual-
+    TP variant; None (default) is the single-device block.
     """
     B, T, _ = x.shape
     H, KVH, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -729,6 +736,8 @@ def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask):
     out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
     attn_out = matmul(out.astype(x.dtype), layer["o_proj"])
+    if reduce is not None:  # TP: o_proj is row-parallel; sum the partials
+        attn_out = reduce(attn_out)
     if "pre_feedforward_layernorm" in layer:  # gemma2 post-norm blocks
         x = x + rms_norm(
             attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, po
@@ -736,8 +745,11 @@ def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask):
         h = rms_norm(
             x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, po
         )
+        ffn_out = _ffn(cfg, layer, h)
+        if reduce is not None:
+            ffn_out = reduce(ffn_out)
         x = x + rms_norm(
-            _ffn(cfg, layer, h),
+            ffn_out,
             layer["post_feedforward_layernorm"],
             cfg.rms_norm_eps,
             po,
@@ -745,7 +757,10 @@ def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask):
     else:
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, po)
-        x = x + _ffn(cfg, layer, h)
+        ffn_out = _ffn(cfg, layer, h)
+        if reduce is not None:  # TP: down_proj is row-parallel
+            ffn_out = reduce(ffn_out)
+        x = x + ffn_out
     return x
 
 

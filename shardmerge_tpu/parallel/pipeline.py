@@ -52,10 +52,37 @@ def _check_cfg(cfg: ModelConfig):
         )
 
 
-def stack_stages(mesh: Mesh, params: Params, n_stages: int) -> Params:
+# Megatron TP classification of stacked block leaves (S, per, *weight dims):
+# column-parallel weights shard their OUTPUT dim (leaf axis 2), row-parallel
+# their INPUT dim (leaf axis 3); norms replicate within the stage.
+_TP_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
+_TP_ROW = {"o_proj", "down_proj"}
+_TP_COL_1D = {"q_bias", "k_bias", "v_bias"}
+
+
+def _block_spec(key: str, leaf, tp: bool) -> P:
+    """PartitionSpec for one stacked block leaf."""
+    if not tp:
+        return P(_AXIS, *([None] * (leaf.ndim - 1)))
+    if key in _TP_COL:
+        return P(_AXIS, None, "tp", None)
+    if key in _TP_ROW:
+        return P(_AXIS, None, None, "tp")
+    if key in _TP_COL_1D:
+        return P(_AXIS, None, "tp")
+    return P(_AXIS, *([None] * (leaf.ndim - 1)))  # norms: replicated
+
+
+def stack_stages(
+    mesh: Mesh, params: Params, n_stages: int, tp: bool = False
+) -> Params:
     """Stack per-layer weights into (n_stages, layers_per_stage, ...) leaves
     sharded over 'pp' (each device materializes only its own stage), and
     replicate embed/norm/head.
+
+    With ``tp=True`` the mesh is 2-D ('pp', 'tp') and each leaf additionally
+    shards Megatron-style over 'tp' (column-parallel q/k/v/gate/up, row-
+    parallel o/down) — each device then holds 1/(P*T) of the block weights.
 
     All layers must share one structure (dense llama-family stacks do).
     """
@@ -72,6 +99,11 @@ def stack_stages(mesh: Mesh, params: Params, n_stages: int) -> Params:
                 f"layer {i} structure differs from layer 0; pipeline stages "
                 "must be homogeneous"
             )
+    if tp and "experts" in keys:
+        raise NotImplementedError(
+            "pp x tp pipeline supports dense blocks; shard experts via "
+            "parallel/moe.py instead"
+        )
 
     def stage_stack(key):
         # (n_stages, per, *leaf): stage-major stacking
@@ -84,9 +116,7 @@ def stack_stages(mesh: Mesh, params: Params, n_stages: int) -> Params:
 
     stacked = {k: stage_stack(k) for k in keys}
     pp_shard = {
-        k: jax.device_put(
-            v, NamedSharding(mesh, P(_AXIS, *([None] * (v.ndim - 1))))
-        )
+        k: jax.device_put(v, NamedSharding(mesh, _block_spec(k, v, tp)))
         for k, v in stacked.items()
     }
     rep = NamedSharding(mesh, P())
@@ -100,20 +130,30 @@ def stack_stages(mesh: Mesh, params: Params, n_stages: int) -> Params:
     return out
 
 
-def _schedule_body(blocks, xs, cos, sin, positions, mask, *, cfg, n_stages):
+def _schedule_body(
+    blocks, xs, cos, sin, positions, mask, *, cfg, n_stages, tp=False
+):
     """shard_map body: run the GPipe ticks for this device's stage.
 
-    blocks: this stage's stacked layer weights, leaves (1, per, ...);
+    blocks: this stage's stacked layer weights, leaves (1, per, ...) — with
+    ``tp`` the weight dims are additionally this device's Megatron slice and
+    ``cfg`` is already scaled to the LOCAL head/ffn counts;
     xs: (n_micro, mb, T, E) embedded microbatches, replicated.
     Returns (n_micro, mb, T, E) final-stage activations, replicated (psum).
     """
     blocks = jax.tree.map(lambda v: v[0], blocks)  # (per, ...)
     rank = jax.lax.axis_index(_AXIS)
     n_micro = xs.shape[0]
+    reduce = (lambda y: jax.lax.psum(y, "tp")) if tp else None
 
     def stage_apply(x):
         def one_layer(h, layer):
-            return block_train(cfg, layer, h, cos, sin, positions, mask), None
+            return (
+                block_train(
+                    cfg, layer, h, cos, sin, positions, mask, reduce=reduce
+                ),
+                None,
+            )
 
         h, _ = jax.lax.scan(one_layer, x, blocks)
         return h
@@ -168,9 +208,28 @@ def pipeline_forward_train(
     ``n_microbatches``. Numerically identical to
     :func:`models.llama.forward_train` (same block math, fp32 logits);
     differentiable end to end.
+
+    When the mesh also has a 'tp' axis (and ``pp_params`` was stacked with
+    ``tp=True``), each stage's blocks additionally run Megatron tensor
+    parallelism: every tp device computes its slice of the heads/ffn and
+    two psums per block (after o_proj and down_proj) assemble the
+    activations — 2-D (pp x tp) scaling in one shard_map.
     """
     _check_cfg(cfg)
     n_stages = mesh.shape[_AXIS]
+    tp = "tp" in mesh.axis_names
+    if tp:
+        n_tp = mesh.shape["tp"]
+        if (
+            cfg.num_attention_heads % n_tp
+            or cfg.num_key_value_heads % n_tp
+            or cfg.intermediate_size % n_tp
+        ):
+            raise ValueError(
+                f"heads/kv-heads/ffn ({cfg.num_attention_heads}/"
+                f"{cfg.num_key_value_heads}/{cfg.intermediate_size}) must "
+                f"divide tp={n_tp}"
+            )
     B, T = input_ids.shape
     if B % n_microbatches != 0:
         raise ValueError(f"batch {B} does not divide {n_microbatches} microbatches")
@@ -191,10 +250,25 @@ def pipeline_forward_train(
     key = (id(mesh), id(cfg), n_microbatches, mb, T)
     fn = _PP_CACHE.get(key)
     if fn is None:
-        body = partial(_schedule_body, cfg=cfg, n_stages=n_stages)
-        block_specs = jax.tree.map(
-            lambda v: P(_AXIS, *([None] * (v.ndim - 1))), blocks
+        local_cfg = cfg
+        if tp:
+            import dataclasses
+
+            # the shard_map body sees this device's Megatron weight slice;
+            # scale the head/ffn counts to match (head_dim unchanged)
+            local_cfg = dataclasses.replace(
+                cfg,
+                num_attention_heads=cfg.num_attention_heads // n_tp,
+                num_key_value_heads=cfg.num_key_value_heads // n_tp,
+                intermediate_size=cfg.intermediate_size // n_tp,
+                head_dim_override=cfg.head_dim,
+            )
+        body = partial(
+            _schedule_body, cfg=local_cfg, n_stages=n_stages, tp=tp
         )
+        block_specs = {
+            k: _block_spec(k, v, tp) for k, v in blocks.items()
+        }
         fn = jax.jit(
             jax.shard_map(
                 body,

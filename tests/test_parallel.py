@@ -704,3 +704,54 @@ def test_pipeline_rejects_bad_configs():
         pipeline_forward_train(
             mesh4, sliding, pp_params, jnp.zeros((4, 5), jnp.int32), 2
         )
+
+
+@pytest.mark.parametrize("pp,tp", [(2, 4), (4, 2)])
+def test_pipeline_with_tensor_parallel_stages(pp, tp):
+    """2-D (pp x tp): pipeline stages whose blocks run Megatron tensor
+    parallelism internally (column/row-sliced weights, two psums per block)
+    still reproduce the single-device forward."""
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    from shardmerge_tpu.models.llama import ModelConfig
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(4), dtype=jnp.float32)
+    mesh = make_mesh(("pp", "tp"), shape=(pp, tp))
+    pp_params = stack_stages(mesh, params, pp, tp=True)
+    # every device holds 1/(pp*tp) of each projection
+    q = pp_params["blocks"]["q_proj"]
+    assert q.sharding.shard_shape(q.shape) == (
+        q.shape[0] // pp, q.shape[1], q.shape[2] // tp, q.shape[3]
+    )
+
+    B, T = 4, 9
+    ids = jax.random.randint(jax.random.PRNGKey(5), (B, T), 0, cfg.vocab_size)
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_tp_rejects_indivisible_heads():
+    from shardmerge_tpu.models.llama import init_params
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = _pp_cfg(layers=2)  # 2 kv heads
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    mesh = make_mesh(("pp", "tp"), shape=(2, 4))  # tp=4 > kv_heads=2
+    pp_params = stack_stages(mesh, params, 2, tp=True)
+    with pytest.raises(ValueError, match="divide tp"):
+        pipeline_forward_train(
+            mesh, cfg, pp_params, jnp.zeros((4, 5), jnp.int32), 2
+        )
