@@ -29,9 +29,11 @@ HBM or to ride more aggregate HBM bandwidth. The <10 min 70B target
 (BASELINE.md) is reachable single-host; this module exists so the same
 engine scales past it unchanged.
 
-This container has one TPU chip and no DCN, so ``initialize_distributed``
-is exercised in tests only in its single-process no-op form; the mesh
-construction and ordering logic runs on the 8-virtual-device CPU harness.
+This container has one TPU chip and no DCN; tests/test_multihost.py stands
+in with a REAL two-process jax.distributed cluster over localhost (2 virtual
+CPU devices per process, gloo collectives): the production merge CLI runs in
+both processes, the distributed FFT's all-to-all crosses the process
+boundary, and only process 0 writes output.
 """
 
 from __future__ import annotations
@@ -84,6 +86,17 @@ def initialize_distributed(
     single-process run.
     """
     import os
+
+    # Manual launches (no scheduler): JAX itself reads JAX_COORDINATOR_ADDRESS
+    # from the environment but NOT the process count/id, so a plain
+    # two-terminal / mpirun-less launch would fail cluster autodetection.
+    # Honor the full triple here.
+    if coordinator_address is None:
+        coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
 
     explicit = coordinator_address is not None or num_processes not in (None, 1)
     if not (

@@ -1,0 +1,204 @@
+"""True multi-process (multi-host analogue) coverage for the merge pipeline.
+
+SURVEY.md §2.3 marks multi-node as new TPU-native work; parallel/multihost.py
+holds the design. These tests exercise it with REAL process boundaries: two
+OS processes, each owning 2 virtual CPU devices, joined into one
+jax.distributed cluster over localhost with gloo collectives — the CPU
+harness's analogue of a 2-host TPU pod (ICI within a process, "DCN" = gloo
+between processes).
+
+Both processes run the production ``merge`` CLI on the same config and
+shared output directory: cross-process device_put sharding, the distributed
+FFT's all-to-all spanning the process boundary, psum'd order statistics,
+``process_allgather`` at write-back, and the primary-only ModelWriter all
+run for real. The result is compared against a single-process run sharded
+over an equally-sized mesh (identical partitioning; only collective
+reduction order may differ).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import yaml
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+N_PROCESSES = 2
+DEVICES_PER_PROCESS = 2
+MESH_SIZE = N_PROCESSES * DEVICES_PER_PROCESS
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _worker_env(port: int, process_id: int) -> dict:
+    env = dict(os.environ)
+    flags = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "",
+        env.get("XLA_FLAGS", ""),
+    )
+    env["XLA_FLAGS"] = (
+        flags
+        + f" --xla_force_host_platform_device_count={DEVICES_PER_PROCESS}"
+    ).strip()
+    env["JAX_PLATFORMS"] = "cpu"
+    env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+    env["JAX_NUM_PROCESSES"] = str(N_PROCESSES)
+    env["JAX_PROCESS_ID"] = str(process_id)
+    return env
+
+
+def test_two_process_cli_merge_matches_single_process(
+    tmp_path, tiny_model_factory
+):
+    from shardmerge_tpu.merge.fourier import FourierMerge
+    from shardmerge_tpu.parallel.mesh import make_mesh
+    from tests.test_merge_engine import (
+        _make_config,
+        _offline_index,
+        _read_output,
+        _run_merge,
+    )
+
+    base_path, _ = tiny_model_factory("base", seed=900)
+    ft1_path, _ = tiny_model_factory("ft1", seed=901)
+    ft2_path, _ = tiny_model_factory("ft2", seed=902)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path), "alpha": 0.8},
+        {"model": str(ft2_path), "base": str(base_path), "alpha": 0.4},
+    ]
+
+    # Reference: single-process merge sharded over an equally-sized mesh of
+    # this process's virtual devices (same partitioning as the 2x2 cluster).
+    import jax
+
+    ref_dir = tmp_path / "ref"
+    ref_dir.mkdir()
+    ref_config = _make_config(ref_dir, base_path, entries)
+    ref_merger = FourierMerge(
+        ref_config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        mesh=make_mesh(("x",), devices=jax.devices()[:MESH_SIZE]),
+        shard_min_bytes=1,
+    )
+    _run_merge(ref_merger)
+    ref_out = _read_output(ref_dir / "merged")
+
+    # Cluster run: the production CLI in two coordinated processes.
+    mh_out_dir = tmp_path / "mh" / "merged"
+    config = {
+        "output_base_model": str(base_path),
+        "finetune_merge": [dict(e) for e in entries],
+        "output_dir": str(mh_out_dir),
+        "cache_dir": str(tmp_path / "mh" / "cache"),
+        "storage_dir": str(tmp_path / "mh" / "storage"),
+        "shard_tensors": True,
+        "shard_min_bytes": 1,
+    }
+    config_path = tmp_path / "mh.yaml"
+    config_path.write_text(yaml.safe_dump(config))
+
+    port = _free_port()
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                str(REPO_ROOT / "tests" / "multihost_worker.py"),
+                str(config_path),
+            ],
+            env=_worker_env(port, pid),
+            cwd=str(REPO_ROOT),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for pid in range(N_PROCESSES)
+    ]
+    outputs = []
+    for proc in procs:
+        try:
+            out, _ = proc.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                p.kill()
+            raise
+        outputs.append(out)
+    for pid, (proc, out) in enumerate(zip(procs, outputs)):
+        assert proc.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+
+    # The cluster must actually have formed — a silent single-process
+    # degradation would make this test pass vacuously (and both processes
+    # would have raced on the output directory).
+    for pid, out in enumerate(outputs):
+        assert f"distributed runtime up: process {pid}/{N_PROCESSES}" in out, (
+            f"process {pid} did not join the cluster:\n{out[-2000:]}"
+        )
+        assert "Merge complete" in out
+
+    mh_out = _read_output(mh_out_dir)
+    assert set(mh_out) == set(ref_out)
+    for name in ref_out:
+        a = mh_out[name].astype(np.float32)
+        b = ref_out[name].astype(np.float32)
+        assert a.shape == b.shape, name
+        assert mh_out[name].dtype == ref_out[name].dtype, name
+        # identical partitioning; only cross-process collective reduction
+        # order differs from the single-process mesh — tiny-tensor threshold
+        # elements may flip (same bound as test_parallel's engine test)
+        scale = max(np.abs(b).max(), 1e-6)
+        close = np.isclose(a, b, rtol=2e-2, atol=2e-2 * scale)
+        assert close.mean() > 0.94, (
+            f"{name}: only {close.mean():.2%} elements agree"
+        )
+
+    # Primary-only writing: the README is written by process 0 alone, and
+    # the output index must be complete and loadable.
+    assert (mh_out_dir / "README.md").exists()
+    assert (mh_out_dir / "model.safetensors.index.json").exists()
+
+
+def test_initialize_distributed_env_triple(monkeypatch):
+    """The manual-launch triple (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES
+    / JAX_PROCESS_ID) is forwarded to jax.distributed.initialize — JAX only
+    reads the address itself from the environment."""
+    from shardmerge_tpu.parallel import multihost
+
+    for var in multihost._CLUSTER_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+    monkeypatch.delenv("JAX_PROCESS_ID", raising=False)
+
+    calls = []
+
+    def fake_init(coordinator_address=None, num_processes=None, process_id=None):
+        calls.append((coordinator_address, num_processes, process_id))
+        raise RuntimeError("stop before touching the real runtime")
+
+    monkeypatch.setattr(multihost.jax.distributed, "initialize", fake_init)
+
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "4")
+    monkeypatch.setenv("JAX_PROCESS_ID", "3")
+    assert multihost.initialize_distributed() is False  # fake_init raised
+    assert calls == [("10.0.0.1:1234", 4, 3)]
+
+    # explicit args win over the environment
+    calls.clear()
+    assert (
+        multihost.initialize_distributed(
+            coordinator_address="10.0.0.2:9", num_processes=2, process_id=1
+        )
+        is False
+    )
+    assert calls == [("10.0.0.2:9", 2, 1)]
