@@ -93,10 +93,16 @@ def initialize_distributed(
     # Honor the full triple here.
     if coordinator_address is None:
         coordinator_address = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
-        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
-    if process_id is None and "JAX_PROCESS_ID" in os.environ:
-        process_id = int(os.environ["JAX_PROCESS_ID"])
+    try:
+        if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+            num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+        if process_id is None and "JAX_PROCESS_ID" in os.environ:
+            process_id = int(os.environ["JAX_PROCESS_ID"])
+    except ValueError as e:
+        # malformed env must degrade like every other failed probe, not crash
+        logger.warning(
+            "ignoring malformed JAX_NUM_PROCESSES/JAX_PROCESS_ID (%s)", e
+        )
 
     explicit = coordinator_address is not None or num_processes not in (None, 1)
     if not (

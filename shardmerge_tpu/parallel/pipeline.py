@@ -89,7 +89,8 @@ def stack_stages(
     layers = params["layers"]
     if len(layers) % n_stages != 0:
         raise ValueError(
-            f"{len(layers)} layers do not divide {n_stages} pipeline stages"
+            f"{n_stages} pipeline stages do not evenly divide "
+            f"{len(layers)} layers"
         )
     per = len(layers) // n_stages
     keys = set(layers[0].keys())
@@ -99,11 +100,20 @@ def stack_stages(
                 f"layer {i} structure differs from layer 0; pipeline stages "
                 "must be homogeneous"
             )
-    if tp and "experts" in keys:
+    # dense float blocks only: MoE expert lists and int8/int4-quantized
+    # {'q','scale'} leaves cannot be jnp.stack'd into stage tensors
+    if "experts" in keys:
         raise NotImplementedError(
-            "pp x tp pipeline supports dense blocks; shard experts via "
+            "pipeline stages support dense blocks; shard experts via "
             "parallel/moe.py instead"
         )
+    for k in keys:
+        if not hasattr(layers[0][k], "ndim"):
+            raise NotImplementedError(
+                f"pipeline stages require array block weights; layer leaf "
+                f"{k!r} is {type(layers[0][k]).__name__} (quantized/MoE "
+                "params cannot be stage-stacked)"
+            )
 
     def stage_stack(key):
         # (n_stages, per, *leaf): stage-major stacking
@@ -226,13 +236,15 @@ def pipeline_forward_train(
             or cfg.intermediate_size % n_tp
         ):
             raise ValueError(
-                f"heads/kv-heads/ffn ({cfg.num_attention_heads}/"
-                f"{cfg.num_key_value_heads}/{cfg.intermediate_size}) must "
-                f"divide tp={n_tp}"
+                f"tp={n_tp} must evenly divide heads/kv-heads/ffn "
+                f"({cfg.num_attention_heads}/{cfg.num_key_value_heads}/"
+                f"{cfg.intermediate_size})"
             )
     B, T = input_ids.shape
     if B % n_microbatches != 0:
-        raise ValueError(f"batch {B} does not divide {n_microbatches} microbatches")
+        raise ValueError(
+            f"{n_microbatches} microbatches do not evenly divide batch {B}"
+        )
     mb = B // n_microbatches
 
     embed = pp_params["embed_tokens"]
@@ -246,14 +258,18 @@ def pipeline_forward_train(
     causal = jnp.tril(jnp.ones((T, T), bool))
     mask = jnp.where(causal, 0.0, jnp.float32(-1e9))
 
+    import dataclasses
+
     blocks = pp_params["blocks"]
-    key = (id(mesh), id(cfg), n_microbatches, mb, T)
+    # key on cfg field VALUES (all scalars), not id(cfg): a GC'd config's
+    # address can be reused by a different one (same convention as
+    # parallel/moe.py _FFN_CACHE)
+    cfg_fp = tuple(sorted(dataclasses.asdict(cfg).items()))
+    key = (id(mesh), cfg_fp, n_microbatches, mb, T)
     fn = _PP_CACHE.get(key)
     if fn is None:
         local_cfg = cfg
         if tp:
-            import dataclasses
-
             # the shard_map body sees this device's Megatron weight slice;
             # scale the head/ffn counts to match (head_dim unchanged)
             local_cfg = dataclasses.replace(

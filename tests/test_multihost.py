@@ -17,7 +17,6 @@ reduction order may differ).
 """
 
 import os
-import re
 import socket
 import subprocess
 import sys
@@ -27,6 +26,8 @@ import numpy as np
 import pytest
 import yaml
 
+from shardmerge_tpu.utils import host_device_count_flags
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
 N_PROCESSES = 2
@@ -35,6 +36,8 @@ MESH_SIZE = N_PROCESSES * DEVICES_PER_PROCESS
 
 
 def _free_port() -> int:
+    # NOTE: the port is released before the coordinator binds it (inherent
+    # TOCTOU); the caller retries with a fresh port on startup failure.
     s = socket.socket()
     s.bind(("127.0.0.1", 0))
     port = s.getsockname()[1]
@@ -44,20 +47,77 @@ def _free_port() -> int:
 
 def _worker_env(port: int, process_id: int) -> dict:
     env = dict(os.environ)
-    flags = re.sub(
-        r"--xla_force_host_platform_device_count=\d+",
-        "",
-        env.get("XLA_FLAGS", ""),
+    env["XLA_FLAGS"] = host_device_count_flags(
+        env.get("XLA_FLAGS", ""), DEVICES_PER_PROCESS
     )
-    env["XLA_FLAGS"] = (
-        flags
-        + f" --xla_force_host_platform_device_count={DEVICES_PER_PROCESS}"
-    ).strip()
     env["JAX_PLATFORMS"] = "cpu"
     env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     env["JAX_NUM_PROCESSES"] = str(N_PROCESSES)
     env["JAX_PROCESS_ID"] = str(process_id)
     return env
+
+
+def _run_cluster(config_path: Path, out_dir: Path, attempts: int = 3) -> list:
+    """Spawn the N-process CLI merge cluster; returns per-process outputs.
+
+    Retries with a fresh port when the cluster failed to FORM (the
+    _free_port TOCTOU race: someone else bound the port between probe and
+    coordinator startup); genuine merge failures — cluster formed, nonzero
+    exit — fail immediately."""
+    import shutil
+
+    last = None
+    for _ in range(attempts):
+        # a failed/degraded attempt may have written partial (or complete,
+        # single-process) output; the next attempt must merge from scratch
+        shutil.rmtree(out_dir, ignore_errors=True)
+        port = _free_port()
+        procs = [
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    str(REPO_ROOT / "tests" / "multihost_worker.py"),
+                    str(config_path),
+                ],
+                env=_worker_env(port, pid),
+                cwd=str(REPO_ROOT),
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+            )
+            for pid in range(N_PROCESSES)
+        ]
+        outputs = []
+        for proc in procs:
+            try:
+                out, _ = proc.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for p in procs:
+                    p.kill()
+                raise
+            outputs.append(out)
+        failed = [
+            (pid, out)
+            for pid, (proc, out) in enumerate(zip(procs, outputs))
+            if proc.returncode != 0
+        ]
+        formed = [
+            f"distributed runtime up: process {pid}/{N_PROCESSES}" in out
+            for pid, out in enumerate(outputs)
+        ]
+        if not failed and all(formed):
+            return outputs
+        if not any(formed):
+            # cluster never formed (stolen port -> coordinator bind failure,
+            # or both workers degraded to single-process): fresh port, retry
+            last = outputs
+            continue
+        pid, out = failed[0] if failed else (formed.index(False), outputs[formed.index(False)])
+        raise AssertionError(f"process {pid} failed:\n{out[-4000:]}")
+    raise AssertionError(
+        f"cluster failed to form after {attempts} attempts; "
+        f"process 0:\n{last[0][-4000:]}"
+    )
 
 
 def test_two_process_cli_merge_matches_single_process(
@@ -110,33 +170,7 @@ def test_two_process_cli_merge_matches_single_process(
     config_path = tmp_path / "mh.yaml"
     config_path.write_text(yaml.safe_dump(config))
 
-    port = _free_port()
-    procs = [
-        subprocess.Popen(
-            [
-                sys.executable,
-                str(REPO_ROOT / "tests" / "multihost_worker.py"),
-                str(config_path),
-            ],
-            env=_worker_env(port, pid),
-            cwd=str(REPO_ROOT),
-            stdout=subprocess.PIPE,
-            stderr=subprocess.STDOUT,
-            text=True,
-        )
-        for pid in range(N_PROCESSES)
-    ]
-    outputs = []
-    for proc in procs:
-        try:
-            out, _ = proc.communicate(timeout=900)
-        except subprocess.TimeoutExpired:
-            for p in procs:
-                p.kill()
-            raise
-        outputs.append(out)
-    for pid, (proc, out) in enumerate(zip(procs, outputs)):
-        assert proc.returncode == 0, f"process {pid} failed:\n{out[-4000:]}"
+    outputs = _run_cluster(config_path, mh_out_dir)
 
     # The cluster must actually have formed — a silent single-process
     # degradation would make this test pass vacuously (and both processes
@@ -202,3 +236,9 @@ def test_initialize_distributed_env_triple(monkeypatch):
         is False
     )
     assert calls == [("10.0.0.2:9", 2, 1)]
+
+    # malformed env degrades (with the address still forwarded), never raises
+    calls.clear()
+    monkeypatch.setenv("JAX_NUM_PROCESSES", "four")
+    assert multihost.initialize_distributed() is False
+    assert calls == [("10.0.0.1:1234", None, None)]

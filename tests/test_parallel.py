@@ -688,7 +688,7 @@ def test_pipeline_rejects_bad_configs():
     cfg = _pp_cfg(layers=4)
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     mesh = make_mesh(("pp",))
-    with pytest.raises(ValueError, match="do not divide"):
+    with pytest.raises(ValueError, match="do not evenly divide"):
         stack_stages(mesh, params, 8)  # 4 layers, 8 stages
 
     mesh4 = make_mesh(("pp",), devices=jax.devices()[:4])
@@ -704,6 +704,22 @@ def test_pipeline_rejects_bad_configs():
         pipeline_forward_train(
             mesh4, sliding, pp_params, jnp.zeros((4, 5), jnp.int32), 2
         )
+
+    # MoE blocks can't be stage-stacked regardless of tp (expert lists are
+    # not arrays); the guard must raise cleanly, not die inside jnp.stack
+    moe_cfg = dataclasses.replace(
+        cfg, num_local_experts=2, num_experts_per_tok=1
+    )
+    moe_params = init_params(moe_cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
+    with pytest.raises(NotImplementedError, match="experts"):
+        stack_stages(mesh4, moe_params, 4)
+
+    # same for non-array (e.g. quantized {'q','scale'}) block leaves
+    broken = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
+    for layer in broken["layers"]:
+        layer["q_proj"] = {"q": layer["q_proj"], "scale": 1.0}
+    with pytest.raises(NotImplementedError, match="array block weights"):
+        stack_stages(mesh4, broken, 4)
 
 
 @pytest.mark.parametrize("pp,tp", [(2, 4), (4, 2)])
@@ -751,7 +767,7 @@ def test_pipeline_tp_rejects_indivisible_heads():
     params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
     mesh = make_mesh(("pp", "tp"), shape=(2, 4))  # tp=4 > kv_heads=2
     pp_params = stack_stages(mesh, params, 2, tp=True)
-    with pytest.raises(ValueError, match="divide tp"):
+    with pytest.raises(ValueError, match="tp=4 must evenly divide"):
         pipeline_forward_train(
             mesh, cfg, pp_params, jnp.zeros((4, 5), jnp.int32), 2
         )
