@@ -1,5 +1,5 @@
 """JAX Llama-family forward pass (Llama 2/3, Qwen2, Qwen3, Qwen3-MoE,
-Mistral, Mixtral, Gemma 1/2, Phi-3).
+Mistral, Mixtral, Gemma 1/2, Phi-3, DeepSeek V2/V3).
 
 Replaces the reference's transformers+bitsandbytes inference path
 (shard/inference.py:65-119) with a pure-JAX functional model:
@@ -18,6 +18,11 @@ Replaces the reference's transformers+bitsandbytes inference path
   split on load
 - weights may be int8/int4-quantized per output channel (models/quant.py);
   dequantization happens inside the matmul helper
+- DeepSeek V2/V3 multi-head latent attention with a COMPRESSED kv cache
+  (kv_lora_rank latent + shared roped key; kv_b_proj absorbed into the
+  query/output sides — see _attention_mla), yarn rope, interleaved rope
+  pairs, and grouped MoE routing with shared experts (sigmoid +
+  e_score_correction_bias for V3, softmax group-limited-greedy for V2)
 
 The forward is mesh-agnostic: parallel/train.py shards the same pytree over
 a Mesh for multi-chip inference/training.
@@ -76,12 +81,63 @@ class ModelConfig:
     # tokens into fixed-capacity expert blocks (serving path, _moe_capacity)
     moe_dispatch: str = "dense"
     moe_capacity_factor: float = 1.25
+    # DeepSeek V2/V3 multi-head latent attention (MLA): engaged when
+    # kv_lora_rank is set. Queries/keys split into a no-position part
+    # (qk_nope_head_dim per head) and a shared roped part (qk_rope_head_dim);
+    # keys/values decompress from a kv_lora_rank latent.
+    q_lora_rank: Optional[int] = None
+    kv_lora_rank: Optional[int] = None
+    qk_nope_head_dim: int = 0
+    qk_rope_head_dim: int = 0
+    v_head_dim: Optional[int] = None
+    # DeepSeek checkpoints store rope dims as interleaved (even, odd) pairs
+    # (HF deepseek_v3 rope_interleave; deepseek_v2 always, via its complex-
+    # valued apply_rotary_emb)
+    rope_interleave: bool = False
+    # DeepSeek MoE: dense first_k layers, always-on shared experts, routed
+    # weight scaling, group-limited expert selection
+    n_shared_experts: int = 0
+    first_k_dense_replace: int = 0
+    routed_scaling_factor: float = 1.0
+    n_group: Optional[int] = None
+    topk_group: Optional[int] = None
+    # "greedy" / "group_limited_greedy" (V2, softmax scores) or
+    # "noaux_tc" (V3, sigmoid scores + e_score_correction_bias)
+    topk_method: str = "greedy"
 
     @property
     def head_dim(self) -> int:
         if self.head_dim_override is not None:
             return self.head_dim_override
         return self.hidden_size // self.num_attention_heads
+
+    @property
+    def is_mla(self) -> bool:
+        return self.kv_lora_rank is not None
+
+    @property
+    def qk_head_dim(self) -> int:
+        return self.qk_nope_head_dim + self.qk_rope_head_dim
+
+    @property
+    def rope_dims(self) -> int:
+        """Head dims the rotary tables cover (MLA ropes only the shared
+        qk_rope part; HF deepseek configs set head_dim = qk_rope_head_dim)."""
+        return self.qk_rope_head_dim if self.is_mla else self.head_dim
+
+    @property
+    def mla_softmax_scale(self) -> float:
+        """MLA score scale: qk_head_dim^-0.5, times mscale^2 under yarn with
+        mscale_all_dim (HF modeling_deepseek_v3.DeepseekV3Attention.__init__;
+        the HF deepseek_v2 port applies NO mscale adjustment — reproduced)."""
+        scale = self.qk_head_dim**-0.5
+        if self.model_type == "deepseek_v3" and self.rope_scaling:
+            mscale_all_dim = self.rope_scaling.get("mscale_all_dim", 0)
+            factor = self.rope_scaling.get("factor", 1.0)
+            if mscale_all_dim and factor > 1:
+                mscale = 0.1 * mscale_all_dim * float(np.log(factor)) + 1.0
+                scale = scale * mscale * mscale
+        return scale
 
     @property
     def is_gemma(self) -> bool:
@@ -124,9 +180,11 @@ class ModelConfig:
                 "attention_bias", model_type == "qwen2"
             ),
             model_type=model_type,
-            # Mixtral names the field num_local_experts; Qwen3-MoE num_experts
+            # Mixtral names the field num_local_experts; Qwen3-MoE
+            # num_experts; DeepSeek n_routed_experts
             num_local_experts=config.get(
-                "num_local_experts", config.get("num_experts", 0)
+                "num_local_experts",
+                config.get("num_experts", config.get("n_routed_experts", 0)),
             ),
             num_experts_per_tok=config.get("num_experts_per_tok", 2),
             moe_intermediate_size=config.get("moe_intermediate_size"),
@@ -145,6 +203,31 @@ class ModelConfig:
             else None,
             original_max_position_embeddings=config.get(
                 "original_max_position_embeddings"
+            ),
+            # DeepSeek V2/V3 (MLA + grouped MoE). V2's HF port always ropes
+            # interleaved (complex-pair apply_rotary_emb); V3 gates it on
+            # rope_interleave (default true).
+            q_lora_rank=config.get("q_lora_rank"),
+            kv_lora_rank=config.get("kv_lora_rank"),
+            qk_nope_head_dim=config.get("qk_nope_head_dim", 0),
+            qk_rope_head_dim=config.get("qk_rope_head_dim", 0),
+            v_head_dim=config.get("v_head_dim"),
+            rope_interleave=(
+                model_type == "deepseek_v2"
+                or (
+                    model_type == "deepseek_v3"
+                    and config.get("rope_interleave", True)
+                )
+            ),
+            n_shared_experts=config.get("n_shared_experts") or 0,
+            first_k_dense_replace=config.get("first_k_dense_replace", 0),
+            routed_scaling_factor=config.get("routed_scaling_factor", 1.0),
+            n_group=config.get("n_group"),
+            topk_group=config.get("topk_group"),
+            topk_method=(
+                "noaux_tc"
+                if model_type == "deepseek_v3"
+                else config.get("topk_method", "greedy")
             ),
         )
 
@@ -173,10 +256,10 @@ def rms_norm(
 
 def _rope_inv_freq(cfg: ModelConfig, seq_len: int = 0) -> tuple:
     """Rotary inverse frequencies + cos/sin post-scale, honoring the
-    configured rope_scaling (llama3, linear, longrope). Unknown scaling
-    types raise: silently ignoring them produces plausible-looking but
-    wrong logits."""
-    head_dim = cfg.head_dim
+    configured rope_scaling (llama3, linear, longrope, yarn). Unknown
+    scaling types raise: silently ignoring them produces plausible-looking
+    but wrong logits."""
+    head_dim = cfg.rope_dims
     inv_freq = 1.0 / (
         cfg.rope_theta ** (np.arange(0, head_dim, 2, dtype=np.float64) / head_dim)
     )
@@ -203,6 +286,57 @@ def _rope_inv_freq(cfg: ModelConfig, seq_len: int = 0) -> tuple:
         )
         inv_freq = inv_freq / ext
         return inv_freq.astype(np.float32), float(attention_factor)
+    if rope_type == "yarn":
+        # transformers modeling_rope_utils._compute_yarn_parameters (the
+        # DeepSeek V2/V3 context extension; attention_factor multiplies
+        # cos/sin, and V3 additionally folds mscale_all_dim into the score
+        # scale — see ModelConfig.mla_softmax_scale)
+        factor = scaling["factor"]
+        attention_factor = scaling.get("attention_factor")
+        mscale = scaling.get("mscale")
+        mscale_all_dim = scaling.get("mscale_all_dim")
+        original = (
+            scaling.get("original_max_position_embeddings")
+            or cfg.max_position_embeddings
+        )
+
+        def get_mscale(scale, m=1.0):
+            return 1.0 if scale <= 1 else 0.1 * m * np.log(scale) + 1.0
+
+        if attention_factor is None:
+            if mscale and mscale_all_dim:
+                attention_factor = float(
+                    get_mscale(factor, mscale) / get_mscale(factor, mscale_all_dim)
+                )
+            else:
+                attention_factor = float(get_mscale(factor))
+        beta_fast = scaling.get("beta_fast") or 32
+        beta_slow = scaling.get("beta_slow") or 1
+
+        def correction_dim(n_rot):
+            return (
+                head_dim
+                * np.log(original / (n_rot * 2 * np.pi))
+                / (2 * np.log(cfg.rope_theta))
+            )
+
+        low, high = correction_dim(beta_fast), correction_dim(beta_slow)
+        if scaling.get("truncate", True):
+            low, high = np.floor(low), np.ceil(high)
+        low = max(low, 0)
+        high = min(high, head_dim - 1)
+        if low == high:
+            high = high + 0.001  # transformers' singularity guard
+        ramp = np.clip(
+            (np.arange(head_dim // 2, dtype=np.float64) - low) / (high - low),
+            0,
+            1,
+        )
+        extrapolation_factor = 1 - ramp
+        inv_freq = (inv_freq / factor) * (
+            1 - extrapolation_factor
+        ) + inv_freq * extrapolation_factor
+        return inv_freq.astype(np.float32), float(attention_factor)
     if rope_type == "llama3":
         factor = scaling["factor"]
         low = scaling["low_freq_factor"]
@@ -221,7 +355,7 @@ def _rope_inv_freq(cfg: ModelConfig, seq_len: int = 0) -> tuple:
     elif rope_type is not None:
         raise NotImplementedError(
             f"rope_scaling type {rope_type!r} is not supported "
-            "(supported: llama3, linear, longrope)"
+            "(supported: llama3, linear, longrope, yarn)"
         )
     return inv_freq.astype(np.float32), 1.0
 
@@ -295,14 +429,48 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
     norm_init = jnp.zeros if cfg.is_gemma else jnp.ones  # gemma: (1+w) form
     for i in range(cfg.num_hidden_layers):
         k = jax.random.split(keys[i + 2], 8)
-        layer = {
-            "q_proj": dense(k[0], (q_dim, cfg.hidden_size)),
-            "k_proj": dense(k[1], (kv_dim, cfg.hidden_size)),
-            "v_proj": dense(k[2], (kv_dim, cfg.hidden_size)),
-            "o_proj": dense(k[3], (cfg.hidden_size, q_dim)),
-            "input_layernorm": norm_init((cfg.hidden_size,), dtype),
-            "post_attention_layernorm": norm_init((cfg.hidden_size,), dtype),
-        }
+        if cfg.is_mla:
+            H = cfg.num_attention_heads
+            mk = jax.random.split(k[0], 4)
+            layer = {
+                "kv_a_proj": dense(
+                    mk[0],
+                    (cfg.kv_lora_rank + cfg.qk_rope_head_dim, cfg.hidden_size),
+                ),
+                "kv_a_layernorm": jnp.ones((cfg.kv_lora_rank,), dtype),
+                "kv_b_proj": dense(
+                    mk[1],
+                    (
+                        H * (cfg.qk_nope_head_dim + cfg.v_head_dim),
+                        cfg.kv_lora_rank,
+                    ),
+                ),
+                "o_proj": dense(mk[2], (cfg.hidden_size, H * cfg.v_head_dim)),
+                "input_layernorm": norm_init((cfg.hidden_size,), dtype),
+                "post_attention_layernorm": norm_init((cfg.hidden_size,), dtype),
+            }
+            if cfg.q_lora_rank:
+                qk2 = jax.random.split(mk[3], 2)
+                layer["q_a_proj"] = dense(
+                    qk2[0], (cfg.q_lora_rank, cfg.hidden_size)
+                )
+                layer["q_a_layernorm"] = jnp.ones((cfg.q_lora_rank,), dtype)
+                layer["q_b_proj"] = dense(
+                    qk2[1], (H * cfg.qk_head_dim, cfg.q_lora_rank)
+                )
+            else:
+                layer["q_proj"] = dense(
+                    mk[3], (H * cfg.qk_head_dim, cfg.hidden_size)
+                )
+        else:
+            layer = {
+                "q_proj": dense(k[0], (q_dim, cfg.hidden_size)),
+                "k_proj": dense(k[1], (kv_dim, cfg.hidden_size)),
+                "v_proj": dense(k[2], (kv_dim, cfg.hidden_size)),
+                "o_proj": dense(k[3], (cfg.hidden_size, q_dim)),
+                "input_layernorm": norm_init((cfg.hidden_size,), dtype),
+                "post_attention_layernorm": norm_init((cfg.hidden_size,), dtype),
+            }
         if cfg.qk_norm:
             layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
             layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
@@ -313,9 +481,9 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
             layer["post_feedforward_layernorm"] = norm_init(
                 (cfg.hidden_size,), dtype
             )
-        if cfg.num_local_experts > 0:
+        if cfg.num_local_experts > 0 and i >= cfg.first_k_dense_replace:
             moe_inter = cfg.moe_intermediate_size or cfg.intermediate_size
-            gk = jax.random.split(k[4], cfg.num_local_experts + 1)
+            gk = jax.random.split(k[4], cfg.num_local_experts + 2)
             layer["moe_gate"] = dense(
                 gk[0], (cfg.num_local_experts, cfg.hidden_size)
             )
@@ -328,6 +496,22 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
                         "w3": dense(ek[1], (moe_inter, cfg.hidden_size)),
                         "w2": dense(ek[2], (cfg.hidden_size, moe_inter)),
                     }
+                )
+            if cfg.topk_method == "noaux_tc":
+                layer["gate_bias"] = jnp.zeros(
+                    (cfg.num_local_experts,), jnp.float32
+                )
+            if cfg.n_shared_experts:
+                shared_inter = moe_inter * cfg.n_shared_experts
+                sk = jax.random.split(gk[-1], 3)
+                layer["shared_gate_proj"] = dense(
+                    sk[0], (shared_inter, cfg.hidden_size)
+                )
+                layer["shared_up_proj"] = dense(
+                    sk[1], (shared_inter, cfg.hidden_size)
+                )
+                layer["shared_down_proj"] = dense(
+                    sk[2], (cfg.hidden_size, shared_inter)
                 )
         else:
             layer["gate_proj"] = dense(
@@ -348,6 +532,14 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
 def init_kv_cache(
     cfg: ModelConfig, batch: int, max_len: int, dtype=jnp.bfloat16
 ) -> Dict[str, jnp.ndarray]:
+    if cfg.is_mla:
+        # MLA caches the compressed latent + the shared roped key — not
+        # per-head K/V (see _attention_mla)
+        L = cfg.num_hidden_layers
+        return {
+            "ckv": jnp.zeros((L, batch, max_len, cfg.kv_lora_rank), dtype),
+            "kpe": jnp.zeros((L, batch, max_len, cfg.qk_rope_head_dim), dtype),
+        }
     shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
     return {
         "k": jnp.zeros(shape, dtype),
@@ -408,6 +600,89 @@ def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
     return out, k_cache, v_cache
 
 
+def _uninterleave(x: jnp.ndarray) -> jnp.ndarray:
+    """(..., d) interleaved (even, odd) rope pairs -> half layout
+    [evens | odds], after which the standard rotate_half rope applies (HF
+    modeling_deepseek_v3.apply_rotary_pos_emb_interleave; deepseek_v2's
+    complex-pair form is the same rotation in pair layout — q and k are
+    transformed consistently, so attention scores are identical)."""
+    d = x.shape[-1]
+    return (
+        x.reshape(*x.shape[:-1], d // 2, 2)
+        .swapaxes(-1, -2)
+        .reshape(*x.shape[:-1], d)
+    )
+
+
+def _attention_mla(cfg, layer, x, cos, sin, positions, cache_slice, cache_pos, mask):
+    """DeepSeek multi-head latent attention over a COMPRESSED cache.
+
+    Semantics: HF modeling_deepseek_v3.DeepseekV3Attention.forward (and the
+    identically-shaped deepseek_v2 variant) — q (optionally through the
+    q_lora bottleneck) splits into per-head no-position and shared roped
+    parts; keys/values decompress from a kv_lora_rank latent via kv_b_proj.
+
+    TPU-native design: instead of materializing per-head K/V, the cache
+    holds only the (B, S, kv_lora_rank) latent + the (B, S, rope_dims)
+    shared roped key, and kv_b_proj is ABSORBED into the query / output
+    sides (scores = (W_k^T q_nope)^T c + q_pe k_pe; out = (probs c) W_v) —
+    algebraically identical by matmul associativity, and the cache is
+    ~(heads x head_dim)/(kv_lora_rank + rope) times smaller (9x for V3).
+
+    cache_slice: (c_cache (B, S, Ckv), pe_cache (B, S, Dr)).
+    Returns (output, new_c_cache, new_pe_cache).
+    """
+    B, T, _ = x.shape
+    H = cfg.num_attention_heads
+    dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    dv, dc = cfg.v_head_dim, cfg.kv_lora_rank
+
+    if "q_proj" in layer:  # q_lora_rank is null (V2-Lite)
+        q = matmul(x, layer["q_proj"])
+    else:
+        qa = rms_norm(
+            matmul(x, layer["q_a_proj"]), layer["q_a_layernorm"], cfg.rms_norm_eps
+        )
+        q = matmul(qa, layer["q_b_proj"])
+    q = q.reshape(B, T, H, dn + dr).transpose(0, 2, 1, 3)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    ckv = matmul(x, layer["kv_a_proj"])  # (B, T, Ckv + Dr)
+    c = rms_norm(ckv[..., :dc], layer["kv_a_layernorm"], cfg.rms_norm_eps)
+    k_pe = ckv[..., dc:][:, None]  # (B, 1, T, Dr) — shared across heads
+
+    if cfg.rope_interleave:
+        q_pe = _uninterleave(q_pe)
+        k_pe = _uninterleave(k_pe)
+    q_pe, k_pe = apply_rope(q_pe, k_pe, cos, sin, positions)
+
+    c_cache, pe_cache = cache_slice
+    c_cache = jax.lax.dynamic_update_slice(c_cache, c, (0, cache_pos, 0))
+    pe_cache = jax.lax.dynamic_update_slice(
+        pe_cache, k_pe[:, 0], (0, cache_pos, 0)
+    )
+
+    wkb = layer["kv_b_proj"].reshape(H, dn + dv, dc)
+    w_k = wkb[:, :dn].astype(jnp.float32)  # (H, Dn, Ckv)
+    w_v = wkb[:, dn:].astype(jnp.float32)  # (H, Dv, Ckv)
+
+    # absorbed scores: q_nope^T (W_k c) == (W_k^T q_nope)^T c
+    q_abs = jnp.einsum("bhtd,hdc->bhtc", q_nope.astype(jnp.float32), w_k)
+    scores = jnp.einsum(
+        "bhtc,bsc->bhts", q_abs, c_cache.astype(jnp.float32)
+    ) + jnp.einsum(
+        "bhtd,bsd->bhts", q_pe.astype(jnp.float32), pe_cache.astype(jnp.float32)
+    )
+    scores = scores * jnp.float32(cfg.mla_softmax_scale)
+    scores = scores + mask[:, None, :, :]
+    probs = jax.nn.softmax(scores, axis=-1)
+    ctx = jnp.einsum("bhts,bsc->bhtc", probs, c_cache.astype(jnp.float32))
+    out = jnp.einsum("bhtc,hvc->bhtv", ctx, w_v)  # (B, H, T, Dv)
+    out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dv)
+    out = matmul(out.astype(x.dtype), layer["o_proj"])
+    return out, c_cache, pe_cache
+
+
 def _act(g32: jnp.ndarray, hidden_act: str) -> jnp.ndarray:
     """Gate activation in fp32 — the single source of truth for every FFN
     path (dense, capacity, expert-parallel), so a new activation variant
@@ -458,6 +733,96 @@ def _moe(cfg: ModelConfig, layer, x):
             cfg.hidden_act,
         )
         out = out + h.astype(jnp.float32) * weights[..., e : e + 1]
+    return out.astype(x.dtype)
+
+
+def deepseek_router(cfg: ModelConfig, layer, x):
+    """DeepSeek expert routing -> dense per-expert weights (B, T, n_exp).
+
+    V3 ("noaux_tc", HF modeling_deepseek_v3.DeepseekV3TopkRouter): sigmoid
+    scores; selection adds e_score_correction_bias, group score = sum of the
+    top-2 biased scores per group, top `topk_group` groups survive, biased
+    scores outside them are masked to 0.0 before the top-k; the WEIGHTS are
+    the unbiased sigmoid scores, normalized over the top-k when
+    norm_topk_prob, then scaled by routed_scaling_factor.
+
+    V2 ("greedy" / "group_limited_greedy", HF deepseek_v2.DeepseekV2MoEGate):
+    softmax scores; group score = per-group max; weights come straight from
+    the (masked) scores scaled by routed_scaling_factor — the HF V2 port
+    never applies norm_topk_prob (quirk reproduced).
+    """
+    n_exp = cfg.num_local_experts
+    k = cfg.num_experts_per_tok
+    v3 = cfg.topk_method == "noaux_tc"
+
+    logits = jnp.einsum(
+        "bte,ne->btn",
+        x.astype(jnp.float32),
+        layer["moe_gate"].astype(jnp.float32),
+    )
+    scores = jax.nn.sigmoid(logits) if v3 else jax.nn.softmax(logits, axis=-1)
+
+    choice = scores
+    if v3:
+        choice = scores + layer["gate_bias"].astype(jnp.float32)
+    if cfg.topk_method in ("noaux_tc", "group_limited_greedy") and cfg.n_group:
+        G = cfg.n_group
+        grouped = choice.reshape(*choice.shape[:-1], G, n_exp // G)
+        if v3:
+            top2, _ = jax.lax.top_k(grouped, min(2, n_exp // G))
+            group_scores = jnp.sum(top2, axis=-1)
+        else:
+            group_scores = jnp.max(grouped, axis=-1)
+        _, group_idx = jax.lax.top_k(group_scores, cfg.topk_group)
+        group_mask = jnp.sum(
+            jax.nn.one_hot(group_idx, G, dtype=jnp.bool_), axis=-2
+        )
+        keep = jnp.repeat(group_mask, n_exp // G, axis=-1)
+        choice = jnp.where(keep, choice, 0.0)
+
+    topk_choice, topk_idx = jax.lax.top_k(choice, k)
+    if v3:
+        # weights are the UNBIASED scores at the selected experts
+        topk_w = jnp.take_along_axis(scores, topk_idx, axis=-1)
+        if cfg.norm_topk_prob:
+            topk_w = topk_w / (jnp.sum(topk_w, axis=-1, keepdims=True) + 1e-20)
+    else:
+        topk_w = topk_choice
+    topk_w = topk_w * jnp.float32(cfg.routed_scaling_factor)
+
+    onehot = jax.nn.one_hot(topk_idx, n_exp, dtype=jnp.float32)
+    return jnp.einsum("btk,btkn->btn", topk_w, onehot)
+
+
+def _moe_deepseek(cfg: ModelConfig, layer, x):
+    """DeepSeek MoE block: routed experts (dense-mask accumulation, like
+    :func:`_moe`) + the always-on shared-experts MLP
+    (HF modeling_deepseek_v3.DeepseekV3MoE.forward)."""
+    weights = deepseek_router(cfg, layer, x)
+    out = jnp.zeros_like(x, dtype=jnp.float32)
+    for e in range(cfg.num_local_experts):
+        expert = layer["experts"][e]
+        h = _mlp(
+            {
+                "gate_proj": expert["w1"],
+                "up_proj": expert["w3"],
+                "down_proj": expert["w2"],
+            },
+            x,
+            cfg.hidden_act,
+        )
+        out = out + h.astype(jnp.float32) * weights[..., e : e + 1]
+    if "shared_gate_proj" in layer:
+        shared = _mlp(
+            {
+                "gate_proj": layer["shared_gate_proj"],
+                "up_proj": layer["shared_up_proj"],
+                "down_proj": layer["shared_down_proj"],
+            },
+            x,
+            cfg.hidden_act,
+        )
+        out = out + shared.astype(jnp.float32)
     return out.astype(x.dtype)
 
 
@@ -576,6 +941,8 @@ def stack_expert_weights(params: Params) -> bool:
 
 
 def _ffn(cfg: ModelConfig, layer, x):
+    if cfg.model_type.startswith("deepseek") and "experts" in layer:
+        return _moe_deepseek(cfg, layer, x)  # dense first_k layers: _mlp
     if "experts_stacked" in layer:  # pre-stacked => capacity dispatch
         return _moe_capacity(cfg, layer, x, cfg.moe_capacity_factor)
     if "experts" in layer:
@@ -626,7 +993,9 @@ def forward(
         x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
 
     B, T = input_ids.shape
-    S = kv_cache["k"].shape[3]
+    S = (
+        kv_cache["ckv"].shape[2] if cfg.is_mla else kv_cache["k"].shape[3]
+    )
     # causal mask over cache slots: the query at slot index p attends to
     # cache slots [0, p]; slots beyond attn_len (and padding slots, when
     # token_valid is given) are invalid.
@@ -642,18 +1011,25 @@ def forward(
         valid_sl = valid & (slot > pos - cfg.sliding_window)
         mask_sliding = jnp.where(valid_sl, 0.0, jnp.float32(-1e9))
 
+    mla = cfg.is_mla
     new_k = []
     new_v = []
     for i, layer in enumerate(params["layers"]):
         h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
-        attn_out, k_c, v_c = _attention(
+        attn = _attention_mla if mla else _attention
+        cache_slice = (
+            (kv_cache["ckv"][i], kv_cache["kpe"][i])
+            if mla
+            else (kv_cache["k"][i], kv_cache["v"][i])
+        )
+        attn_out, k_c, v_c = attn(
             cfg,
             layer,
             h,
             cos,
             sin,
             positions,
-            (kv_cache["k"][i], kv_cache["v"][i]),
+            cache_slice,
             cache_pos,
             mask_sliding if cfg.layer_is_sliding(i) else mask,
         )
@@ -684,6 +1060,8 @@ def forward(
         cap = jnp.float32(cfg.final_logit_softcapping)
         logits = cap * jnp.tanh(logits / cap)
 
+    if mla:
+        return logits, {"ckv": jnp.stack(new_k), "kpe": jnp.stack(new_v)}
     return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
 
 

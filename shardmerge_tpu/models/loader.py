@@ -45,6 +45,18 @@ _LAYER_WEIGHTS = {
     # qwen3 per-head q/k norms
     "self_attn.q_norm.weight": "q_norm",
     "self_attn.k_norm.weight": "k_norm",
+    # deepseek v2/v3 multi-head latent attention
+    "self_attn.q_a_proj.weight": "q_a_proj",
+    "self_attn.q_a_layernorm.weight": "q_a_layernorm",
+    "self_attn.q_b_proj.weight": "q_b_proj",
+    "self_attn.kv_a_proj_with_mqa.weight": "kv_a_proj",
+    "self_attn.kv_a_layernorm.weight": "kv_a_layernorm",
+    "self_attn.kv_b_proj.weight": "kv_b_proj",
+    # deepseek MoE: always-on shared experts + V3 router selection bias
+    "mlp.shared_experts.gate_proj.weight": "shared_gate_proj",
+    "mlp.shared_experts.up_proj.weight": "shared_up_proj",
+    "mlp.shared_experts.down_proj.weight": "shared_down_proj",
+    "mlp.gate.e_score_correction_bias": "gate_bias",
 }
 # qwen3-moe expert weights use HF mlp names; the pytree keeps mixtral's w1/w3/w2
 _EXPERT_WEIGHTS = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
@@ -164,7 +176,9 @@ def load_params(
     if cfg.tie_word_embeddings:
         params.pop("lm_head", None)
     missing = [
-        i for i, layer in enumerate(params["layers"]) if "q_proj" not in layer
+        i
+        for i, layer in enumerate(params["layers"])
+        if "q_proj" not in layer and "q_a_proj" not in layer
     ]
     if missing or "embed_tokens" not in params:
         raise ValueError(

@@ -344,6 +344,51 @@ def test_inference_engine_stream(tmp_path):
     assert "".join(chunks2) == text
 
 
+def test_inference_engine_streams_deepseek(tmp_path):
+    """The engine's generic load/prefill/decode path serves MLA models (the
+    compressed cache rides the same opaque kv pytree)."""
+    import torch
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(13)
+    config = DeepseekV3Config(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        moe_intermediate_size=16,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        q_lora_rank=16,
+        kv_lora_rank=16,
+        qk_nope_head_dim=8,
+        qk_rope_head_dim=4,
+        v_head_dim=8,
+        n_routed_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        n_group=2,
+        topk_group=1,
+        max_position_embeddings=512,
+        rope_scaling=None,
+        tie_word_embeddings=False,
+    )
+    model = DeepseekV3ForCausalLM(config).eval()
+    path = tmp_path / "ds"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.inference import InferenceEngine
+
+    engine = InferenceEngine.from_pretrained(str(path), tokenizer=StubTokenizer())
+    text = "".join(
+        engine.stream_generation(
+            "hi", max_new_tokens=6, greedy=True, use_template=False
+        )
+    )
+    assert 0 < len(text) <= 7
+
+
 def test_inference_engine_rejects_double_quant(tmp_path):
     from shardmerge_tpu.inference import InferenceEngine
 
@@ -618,13 +663,26 @@ def test_phi3_longrope_matches_transformers(tmp_path):
 
 
 def test_unknown_rope_scaling_raises():
-    cfg = _tiny_cfg(rope_scaling={"type": "yarn", "factor": 2.0})
     import pytest as _pytest
 
     from shardmerge_tpu.models.llama import rope_tables
 
-    with _pytest.raises(NotImplementedError, match="yarn"):
+    cfg = _tiny_cfg(rope_scaling={"type": "dynamic", "factor": 2.0})
+    with _pytest.raises(NotImplementedError, match="dynamic"):
         rope_tables(cfg, 16)
+
+    # yarn is supported (deepseek context extension) and contracts the
+    # interpolated low frequencies
+    cfg_yarn = _tiny_cfg(
+        rope_scaling={
+            "type": "yarn",
+            "factor": 4.0,
+            "original_max_position_embeddings": 8,
+        }
+    )
+    cos, _ = rope_tables(cfg_yarn, 16)
+    cos0, _ = rope_tables(_tiny_cfg(), 16)
+    assert not np.allclose(np.asarray(cos), np.asarray(cos0))
 
 
 def test_qwen3_qk_norm_matches_transformers(tmp_path):
@@ -757,6 +815,188 @@ def test_qwen3_moe_matches_transformers(tmp_path):
     np.testing.assert_allclose(
         np.asarray(logits_cap), np.asarray(logits), rtol=1e-5, atol=1e-5
     )
+
+
+def test_deepseek_v2_matches_transformers(tmp_path):
+    """DeepSeek-V2: MLA attention (q_lora bottleneck, compressed-latent kv,
+    absorbed kv_b matmuls, interleaved rope on the shared pe dims) +
+    group-limited-greedy softmax MoE routing with shared experts and dense
+    first_k layers."""
+    import torch
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    torch.manual_seed(11)
+    config = DeepseekV2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        n_routed_experts=8,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        topk_method="group_limited_greedy",
+        n_group=4,
+        topk_group=2,
+        routed_scaling_factor=1.5,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        attention_bias=False,
+    )
+    model = DeepseekV2ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "dsv2"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.is_mla and cfg.rope_interleave and cfg.qk_head_dim == 24
+    assert cfg.topk_method == "group_limited_greedy"
+    params = load_params(path, cfg, dtype=jnp.float32)
+    assert "q_a_proj" in params["layers"][0]
+    assert "experts" not in params["layers"][0]  # dense first_k layer
+    assert "shared_gate_proj" in params["layers"][1]
+    ids = np.array([[3, 17, 91, 54, 120, 8]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+
+def test_deepseek_v3_matches_transformers(tmp_path):
+    """DeepSeek-V3: sigmoid router with e_score_correction_bias selection
+    (top-2-sum group limiting), normalized top-k weights x
+    routed_scaling_factor, yarn rope with the mscale^2 score-scale fold."""
+    import torch
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(12)
+    config = DeepseekV3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=32,
+        num_hidden_layers=3,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        n_routed_experts=8,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        n_group=4,
+        topk_group=2,
+        norm_topk_prob=True,
+        routed_scaling_factor=2.5,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        rope_interleave=True,
+        rope_scaling={
+            "rope_type": "yarn",
+            "factor": 2.0,
+            "beta_fast": 32,
+            "beta_slow": 1,
+            "mscale": 1.0,
+            "mscale_all_dim": 1.0,
+            "original_max_position_embeddings": 64,
+        },
+        tie_word_embeddings=False,
+        attention_bias=False,
+    )
+    model = DeepseekV3ForCausalLM(config).eval().to(torch.float32)
+    # nonzero selection bias so the bias-for-selection/unbiased-weights
+    # asymmetry is actually exercised
+    with torch.no_grad():
+        for layer in model.model.layers[config.first_k_dense_replace :]:
+            layer.mlp.gate.e_score_correction_bias.uniform_(-0.2, 0.2)
+    path = tmp_path / "dsv3"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.topk_method == "noaux_tc" and cfg.rope_interleave
+    # yarn mscale_all_dim folds into the score scale (mscale(2.0)^2)
+    assert cfg.mla_softmax_scale != cfg.qk_head_dim**-0.5
+    params = load_params(path, cfg, dtype=jnp.float32)
+    assert "gate_bias" in params["layers"][1]
+    ids = np.array([[5, 44, 73, 12, 99, 2]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+
+def test_deepseek_kv_cache_decode_matches_full(rng):
+    """Prefill + single-token decodes through the compressed MLA cache
+    reproduce the full-sequence forward."""
+    cfg = _tiny_cfg(
+        model_type="deepseek_v3",
+        num_key_value_heads=4,
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        rope_interleave=True,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=32,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        n_group=2,
+        topk_group=1,
+        topk_method="noaux_tc",
+        routed_scaling_factor=2.0,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(7), dtype=jnp.float32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, 7)), jnp.int32)
+
+    full_logits, _ = _run_forward(cfg, params, ids, cache_len=16)
+
+    cache_len = 16
+    rope = rope_tables(cfg, cache_len)
+    kv = init_kv_cache(cfg, 2, cache_len, jnp.float32)
+    assert set(kv) == {"ckv", "kpe"} and kv["ckv"].shape[-1] == 32
+    T0 = 4
+    pos = jnp.arange(T0, dtype=jnp.int32)[None, :].repeat(2, 0)
+    logits, kv = forward(
+        params, cfg, ids[:, :T0], pos, kv, cache_pos=0, rope=rope, attn_len=T0
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full_logits[:, :T0]), rtol=1e-4, atol=1e-4
+    )
+    for t in range(T0, 7):
+        pos_t = jnp.full((2, 1), t, jnp.int32)
+        logits, kv = forward(
+            params,
+            cfg,
+            ids[:, t : t + 1],
+            pos_t,
+            kv,
+            cache_pos=t,
+            rope=rope,
+            attn_len=t + 1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 0]),
+            np.asarray(full_logits[:, t]),
+            rtol=1e-4,
+            atol=1e-4,
+        )
 
 
 def test_generate_batch_matches_single(tmp_path):
