@@ -367,6 +367,16 @@ def copy_model_command(config_file: Path, revision: str, verbose: bool):
 @click.option("-8", "--load-in-8bit", is_flag=True, help="int8 weight quantization")
 @click.option("--seed", type=int, default=0, help="Sampling PRNG seed")
 @click.option("--device", type=str, default=None, help="Ignored (JAX placement)")
+@click.option(
+    "--draft-model",
+    type=click.Path(exists=True, path_type=Path),
+    default=None,
+    help="Smaller same-vocab checkpoint for speculative decoding "
+    "(greedy only; output identical, fewer target dispatches)",
+)
+@click.option(
+    "--speculation-k", type=int, default=4, help="Speculative tokens per round"
+)
 def generate_command(
     model_path: Path,
     prompt: str,
@@ -380,6 +390,8 @@ def generate_command(
     load_in_8bit: bool,
     seed: int,
     device: Optional[str],
+    draft_model: Optional[Path],
+    speculation_k: int,
 ):
     """Generate text from a merged model with the JAX inference engine."""
     try:
@@ -389,6 +401,8 @@ def generate_command(
             str(model_path),
             load_in_4bit=load_in_4bit,
             load_in_8bit=load_in_8bit,
+            draft_model=str(draft_model) if draft_model else None,
+            speculation_k=speculation_k,
         )
         for chunk in engine.stream_generation(
             prompt=prompt,
@@ -413,12 +427,23 @@ def generate_command(
 @click.option("--port", type=int, default=8000, help="Bind port")
 @click.option("-4", "--load-in-4bit", is_flag=True, help="int4 weight quantization")
 @click.option("-8", "--load-in-8bit", is_flag=True, help="int8 weight quantization")
+@click.option(
+    "--draft-model",
+    type=click.Path(exists=True, path_type=Path),
+    default=None,
+    help="Speculative-decoding draft checkpoint (greedy requests)",
+)
+@click.option(
+    "--speculation-k", type=int, default=4, help="Speculative tokens per round"
+)
 def serve_command(
     model_path: Path,
     host: str,
     port: int,
     load_in_4bit: bool,
     load_in_8bit: bool,
+    draft_model: Optional[Path],
+    speculation_k: int,
 ):
     """Serve a merged model over HTTP (OpenAI-style /v1/completions).
 
@@ -435,6 +460,8 @@ def serve_command(
         port=port,
         load_in_4bit=load_in_4bit,
         load_in_8bit=load_in_8bit,
+        draft_model=str(draft_model) if draft_model else None,
+        speculation_k=speculation_k,
     )
     click.echo(f"Serving {model_path} on http://{host}:{port} (Ctrl-C to stop)")
     try:

@@ -55,8 +55,34 @@ class ChatMessage:
         return json.dumps(self.to_dict())
 
 
+@partial(jax.jit, static_argnames=())
+def _greedy_verify(logits, base_mask, fed, repetition_penalty):
+    """Target-greedy tokens for every speculative position in one shot.
+
+    logits: (T, V) raw target logits for the fed tokens; position i's
+    repetition-penalty mask is ``base_mask | {fed[0..i]}`` — valid because
+    position i's result is only consumed when every earlier draft was
+    accepted, in which case exactly those tokens were emitted. Returns (T,)
+    argmax ids (the same penalty-then-argmax as sample_token(greedy=True)).
+    """
+    V = logits.shape[-1]
+    fed_mask = jnp.cumsum(jax.nn.one_hot(fed, V, dtype=jnp.int32), axis=0) > 0
+    mask = base_mask | fed_mask  # (T, V)
+    penalized = jnp.where(
+        logits > 0, logits / repetition_penalty, logits * repetition_penalty
+    )
+    return jnp.argmax(jnp.where(mask, penalized, logits), axis=-1)
+
+
 class InferenceEngine:
-    def __init__(self, cfg: ModelConfig, params, tokenizer):
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params,
+        tokenizer,
+        draft: Optional[tuple] = None,  # (draft_cfg, draft_params)
+        speculation_k: int = 4,
+    ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
@@ -79,6 +105,22 @@ class InferenceEngine:
         )
         self._prefill = jax.jit(partial(forward, cfg=cfg))
 
+        self.draft_cfg = self.draft_params = None
+        self.speculation_k = max(int(speculation_k), 2)
+        if draft is not None:
+            self.draft_cfg, self.draft_params = draft
+            if self.draft_cfg.vocab_size != cfg.vocab_size:
+                raise ValueError(
+                    "draft model vocab "
+                    f"({self.draft_cfg.vocab_size}) must match the target's "
+                    f"({cfg.vocab_size})"
+                )
+            self._draft_decode = jax.jit(
+                partial(forward, cfg=self.draft_cfg),
+                donate_argnames=("kv_cache",),
+            )
+            self._draft_prefill = jax.jit(partial(forward, cfg=self.draft_cfg))
+
     def __enter__(self):
         return self
 
@@ -96,7 +138,12 @@ class InferenceEngine:
         load_in_8bit: bool = False,
         tokenizer=None,
         device: Optional[str] = None,
+        draft_model: Optional[str] = None,
+        speculation_k: int = 4,
     ) -> "InferenceEngine":
+        """``draft_model``: optional path to a smaller same-vocab checkpoint
+        enabling speculative decoding for greedy generations (exact: output
+        is identical to plain greedy, only the dispatch count drops)."""
         if load_in_4bit and load_in_8bit:
             raise ValueError("Cannot load model in both 4-bit and 8-bit precision")
         quant_bits = 4 if load_in_4bit else 8 if load_in_8bit else None
@@ -105,11 +152,17 @@ class InferenceEngine:
         cfg = ModelConfig.from_pretrained(model_path)
         params = load_params(model_path, cfg, quant_bits=quant_bits)
 
+        draft = None
+        if draft_model is not None:
+            draft_path = Path(draft_model)
+            draft_cfg = ModelConfig.from_pretrained(draft_path)
+            draft = (draft_cfg, load_params(draft_path, draft_cfg))
+
         if tokenizer is None:
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(str(model_path))
-        return cls(cfg, params, tokenizer)
+        return cls(cfg, params, tokenizer, draft=draft, speculation_k=speculation_k)
 
     # -- generation --------------------------------------------------------
 
@@ -155,11 +208,21 @@ class InferenceEngine:
         greedy: bool = False,
         seed: int = 0,
     ) -> Iterator[str]:
-        """Yield generated text chunks token by token."""
+        """Yield generated text chunks token by token.
+
+        With a draft model loaded and ``greedy=True``, decoding is
+        speculative (see :meth:`_stream_speculative`): identical output,
+        fewer target dispatches."""
         cfg = self.cfg
         input_ids = self._encode(prompt, use_template, system_prompt, previous_messages)
         prompt_len = len(input_ids)
         if prompt_len == 0:
+            return
+
+        if greedy and self.draft_cfg is not None:
+            yield from self._stream_speculative(
+                input_ids, max_new_tokens, repetition_penalty
+            )
             return
 
         total = prompt_len + max_new_tokens
@@ -241,6 +304,173 @@ class InferenceEngine:
         text = self.tokenizer.decode(generated, skip_special_tokens=True)
         if len(text) > len(emitted_text):
             yield text[len(emitted_text) :]
+
+    def _stream_speculative(
+        self,
+        input_ids: List[int],
+        max_new_tokens: int,
+        repetition_penalty: float,
+    ) -> Iterator[str]:
+        """Greedy speculative decoding against the loaded draft model.
+
+        Per round: the draft proposes ``speculation_k - 1`` tokens after the
+        known-correct pending token; ONE target dispatch scores all of them;
+        the longest target-greedy-matching prefix is accepted and the
+        target's own argmax at the first mismatch becomes the next pending
+        token. EXACT: emits precisely the plain-greedy token sequence (the
+        verify applies the same repetition-penalty-then-argmax per position,
+        with each position's mask assuming the earlier drafts were accepted
+        — which is the only case in which that position's result is used).
+        Costs k draft + 1 target dispatches per round for up to k accepted
+        tokens — the win on TPU relays where per-dispatch latency dominates
+        small-model decode. Rejected tokens leave stale cache slots on both
+        models; harmless because every slot is rewritten (cache_pos) before
+        the attn_len mask ever exposes it.
+        """
+        cfg = self.cfg
+        k = self.speculation_k
+        rp = jnp.float32(repetition_penalty)
+        prompt_len = len(input_ids)
+
+        total = prompt_len + max_new_tokens + k  # verify may write past budget
+        cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
+        rope = rope_tables(cfg, cache_len)
+        d_rope = rope_tables(self.draft_cfg, cache_len)
+        kv = init_kv_cache(cfg, 1, cache_len, self._kv_dtype)
+        d_embed = self.draft_params["embed_tokens"]
+        d_dtype = jnp.bfloat16 if isinstance(d_embed, dict) else d_embed.dtype
+        d_kv = init_kv_cache(self.draft_cfg, 1, cache_len, d_dtype)
+
+        padded_len = -(-prompt_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
+        padded_len = min(padded_len, cache_len)
+        padded = input_ids + [0] * (padded_len - prompt_len)
+        ids = jnp.asarray([padded], jnp.int32)
+        positions = jnp.arange(padded_len, dtype=jnp.int32)[None, :]
+        prefill_kwargs = dict(
+            input_ids=ids,
+            positions=positions,
+            cache_pos=0,
+            attn_len=prompt_len,
+        )
+        logits, kv = self._prefill(
+            self.params, kv_cache=kv, rope=rope, **prefill_kwargs
+        )
+        _, d_kv = self._draft_prefill(
+            self.draft_params, kv_cache=d_kv, rope=d_rope, **prefill_kwargs
+        )
+
+        eos_ids = self._eos_ids()
+        mask_pre = jnp.zeros((1, cfg.vocab_size), bool)  # emitted before round
+        all_tokens = list(input_ids)  # slot-indexed true context
+        generated: List[int] = []
+        state = {"text": ""}
+
+        def emit(token_id: int):
+            """Append + stream; returns False when generation must stop."""
+            generated.append(token_id)
+            all_tokens.append(token_id)
+            chunks = []
+            text = self.tokenizer.decode(generated, skip_special_tokens=True)
+            if len(text) > len(state["text"]) and not text.endswith("�"):
+                chunks.append(text[len(state["text"]) :])
+                state["text"] = text
+            stop = token_id in eos_ids or len(generated) >= max_new_tokens
+            return chunks, not stop
+
+        x1 = int(
+            sample_token(
+                logits[:, prompt_len - 1, :],
+                jax.random.PRNGKey(0),
+                mask_pre,
+                repetition_penalty=rp,
+                greedy=True,
+            )[0]
+        )
+        draft_pos = prompt_len  # next slot the draft cache will consume
+
+        while True:
+            chunks, go_on = emit(x1)
+            yield from chunks
+            if not go_on:
+                break
+            t = prompt_len + len(generated) - 1  # x1's slot
+
+            # catch-up: true tokens the draft never consumed (<=1 per round)
+            while draft_pos < t:
+                _, d_kv = self._draft_decode(
+                    self.draft_params,
+                    input_ids=jnp.asarray([[all_tokens[draft_pos]]], jnp.int32),
+                    positions=jnp.asarray([[draft_pos]], jnp.int32),
+                    kv_cache=d_kv,
+                    cache_pos=draft_pos,
+                    rope=d_rope,
+                    attn_len=draft_pos + 1,
+                )
+                draft_pos += 1
+
+            # draft proposes k-1 continuations of x1
+            fed = [x1]
+            spec_mask = mask_pre.at[0, x1].set(True)
+            prev = x1
+            for _ in range(k - 1):
+                d_logits, d_kv = self._draft_decode(
+                    self.draft_params,
+                    input_ids=jnp.asarray([[prev]], jnp.int32),
+                    positions=jnp.asarray([[draft_pos]], jnp.int32),
+                    kv_cache=d_kv,
+                    cache_pos=draft_pos,
+                    rope=d_rope,
+                    attn_len=draft_pos + 1,
+                )
+                draft_pos += 1
+                di = int(
+                    _greedy_verify(
+                        d_logits[0, -1:],
+                        spec_mask[0],
+                        jnp.asarray([prev], jnp.int32),
+                        rp,
+                    )[0]
+                )
+                spec_mask = spec_mask.at[0, di].set(True)
+                fed.append(di)
+                prev = di
+
+            # ONE target dispatch scores every speculative position
+            fed_arr = jnp.asarray([fed], jnp.int32)
+            v_logits, kv = self._decode_step(
+                self.params,
+                input_ids=fed_arr,
+                positions=jnp.arange(t, t + k, dtype=jnp.int32)[None, :],
+                kv_cache=kv,
+                cache_pos=t,
+                rope=rope,
+                attn_len=t + k,
+            )
+            y = np.asarray(
+                _greedy_verify(v_logits[0], mask_pre[0], fed_arr[0], rp)
+            )
+
+            m = 0
+            while m < k - 1 and int(y[m]) == fed[m + 1]:
+                m += 1
+            go_on = True
+            for tok in fed[1 : m + 1]:
+                chunks, go_on = emit(tok)
+                yield from chunks
+                if not go_on:
+                    break
+            # fed[0..m] are now emitted history for later penalty masks
+            for tok in fed[: m + 1]:
+                mask_pre = mask_pre.at[0, tok].set(True)
+            # true context the draft has consumed (rejected tail is stale)
+            draft_pos = t + min(m, k - 2) + 1
+            if not go_on:
+                break
+            x1 = int(y[m])
+
+        text = self.tokenizer.decode(generated, skip_special_tokens=True)
+        if len(text) > len(state["text"]):
+            yield text[len(state["text"]) :]
 
     def generate_batch(
         self,

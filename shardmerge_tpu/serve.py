@@ -184,12 +184,19 @@ def serve(
     port: int = 8000,
     load_in_4bit: bool = False,
     load_in_8bit: bool = False,
+    draft_model: Optional[str] = None,
+    speculation_k: int = 4,
 ) -> ModelServer:
-    """Load a model and start the HTTP server (CLI entry)."""
+    """Load a model and start the HTTP server (CLI entry). ``draft_model``
+    enables speculative decoding for greedy single-prompt requests."""
     from .inference import InferenceEngine
 
     engine = InferenceEngine.from_pretrained(
-        model_path, load_in_4bit=load_in_4bit, load_in_8bit=load_in_8bit
+        model_path,
+        load_in_4bit=load_in_4bit,
+        load_in_8bit=load_in_8bit,
+        draft_model=draft_model,
+        speculation_k=speculation_k,
     )
     server = ModelServer(engine, model_id=str(model_path))
     server.start(host, port)

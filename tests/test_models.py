@@ -389,6 +389,87 @@ def test_inference_engine_streams_deepseek(tmp_path):
     assert 0 < len(text) <= 7
 
 
+def test_speculative_decoding_exact_and_fewer_dispatches(tmp_path):
+    """Greedy speculative decoding emits EXACTLY the plain-greedy sequence —
+    with a weak (differently-seeded) draft and with a perfect (identical)
+    draft — and the perfect draft provably cuts target dispatches."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    def make(seed, path):
+        torch.manual_seed(seed)
+        config = LlamaConfig(
+            vocab_size=128,
+            hidden_size=32,
+            intermediate_size=64,
+            num_hidden_layers=1,
+            num_attention_heads=2,
+            num_key_value_heads=2,
+            max_position_embeddings=512,
+        )
+        LlamaForCausalLM(config).eval().save_pretrained(
+            str(path), safe_serialization=True
+        )
+
+    make(7, tmp_path / "target")
+    make(8, tmp_path / "weak_draft")
+
+    from shardmerge_tpu.inference import InferenceEngine
+
+    def run(engine, **kw):
+        calls = {"target": 0}
+        orig = engine._decode_step
+
+        def counting(*a, **k):
+            calls["target"] += 1
+            return orig(*a, **k)
+
+        engine._decode_step = counting
+        text = "".join(
+            engine.stream_generation(
+                "hello there", max_new_tokens=16, greedy=True,
+                use_template=False, **kw,
+            )
+        )
+        engine._decode_step = orig
+        return text, calls["target"]
+
+    plain = InferenceEngine.from_pretrained(
+        str(tmp_path / "target"), tokenizer=StubTokenizer()
+    )
+    expected, plain_calls = run(plain)
+
+    weak = InferenceEngine.from_pretrained(
+        str(tmp_path / "target"),
+        tokenizer=StubTokenizer(),
+        draft_model=str(tmp_path / "weak_draft"),
+        speculation_k=4,
+    )
+    got, _ = run(weak)
+    assert got == expected  # exactness does not depend on draft quality
+
+    perfect = InferenceEngine.from_pretrained(
+        str(tmp_path / "target"),
+        tokenizer=StubTokenizer(),
+        draft_model=str(tmp_path / "target"),
+        speculation_k=4,
+    )
+    got2, perfect_calls = run(perfect)
+    assert got2 == expected
+    # a perfect draft accepts every proposal: ceil(16/4) verify dispatches
+    # (+0 from prefill) vs one per token in the plain loop
+    assert perfect_calls < plain_calls
+    assert perfect_calls <= -(-16 // 4) + 1
+
+    # sampling (non-greedy) falls back to the plain path and still works
+    sampled = "".join(
+        weak.stream_generation(
+            "hello", max_new_tokens=4, greedy=False, use_template=False
+        )
+    )
+    assert isinstance(sampled, str)
+
+
 def test_inference_engine_rejects_double_quant(tmp_path):
     from shardmerge_tpu.inference import InferenceEngine
 

@@ -243,7 +243,14 @@ def test_cli_generate_command(monkeypatch, tmp_path):
 
     class FakeEngine:
         @classmethod
-        def from_pretrained(cls, path, load_in_4bit=False, load_in_8bit=False):
+        def from_pretrained(
+            cls,
+            path,
+            load_in_4bit=False,
+            load_in_8bit=False,
+            draft_model=None,
+            speculation_k=4,
+        ):
             calls["init"] = (path, load_in_4bit, load_in_8bit)
             return cls()
 
