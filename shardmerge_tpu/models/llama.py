@@ -736,8 +736,8 @@ def _moe(cfg: ModelConfig, layer, x):
     return out.astype(x.dtype)
 
 
-def deepseek_router(cfg: ModelConfig, layer, x):
-    """DeepSeek expert routing -> dense per-expert weights (B, T, n_exp).
+def deepseek_topk(cfg: ModelConfig, gate_w, gate_bias, x):
+    """DeepSeek expert routing -> (topk_idx, topk_w), each (..., k).
 
     V3 ("noaux_tc", HF modeling_deepseek_v3.DeepseekV3TopkRouter): sigmoid
     scores; selection adds e_score_correction_bias, group score = sum of the
@@ -756,15 +756,13 @@ def deepseek_router(cfg: ModelConfig, layer, x):
     v3 = cfg.topk_method == "noaux_tc"
 
     logits = jnp.einsum(
-        "bte,ne->btn",
-        x.astype(jnp.float32),
-        layer["moe_gate"].astype(jnp.float32),
+        "...e,ne->...n", x.astype(jnp.float32), gate_w.astype(jnp.float32)
     )
     scores = jax.nn.sigmoid(logits) if v3 else jax.nn.softmax(logits, axis=-1)
 
     choice = scores
     if v3:
-        choice = scores + layer["gate_bias"].astype(jnp.float32)
+        choice = scores + gate_bias.astype(jnp.float32)
     if cfg.topk_method in ("noaux_tc", "group_limited_greedy") and cfg.n_group:
         G = cfg.n_group
         grouped = choice.reshape(*choice.shape[:-1], G, n_exp // G)
@@ -788,16 +786,72 @@ def deepseek_router(cfg: ModelConfig, layer, x):
             topk_w = topk_w / (jnp.sum(topk_w, axis=-1, keepdims=True) + 1e-20)
     else:
         topk_w = topk_choice
-    topk_w = topk_w * jnp.float32(cfg.routed_scaling_factor)
+    return topk_idx, topk_w * jnp.float32(cfg.routed_scaling_factor)
 
-    onehot = jax.nn.one_hot(topk_idx, n_exp, dtype=jnp.float32)
+
+def deepseek_router(cfg: ModelConfig, layer, x):
+    """Dense per-expert weights (B, T, n_exp) from :func:`deepseek_topk`."""
+    topk_idx, topk_w = deepseek_topk(
+        cfg, layer["moe_gate"], layer.get("gate_bias"), x
+    )
+    onehot = jax.nn.one_hot(topk_idx, cfg.num_local_experts, dtype=jnp.float32)
     return jnp.einsum("btk,btkn->btn", topk_w, onehot)
+
+
+def _shared_experts_out(cfg: ModelConfig, layer, x):
+    if "shared_gate_proj" not in layer:
+        return None
+    return _mlp(
+        {
+            "gate_proj": layer["shared_gate_proj"],
+            "up_proj": layer["shared_up_proj"],
+            "down_proj": layer["shared_down_proj"],
+        },
+        x,
+        cfg.hidden_act,
+    )
+
+
+def _moe_deepseek_capacity(cfg: ModelConfig, layer, x, capacity_factor):
+    """Capacity-dispatch form of :func:`_moe_deepseek` (serving path): the
+    deepseek top-k routes into fixed-capacity expert blocks exactly like
+    :func:`_moe_capacity` — essential at V3 scale (256 routed experts make
+    the dense-and-mask loop 32x the useful FLOPs)."""
+    B, T, E = x.shape
+    n_exp = cfg.num_local_experts
+    k = cfg.num_experts_per_tok
+    S = B * T
+    C = min(int(np.ceil(S * k / n_exp * capacity_factor)), S)
+
+    xf = x.reshape(S, E)
+    topk_idx, topk_w = deepseek_topk(
+        cfg, layer["moe_gate"], layer.get("gate_bias"), xf
+    )
+    gather_idx, w_slot = capacity_tables_from_topk(topk_idx, topk_w, n_exp, C)
+    if "experts_stacked" in layer:
+        W1, W3, W2 = layer["experts_stacked"]
+    else:
+        W1 = jnp.stack([e["w1"] for e in layer["experts"]])
+        W3 = jnp.stack([e["w3"] for e in layer["experts"]])
+        W2 = jnp.stack([e["w2"] for e in layer["experts"]])
+    out = capacity_experts_apply(
+        xf, gather_idx, w_slot, W1, W3, W2, cfg.hidden_act
+    ).reshape(B, T, E)
+    shared = _shared_experts_out(cfg, layer, x)
+    if shared is not None:
+        out = out + shared.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def _moe_deepseek(cfg: ModelConfig, layer, x):
     """DeepSeek MoE block: routed experts (dense-mask accumulation, like
     :func:`_moe`) + the always-on shared-experts MLP
     (HF modeling_deepseek_v3.DeepseekV3MoE.forward)."""
+    if "experts_stacked" in layer or (
+        cfg.moe_dispatch == "capacity"
+        and not isinstance(layer["experts"][0]["w1"], dict)
+    ):
+        return _moe_deepseek_capacity(cfg, layer, x, cfg.moe_capacity_factor)
     weights = deepseek_router(cfg, layer, x)
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e in range(cfg.num_local_experts):
@@ -812,34 +866,18 @@ def _moe_deepseek(cfg: ModelConfig, layer, x):
             cfg.hidden_act,
         )
         out = out + h.astype(jnp.float32) * weights[..., e : e + 1]
-    if "shared_gate_proj" in layer:
-        shared = _mlp(
-            {
-                "gate_proj": layer["shared_gate_proj"],
-                "up_proj": layer["shared_up_proj"],
-                "down_proj": layer["shared_down_proj"],
-            },
-            x,
-            cfg.hidden_act,
-        )
+    shared = _shared_experts_out(cfg, layer, x)
+    if shared is not None:
         out = out + shared.astype(jnp.float32)
     return out.astype(x.dtype)
 
 
-def capacity_tables(router_probs, k: int, capacity: int, norm_topk: bool = True):
-    """Token->expert dispatch tables for capacity-based MoE.
-
-    From (S, n_exp) router probabilities, build gather_idx (n_exp, C) of
-    token ids per expert slot (S = padding row for empty/overflow slots)
-    and w_slot (n_exp, C) routing weights (renormalized over the top-k when
-    ``norm_topk`` — mixtral semantics; qwen3-moe gates it per config).
-    Static shapes; tokens beyond an expert's capacity are dropped (the
-    standard capacity trade-off)."""
-    S, n_exp = router_probs.shape
-    topk_probs, topk_idx = jax.lax.top_k(router_probs, k)
-    if norm_topk:
-        topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
-
+def capacity_tables_from_topk(topk_idx, topk_probs, n_exp: int, capacity: int):
+    """Dispatch tables from per-token top-k choices: gather_idx (n_exp, C)
+    of token ids per expert slot (S = padding row for empty/overflow slots)
+    and w_slot (n_exp, C) routing weights. Static shapes; tokens beyond an
+    expert's capacity are dropped (the standard capacity trade-off)."""
+    S, k = topk_idx.shape
     # flatten the S*k assignments and rank each within its expert
     expert_ids = topk_idx.reshape(-1)  # (S*k,)
     token_ids = jnp.repeat(jnp.arange(S, dtype=jnp.int32), k)
@@ -853,6 +891,17 @@ def capacity_tables(router_probs, k: int, capacity: int, norm_topk: bool = True)
     w_slot = jnp.zeros((n_exp, capacity + 1), jnp.float32)
     w_slot = w_slot.at[expert_ids, slot].set(weights)
     return gather_idx[:, :capacity], w_slot[:, :capacity]
+
+
+def capacity_tables(router_probs, k: int, capacity: int, norm_topk: bool = True):
+    """Token->expert dispatch tables for capacity-based MoE (mixtral /
+    qwen3-moe semantics: top-k of softmax probabilities, renormalized over
+    the top-k when ``norm_topk``). From (S, n_exp) router probabilities."""
+    _, n_exp = router_probs.shape
+    topk_probs, topk_idx = jax.lax.top_k(router_probs, k)
+    if norm_topk:
+        topk_probs = topk_probs / jnp.sum(topk_probs, axis=-1, keepdims=True)
+    return capacity_tables_from_topk(topk_idx, topk_probs, n_exp, capacity)
 
 
 def capacity_experts_apply(xf, gather_idx, w_slot, W1, W3, W2, hidden_act):
@@ -941,7 +990,9 @@ def stack_expert_weights(params: Params) -> bool:
 
 
 def _ffn(cfg: ModelConfig, layer, x):
-    if cfg.model_type.startswith("deepseek") and "experts" in layer:
+    if cfg.model_type.startswith("deepseek") and (
+        "experts" in layer or "experts_stacked" in layer
+    ):
         return _moe_deepseek(cfg, layer, x)  # dense first_k layers: _mlp
     if "experts_stacked" in layer:  # pre-stacked => capacity dispatch
         return _moe_capacity(cfg, layer, x, cfg.moe_capacity_factor)

@@ -1020,6 +1020,20 @@ def test_deepseek_v3_matches_transformers(tmp_path):
     logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
     np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
 
+    # the capacity (serving) dispatch must agree with dense-and-mask on the
+    # checkpoint weights too
+    import dataclasses
+
+    cfg_cap = dataclasses.replace(
+        cfg,
+        moe_dispatch="capacity",
+        moe_capacity_factor=float(cfg.num_local_experts),
+    )
+    logits_cap, _ = _run_forward(cfg_cap, params, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(logits_cap), np.asarray(logits), rtol=1e-5, atol=1e-5
+    )
+
 
 def test_deepseek_kv_cache_decode_matches_full(rng):
     """Prefill + single-token decodes through the compressed MLA cache

@@ -248,11 +248,12 @@ def test_expert_parallel_matches_single_device():
     dense = np.asarray(_ffn(cfg, layer, x))
 
     mesh = make_mesh(("ep",))
-    gate_w, W1, W3, W2 = shard_experts(mesh, layer)
+    gate_w, gate_bias, W1, W3, W2 = shard_experts(mesh, layer)
+    assert gate_bias is None
     # non-dropping capacity: equality with dense must be exact-class
     ep = np.asarray(
         expert_parallel_ffn(
-            mesh, cfg, gate_w, W1, W3, W2, x,
+            mesh, cfg, gate_w, gate_bias, W1, W3, W2, x,
             capacity_factor=float(cfg.num_local_experts),
         )
     )
@@ -262,9 +263,78 @@ def test_expert_parallel_matches_single_device():
     cap_cfg = dataclasses.replace(cfg, moe_dispatch="capacity")
     single = np.asarray(_ffn(cap_cfg, layer, x))
     ep_tight = np.asarray(
-        expert_parallel_ffn(mesh, cfg, gate_w, W1, W3, W2, x)
+        expert_parallel_ffn(mesh, cfg, gate_w, gate_bias, W1, W3, W2, x)
     )
     np.testing.assert_allclose(ep_tight, single, rtol=2e-5, atol=2e-6)
+
+
+def test_expert_parallel_deepseek_matches_dense():
+    """The deepseek grouped router (sigmoid + selection bias + shared
+    experts) rides the same EP dispatch: 8-device 'ep' == dense-and-mask
+    single device, and the single-device capacity path agrees too."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shardmerge_tpu.models.llama import ModelConfig, _ffn, init_params
+    from shardmerge_tpu.parallel.mesh import make_mesh
+    from shardmerge_tpu.parallel.moe import expert_parallel_ffn, shard_experts
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        moe_intermediate_size=24,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        model_type="deepseek_v3",
+        kv_lora_rank=16,
+        qk_nope_head_dim=8,
+        qk_rope_head_dim=4,
+        v_head_dim=8,
+        num_local_experts=8,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        n_group=4,
+        topk_group=2,
+        topk_method="noaux_tc",
+        routed_scaling_factor=2.5,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3), dtype=jnp.float32)
+    layer = params["layers"][0]
+    # nonzero selection bias so the biased-selection path matters
+    layer["gate_bias"] = jax.random.normal(jax.random.PRNGKey(4), (8,)) * 0.2
+    x = jax.random.normal(
+        jax.random.PRNGKey(5), (2, 12, cfg.hidden_size), jnp.float32
+    )
+
+    dense = np.asarray(_ffn(cfg, layer, x))
+
+    cap_cfg = dataclasses.replace(
+        cfg, moe_dispatch="capacity",
+        moe_capacity_factor=float(cfg.num_local_experts),
+    )
+    single_cap = np.asarray(_ffn(cap_cfg, layer, x))
+    np.testing.assert_allclose(single_cap, dense, rtol=2e-5, atol=2e-6)
+
+    mesh = make_mesh(("ep",))
+    gate_w, gate_bias, W1, W3, W2 = shard_experts(mesh, layer)
+    assert gate_bias is not None
+    ep = np.asarray(
+        expert_parallel_ffn(
+            mesh, cfg, gate_w, gate_bias, W1, W3, W2, x,
+            capacity_factor=float(cfg.num_local_experts),
+            shared=(
+                layer["shared_gate_proj"],
+                layer["shared_up_proj"],
+                layer["shared_down_proj"],
+            ),
+        )
+    )
+    np.testing.assert_allclose(ep, dense, rtol=2e-5, atol=2e-6)
 
 
 def test_stack_expert_weights_for_capacity_dispatch():
