@@ -55,7 +55,43 @@ class ChatMessage:
         return json.dumps(self.to_dict())
 
 
-@partial(jax.jit, static_argnames=())
+def _make_draft_propose(draft_cfg: ModelConfig, k: int):
+    """Speculative proposal as ONE dispatch: k-1 chained draft decodes with
+    the penalized argmax fused in, via lax.scan inside a single jit — on a
+    dispatch-latency-dominated link (this host's ~24 ms relay) the k-1
+    separate decode+argmax+fetch round-trips would cancel the verify-step
+    savings."""
+
+    def propose(params, kv, rope, x1, t, base_mask, rp):
+        # base_mask: (V,) bool — every emitted token incl. x1
+        def step(carry, i):
+            kv, prev, mask = carry
+            pos = t + i
+            logits, kv = forward(
+                params,
+                draft_cfg,
+                prev.reshape(1, 1),
+                pos.reshape(1, 1),
+                kv,
+                cache_pos=pos,
+                rope=rope,
+                attn_len=pos + 1,
+            )
+            lg = logits[0, -1]
+            pen = jnp.where(lg > 0, lg / rp, lg * rp)
+            tok = jnp.argmax(jnp.where(mask, pen, lg)).astype(jnp.int32)
+            mask = mask.at[tok].set(True)
+            return (kv, tok, mask), tok
+
+        (kv, _, _), toks = jax.lax.scan(
+            step, (kv, x1, base_mask), jnp.arange(k - 1, dtype=jnp.int32)
+        )
+        return toks, kv
+
+    return jax.jit(propose, donate_argnums=(1,))
+
+
+@jax.jit
 def _greedy_verify(logits, base_mask, fed, repetition_penalty):
     """Target-greedy tokens for every speculative position in one shot.
 
@@ -120,6 +156,9 @@ class InferenceEngine:
                 donate_argnames=("kv_cache",),
             )
             self._draft_prefill = jax.jit(partial(forward, cfg=self.draft_cfg))
+            self._draft_propose = _make_draft_propose(
+                self.draft_cfg, self.speculation_k
+            )
 
     def __enter__(self):
         return self
@@ -127,6 +166,7 @@ class InferenceEngine:
     def __exit__(self, exc_type, exc_val, exc_tb):
         logger.info("Releasing model parameters")
         self.params = None
+        self.draft_params = None
 
     # -- construction -----------------------------------------------------
 
@@ -188,6 +228,19 @@ class InferenceEngine:
             return list(ids)
         return list(self.tokenizer.encode(prompt))
 
+    def _pad_prompt(self, input_ids: List[int], cache_len: int):
+        """Pad the prompt to a bucket so prefill compiles once per bucket,
+        not once per prompt length. Causality keeps the tail inert: only
+        the logits at prompt_len-1 are consumed, and decode overwrites the
+        padded cache slots sequentially before ever attending to them."""
+        prompt_len = len(input_ids)
+        padded_len = -(-prompt_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
+        padded_len = min(padded_len, cache_len)
+        padded = input_ids + [0] * (padded_len - prompt_len)
+        ids = jnp.asarray([padded], jnp.int32)
+        positions = jnp.arange(padded_len, dtype=jnp.int32)[None, :]
+        return ids, positions
+
     def _eos_ids(self) -> set:
         eos = getattr(self.tokenizer, "eos_token_id", None)
         if eos is None:
@@ -207,21 +260,26 @@ class InferenceEngine:
         previous_messages: Optional[List[ChatMessage]] = None,
         greedy: bool = False,
         seed: int = 0,
+        meta: Optional[dict] = None,
     ) -> Iterator[str]:
         """Yield generated text chunks token by token.
 
         With a draft model loaded and ``greedy=True``, decoding is
-        speculative (see :meth:`_stream_speculative`): identical output,
-        fewer target dispatches."""
+        speculative (see :meth:`_stream_speculative`): same output, fewer
+        target dispatches. Pass a dict as ``meta`` to receive
+        ``{"finish_reason": "stop"|"length"}`` after exhaustion."""
         cfg = self.cfg
+        if meta is None:
+            meta = {}
+        meta.setdefault("finish_reason", "length")
         input_ids = self._encode(prompt, use_template, system_prompt, previous_messages)
         prompt_len = len(input_ids)
-        if prompt_len == 0:
+        if prompt_len == 0 or max_new_tokens <= 0:
             return
 
         if greedy and self.draft_cfg is not None:
             yield from self._stream_speculative(
-                input_ids, max_new_tokens, repetition_penalty
+                input_ids, max_new_tokens, repetition_penalty, meta
             )
             return
 
@@ -230,16 +288,7 @@ class InferenceEngine:
         rope = rope_tables(cfg, cache_len)
         kv = init_kv_cache(cfg, 1, cache_len, self._kv_dtype)
 
-        # Pad the prompt to a bucket so prefill compiles once per bucket, not
-        # once per prompt length. Causality keeps the tail inert: only the
-        # logits at prompt_len-1 are consumed, and decode overwrites the
-        # padded cache slots sequentially before ever attending to them.
-        padded_len = -(-prompt_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
-        padded_len = min(padded_len, cache_len)
-        padded = input_ids + [0] * (padded_len - prompt_len)
-
-        ids = jnp.asarray([padded], jnp.int32)
-        positions = jnp.arange(padded_len, dtype=jnp.int32)[None, :]
+        ids, positions = self._pad_prompt(input_ids, cache_len)
         logits, kv = self._prefill(
             self.params,
             input_ids=ids,
@@ -282,6 +331,7 @@ class InferenceEngine:
                     yield chunk
 
             if token_id in eos_ids:
+                meta["finish_reason"] = "stop"
                 break
             if step == max_new_tokens - 1:
                 break
@@ -310,22 +360,29 @@ class InferenceEngine:
         input_ids: List[int],
         max_new_tokens: int,
         repetition_penalty: float,
+        meta: dict,
     ) -> Iterator[str]:
         """Greedy speculative decoding against the loaded draft model.
 
-        Per round: the draft proposes ``speculation_k - 1`` tokens after the
-        known-correct pending token; ONE target dispatch scores all of them;
-        the longest target-greedy-matching prefix is accepted and the
-        target's own argmax at the first mismatch becomes the next pending
-        token. EXACT: emits precisely the plain-greedy token sequence (the
-        verify applies the same repetition-penalty-then-argmax per position,
-        with each position's mask assuming the earlier drafts were accepted
-        — which is the only case in which that position's result is used).
-        Costs k draft + 1 target dispatches per round for up to k accepted
-        tokens — the win on TPU relays where per-dispatch latency dominates
-        small-model decode. Rejected tokens leave stale cache slots on both
-        models; harmless because every slot is rewritten (cache_pos) before
-        the attn_len mask ever exposes it.
+        Per round: ONE draft dispatch (a jitted scan of k-1 chained decodes
+        with the penalized argmax fused in, :func:`_make_draft_propose`)
+        proposes continuations of the known-correct pending token; ONE
+        target dispatch scores all of them; the longest target-greedy-
+        matching prefix is accepted and the target's own argmax at the
+        first mismatch becomes the next pending token. The verify applies
+        the same repetition-penalty-then-argmax per position, with each
+        position's mask assuming the earlier drafts were accepted — the
+        only case in which that position's result is consumed — so the
+        output matches plain greedy decoding token for token, up to
+        floating-point near-ties: the (1,k) verify forward may round logits
+        differently than the (1,1) decode, and an ulp-level tie between the
+        top two tokens can resolve either way (both are valid greedy
+        decodes; the test models are far from ties). Costs 2 dispatches + 2
+        host syncs per round for up to k accepted tokens — the win on TPU
+        relays where per-dispatch latency dominates small-batch decode.
+        Rejected tokens leave stale cache slots on both models; harmless
+        because every slot is rewritten (cache_pos) before the attn_len
+        mask ever exposes it.
         """
         cfg = self.cfg
         k = self.speculation_k
@@ -341,11 +398,7 @@ class InferenceEngine:
         d_dtype = jnp.bfloat16 if isinstance(d_embed, dict) else d_embed.dtype
         d_kv = init_kv_cache(self.draft_cfg, 1, cache_len, d_dtype)
 
-        padded_len = -(-prompt_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
-        padded_len = min(padded_len, cache_len)
-        padded = input_ids + [0] * (padded_len - prompt_len)
-        ids = jnp.asarray([padded], jnp.int32)
-        positions = jnp.arange(padded_len, dtype=jnp.int32)[None, :]
+        ids, positions = self._pad_prompt(input_ids, cache_len)
         prefill_kwargs = dict(
             input_ids=ids,
             positions=positions,
@@ -374,8 +427,10 @@ class InferenceEngine:
             if len(text) > len(state["text"]) and not text.endswith("�"):
                 chunks.append(text[len(state["text"]) :])
                 state["text"] = text
-            stop = token_id in eos_ids or len(generated) >= max_new_tokens
-            return chunks, not stop
+            if token_id in eos_ids:
+                meta["finish_reason"] = "stop"
+                return chunks, False
+            return chunks, len(generated) < max_new_tokens
 
         x1 = int(
             sample_token(
@@ -408,32 +463,18 @@ class InferenceEngine:
                 )
                 draft_pos += 1
 
-            # draft proposes k-1 continuations of x1
-            fed = [x1]
-            spec_mask = mask_pre.at[0, x1].set(True)
-            prev = x1
-            for _ in range(k - 1):
-                d_logits, d_kv = self._draft_decode(
-                    self.draft_params,
-                    input_ids=jnp.asarray([[prev]], jnp.int32),
-                    positions=jnp.asarray([[draft_pos]], jnp.int32),
-                    kv_cache=d_kv,
-                    cache_pos=draft_pos,
-                    rope=d_rope,
-                    attn_len=draft_pos + 1,
-                )
-                draft_pos += 1
-                di = int(
-                    _greedy_verify(
-                        d_logits[0, -1:],
-                        spec_mask[0],
-                        jnp.asarray([prev], jnp.int32),
-                        rp,
-                    )[0]
-                )
-                spec_mask = spec_mask.at[0, di].set(True)
-                fed.append(di)
-                prev = di
+            # draft proposes k-1 continuations of x1 in ONE dispatch
+            toks, d_kv = self._draft_propose(
+                self.draft_params,
+                d_kv,
+                d_rope,
+                jnp.int32(x1),
+                jnp.int32(t),
+                mask_pre[0].at[x1].set(True),
+                rp,
+            )
+            draft_pos += k - 1
+            fed = [x1] + [int(v) for v in np.asarray(toks)]
 
             # ONE target dispatch scores every speculative position
             fed_arr = jnp.asarray([fed], jnp.int32)
@@ -460,8 +501,9 @@ class InferenceEngine:
                 if not go_on:
                     break
             # fed[0..m] are now emitted history for later penalty masks
-            for tok in fed[: m + 1]:
-                mask_pre = mask_pre.at[0, tok].set(True)
+            mask_pre = mask_pre.at[
+                0, jnp.asarray(fed[: m + 1], jnp.int32)
+            ].set(True)
             # true context the draft has consumed (rejected tail is stale)
             draft_pos = t + min(m, k - 2) + 1
             if not go_on:

@@ -93,12 +93,30 @@ class ModelServer:
         return prompts, kwargs
 
     def _generate(self, prompts, kwargs) -> dict:
-        # single prompts go through the same batched path as lists: one
-        # code path, and finish_reason comes back per row
         with self._device_lock:
-            texts, reasons = self.engine.generate_batch(
-                prompts, return_meta=True, **kwargs
-            )
+            if (
+                len(prompts) == 1
+                and kwargs.get("greedy")
+                and self.engine.draft_cfg is not None
+            ):
+                # single greedy prompt + loaded draft: speculative decoding
+                # (generate_batch has no speculative path)
+                meta: dict = {}
+                text = "".join(
+                    self.engine.stream_generation(
+                        prompts[0],
+                        system_prompt=None,
+                        previous_messages=None,
+                        meta=meta,
+                        **kwargs,
+                    )
+                )
+                texts, reasons = [text], [meta["finish_reason"]]
+            else:
+                # batched lockstep path; finish_reason comes back per row
+                texts, reasons = self.engine.generate_batch(
+                    prompts, return_meta=True, **kwargs
+                )
         return {
             "object": "text_completion",
             "model": self.model_id,

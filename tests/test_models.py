@@ -469,6 +469,69 @@ def test_speculative_decoding_exact_and_fewer_dispatches(tmp_path):
     )
     assert isinstance(sampled, str)
 
+    # the proposal scan is ONE dispatch per round (not k-1)
+    propose_calls = {"n": 0}
+    orig_propose = perfect._draft_propose
+
+    def counting_propose(*a, **kw):
+        propose_calls["n"] += 1
+        return orig_propose(*a, **kw)
+
+    perfect._draft_propose = counting_propose
+    got3, _ = run(perfect)
+    perfect._draft_propose = orig_propose
+    assert got3 == expected
+    assert propose_calls["n"] <= -(-16 // 4) + 1
+
+    # meta reports finish_reason; max_new_tokens=0 emits nothing (both paths)
+    meta = {}
+    out0 = "".join(
+        perfect.stream_generation(
+            "hi", max_new_tokens=0, greedy=True, use_template=False, meta=meta
+        )
+    )
+    assert out0 == "" and meta["finish_reason"] == "length"
+    assert (
+        "".join(
+            plain.stream_generation(
+                "hi", max_new_tokens=0, greedy=True, use_template=False
+            )
+        )
+        == ""
+    )
+
+
+def test_serve_routes_greedy_single_prompt_to_speculative():
+    """ModelServer._generate uses the speculative stream for single greedy
+    prompts when a draft is loaded, and the batched path otherwise."""
+    from shardmerge_tpu.serve import ModelServer
+
+    calls = []
+
+    class FakeEngine:
+        cfg = type("C", (), {"vocab_size": 128})()
+        draft_cfg = object()  # draft loaded
+
+        def stream_generation(self, prompt, meta=None, **kw):
+            calls.append("spec")
+            if meta is not None:
+                meta["finish_reason"] = "stop"
+            yield "spec-out"
+
+        def generate_batch(self, prompts, return_meta=False, **kw):
+            calls.append("batch")
+            return [f"b:{p}" for p in prompts], ["length"] * len(prompts)
+
+    server = ModelServer(FakeEngine(), model_id="m")
+    out = server._generate(["hi"], {"greedy": True, "max_new_tokens": 4})
+    assert out["choices"][0]["text"] == "spec-out"
+    assert out["choices"][0]["finish_reason"] == "stop"
+    out = server._generate(["a", "b"], {"greedy": True, "max_new_tokens": 4})
+    assert [c["text"] for c in out["choices"]] == ["b:a", "b:b"]
+    out = server._generate(["hi"], {"greedy": False, "max_new_tokens": 4})
+    assert out["choices"][0]["text"] == "b:hi"
+    assert calls == ["spec", "batch", "batch"]
+
 
 def test_inference_engine_rejects_double_quant(tmp_path):
     from shardmerge_tpu.inference import InferenceEngine
