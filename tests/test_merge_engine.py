@@ -191,6 +191,125 @@ def test_two_finetune_merge_matches_oracle(tmp_path, tiny_model_factory):
         _mostly_close(got, expect, rtol=2e-2, atol=2e-2 * scale)
 
 
+DEEPSEEK_SHAPES = {
+    "model.embed_tokens.weight": (32, 16),
+    "model.layers.0.self_attn.q_a_proj.weight": (12, 16),
+    "model.layers.0.self_attn.q_a_layernorm.weight": (12,),
+    "model.layers.0.self_attn.q_b_proj.weight": (24, 12),
+    "model.layers.0.self_attn.kv_a_proj_with_mqa.weight": (20, 16),
+    "model.layers.0.self_attn.kv_a_layernorm.weight": (16,),
+    "model.layers.0.self_attn.kv_b_proj.weight": (32, 16),
+    "model.layers.0.self_attn.o_proj.weight": (16, 16),
+    "model.layers.0.mlp.gate.weight": (8, 16),
+    "model.layers.0.mlp.gate.e_score_correction_bias": (8,),
+    **{
+        f"model.layers.0.mlp.experts.{e}.{w}.weight": (
+            (8, 16) if w in ("gate_proj", "up_proj") else (16, 8)
+        )
+        for e in range(4)
+        for w in ("gate_proj", "up_proj", "down_proj")
+    },
+    "model.layers.0.mlp.shared_experts.gate_proj.weight": (8, 16),
+    "model.layers.0.mlp.shared_experts.up_proj.weight": (8, 16),
+    "model.layers.0.mlp.shared_experts.down_proj.weight": (16, 8),
+    "model.layers.0.input_layernorm.weight": (16,),
+    "model.layers.0.post_attention_layernorm.weight": (16,),
+    "model.norm.weight": (16,),
+    "lm_head.weight": (32, 16),
+}
+
+
+def _make_deepseek_model(path, seed):
+    """Tiny sharded checkpoint with DeepSeek-MoE naming: MLA attention
+    projections, per-expert mlp.experts.N.*, shared_experts, and the fp32
+    router bias — the 'MoE / irregular indexes' hard part of SURVEY.md §7
+    (ordered-weights discovery and shard mirroring must not assume llama
+    component names or balanced shards)."""
+    from shardmerge_tpu.io import safetensors_io as stio
+
+    gen = np.random.default_rng(seed)
+    tensors = {
+        name: gen.standard_normal(shape).astype(np.float32)
+        for name, shape in DEEPSEEK_SHAPES.items()
+    }
+    path.mkdir(parents=True, exist_ok=True)
+    # deliberately unbalanced shard split: experts+router in shard 2
+    shard_map = {
+        name: (
+            "model-00002-of-00002.safetensors"
+            if ".mlp." in name
+            else "model-00001-of-00002.safetensors"
+        )
+        for name in tensors
+    }
+    shards = {}
+    for name, shard in shard_map.items():
+        shards.setdefault(shard, {})[name] = tensors[name]
+    for shard, content in shards.items():
+        stio.save_file(content, path / shard, metadata={"format": "pt"})
+    index = {
+        "metadata": {
+            "total_size": int(sum(t.nbytes for t in tensors.values()))
+        },
+        "weight_map": shard_map,
+    }
+    with open(path / "model.safetensors.index.json", "w") as f:
+        json.dump(index, f)
+    return tensors, shard_map
+
+
+def test_deepseek_moe_shaped_merge(tmp_path):
+    """End-to-end merge over DeepSeek-MoE-named checkpoints: the pipeline
+    is architecture-agnostic (index discovery, shard mirroring, reduction,
+    writer) and the output matches the pair oracle per tensor."""
+    base_t, shard_map = _make_deepseek_model(tmp_path / "base", 70)
+    ft1_t, _ = _make_deepseek_model(tmp_path / "ft1", 71)
+    ft2_t, _ = _make_deepseek_model(tmp_path / "ft2", 72)
+
+    config = _make_config(
+        tmp_path,
+        tmp_path / "base",
+        [
+            {"model": str(tmp_path / "ft1"), "base": str(tmp_path / "base"), "alpha": 0.7},
+            {"model": str(tmp_path / "ft2"), "base": str(tmp_path / "base"), "alpha": 0.5},
+        ],
+    )
+    merger = FourierMerge(
+        config,
+        index_manager=_offline_index(
+            tmp_path / "base", tmp_path / "ft1", tmp_path / "ft2"
+        ),
+    )
+    _run_merge(merger)
+
+    out_dir = tmp_path / "merged"
+    index = json.load(open(out_dir / "model.safetensors.index.json"))
+    assert index["weight_map"] == shard_map  # layout mirrored exactly
+
+    out = {}
+    for shard in set(shard_map.values()):
+        with SafeTensorsReader(out_dir / shard) as r:
+            for kname in r.keys():
+                out[kname] = r.get_tensor(kname, copy=True)
+    assert set(out) == set(DEEPSEEK_SHAPES)
+
+    for name in [
+        "model.layers.0.self_attn.kv_a_proj_with_mqa.weight",
+        "model.layers.0.mlp.experts.2.gate_proj.weight",
+        "model.layers.0.mlp.gate.e_score_correction_bias",  # 1-D fp32 bias
+    ]:
+        expect = _oracle_fourier_pair(
+            base_t[name], ft1_t[name], ft2_t[name], 0.7, 0.5
+        )
+        got = out[name].astype(np.float32)
+        scale = max(np.abs(expect).max(), 1.0)
+        _mostly_close(got, expect, rtol=2e-2, atol=2e-2 * scale)
+
+    from shardmerge_tpu.tools.verify_safetensors import main as verify_main
+
+    assert verify_main(out_dir, None, False)
+
+
 def test_is_input_is_output_gates(tmp_path, tiny_model_factory):
     base_path, base_t = tiny_model_factory("base", seed=30)
     ft1_path, ft1_t = tiny_model_factory("ft1", seed=31)
