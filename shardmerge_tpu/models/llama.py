@@ -1,5 +1,5 @@
 """JAX Llama-family forward pass (Llama 2/3, Qwen2, Qwen3, Qwen3-MoE,
-Mistral, Mixtral, Gemma 1/2, Phi-3, DeepSeek V2/V3).
+Mistral, Mixtral, Gemma 1/2, Phi-3, DeepSeek V2/V3, GPT-OSS).
 
 Replaces the reference's transformers+bitsandbytes inference path
 (shard/inference.py:65-119) with a pure-JAX functional model:
@@ -23,6 +23,10 @@ Replaces the reference's transformers+bitsandbytes inference path
   query/output sides — see _attention_mla), yarn rope, interleaved rope
   pairs, and grouped MoE routing with shared experts (sigmoid +
   e_score_correction_bias for V3, softmax group-limited-greedy for V2)
+- GPT-OSS: learned attention sinks joining the softmax normalization,
+  per-layer sliding/full attention via layer_types, q/k/v/o biases, and
+  the fused-interleaved clamped-SwiGLU MoE with a biased
+  top-k-then-softmax router (_moe_gptoss)
 
 The forward is mesh-agnostic: parallel/train.py shards the same pytree over
 a Mesh for multi-chip inference/training.
@@ -104,6 +108,10 @@ class ModelConfig:
     # "greedy" / "group_limited_greedy" (V2, softmax scores) or
     # "noaux_tc" (V3, sigmoid scores + e_score_correction_bias)
     topk_method: str = "greedy"
+    # gpt-oss: explicit per-layer attention kinds ("sliding_attention" /
+    # "full_attention"); None falls back to the model_type patterns in
+    # layer_is_sliding
+    layer_types: Optional[tuple] = None
 
     @property
     def head_dim(self) -> int:
@@ -150,9 +158,12 @@ class ModelConfig:
     def layer_is_sliding(self, layer_idx: int) -> bool:
         """gemma2 alternates local (sliding-window) and global attention
         (HF applies the window on even layer indices); mistral applies the
-        window to every layer."""
+        window to every layer; gpt-oss declares it per layer via
+        layer_types."""
         if self.sliding_window is None:
             return False
+        if self.layer_types is not None:
+            return self.layer_types[layer_idx] == "sliding_attention"
         if self.is_gemma2:
             return layer_idx % 2 == 0
         return self.model_type == "mistral"
@@ -199,8 +210,13 @@ class ModelConfig:
             attn_logit_softcapping=config.get("attn_logit_softcapping"),
             final_logit_softcapping=config.get("final_logit_softcapping"),
             sliding_window=config.get("sliding_window")
-            if model_type in ("gemma2", "mistral")
+            if model_type in ("gemma2", "mistral", "gpt_oss")
             else None,
+            layer_types=(
+                tuple(config["layer_types"])
+                if config.get("layer_types")
+                else None
+            ),
             original_max_position_embeddings=config.get(
                 "original_max_position_embeddings"
             ),
@@ -481,7 +497,33 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
             layer["post_feedforward_layernorm"] = norm_init(
                 (cfg.hidden_size,), dtype
             )
-        if cfg.num_local_experts > 0 and i >= cfg.first_k_dense_replace:
+        if cfg.model_type == "gpt_oss":
+            layer["sinks"] = jnp.zeros((cfg.num_attention_heads,), dtype)
+            inter = cfg.intermediate_size
+            gk = jax.random.split(k[4], 5)
+            layer["moe_gate"] = dense(
+                gk[0], (cfg.num_local_experts, cfg.hidden_size)
+            )
+            layer["moe_gate_bias"] = jnp.zeros(
+                (cfg.num_local_experts,), dtype
+            )
+            layer["gptoss_experts"] = {
+                "gate_up": dense(
+                    gk[1], (cfg.num_local_experts, cfg.hidden_size, 2 * inter)
+                ),
+                "gate_up_bias": jnp.zeros(
+                    (cfg.num_local_experts, 2 * inter), dtype
+                ),
+                "down": dense(
+                    gk[2], (cfg.num_local_experts, inter, cfg.hidden_size)
+                ),
+                "down_bias": jnp.zeros(
+                    (cfg.num_local_experts, cfg.hidden_size), dtype
+                ),
+            }
+            if cfg.attention_bias:
+                layer["o_bias"] = jnp.zeros((cfg.hidden_size,), dtype)
+        elif cfg.num_local_experts > 0 and i >= cfg.first_k_dense_replace:
             moe_inter = cfg.moe_intermediate_size or cfg.intermediate_size
             gk = jax.random.split(k[4], cfg.num_local_experts + 2)
             layer["moe_gate"] = dense(
@@ -522,7 +564,7 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
                 k[6], (cfg.hidden_size, cfg.intermediate_size)
             )
         if cfg.attention_bias:
-            layer["q_bias"] = jnp.zeros((cfg.hidden_size,), dtype)
+            layer["q_bias"] = jnp.zeros((q_dim,), dtype)
             layer["k_bias"] = jnp.zeros((kv_dim,), dtype)
             layer["v_bias"] = jnp.zeros((kv_dim,), dtype)
         params["layers"].append(layer)
@@ -593,10 +635,24 @@ def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
         cap = jnp.float32(cfg.attn_logit_softcapping)
         scores = cap * jnp.tanh(scores / cap)
     scores = scores + mask[:, None, None, :, :]  # mask: (B, T, S)
-    probs = jax.nn.softmax(scores, axis=-1)
+    if "sinks" in layer:
+        # gpt-oss attention sinks: a learned per-head logit joins the
+        # softmax normalization and its probability mass is dropped
+        # (HF modeling_gpt_oss.eager_attention_forward: concat sink column,
+        # softmax, slice off) — computed here without materializing the
+        # extra column
+        sinks = layer["sinks"].astype(jnp.float32).reshape(KVH, group)
+        sinks = sinks[None, :, :, None, None]  # (1, KVH, group, 1, 1)
+        mx = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sinks)
+        e = jnp.exp(scores - mx)
+        probs = e / (jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(sinks - mx))
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgts,bksd->bkgtd", probs, v_cache.astype(jnp.float32))
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
     out = matmul(out.astype(x.dtype), layer["o_proj"])
+    if "o_bias" in layer:
+        out = out + layer["o_bias"]
     return out, k_cache, v_cache
 
 
@@ -872,6 +928,45 @@ def _moe_deepseek(cfg: ModelConfig, layer, x):
     return out.astype(x.dtype)
 
 
+def _moe_gptoss(cfg: ModelConfig, layer, x):
+    """GPT-OSS MoE block (HF modeling_gpt_oss.GptOssMLP semantics).
+
+    Router: biased linear -> top-k of the RAW logits -> softmax over just
+    the top-k values, scattered dense. Experts: fused gate_up_proj with
+    INTERLEAVED gate/up columns, biases, asymmetric clamps (gate <= limit,
+    |up| <= limit), glu = gate * sigmoid(gate * 1.702), out =
+    (up + 1) * glu @ down + down_bias — every expert weighted by its dense
+    score (HF's batched-bmm inference path, one einsum chain on the MXU).
+    """
+    e = layer["gptoss_experts"]
+    k = cfg.num_experts_per_tok
+    n_exp = cfg.num_local_experts
+
+    logits = jnp.einsum(
+        "bte,ne->btn",
+        x.astype(jnp.float32),
+        layer["moe_gate"].astype(jnp.float32),
+    ) + layer["moe_gate_bias"].astype(jnp.float32)
+    top_v, top_i = jax.lax.top_k(logits, k)
+    top_v = jax.nn.softmax(top_v, axis=-1)
+    onehot = jax.nn.one_hot(top_i, n_exp, dtype=jnp.float32)
+    scores = jnp.einsum("btk,btkn->btn", top_v, onehot)  # (B, T, n_exp)
+
+    # gate_up: (n_exp, hidden, 2*inter) with interleaved gate/up columns
+    gu = jnp.einsum("btd,edi->btei", x, e["gate_up"]) + e["gate_up_bias"]
+    gate = gu[..., ::2]
+    up = gu[..., 1::2]
+    limit = jnp.asarray(7.0, gu.dtype)
+    gate = jnp.minimum(gate, limit)
+    up = jnp.clip(up, -limit, limit)
+    g32 = gate.astype(jnp.float32)
+    glu = (g32 * jax.nn.sigmoid(g32 * 1.702)).astype(gu.dtype)
+    h = (up + 1.0) * glu
+    out = jnp.einsum("btei,eid->bted", h, e["down"]) + e["down_bias"]
+    out = jnp.sum(out.astype(jnp.float32) * scores[..., None], axis=2)
+    return out.astype(x.dtype)
+
+
 def capacity_tables_from_topk(topk_idx, topk_probs, n_exp: int, capacity: int):
     """Dispatch tables from per-token top-k choices: gather_idx (n_exp, C)
     of token ids per expert slot (S = padding row for empty/overflow slots)
@@ -990,6 +1085,8 @@ def stack_expert_weights(params: Params) -> bool:
 
 
 def _ffn(cfg: ModelConfig, layer, x):
+    if "gptoss_experts" in layer:
+        return _moe_gptoss(cfg, layer, x)
     if cfg.model_type.startswith("deepseek") and (
         "experts" in layer or "experts_stacked" in layer
     ):

@@ -60,6 +60,13 @@ _LAYER_WEIGHTS = {
 }
 # qwen3-moe expert weights use HF mlp names; the pytree keeps mixtral's w1/w3/w2
 _EXPERT_WEIGHTS = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+# gpt-oss stacks ALL experts into single fused tensors
+_GPTOSS_EXPERT_WEIGHTS = {
+    "mlp.experts.gate_up_proj": "gate_up",
+    "mlp.experts.gate_up_proj_bias": "gate_up_bias",
+    "mlp.experts.down_proj": "down",
+    "mlp.experts.down_proj_bias": "down_bias",
+}
 _QUANTIZABLE = {
     "q_proj",
     "k_proj",
@@ -122,6 +129,26 @@ def load_params(
                     if suffix in ("block_sparse_moe.gate.weight", "mlp.gate.weight"):
                         # mixtral / qwen3-moe router
                         layer["moe_gate"] = _to_device(arr, dtype)
+                        continue
+                    if suffix in ("mlp.router.weight", "mlp.router.bias"):
+                        # gpt-oss router (biased linear)
+                        key = (
+                            "moe_gate"
+                            if suffix.endswith("weight")
+                            else "moe_gate_bias"
+                        )
+                        layer[key] = _to_device(arr, dtype)
+                        continue
+                    if suffix in _GPTOSS_EXPERT_WEIGHTS:
+                        layer.setdefault("gptoss_experts", {})[
+                            _GPTOSS_EXPERT_WEIGHTS[suffix]
+                        ] = _to_device(arr, dtype)
+                        continue
+                    if suffix == "self_attn.sinks":
+                        layer["sinks"] = _to_device(arr, dtype)
+                        continue
+                    if suffix == "self_attn.o_proj.bias":
+                        layer["o_bias"] = _to_device(arr, dtype)
                         continue
                     if suffix.startswith(
                         ("block_sparse_moe.experts.", "mlp.experts.")

@@ -1098,6 +1098,116 @@ def test_deepseek_v3_matches_transformers(tmp_path):
     )
 
 
+def test_gpt_oss_matches_transformers(tmp_path):
+    """GPT-OSS: attention sinks in the softmax normalization, per-layer
+    sliding/full alternation via layer_types, q/k/v/o biases, yarn rope
+    (truncate=False), and the fused-interleaved clamped-SwiGLU MoE with a
+    biased top-k-then-softmax router."""
+    import torch
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    torch.manual_seed(14)
+    config = GptOssConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        sliding_window=3,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    model = GptOssForCausalLM(config).eval().to(torch.float32)
+    # biases init to zero; randomize so the q/k/v/o-bias and router-bias
+    # paths actually matter
+    with torch.no_grad():
+        for layer in model.model.layers:
+            for mod in (
+                layer.self_attn.q_proj,
+                layer.self_attn.k_proj,
+                layer.self_attn.v_proj,
+                layer.self_attn.o_proj,
+            ):
+                mod.bias.uniform_(-0.3, 0.3)
+            layer.mlp.router.bias.uniform_(-0.5, 0.5)
+            layer.mlp.experts.gate_up_proj_bias.uniform_(-0.3, 0.3)
+            layer.mlp.experts.down_proj_bias.uniform_(-0.3, 0.3)
+    path = tmp_path / "gptoss"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.layer_types == ("sliding_attention", "full_attention")
+    assert cfg.layer_is_sliding(0) and not cfg.layer_is_sliding(1)
+    assert cfg.attention_bias and cfg.sliding_window == 3
+    assert cfg.rope_scaling["rope_type"] == "yarn"
+    params = load_params(path, cfg, dtype=jnp.float32)
+    layer0 = params["layers"][0]
+    assert "sinks" in layer0 and "o_bias" in layer0
+    assert layer0["gptoss_experts"]["gate_up"].shape == (4, 64, 96)
+    ids = np.array([[7, 61, 113, 28, 84, 3, 55, 19]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+
+def test_gpt_oss_kv_cache_decode_matches_full(rng):
+    """Prefill + decode through the cache reproduce the full forward with
+    sinks and per-layer sliding windows active."""
+    cfg = _tiny_cfg(
+        model_type="gpt_oss",
+        head_dim_override=16,
+        attention_bias=True,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        sliding_window=3,
+        layer_types=("sliding_attention", "full_attention"),
+    )
+    params = init_params(cfg, jax.random.PRNGKey(9), dtype=jnp.float32)
+    # nonzero sinks so the sink path matters
+    for layer in params["layers"]:
+        layer["sinks"] = jax.random.normal(
+            jax.random.PRNGKey(10), (cfg.num_attention_heads,)
+        )
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (1, 7)), jnp.int32)
+    full_logits, _ = _run_forward(cfg, params, ids, cache_len=16)
+
+    cache_len = 16
+    rope = rope_tables(cfg, cache_len)
+    kv = init_kv_cache(cfg, 1, cache_len, jnp.float32)
+    T0 = 4
+    pos = jnp.arange(T0, dtype=jnp.int32)[None, :]
+    logits, kv = forward(
+        params, cfg, ids[:, :T0], pos, kv, cache_pos=0, rope=rope, attn_len=T0
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full_logits[:, :T0]), rtol=1e-4, atol=1e-4
+    )
+    for t in range(T0, 7):
+        logits, kv = forward(
+            params,
+            cfg,
+            ids[:, t : t + 1],
+            jnp.full((1, 1), t, jnp.int32),
+            kv,
+            cache_pos=t,
+            rope=rope,
+            attn_len=t + 1,
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits[:, 0]),
+            np.asarray(full_logits[:, t]),
+            rtol=1e-4,
+            atol=1e-4,
+        )
+
+
 def test_deepseek_kv_cache_decode_matches_full(rng):
     """Prefill + single-token decodes through the compressed MLA cache
     reproduce the full-sequence forward."""
