@@ -718,7 +718,12 @@ def _attention_mla(cfg, layer, x, cos, sin, positions, cache_slice, cache_pos, m
         pe_cache, k_pe[:, 0], (0, cache_pos, 0)
     )
 
-    wkb = layer["kv_b_proj"].reshape(H, dn + dv, dc)
+    wkb = layer["kv_b_proj"]
+    if isinstance(wkb, dict):  # int8/int4-quantized (models/quant.py)
+        from .quant import dequant
+
+        wkb = dequant(wkb, jnp.float32)
+    wkb = wkb.reshape(H, dn + dv, dc)
     w_k = wkb[:, :dn].astype(jnp.float32)  # (H, Dn, Ckv)
     w_v = wkb[:, dn:].astype(jnp.float32)  # (H, Dv, Ckv)
 

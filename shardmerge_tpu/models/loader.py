@@ -75,6 +75,15 @@ _QUANTIZABLE = {
     "gate_proj",
     "up_proj",
     "down_proj",
+    # deepseek MLA projections (kv_b_proj is dequantized at use — it is
+    # consumed via reshape for the absorbed einsums, not through matmul)
+    "q_a_proj",
+    "q_b_proj",
+    "kv_a_proj",
+    "kv_b_proj",
+    "shared_gate_proj",
+    "shared_up_proj",
+    "shared_down_proj",
 }
 
 

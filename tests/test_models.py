@@ -262,6 +262,55 @@ def test_quantized_forward_close(rng):
     )
 
 
+def test_quantized_deepseek_forward_close(tmp_path):
+    """int8 weight quantization covers the MLA projections (kv_b_proj is
+    dequantized at use for the absorbed einsums) and the shared experts."""
+    import torch
+    from transformers import DeepseekV3Config, DeepseekV3ForCausalLM
+
+    torch.manual_seed(15)
+    config = DeepseekV3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        n_routed_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        n_group=2,
+        topk_group=1,
+        max_position_embeddings=256,
+        rope_scaling=None,
+        tie_word_embeddings=False,
+    )
+    model = DeepseekV3ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "dsq"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+    qparams = load_params(path, cfg, dtype=jnp.float32, quant_bits=8)
+    assert isinstance(qparams["layers"][0]["kv_b_proj"], dict)
+    assert isinstance(qparams["layers"][1]["shared_gate_proj"], dict)
+    ids = jnp.asarray([[3, 19, 77, 101]], jnp.int32)
+    base_logits, _ = _run_forward(cfg, params, ids)
+    q_logits, _ = _run_forward(cfg, qparams, ids)
+    np.testing.assert_allclose(
+        np.asarray(q_logits), np.asarray(base_logits), rtol=0.2, atol=0.2
+    )
+
+
 def test_sampling_greedy_and_topk():
     from shardmerge_tpu.models.sampling import sample_token
 
