@@ -1,0 +1,133 @@
+"""Context parallelism (CP): ring attention over a 'cp' mesh axis.
+
+Completes the parallelism axes enumerated in SURVEY.md §2.3 (dp/tp in
+parallel/train.py, pp in parallel/pipeline.py, ep in parallel/moe.py, the
+merge's own tensor sharding in parallel/merge.py): the SEQUENCE dimension is
+sharded over the mesh, so attention over contexts longer than one chip's
+HBM runs without ever materializing the full (T, T) score matrix or the
+full K/V on any device.
+
+Algorithm (Ring Attention, Liu et al. 2023): every device holds one block
+of Q/K/V (T/P tokens). For P steps, each device attends its local queries
+against the K/V block it currently holds — combining results with the
+streaming (flash) softmax: running max m, running denominator l, running
+numerator acc — then passes the K/V block to the next device over ICI via
+``lax.ppermute``. After P hops every query block has seen every key block;
+out = acc / l. Causality is enforced per hop from the blocks' global token
+positions, so the schedule is identical for every device (no data-dependent
+control flow; XLA pipelines the ppermute against the local matmuls).
+
+The alternative (DeepSpeed-Ulysses) trades two all-to-alls to shard HEADS
+during attention instead; ring is preferred here because it also bounds the
+K/V memory per device, which is the point of CP.
+
+Numerics: fp32 score/softmax accumulators (same as models/llama._attention);
+output proven equal to single-device full attention in
+tests/test_parallel.py (forward and gradients).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = ["ring_attention"]
+
+_AXIS = "cp"
+
+_RING_CACHE: dict = {}
+
+
+def _ring_body(ql, kl, vl, *, n_dev, scale):
+    """shard_map body. ql: (B, H, Tl, D) local query block; kl/vl:
+    (B, KVH, Tl, D) local key/value blocks. Returns (B, H, Tl, D) fp32."""
+    B, H, Tl, D = ql.shape
+    KVH = kl.shape[1]
+    group = H // KVH
+    rank = jax.lax.axis_index(_AXIS)
+
+    qg = ql.astype(jnp.float32).reshape(B, KVH, group, Tl, D)
+    q_pos = rank * Tl + jnp.arange(Tl)  # global token positions
+
+    neg = jnp.float32(-1e9)
+    perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+
+    def hop(carry, _):
+        acc, m, l, k_blk, v_blk, blk_rank = carry
+        k_pos = blk_rank * Tl + jnp.arange(Tl)
+        # causal: query at global position p attends keys at positions <= p
+        mask = jnp.where(q_pos[:, None] >= k_pos[None, :], 0.0, neg)
+
+        scores = (
+            jnp.einsum("bkgtd,bksd->bkgts", qg, k_blk.astype(jnp.float32))
+            * scale
+            + mask[None, None, None]
+        )
+        m_blk = jnp.max(scores, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m, m_blk)
+        # rescale previous accumulators to the new max
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(scores - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jnp.einsum(
+            "bkgts,bksd->bkgtd", p, v_blk.astype(jnp.float32)
+        )
+
+        k_blk = jax.lax.ppermute(k_blk, _AXIS, perm)
+        v_blk = jax.lax.ppermute(v_blk, _AXIS, perm)
+        blk_rank = (blk_rank - 1) % n_dev  # the block we now hold came from
+        return (acc_new, m_new, l_new, k_blk, v_blk, blk_rank), None
+
+    acc0 = jnp.zeros((B, KVH, group, Tl, D), jnp.float32)
+    m0 = jnp.full((B, KVH, group, Tl, 1), neg)
+    l0 = jnp.zeros((B, KVH, group, Tl, 1), jnp.float32)
+    # the fresh accumulators are replicated but become device-varying after
+    # the first hop; declare so scan's carry type is stable (kl/vl/rank are
+    # already varying)
+    acc0, m0, l0 = jax.lax.pcast((acc0, m0, l0), (_AXIS,), to="varying")
+    (acc, _, l, _, _, _), _ = jax.lax.scan(
+        hop, (acc0, m0, l0, kl, vl, rank), None, length=n_dev
+    )
+    out = acc / jnp.maximum(l, 1e-30)
+    return out.reshape(B, H, Tl, D)
+
+
+def ring_attention(
+    mesh: Mesh,
+    q: jnp.ndarray,  # (B, H, T, D)
+    k: jnp.ndarray,  # (B, KVH, T, D)
+    v: jnp.ndarray,  # (B, KVH, T, D)
+    scale: float,
+) -> jnp.ndarray:
+    """Causal attention with the sequence sharded over mesh axis 'cp'.
+
+    T must divide the axis size; H must divide KVH (GQA groups stay local).
+    Returns (B, H, T, D) fp32, sharded like q. Differentiable (the flash
+    recombination and ppermute both have transpose rules).
+    """
+    n_dev = mesh.shape[_AXIS]
+    B, H, T, D = q.shape
+    if T % n_dev != 0:
+        raise ValueError(f"sequence {T} does not divide cp={n_dev}")
+    if H % k.shape[1] != 0:
+        raise ValueError(f"{H} heads do not group over {k.shape[1]} kv heads")
+
+    key = (id(mesh), B, H, k.shape[1], T, D, float(scale))
+    fn = _RING_CACHE.get(key)
+    if fn is None:
+        spec = P(None, None, _AXIS, None)
+        fn = jax.jit(
+            jax.shard_map(
+                partial(_ring_body, n_dev=n_dev, scale=jnp.float32(scale)),
+                mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=spec,
+            )
+        )
+        _RING_CACHE[key] = fn
+    seq_sharding = NamedSharding(mesh, P(None, None, _AXIS, None))
+    q, k, v = (jax.device_put(x, seq_sharding) for x in (q, k, v))
+    return fn(q, k, v)
