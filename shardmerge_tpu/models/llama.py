@@ -1263,7 +1263,14 @@ def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask, reduce=No
         cap = jnp.float32(cfg.attn_logit_softcapping)
         scores = cap * jnp.tanh(scores / cap)
     scores = scores + mask[None, None, None]
-    probs = jax.nn.softmax(scores, axis=-1)
+    if "sinks" in layer:  # gpt-oss: sink logit joins the normalization
+        sinks = layer["sinks"].astype(jnp.float32).reshape(KVH, group)
+        sinks = sinks[None, :, :, None, None]
+        mx = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), sinks)
+        e = jnp.exp(scores - mx)
+        probs = e / (jnp.sum(e, axis=-1, keepdims=True) + jnp.exp(sinks - mx))
+    else:
+        probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
     attn_out = matmul(out.astype(x.dtype), layer["o_proj"])

@@ -149,10 +149,33 @@ def load_params(
                         layer[key] = _to_device(arr, dtype)
                         continue
                     if suffix in _GPTOSS_EXPERT_WEIGHTS:
+                        if quant_bits:
+                            # per-output-channel (out,in) quantization does
+                            # not apply to the 3-D fused expert stacks; be
+                            # loud — these dominate a gpt-oss param count
+                            logger.warning(
+                                "int%d quantization skips the fused gpt-oss "
+                                "expert tensor %s (kept %s)",
+                                quant_bits,
+                                name,
+                                dtype,
+                            )
                         layer.setdefault("gptoss_experts", {})[
                             _GPTOSS_EXPERT_WEIGHTS[suffix]
                         ] = _to_device(arr, dtype)
                         continue
+                    if suffix.startswith("mlp.experts.") and suffix.endswith(
+                        ("_blocks", "_scales")
+                    ):
+                        # official gpt-oss releases ship MXFP4 expert tensors
+                        # (gate_up_proj_blocks/_scales); fail with the cause,
+                        # not an int-parse error from the per-expert branch
+                        raise ValueError(
+                            f"{model_path} is an MXFP4-quantized gpt-oss "
+                            "checkpoint (found "
+                            f"{name}); convert it to bf16 first — MXFP4 "
+                            "decode is not supported"
+                        )
                     if suffix == "self_attn.sinks":
                         layer["sinks"] = _to_device(arr, dtype)
                         continue

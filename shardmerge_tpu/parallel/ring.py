@@ -104,9 +104,10 @@ def ring_attention(
 ) -> jnp.ndarray:
     """Causal attention with the sequence sharded over mesh axis 'cp'.
 
-    T must divide the axis size; H must divide KVH (GQA groups stay local).
-    Returns (B, H, T, D) fp32, sharded like q. Differentiable (the flash
-    recombination and ppermute both have transpose rules).
+    The axis size must evenly divide T; KVH must evenly divide H (GQA
+    groups stay local). Returns (B, H, T, D) fp32, sharded like q.
+    Differentiable (the flash recombination and ppermute both have
+    transpose rules).
     """
     n_dev = mesh.shape[_AXIS]
     B, H, T, D = q.shape

@@ -59,12 +59,16 @@ def param_shardings(mesh: Mesh, params: Params) -> Params:
     def layer_sharding(layer):
         out = {}
         for k, v in layer.items():
-            if k == "moe_gate":
-                out[k] = rep  # tiny router matrix
-            elif k == "experts":
+            if k == "experts":
                 out[k] = [dict(expert_rules) for _ in v]
-            else:
+            elif k in rules:
                 out[k] = rules[k]
+            else:
+                # anything without a Megatron rule replicates: routers,
+                # q/k norms, gemma post-norms, sinks, MLA projections,
+                # deepseek shared experts, gpt-oss fused expert stacks —
+                # correct (GSPMD keeps them whole) if not maximally sharded
+                out[k] = jax.tree.map(lambda _: rep, v)
         return out
 
     out: Params = {

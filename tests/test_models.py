@@ -1257,6 +1257,43 @@ def test_gpt_oss_kv_cache_decode_matches_full(rng):
         )
 
 
+def test_gpt_oss_mxfp4_checkpoint_raises_clear_error(tmp_path):
+    """Official gpt-oss releases ship MXFP4 expert tensors
+    (gate_up_proj_blocks/_scales); the loader must name the format instead
+    of dying on int('gate_up_proj_blocks')."""
+    import json as _json
+
+    from shardmerge_tpu.io import safetensors_io as stio
+    from shardmerge_tpu.models.loader import load_params
+
+    path = tmp_path / "mx"
+    path.mkdir()
+    stio.save_file(
+        {
+            "model.embed_tokens.weight": np.zeros((8, 4), np.float32),
+            "model.layers.0.mlp.experts.gate_up_proj_blocks": np.zeros(
+                (2, 4, 4), np.float32
+            ),
+        },
+        path / "model.safetensors",
+        metadata={"format": "pt"},
+    )
+    with open(path / "config.json", "w") as f:
+        _json.dump(
+            {
+                "model_type": "gpt_oss",
+                "vocab_size": 8,
+                "hidden_size": 4,
+                "intermediate_size": 4,
+                "num_hidden_layers": 1,
+                "num_attention_heads": 2,
+            },
+            f,
+        )
+    with pytest.raises(ValueError, match="MXFP4"):
+        load_params(path)
+
+
 def test_deepseek_kv_cache_decode_matches_full(rng):
     """Prefill + single-token decodes through the compressed MLA cache
     reproduce the full-sequence forward."""

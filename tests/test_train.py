@@ -40,6 +40,62 @@ def test_train_step_runs_and_descends():
     assert losses[-1] < losses[0]
 
 
+def test_train_step_new_family_layer_keys():
+    """param_shardings replicates keys without a Megatron rule (sinks,
+    router bias, fused gpt-oss experts, q/k norms) instead of KeyError-ing;
+    the gpt-oss train step runs and descends (sinks active in block_train),
+    and a qwen3-style qk_norm model trains too."""
+    import dataclasses
+
+    gpt = ModelConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim_override=8,
+        model_type="gpt_oss",
+        attention_bias=True,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        sliding_window=3,
+        layer_types=("sliding_attention", "full_attention"),
+        max_position_embeddings=64,
+    )
+    mesh = make_mesh(("dp", "tp"), shape=(8, 1))
+    params = init_params(gpt, jax.random.PRNGKey(1), dtype=jnp.float32)
+    for layer in params["layers"]:
+        layer["sinks"] = jax.random.normal(jax.random.PRNGKey(2), (4,))
+    init_state, train_step = make_train_step(mesh, gpt, learning_rate=1e-2)
+    state = init_state(params)
+    batch = jnp.asarray(
+        np.random.default_rng(1).integers(0, gpt.vocab_size, (8, 12)),
+        jnp.int32,
+    )
+    losses = []
+    for _ in range(4):
+        state, loss = train_step(state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+
+    # sinks change the loss (block_train really uses them)
+    params2 = init_params(gpt, jax.random.PRNGKey(1), dtype=jnp.float32)
+    for layer in params2["layers"]:
+        layer["sinks"] = jnp.full((4,), 5.0)
+    state2 = init_state(params2)
+    _, loss2 = train_step(state2, batch)
+    assert abs(float(loss2) - losses[0]) > 1e-6
+
+    qwen3 = dataclasses.replace(_cfg(), qk_norm=True, model_type="qwen3")
+    mesh2 = make_mesh(("dp", "tp"), shape=(2, 4))
+    p3 = init_params(qwen3, jax.random.PRNGKey(3), dtype=jnp.float32)
+    init3, step3 = make_train_step(mesh2, qwen3)
+    s3 = init3(p3)
+    _, l3 = step3(s3, batch[:2])
+    assert np.isfinite(float(l3))
+
+
 def test_sharded_params_match_unsharded_forward():
     from shardmerge_tpu.models.llama import forward_train
 
