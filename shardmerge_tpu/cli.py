@@ -377,6 +377,11 @@ def copy_model_command(config_file: Path, revision: str, verbose: bool):
 @click.option(
     "--speculation-k", type=int, default=4, help="Speculative tokens per round"
 )
+@click.option(
+    "--shard",
+    is_flag=True,
+    help="Tensor-parallelize the model over all visible devices",
+)
 def generate_command(
     model_path: Path,
     prompt: str,
@@ -392,6 +397,7 @@ def generate_command(
     device: Optional[str],
     draft_model: Optional[Path],
     speculation_k: int,
+    shard: bool,
 ):
     """Generate text from a merged model with the JAX inference engine."""
     try:
@@ -403,6 +409,7 @@ def generate_command(
             load_in_8bit=load_in_8bit,
             draft_model=str(draft_model) if draft_model else None,
             speculation_k=speculation_k,
+            shard=shard,
         )
         for chunk in engine.stream_generation(
             prompt=prompt,
@@ -436,6 +443,11 @@ def generate_command(
 @click.option(
     "--speculation-k", type=int, default=4, help="Speculative tokens per round"
 )
+@click.option(
+    "--shard",
+    is_flag=True,
+    help="Tensor-parallelize the model over all visible devices",
+)
 def serve_command(
     model_path: Path,
     host: str,
@@ -444,6 +456,7 @@ def serve_command(
     load_in_8bit: bool,
     draft_model: Optional[Path],
     speculation_k: int,
+    shard: bool,
 ):
     """Serve a merged model over HTTP (OpenAI-style /v1/completions).
 
@@ -462,6 +475,7 @@ def serve_command(
         load_in_8bit=load_in_8bit,
         draft_model=str(draft_model) if draft_model else None,
         speculation_k=speculation_k,
+        shard=shard,
     )
     click.echo(f"Serving {model_path} on http://{host}:{port} (Ctrl-C to stop)")
     try:

@@ -118,10 +118,27 @@ class InferenceEngine:
         tokenizer,
         draft: Optional[tuple] = None,  # (draft_cfg, draft_params)
         speculation_k: int = 4,
+        mesh=None,  # 1-D ('tp',) Mesh: shard the model over chips
     ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
+        self.mesh = mesh
+        self._kv_head_sharding = None
+        if mesh is not None:
+            # Megatron-style tensor parallelism for serving: params shard
+            # per parallel/train.param_shardings (weights without a rule
+            # replicate), the KV cache shards on its head axis, and GSPMD
+            # inserts the collectives in the same jitted forward. Models
+            # whose weights exceed one chip's HBM serve this way.
+            from jax.sharding import NamedSharding, PartitionSpec
+            from .parallel.train import shard_params
+
+            self.params = params = shard_params(mesh, params)
+            if not cfg.is_mla and cfg.num_key_value_heads % mesh.devices.size == 0:
+                self._kv_head_sharding = NamedSharding(
+                    mesh, PartitionSpec(None, None, "tp", None, None)
+                )
         # activations (and so the KV cache) take the embedding dtype;
         # quantized embeddings dequantize to bf16
         embed = params["embed_tokens"]
@@ -180,10 +197,14 @@ class InferenceEngine:
         device: Optional[str] = None,
         draft_model: Optional[str] = None,
         speculation_k: int = 4,
+        shard: bool = False,
     ) -> "InferenceEngine":
         """``draft_model``: optional path to a smaller same-vocab checkpoint
         enabling speculative decoding for greedy generations (exact: output
-        is identical to plain greedy, only the dispatch count drops)."""
+        is identical to plain greedy, only the dispatch count drops).
+        ``shard=True`` tensor-parallelizes the model over every visible
+        device (Megatron shardings + head-sharded KV cache) so checkpoints
+        larger than one chip's HBM can serve; no-op on a single device."""
         if load_in_4bit and load_in_8bit:
             raise ValueError("Cannot load model in both 4-bit and 8-bit precision")
         quant_bits = 4 if load_in_4bit else 8 if load_in_8bit else None
@@ -198,11 +219,30 @@ class InferenceEngine:
             draft_cfg = ModelConfig.from_pretrained(draft_path)
             draft = (draft_cfg, load_params(draft_path, draft_cfg))
 
+        mesh = None
+        if shard:
+            from jax.sharding import Mesh
+
+            devices = np.asarray(jax.devices())
+            if devices.size > 1:
+                mesh = Mesh(devices, ("tp",))
+                logger.info(
+                    "Sharding model over %d devices (tensor parallel)",
+                    devices.size,
+                )
+
         if tokenizer is None:
             from transformers import AutoTokenizer
 
             tokenizer = AutoTokenizer.from_pretrained(str(model_path))
-        return cls(cfg, params, tokenizer, draft=draft, speculation_k=speculation_k)
+        return cls(
+            cfg,
+            params,
+            tokenizer,
+            draft=draft,
+            speculation_k=speculation_k,
+            mesh=mesh,
+        )
 
     # -- generation --------------------------------------------------------
 
@@ -227,6 +267,15 @@ class InferenceEngine:
             )
             return list(ids)
         return list(self.tokenizer.encode(prompt))
+
+    def _init_kv(self, batch: int, cache_len: int):
+        kv = init_kv_cache(self.cfg, batch, cache_len, self._kv_dtype)
+        if self._kv_head_sharding is not None:
+            kv = {
+                k: jax.device_put(v, self._kv_head_sharding)
+                for k, v in kv.items()
+            }
+        return kv
 
     def _pad_prompt(self, input_ids: List[int], cache_len: int):
         """Pad the prompt to a bucket so prefill compiles once per bucket,
@@ -286,7 +335,7 @@ class InferenceEngine:
         total = prompt_len + max_new_tokens
         cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
         rope = rope_tables(cfg, cache_len)
-        kv = init_kv_cache(cfg, 1, cache_len, self._kv_dtype)
+        kv = self._init_kv(1, cache_len)
 
         ids, positions = self._pad_prompt(input_ids, cache_len)
         logits, kv = self._prefill(
@@ -393,7 +442,7 @@ class InferenceEngine:
         cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
         rope = rope_tables(cfg, cache_len)
         d_rope = rope_tables(self.draft_cfg, cache_len)
-        kv = init_kv_cache(cfg, 1, cache_len, self._kv_dtype)
+        kv = self._init_kv(1, cache_len)
         d_embed = self.draft_params["embed_tokens"]
         d_dtype = jnp.bfloat16 if isinstance(d_embed, dict) else d_embed.dtype
         d_kv = init_kv_cache(self.draft_cfg, 1, cache_len, d_dtype)
@@ -557,7 +606,7 @@ class InferenceEngine:
         total = L + max_new_tokens
         cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
         rope = rope_tables(cfg, cache_len)
-        kv = init_kv_cache(cfg, B, cache_len, self._kv_dtype)
+        kv = self._init_kv(B, cache_len)
 
         pad = np.asarray([L - len(s) for s in seqs], np.int32)  # left pads
         ids = np.zeros((B, L), np.int32)

@@ -56,13 +56,25 @@ def param_shardings(mesh: Mesh, params: Params) -> Params:
 
     expert_rules = {"w1": col, "w3": col, "w2": row}
 
+    def apply(rule, leaf):
+        """Match quantized {q, scale} dict leaves with a sharding dict:
+        q shards like the raw matrix; the (out, 1) scale shards with it
+        when the rule splits the output dim, else replicates."""
+        if isinstance(leaf, dict):
+            scale = rule if rule.spec and rule.spec[0] == "tp" else rep
+            return {"q": rule, "scale": scale}
+        return rule
+
     def layer_sharding(layer):
         out = {}
         for k, v in layer.items():
             if k == "experts":
-                out[k] = [dict(expert_rules) for _ in v]
+                out[k] = [
+                    {w: apply(r, e[w]) for w, r in expert_rules.items()}
+                    for e in v
+                ]
             elif k in rules:
-                out[k] = rules[k]
+                out[k] = apply(rules[k], v)
             else:
                 # anything without a Megatron rule replicates: routers,
                 # q/k norms, gemma post-norms, sinks, MLA projections,
@@ -72,12 +84,12 @@ def param_shardings(mesh: Mesh, params: Params) -> Params:
         return out
 
     out: Params = {
-        "embed_tokens": vocab,
+        "embed_tokens": apply(vocab, params["embed_tokens"]),
         "norm": rep,
         "layers": [layer_sharding(layer) for layer in params["layers"]],
     }
     if "lm_head" in params:
-        out["lm_head"] = vocab
+        out["lm_head"] = apply(vocab, params["lm_head"])
     return out
 
 

@@ -204,9 +204,11 @@ def serve(
     load_in_8bit: bool = False,
     draft_model: Optional[str] = None,
     speculation_k: int = 4,
+    shard: bool = False,
 ) -> ModelServer:
     """Load a model and start the HTTP server (CLI entry). ``draft_model``
-    enables speculative decoding for greedy single-prompt requests."""
+    enables speculative decoding for greedy single-prompt requests;
+    ``shard`` tensor-parallelizes the model over all visible devices."""
     from .inference import InferenceEngine
 
     engine = InferenceEngine.from_pretrained(
@@ -215,6 +217,7 @@ def serve(
         load_in_8bit=load_in_8bit,
         draft_model=draft_model,
         speculation_k=speculation_k,
+        shard=shard,
     )
     server = ModelServer(engine, model_id=str(model_path))
     server.start(host, port)

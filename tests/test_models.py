@@ -550,6 +550,63 @@ def test_speculative_decoding_exact_and_fewer_dispatches(tmp_path):
     )
 
 
+def test_sharded_serving_matches_single_device(tmp_path):
+    """shard=True tensor-parallelizes the engine over the 8-device harness:
+    greedy streaming output equals the unsharded engine's, for both raw and
+    int8-quantized weights (quantized {q, scale} leaves shard too)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(21)
+    # 8 kv heads so the head axis divides the 8-device mesh (indivisible
+    # head counts keep a replicated cache — still correct, not asserted)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        max_position_embeddings=512,
+    )
+    model = LlamaForCausalLM(config).eval()
+    path = tmp_path / "m"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.inference import InferenceEngine
+
+    def gen(engine):
+        return "".join(
+            engine.stream_generation(
+                "sharding test", max_new_tokens=10, greedy=True,
+                use_template=False,
+            )
+        )
+
+    plain = gen(InferenceEngine.from_pretrained(str(path), tokenizer=StubTokenizer()))
+    sharded_engine = InferenceEngine.from_pretrained(
+        str(path), tokenizer=StubTokenizer(), shard=True
+    )
+    assert sharded_engine.mesh is not None
+    assert sharded_engine._kv_head_sharding is not None
+    # params really are distributed
+    q0 = sharded_engine.params["layers"][0]["q_proj"]
+    assert not q0.sharding.is_fully_replicated
+    assert gen(sharded_engine) == plain
+
+    plain_q = gen(
+        InferenceEngine.from_pretrained(
+            str(path), tokenizer=StubTokenizer(), load_in_8bit=True
+        )
+    )
+    sharded_q = gen(
+        InferenceEngine.from_pretrained(
+            str(path), tokenizer=StubTokenizer(), load_in_8bit=True, shard=True
+        )
+    )
+    assert sharded_q == plain_q
+
+
 def test_serve_routes_greedy_single_prompt_to_speculative():
     """ModelServer._generate uses the speculative stream for single greedy
     prompts when a draft is loaded, and the batched path otherwise."""

@@ -250,6 +250,7 @@ def test_cli_generate_command(monkeypatch, tmp_path):
             load_in_8bit=False,
             draft_model=None,
             speculation_k=4,
+            shard=False,
         ):
             calls["init"] = (path, load_in_4bit, load_in_8bit)
             return cls()
