@@ -448,6 +448,13 @@ def generate_command(
     is_flag=True,
     help="Tensor-parallelize the model over all visible devices",
 )
+@click.option(
+    "--batch-window-ms",
+    type=float,
+    default=0.0,
+    help="Coalesce concurrent compatible requests arriving within this "
+    "window into one lockstep decode (0 = off)",
+)
 def serve_command(
     model_path: Path,
     host: str,
@@ -457,6 +464,7 @@ def serve_command(
     draft_model: Optional[Path],
     speculation_k: int,
     shard: bool,
+    batch_window_ms: float,
 ):
     """Serve a merged model over HTTP (OpenAI-style /v1/completions).
 
@@ -476,6 +484,7 @@ def serve_command(
         draft_model=str(draft_model) if draft_model else None,
         speculation_k=speculation_k,
         shard=shard,
+        batch_window_ms=batch_window_ms,
     )
     click.echo(f"Serving {model_path} on http://{host}:{port} (Ctrl-C to stop)")
     try:

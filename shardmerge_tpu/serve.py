@@ -29,6 +29,8 @@ from __future__ import annotations
 import json
 import logging
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
@@ -41,15 +43,148 @@ _MAX_BATCH = 64  # one compile per batch shape; cap what a request can cost
 _MAX_PROMPT_CHARS = 256 * 1024  # bounds prompt length and so the KV cache
 
 
+class _Pending:
+    __slots__ = ("prompts", "kwargs", "event", "result", "error")
+
+    def __init__(self, prompts, kwargs):
+        self.prompts = prompts
+        self.kwargs = kwargs
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class DynamicBatcher:
+    """Coalesces concurrent requests into one lockstep decode.
+
+    Requests arriving within ``window_s`` of each other whose sampling
+    parameters MATCH (lockstep decode shares one sampler state per step)
+    are concatenated into a single ``generate_batch`` call — N concurrent
+    single-prompt requests cost one prefill + one decode loop instead of N.
+    The merged batch is padded up to a power of two (repeating the last
+    prompt; padding rows are dropped from the results) so the set of
+    compiled batch shapes stays logarithmic, not one per group size.
+    Incompatible requests are never delayed behind a window: they simply
+    form their own group on the next loop.
+    """
+
+    def __init__(self, run_batch, window_s: float, max_batch: int = _MAX_BATCH):
+        self._run_batch = run_batch
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self._q: deque = deque()
+        self._cv = threading.Condition()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, prompts, kwargs):
+        item = _Pending(prompts, kwargs)
+        with self._cv:
+            self._q.append(item)
+            self._cv.notify()
+        item.event.wait()
+        if item.error is not None:
+            raise item.error
+        return item.result
+
+    def stop(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify()
+
+    def _take_compatible(self, first, total):
+        for it in self._q:
+            if (
+                it.kwargs == first.kwargs
+                and total + len(it.prompts) <= self.max_batch
+            ):
+                self._q.remove(it)
+                return it
+        return None
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._q and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    for it in self._q:
+                        it.error = RuntimeError("server stopped")
+                        it.event.set()
+                    return
+                group = [self._q.popleft()]
+            first = group[0]
+            total = len(first.prompts)
+            deadline = time.monotonic() + self.window_s
+            while total < self.max_batch:
+                with self._cv:
+                    item = self._take_compatible(first, total)
+                    if item is None:
+                        if self._q or self._stop:
+                            break  # don't hold incompatible work hostage
+                        remaining = deadline - time.monotonic()
+                        if remaining <= 0:
+                            break
+                        self._cv.wait(timeout=remaining)
+                        item = self._take_compatible(first, total)
+                if item is None:
+                    if time.monotonic() >= deadline:
+                        break
+                    continue
+                group.append(item)
+                total += len(item.prompts)
+
+            prompts = [p for it in group for p in it.prompts]
+            # pad to a power of two: compiled batch shapes stay O(log n)
+            bucket = 1
+            while bucket < len(prompts):
+                bucket *= 2
+            bucket = min(bucket, self.max_batch)
+            padded = prompts + [prompts[-1]] * (bucket - len(prompts))
+            try:
+                texts, reasons = self._run_batch(padded, first.kwargs)
+                texts, reasons = texts[: len(prompts)], reasons[: len(prompts)]
+                i = 0
+                for it in group:
+                    n = len(it.prompts)
+                    it.result = (texts[i : i + n], reasons[i : i + n])
+                    i += n
+            except Exception as e:  # engine failure: every caller sees it
+                for it in group:
+                    it.error = e
+            finally:
+                for it in group:
+                    it.event.set()
+
+
 class ModelServer:
     """Wraps an InferenceEngine behind a ThreadingHTTPServer."""
 
-    def __init__(self, engine, model_id: str = "shardmerge-tpu"):
+    def __init__(
+        self,
+        engine,
+        model_id: str = "shardmerge-tpu",
+        batch_window_ms: float = 0.0,
+    ):
         self.engine = engine
         self.model_id = model_id
         self.port: Optional[int] = None  # bound port once start()ed
         self._device_lock = threading.Lock()
         self._httpd: Optional[ThreadingHTTPServer] = None
+        # batch_window_ms > 0: concurrent compatible requests coalesce into
+        # one lockstep decode (DynamicBatcher)
+        self.batcher: Optional[DynamicBatcher] = (
+            DynamicBatcher(self._run_batch, batch_window_ms / 1e3)
+            if batch_window_ms > 0
+            else None
+        )
+
+    def _run_batch(self, prompts, kwargs):
+        with self._device_lock:
+            return self.engine.generate_batch(
+                prompts, return_meta=True, **kwargs
+            )
 
     # -- request handling ---------------------------------------------------
 
@@ -93,15 +228,15 @@ class ModelServer:
         return prompts, kwargs
 
     def _generate(self, prompts, kwargs) -> dict:
-        with self._device_lock:
-            if (
-                len(prompts) == 1
-                and kwargs.get("greedy")
-                and self.engine.draft_cfg is not None
-            ):
-                # single greedy prompt + loaded draft: speculative decoding
-                # (generate_batch has no speculative path)
-                meta: dict = {}
+        if (
+            len(prompts) == 1
+            and kwargs.get("greedy")
+            and self.engine.draft_cfg is not None
+        ):
+            # single greedy prompt + loaded draft: speculative decoding
+            # (generate_batch has no speculative path)
+            meta: dict = {}
+            with self._device_lock:
                 text = "".join(
                     self.engine.stream_generation(
                         prompts[0],
@@ -111,12 +246,14 @@ class ModelServer:
                         **kwargs,
                     )
                 )
-                texts, reasons = [text], [meta["finish_reason"]]
-            else:
-                # batched lockstep path; finish_reason comes back per row
-                texts, reasons = self.engine.generate_batch(
-                    prompts, return_meta=True, **kwargs
-                )
+            return self._choices([text], [meta["finish_reason"]])
+        if self.batcher is not None:
+            texts, reasons = self.batcher.submit(prompts, kwargs)
+        else:
+            texts, reasons = self._run_batch(prompts, kwargs)
+        return self._choices(texts, reasons)
+
+    def _choices(self, texts, reasons) -> dict:
         return {
             "object": "text_completion",
             "model": self.model_id,
@@ -194,6 +331,8 @@ class ModelServer:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        if self.batcher is not None:
+            self.batcher.stop()
 
 
 def serve(
@@ -205,10 +344,13 @@ def serve(
     draft_model: Optional[str] = None,
     speculation_k: int = 4,
     shard: bool = False,
+    batch_window_ms: float = 0.0,
 ) -> ModelServer:
     """Load a model and start the HTTP server (CLI entry). ``draft_model``
     enables speculative decoding for greedy single-prompt requests;
-    ``shard`` tensor-parallelizes the model over all visible devices."""
+    ``shard`` tensor-parallelizes the model over all visible devices;
+    ``batch_window_ms`` > 0 coalesces concurrent compatible requests into
+    one lockstep decode (DynamicBatcher)."""
     from .inference import InferenceEngine
 
     engine = InferenceEngine.from_pretrained(
@@ -219,6 +361,8 @@ def serve(
         speculation_k=speculation_k,
         shard=shard,
     )
-    server = ModelServer(engine, model_id=str(model_path))
+    server = ModelServer(
+        engine, model_id=str(model_path), batch_window_ms=batch_window_ms
+    )
     server.start(host, port)
     return server

@@ -607,6 +607,75 @@ def test_sharded_serving_matches_single_device(tmp_path):
     assert sharded_q == plain_q
 
 
+def test_dynamic_batcher_coalesces_compatible_requests():
+    """Concurrent requests with matching sampling params merge into ONE
+    lockstep decode (padded to a power-of-two batch, padding rows dropped);
+    incompatible params form their own group; engine errors reach every
+    waiter."""
+    import threading as th
+
+    from shardmerge_tpu.serve import ModelServer
+
+    calls = []
+    gate = th.Event()
+
+    class FakeEngine:
+        cfg = type("C", (), {"vocab_size": 128})()
+        draft_cfg = None
+
+        def generate_batch(self, prompts, return_meta=False, **kw):
+            gate.wait(timeout=5)  # hold the first group until all enqueued
+            calls.append((list(prompts), dict(kw)))
+            if kw.get("seed") == 666:
+                raise RuntimeError("device on fire")
+            return [f"r:{p}" for p in prompts], ["stop"] * len(prompts)
+
+    server = ModelServer(FakeEngine(), batch_window_ms=250.0)
+    kwargs = {"greedy": True, "max_new_tokens": 4, "seed": 0}
+    results = {}
+
+    def post(name, prompts, kw):
+        results[name] = server._generate(prompts, kw)
+
+    import time
+
+    threads = [
+        th.Thread(target=post, args=(f"t{i}", [f"p{i}"], dict(kwargs)))
+        for i in range(3)
+    ]
+    for t in threads:
+        t.start()
+    time.sleep(0.1)  # compatible trio enqueued within the window
+    hot = th.Thread(
+        target=post, args=("hot", ["ph"], {**kwargs, "max_new_tokens": 9})
+    )
+    hot.start()
+    threads.append(hot)
+    time.sleep(0.1)
+    gate.set()
+    for t in threads:
+        t.join(timeout=10)
+
+    assert all(not t.is_alive() for t in threads)
+    for i in range(3):
+        assert results[f"t{i}"]["choices"][0]["text"] == f"r:p{i}"
+    assert results["hot"]["choices"][0]["text"] == "r:ph"
+    # the three compatible single prompts shared one padded call; the
+    # incompatible one ran alone
+    sizes = sorted(len(p) for p, _ in calls)
+    assert len(calls) == 2, calls
+    assert sizes == [1, 4]  # 3 prompts padded to the power-of-two bucket
+    merged = next(p for p, kw in calls if len(p) == 4)
+    assert merged[3] == merged[2]  # pad row repeats the last prompt
+
+    # errors propagate to every waiter in the group
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="device on fire"):
+        server._generate(["x"], {**kwargs, "seed": 666})
+    server.stop()
+
+
 def test_serve_routes_greedy_single_prompt_to_speculative():
     """ModelServer._generate uses the speculative stream for single greedy
     prompts when a draft is loaded, and the batched path otherwise."""
