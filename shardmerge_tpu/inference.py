@@ -125,6 +125,7 @@ class InferenceEngine:
         self.tokenizer = tokenizer
         self.mesh = mesh
         self._kv_head_sharding = None
+        self._kv_init_fns: dict = {}
         if mesh is not None:
             # Megatron-style tensor parallelism for serving: params shard
             # per parallel/train.param_shardings (weights without a rule
@@ -209,16 +210,6 @@ class InferenceEngine:
             raise ValueError("Cannot load model in both 4-bit and 8-bit precision")
         quant_bits = 4 if load_in_4bit else 8 if load_in_8bit else None
 
-        model_path = Path(model_path)
-        cfg = ModelConfig.from_pretrained(model_path)
-        params = load_params(model_path, cfg, quant_bits=quant_bits)
-
-        draft = None
-        if draft_model is not None:
-            draft_path = Path(draft_model)
-            draft_cfg = ModelConfig.from_pretrained(draft_path)
-            draft = (draft_cfg, load_params(draft_path, draft_cfg))
-
         mesh = None
         if shard:
             from jax.sharding import Mesh
@@ -230,6 +221,18 @@ class InferenceEngine:
                     "Sharding model over %d devices (tensor parallel)",
                     devices.size,
                 )
+
+        model_path = Path(model_path)
+        cfg = ModelConfig.from_pretrained(model_path)
+        # with a mesh, every tensor streams straight onto its final
+        # sharding (never staging the whole model on one device)
+        params = load_params(model_path, cfg, quant_bits=quant_bits, mesh=mesh)
+
+        draft = None
+        if draft_model is not None:
+            draft_path = Path(draft_model)
+            draft_cfg = ModelConfig.from_pretrained(draft_path)
+            draft = (draft_cfg, load_params(draft_path, draft_cfg))
 
         if tokenizer is None:
             from transformers import AutoTokenizer
@@ -269,13 +272,24 @@ class InferenceEngine:
         return list(self.tokenizer.encode(prompt))
 
     def _init_kv(self, batch: int, cache_len: int):
-        kv = init_kv_cache(self.cfg, batch, cache_len, self._kv_dtype)
-        if self._kv_head_sharding is not None:
-            kv = {
-                k: jax.device_put(v, self._kv_head_sharding)
-                for k, v in kv.items()
-            }
-        return kv
+        if self._kv_head_sharding is None:
+            return init_kv_cache(self.cfg, batch, cache_len, self._kv_dtype)
+        # create the zeros DIRECTLY sharded (out_shardings): a cache for a
+        # bigger-than-one-chip model must never stage on the default device
+        key = (batch, cache_len)
+        fn = self._kv_init_fns.get(key)
+        if fn is None:
+            fn = jax.jit(
+                partial(
+                    init_kv_cache, self.cfg, batch, cache_len, self._kv_dtype
+                ),
+                out_shardings={
+                    "k": self._kv_head_sharding,
+                    "v": self._kv_head_sharding,
+                },
+            )
+            self._kv_init_fns[key] = fn
+        return fn()
 
     def _pad_prompt(self, input_ids: List[int], cache_len: int):
         """Pad the prompt to a bucket so prefill compiles once per bucket,

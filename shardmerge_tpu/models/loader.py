@@ -87,9 +87,37 @@ _QUANTIZABLE = {
 }
 
 
-def _to_device(arr: np.ndarray, dtype) -> jnp.ndarray:
-    x = jax.device_put(arr)
+def _to_device(arr: np.ndarray, dtype, sharding=None) -> jnp.ndarray:
+    x = jax.device_put(arr) if sharding is None else jax.device_put(arr, sharding)
     return x.astype(dtype) if x.dtype != dtype else x
+
+
+class _StreamShardings:
+    """Per-tensor placement for sharded loading: each weight goes STRAIGHT
+    to its tensor-parallel sharding as it is read, so a checkpoint larger
+    than one chip's HBM never stages on the default device. Dims that do
+    not divide the mesh fall back to replicated (matching
+    parallel/train.param_shardings' fallback)."""
+
+    def __init__(self, mesh):
+        from ..parallel.train import loader_shardings
+
+        self.layer_rules, self.top_rules, self.rep = loader_shardings(mesh)
+        self.n = mesh.devices.size
+
+    def _fits(self, rule, shape):
+        for dim, name in zip(shape, rule.spec):
+            if name is not None and dim % self.n != 0:
+                return False
+        return len(rule.spec) <= len(shape)
+
+    def layer(self, key: str, shape) -> object:
+        rule = self.layer_rules.get(key, self.rep)
+        return rule if self._fits(rule, shape) else self.rep
+
+    def top(self, key: str, shape) -> object:
+        rule = self.top_rules.get(key, self.rep)
+        return rule if self._fits(rule, shape) else self.rep
 
 
 def load_params(
@@ -97,11 +125,23 @@ def load_params(
     cfg: Optional[ModelConfig] = None,
     dtype=jnp.bfloat16,
     quant_bits: Optional[int] = None,
+    mesh=None,
 ) -> Params:
-    """Load all weights from a sharded (or single-file) safetensors dir."""
+    """Load all weights from a sharded (or single-file) safetensors dir.
+
+    With ``mesh`` (a 1-D ('tp',) Mesh), every tensor is placed directly
+    onto its tensor-parallel sharding as it is read (_StreamShardings) —
+    required for checkpoints larger than one chip's HBM."""
     model_path = Path(model_path)
     if cfg is None:
         cfg = ModelConfig.from_pretrained(model_path)
+    ss = _StreamShardings(mesh) if mesh is not None else None
+
+    def place(arr, key=None, top=None):
+        if ss is None:
+            return _to_device(arr, dtype)
+        sharding = ss.top(top, arr.shape) if top else ss.layer(key, arr.shape)
+        return _to_device(arr, dtype, sharding)
 
     index_path = model_path / "model.safetensors.index.json"
     if index_path.exists():
@@ -125,11 +165,11 @@ def load_params(
             for name in reader.keys():
                 arr = reader.get_tensor(name)
                 if name == "model.embed_tokens.weight":
-                    params["embed_tokens"] = _to_device(arr, dtype)
+                    params["embed_tokens"] = place(arr, top="embed_tokens")
                 elif name == "model.norm.weight":
-                    params["norm"] = _to_device(arr, dtype)
+                    params["norm"] = place(arr, top="norm")
                 elif name == "lm_head.weight":
-                    params["lm_head"] = _to_device(arr, dtype)
+                    params["lm_head"] = place(arr, top="lm_head")
                 elif name.startswith("model.layers."):
                     parts = name.split(".")
                     layer_idx = int(parts[2])
@@ -137,7 +177,7 @@ def load_params(
                     layer = params["layers"][layer_idx]
                     if suffix in ("block_sparse_moe.gate.weight", "mlp.gate.weight"):
                         # mixtral / qwen3-moe router
-                        layer["moe_gate"] = _to_device(arr, dtype)
+                        layer["moe_gate"] = place(arr, key="moe_gate")
                         continue
                     if suffix in ("mlp.router.weight", "mlp.router.bias"):
                         # gpt-oss router (biased linear)
@@ -146,7 +186,7 @@ def load_params(
                             if suffix.endswith("weight")
                             else "moe_gate_bias"
                         )
-                        layer[key] = _to_device(arr, dtype)
+                        layer[key] = place(arr, key=key)
                         continue
                     if suffix in _GPTOSS_EXPERT_WEIGHTS:
                         if quant_bits:
@@ -162,7 +202,7 @@ def load_params(
                             )
                         layer.setdefault("gptoss_experts", {})[
                             _GPTOSS_EXPERT_WEIGHTS[suffix]
-                        ] = _to_device(arr, dtype)
+                        ] = place(arr, key=_GPTOSS_EXPERT_WEIGHTS[suffix])
                         continue
                     if suffix.startswith("mlp.experts.") and suffix.endswith(
                         ("_blocks", "_scales")
@@ -177,10 +217,10 @@ def load_params(
                             "decode is not supported"
                         )
                     if suffix == "self_attn.sinks":
-                        layer["sinks"] = _to_device(arr, dtype)
+                        layer["sinks"] = place(arr, key="sinks")
                         continue
                     if suffix == "self_attn.o_proj.bias":
-                        layer["o_bias"] = _to_device(arr, dtype)
+                        layer["o_bias"] = place(arr, key="o_bias")
                         continue
                     if suffix.startswith(
                         ("block_sparse_moe.experts.", "mlp.experts.")
@@ -193,7 +233,7 @@ def load_params(
                             "experts",
                             [dict() for _ in range(cfg.num_local_experts)],
                         )
-                        w = _to_device(arr, dtype)
+                        w = place(arr, key=wname)
                         if quant_bits:
                             w = quantize(w, bits=quant_bits)
                         experts[expert_idx][wname] = w
@@ -206,7 +246,7 @@ def load_params(
                             ("q_proj", "k_proj", "v_proj"),
                             np.split(arr, [q_dim, q_dim + kv_dim], axis=0),
                         ):
-                            w = _to_device(np.ascontiguousarray(part), dtype)
+                            w = place(np.ascontiguousarray(part), key=key)
                             if quant_bits:
                                 w = quantize(w, bits=quant_bits)
                             layer[key] = w
@@ -216,7 +256,7 @@ def load_params(
                         for key, part in zip(
                             ("gate_proj", "up_proj"), np.split(arr, 2, axis=0)
                         ):
-                            w = _to_device(np.ascontiguousarray(part), dtype)
+                            w = place(np.ascontiguousarray(part), key=key)
                             if quant_bits:
                                 w = quantize(w, bits=quant_bits)
                             layer[key] = w
@@ -225,7 +265,7 @@ def load_params(
                     if key is None:
                         logger.warning("Skipping unknown weight %s", name)
                         continue
-                    w = _to_device(arr, dtype)
+                    w = place(arr, key=key)
                     if quant_bits and key in _QUANTIZABLE:
                         w = quantize(w, bits=quant_bits)
                     layer[key] = w

@@ -32,6 +32,37 @@ __all__ = ["param_shardings", "shard_params", "make_train_step", "TrainState"]
 TrainState = Dict[str, Any]
 
 
+def loader_shardings(mesh: Mesh):
+    """Per-key NamedShardings for STREAMING placement at load time.
+
+    Serving checkpoints larger than one chip's HBM must never stage the
+    whole model on the default device: models/loader.py consults this map
+    to device_put each tensor directly onto its final sharding as it is
+    read. Keys mirror param_shardings' rules; anything absent replicates.
+    Returns (layer_key -> sharding, top_key -> sharding, default)."""
+    col = NamedSharding(mesh, P("tp", None))
+    row = NamedSharding(mesh, P(None, "tp"))
+    rep = NamedSharding(mesh, P())
+    layer_rules = {
+        "q_proj": col,
+        "k_proj": col,
+        "v_proj": col,
+        "gate_proj": col,
+        "up_proj": col,
+        "o_proj": row,
+        "down_proj": row,
+        "q_bias": NamedSharding(mesh, P("tp")),
+        "k_bias": NamedSharding(mesh, P("tp")),
+        "v_bias": NamedSharding(mesh, P("tp")),
+        # per-expert weights (mixtral/qwen3/deepseek lists)
+        "w1": col,
+        "w3": col,
+        "w2": row,
+    }
+    top_rules = {"embed_tokens": col, "lm_head": col}
+    return layer_rules, top_rules, rep
+
+
 def param_shardings(mesh: Mesh, params: Params) -> Params:
     """NamedSharding pytree for Megatron-style TP over axis 'tp'."""
     col = NamedSharding(mesh, P("tp", None))  # output-dim sharded

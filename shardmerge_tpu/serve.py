@@ -81,11 +81,18 @@ class DynamicBatcher:
     def submit(self, prompts, kwargs):
         item = _Pending(prompts, kwargs)
         with self._cv:
+            if self._stop:
+                raise RuntimeError("server stopped")
             self._q.append(item)
             self._cv.notify()
         item.event.wait()
         if item.error is not None:
-            raise item.error
+            # fresh exception per waiter: the same instance raised from N
+            # handler threads would have its __traceback__ rewritten
+            # concurrently while another thread formats it
+            raise RuntimeError(
+                f"batched generation failed: {item.error}"
+            ) from item.error
         return item.result
 
     def stop(self):
@@ -247,7 +254,11 @@ class ModelServer:
                     )
                 )
             return self._choices([text], [meta["finish_reason"]])
-        if self.batcher is not None:
+        # only GREEDY requests coalesce: the lockstep sampler draws one key
+        # per step over the whole (B, V) batch, so a sampled request's
+        # output would depend on who it happened to share a batch with
+        # (and on padding) despite its explicit seed
+        if self.batcher is not None and kwargs.get("greedy"):
             texts, reasons = self.batcher.submit(prompts, kwargs)
         else:
             texts, reasons = self._run_batch(prompts, kwargs)

@@ -589,6 +589,18 @@ def test_sharded_serving_matches_single_device(tmp_path):
     )
     assert sharded_engine.mesh is not None
     assert sharded_engine._kv_head_sharding is not None
+
+    # streaming placement: the loader itself must put weights straight
+    # onto their tensor-parallel shardings (a bigger-than-one-chip model
+    # cannot stage on the default device first)
+    from jax.sharding import Mesh
+    from shardmerge_tpu.models.loader import load_params
+
+    direct = load_params(
+        path, mesh=Mesh(np.asarray(jax.devices()), ("tp",))
+    )
+    assert not direct["layers"][0]["q_proj"].sharding.is_fully_replicated
+    assert direct["norm"].sharding.is_fully_replicated
     # params really are distributed
     q0 = sharded_engine.params["layers"][0]["q_proj"]
     assert not q0.sharding.is_fully_replicated
@@ -630,7 +642,8 @@ def test_dynamic_batcher_coalesces_compatible_requests():
                 raise RuntimeError("device on fire")
             return [f"r:{p}" for p in prompts], ["stop"] * len(prompts)
 
-    server = ModelServer(FakeEngine(), batch_window_ms=250.0)
+    # generous window: this 1-core host can schedule threads very late
+    server = ModelServer(FakeEngine(), batch_window_ms=2000.0)
     kwargs = {"greedy": True, "max_new_tokens": 4, "seed": 0}
     results = {}
 
@@ -645,16 +658,16 @@ def test_dynamic_batcher_coalesces_compatible_requests():
     ]
     for t in threads:
         t.start()
-    time.sleep(0.1)  # compatible trio enqueued within the window
+    time.sleep(0.5)  # compatible trio enqueued within the window
     hot = th.Thread(
         target=post, args=("hot", ["ph"], {**kwargs, "max_new_tokens": 9})
     )
     hot.start()
     threads.append(hot)
-    time.sleep(0.1)
+    time.sleep(0.3)
     gate.set()
     for t in threads:
-        t.join(timeout=10)
+        t.join(timeout=20)
 
     assert all(not t.is_alive() for t in threads)
     for i in range(3):
@@ -668,12 +681,20 @@ def test_dynamic_batcher_coalesces_compatible_requests():
     merged = next(p for p, kw in calls if len(p) == 4)
     assert merged[3] == merged[2]  # pad row repeats the last prompt
 
+    # non-greedy requests bypass the batcher (coalescing would make the
+    # sampled output depend on batch companions despite the seed)
+    out = server._generate(["solo"], {**kwargs, "greedy": False})
+    assert out["choices"][0]["text"] == "r:solo"
+    assert calls[-1][0] == ["solo"]  # unpadded, ungrouped
+
     # errors propagate to every waiter in the group
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="device on fire"):
         server._generate(["x"], {**kwargs, "seed": 666})
     server.stop()
+    with _pytest.raises(RuntimeError, match="server stopped"):
+        server.batcher.submit(["late"], kwargs)
 
 
 def test_serve_routes_greedy_single_prompt_to_speculative():
