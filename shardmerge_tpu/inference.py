@@ -154,10 +154,13 @@ class InferenceEngine:
                     "moe_dispatch='capacity' needs raw expert matrices; "
                     "quantized experts serve via the dense-and-mask path"
                 )
+        # ONE jitted forward serves chunked prefill and decode (donated
+        # cache); prompts process in fixed prompt_chunk slices
+        # (_chunked_prefill) so compile shapes don't scale with length
         self._decode_step = jax.jit(
             partial(forward, cfg=cfg), donate_argnames=("kv_cache",)
         )
-        self._prefill = jax.jit(partial(forward, cfg=cfg))
+        self.prompt_chunk = _PROMPT_BUCKET
 
         self.draft_cfg = self.draft_params = None
         self.speculation_k = max(int(speculation_k), 2)
@@ -173,7 +176,6 @@ class InferenceEngine:
                 partial(forward, cfg=self.draft_cfg),
                 donate_argnames=("kv_cache",),
             )
-            self._draft_prefill = jax.jit(partial(forward, cfg=self.draft_cfg))
             self._draft_propose = _make_draft_propose(
                 self.draft_cfg, self.speculation_k
             )
@@ -292,17 +294,67 @@ class InferenceEngine:
         return fn()
 
     def _pad_prompt(self, input_ids: List[int], cache_len: int):
-        """Pad the prompt to a bucket so prefill compiles once per bucket,
-        not once per prompt length. Causality keeps the tail inert: only
-        the logits at prompt_len-1 are consumed, and decode overwrites the
-        padded cache slots sequentially before ever attending to them."""
+        """Pad the prompt to a chunk multiple so prefill compiles once per
+        chunk shape, not once per prompt length. Causality keeps the tail
+        inert: only the logits at prompt_len-1 are consumed, and decode
+        overwrites the padded cache slots sequentially before ever
+        attending to them."""
         prompt_len = len(input_ids)
-        padded_len = -(-prompt_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
+        chunk = self.prompt_chunk
+        padded_len = -(-prompt_len // chunk) * chunk
         padded_len = min(padded_len, cache_len)
         padded = input_ids + [0] * (padded_len - prompt_len)
         ids = jnp.asarray([padded], jnp.int32)
         positions = jnp.arange(padded_len, dtype=jnp.int32)[None, :]
         return ids, positions
+
+    def _chunked_prefill(
+        self,
+        step_fn,
+        params,
+        ids,  # (B, L) padded prompt tokens
+        positions,  # (B, L)
+        kv,
+        rope,
+        final_attn_len: int,
+        mask_positions=None,  # (B, L) cache-slot indices (batched path)
+        token_valid=None,
+    ):
+        """Prefill in fixed chunks of ``self.prompt_chunk``.
+
+        One compiled prefill shape regardless of prompt length — instead of
+        one compile per prompt-length bucket — and the additive attention
+        mask never exceeds (B, chunk, S) (a monolithic 32k-token prefill
+        would materialize a multi-GB (B, T, S) mask). Causality makes the
+        chunking exact: chunk queries attend only cache slots already
+        written. ``step_fn`` is a donating jitted forward, so cache buffers
+        turn over in place; returns the LAST chunk's logits + the cache.
+        """
+        B, L = ids.shape
+        chunk = self.prompt_chunk
+        logits = None
+        last_c0 = 0
+        for c0 in range(0, L, chunk):
+            c1 = min(c0 + chunk, L)
+            kwargs = {}
+            if mask_positions is not None:
+                kwargs["mask_positions"] = mask_positions[:, c0:c1]
+            if token_valid is not None:
+                kwargs["token_valid"] = token_valid
+            logits, kv = step_fn(
+                params,
+                input_ids=ids[:, c0:c1],
+                positions=positions[:, c0:c1],
+                kv_cache=kv,
+                cache_pos=c0,
+                rope=rope,
+                attn_len=min(c1, final_attn_len),
+                **kwargs,
+            )
+            last_c0 = c0
+        # the prompt's final token always lands in the last chunk
+        # (L < prompt_len + chunk), so callers index logits[:, p-1-last_c0]
+        return logits, kv, last_c0
 
     def _eos_ids(self) -> set:
         eos = getattr(self.tokenizer, "eos_token_id", None)
@@ -352,14 +404,8 @@ class InferenceEngine:
         kv = self._init_kv(1, cache_len)
 
         ids, positions = self._pad_prompt(input_ids, cache_len)
-        logits, kv = self._prefill(
-            self.params,
-            input_ids=ids,
-            positions=positions,
-            kv_cache=kv,
-            cache_pos=0,
-            rope=rope,
-            attn_len=prompt_len,
+        logits, kv, last_c0 = self._chunked_prefill(
+            self._decode_step, self.params, ids, positions, kv, rope, prompt_len
         )
 
         key = jax.random.PRNGKey(seed)
@@ -367,7 +413,7 @@ class InferenceEngine:
         generated_mask = jnp.zeros((1, cfg.vocab_size), bool)
         generated: List[int] = []
         emitted_text = ""
-        last = logits[:, prompt_len - 1, :]
+        last = logits[:, prompt_len - 1 - last_c0, :]
 
         for step in range(max_new_tokens):
             key, sample_key = jax.random.split(key)
@@ -462,17 +508,17 @@ class InferenceEngine:
         d_kv = init_kv_cache(self.draft_cfg, 1, cache_len, d_dtype)
 
         ids, positions = self._pad_prompt(input_ids, cache_len)
-        prefill_kwargs = dict(
-            input_ids=ids,
-            positions=positions,
-            cache_pos=0,
-            attn_len=prompt_len,
+        logits, kv, last_c0 = self._chunked_prefill(
+            self._decode_step, self.params, ids, positions, kv, rope, prompt_len
         )
-        logits, kv = self._prefill(
-            self.params, kv_cache=kv, rope=rope, **prefill_kwargs
-        )
-        _, d_kv = self._draft_prefill(
-            self.draft_params, kv_cache=d_kv, rope=d_rope, **prefill_kwargs
+        _, d_kv, _ = self._chunked_prefill(
+            self._draft_decode,
+            self.draft_params,
+            ids,
+            positions,
+            d_kv,
+            d_rope,
+            prompt_len,
         )
 
         eos_ids = self._eos_ids()
@@ -497,7 +543,7 @@ class InferenceEngine:
 
         x1 = int(
             sample_token(
-                logits[:, prompt_len - 1, :],
+                logits[:, prompt_len - 1 - last_c0, :],
                 jax.random.PRNGKey(0),
                 mask_pre,
                 repetition_penalty=rp,
@@ -616,7 +662,7 @@ class InferenceEngine:
             raise ValueError("generate_batch: empty prompt after encoding")
         B = len(seqs)
         max_len = max(len(s) for s in seqs)
-        L = -(-max_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
+        L = -(-max_len // self.prompt_chunk) * self.prompt_chunk
         total = L + max_new_tokens
         cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
         rope = rope_tables(cfg, cache_len)
@@ -632,18 +678,19 @@ class InferenceEngine:
             np.arange(cache_len, dtype=np.int32)[None, :] >= pad[:, None]
         )
 
-        logits, kv = self._prefill(
+        logits, kv, _ = self._chunked_prefill(
+            self._decode_step,
             self.params,
-            input_ids=jnp.asarray(ids),
-            positions=jnp.asarray(rope_pos),
-            kv_cache=kv,
-            cache_pos=0,
-            rope=rope,
-            attn_len=L,
+            jnp.asarray(ids),
+            jnp.asarray(rope_pos),
+            kv,
+            rope,
+            L,
             mask_positions=jnp.asarray(slot_idx),
             token_valid=token_valid,
         )
-        # left padding: every row's final prompt token is at slot L-1
+        # left padding: every row's final prompt token is at slot L-1,
+        # i.e. the last row of the final chunk
         last = logits[:, -1, :]
 
         key = jax.random.PRNGKey(seed)

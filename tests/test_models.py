@@ -619,6 +619,62 @@ def test_sharded_serving_matches_single_device(tmp_path):
     assert sharded_q == plain_q
 
 
+def test_chunked_prefill_matches_monolithic(tmp_path):
+    """Prefill in small chunks (prompt_chunk=8 -> 4+ chunks for a 30-token
+    prompt) emits exactly what the single-chunk prefill emits — streaming,
+    batched, and speculative paths."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(22)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    LlamaForCausalLM(config).eval().save_pretrained(
+        str(tmp_path / "m"), safe_serialization=True
+    )
+
+    from shardmerge_tpu.inference import InferenceEngine
+
+    prompt = "the quick brown fox jumps over"  # 30 chars -> 30 tokens
+
+    def engine(chunk=None, **kw):
+        e = InferenceEngine.from_pretrained(
+            str(tmp_path / "m"), tokenizer=StubTokenizer(), **kw
+        )
+        if chunk:
+            e.prompt_chunk = chunk
+        return e
+
+    def gen(e):
+        return "".join(
+            e.stream_generation(
+                prompt, max_new_tokens=8, greedy=True, use_template=False
+            )
+        )
+
+    expected = gen(engine())
+    assert gen(engine(chunk=8)) == expected
+
+    big = engine()
+    small = engine(chunk=8)
+    prompts = [prompt, "lazy dog"]
+    assert small.generate_batch(
+        prompts, max_new_tokens=6, greedy=True, use_template=False
+    ) == big.generate_batch(
+        prompts, max_new_tokens=6, greedy=True, use_template=False
+    )
+
+    spec = engine(chunk=8, draft_model=str(tmp_path / "m"))
+    assert gen(spec) == expected
+
+
 def test_dynamic_batcher_coalesces_compatible_requests():
     """Concurrent requests with matching sampling params merge into ONE
     lockstep decode (padded to a power-of-two batch, padding rows dropped);
