@@ -957,8 +957,15 @@ def _moe_gptoss(cfg: ModelConfig, layer, x):
     onehot = jax.nn.one_hot(top_i, n_exp, dtype=jnp.float32)
     scores = jnp.einsum("btk,btkn->btn", top_v, onehot)  # (B, T, n_exp)
 
+    gate_up_w, down_w = e["gate_up"], e["down"]
+    if isinstance(gate_up_w, dict):  # int8/int4 stacked (models/quant.py)
+        from .quant import dequant_stacked
+
+        gate_up_w = dequant_stacked(gate_up_w, x.dtype)
+        down_w = dequant_stacked(down_w, x.dtype)
+
     # gate_up: (n_exp, hidden, 2*inter) with interleaved gate/up columns
-    gu = jnp.einsum("btd,edi->btei", x, e["gate_up"]) + e["gate_up_bias"]
+    gu = jnp.einsum("btd,edi->btei", x, gate_up_w) + e["gate_up_bias"]
     gate = gu[..., ::2]
     up = gu[..., 1::2]
     limit = jnp.asarray(7.0, gu.dtype)
@@ -967,7 +974,7 @@ def _moe_gptoss(cfg: ModelConfig, layer, x):
     g32 = gate.astype(jnp.float32)
     glu = (g32 * jax.nn.sigmoid(g32 * 1.702)).astype(gu.dtype)
     h = (up + 1.0) * glu
-    out = jnp.einsum("btei,eid->bted", h, e["down"]) + e["down_bias"]
+    out = jnp.einsum("btei,eid->bted", h, down_w) + e["down_bias"]
     out = jnp.sum(out.astype(jnp.float32) * scores[..., None], axis=2)
     return out.astype(x.dtype)
 

@@ -189,20 +189,15 @@ def load_params(
                         layer[key] = place(arr, key=key)
                         continue
                     if suffix in _GPTOSS_EXPERT_WEIGHTS:
-                        if quant_bits:
-                            # per-output-channel (out,in) quantization does
-                            # not apply to the 3-D fused expert stacks; be
-                            # loud — these dominate a gpt-oss param count
-                            logger.warning(
-                                "int%d quantization skips the fused gpt-oss "
-                                "expert tensor %s (kept %s)",
-                                quant_bits,
-                                name,
-                                dtype,
-                            )
-                        layer.setdefault("gptoss_experts", {})[
-                            _GPTOSS_EXPERT_WEIGHTS[suffix]
-                        ] = place(arr, key=_GPTOSS_EXPERT_WEIGHTS[suffix])
+                        gk = _GPTOSS_EXPERT_WEIGHTS[suffix]
+                        w = place(arr, key=gk)
+                        if quant_bits and gk in ("gate_up", "down"):
+                            # the fused stacks dominate a gpt-oss param
+                            # count; quantize per (expert, output channel)
+                            from .quant import quantize_stacked
+
+                            w = quantize_stacked(w, bits=quant_bits)
+                        layer.setdefault("gptoss_experts", {})[gk] = w
                         continue
                     if suffix.startswith("mlp.experts.") and suffix.endswith(
                         ("_blocks", "_scales")

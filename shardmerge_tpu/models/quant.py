@@ -13,7 +13,13 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-__all__ = ["quantize", "dequant", "dequant_matmul"]
+__all__ = [
+    "quantize",
+    "dequant",
+    "dequant_matmul",
+    "quantize_stacked",
+    "dequant_stacked",
+]
 
 
 def quantize(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
@@ -45,6 +51,35 @@ def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
 
 def dequant(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
     q = _unpack4(wq["q"]) if wq["q"].dtype == jnp.uint8 else wq["q"]
+    return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
+
+
+def quantize_stacked(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
+    """Quantize a stacked (n_exp, in, out) expert tensor per (expert,
+    output-channel) — the gpt-oss fused gate_up/down layout, where the
+    LAST dim is the output channels (used as x @ W)."""
+    assert bits in (4, 8)
+    w32 = jnp.asarray(w, jnp.float32)
+    absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)  # (E, 1, out)
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = jnp.maximum(absmax / qmax, 1e-12)
+    q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(jnp.int8)
+    if bits == 4:
+        assert q.shape[1] % 2 == 0, "int4 requires even reduction dim"
+        u = (q + 8).astype(jnp.uint8)
+        packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)
+        return {"q3": packed, "scale": scale.astype(jnp.float32)}
+    return {"q3": q, "scale": scale.astype(jnp.float32)}
+
+
+def dequant_stacked(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    q = wq["q3"]
+    if q.dtype == jnp.uint8:  # packed int4 on the middle (reduction) dim
+        lo = (q & 0xF).astype(jnp.int8) - 8
+        hi = (q >> 4).astype(jnp.int8) - 8
+        q = jnp.stack([lo, hi], axis=2).reshape(
+            q.shape[0], q.shape[1] * 2, q.shape[2]
+        )
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 

@@ -1409,6 +1409,49 @@ def test_gpt_oss_matches_transformers(tmp_path):
     np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
 
 
+def test_quantized_gptoss_forward_close(tmp_path):
+    """int8 (and int4) quantization covers the fused gpt-oss expert stacks
+    (per-expert, per-output-channel scales; dequantized at use)."""
+    import torch
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    torch.manual_seed(16)
+    config = GptOssConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        sliding_window=3,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    model = GptOssForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "gq"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+    ids = jnp.asarray([[9, 31, 64, 120]], jnp.int32)
+    base_logits, _ = _run_forward(cfg, params, ids)
+
+    for bits in (8, 4):
+        qparams = load_params(path, cfg, dtype=jnp.float32, quant_bits=bits)
+        e0 = qparams["layers"][0]["gptoss_experts"]
+        assert isinstance(e0["gate_up"], dict) and "q3" in e0["gate_up"]
+        q_logits, _ = _run_forward(cfg, qparams, ids)
+        tol = 0.2 if bits == 8 else 0.8
+        np.testing.assert_allclose(
+            np.asarray(q_logits), np.asarray(base_logits), rtol=tol, atol=tol
+        )
+
+
 def test_gpt_oss_kv_cache_decode_matches_full(rng):
     """Prefill + decode through the cache reproduce the full forward with
     sinks and per-layer sliding windows active."""
