@@ -41,6 +41,10 @@ __all__ = ["ChatMessage", "InferenceEngine"]
 
 _CACHE_BUCKET = 256  # KV cache length granularity (compile-cache friendly)
 _PROMPT_BUCKET = 64  # prompts pad to this so prefill compiles per bucket
+# prefill chunk cap: bounds the (B, chunk, S) mask and caps compile-shape
+# variety at the <=_PROMPT_CHUNK buckets, while keeping the dispatch count
+# L/512 (not L/64) for long prompts on dispatch-latency-dominated links
+_PROMPT_CHUNK = 512
 
 
 @dataclass
@@ -160,7 +164,7 @@ class InferenceEngine:
         self._decode_step = jax.jit(
             partial(forward, cfg=cfg), donate_argnames=("kv_cache",)
         )
-        self.prompt_chunk = _PROMPT_BUCKET
+        self.prompt_chunk = _PROMPT_CHUNK
 
         self.draft_cfg = self.draft_params = None
         self.speculation_k = max(int(speculation_k), 2)
@@ -294,14 +298,14 @@ class InferenceEngine:
         return fn()
 
     def _pad_prompt(self, input_ids: List[int], cache_len: int):
-        """Pad the prompt to a chunk multiple so prefill compiles once per
-        chunk shape, not once per prompt length. Causality keeps the tail
+        """Pad the prompt to a bucket multiple so prefill compiles once per
+        bucket shape (chunks cap at self.prompt_chunk, so there are at most
+        prompt_chunk/bucket distinct shapes). Causality keeps the tail
         inert: only the logits at prompt_len-1 are consumed, and decode
         overwrites the padded cache slots sequentially before ever
         attending to them."""
         prompt_len = len(input_ids)
-        chunk = self.prompt_chunk
-        padded_len = -(-prompt_len // chunk) * chunk
+        padded_len = -(-prompt_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
         padded_len = min(padded_len, cache_len)
         padded = input_ids + [0] * (padded_len - prompt_len)
         ids = jnp.asarray([padded], jnp.int32)
@@ -317,23 +321,25 @@ class InferenceEngine:
         kv,
         rope,
         final_attn_len: int,
+        keep_pos: Optional[int] = None,  # row whose logits the caller needs
         mask_positions=None,  # (B, L) cache-slot indices (batched path)
         token_valid=None,
     ):
-        """Prefill in fixed chunks of ``self.prompt_chunk``.
+        """Prefill in chunks capped at ``self.prompt_chunk``.
 
-        One compiled prefill shape regardless of prompt length — instead of
-        one compile per prompt-length bucket — and the additive attention
-        mask never exceeds (B, chunk, S) (a monolithic 32k-token prefill
-        would materialize a multi-GB (B, T, S) mask). Causality makes the
+        Compile-shape variety stays bounded at prompt_chunk/_PROMPT_BUCKET
+        shapes regardless of prompt length, and the additive attention mask
+        never exceeds (B, chunk, S) (a monolithic 32k-token prefill would
+        materialize a multi-GB (B, T, S) mask). Causality makes the
         chunking exact: chunk queries attend only cache slots already
         written. ``step_fn`` is a donating jitted forward, so cache buffers
-        turn over in place; returns the LAST chunk's logits + the cache.
-        """
+        turn over in place. Returns ((B, V) logits at ``keep_pos`` — the
+        last row by default — and the cache)."""
         B, L = ids.shape
         chunk = self.prompt_chunk
-        logits = None
-        last_c0 = 0
+        if keep_pos is None:
+            keep_pos = L - 1
+        kept = None
         for c0 in range(0, L, chunk):
             c1 = min(c0 + chunk, L)
             kwargs = {}
@@ -351,10 +357,9 @@ class InferenceEngine:
                 attn_len=min(c1, final_attn_len),
                 **kwargs,
             )
-            last_c0 = c0
-        # the prompt's final token always lands in the last chunk
-        # (L < prompt_len + chunk), so callers index logits[:, p-1-last_c0]
-        return logits, kv, last_c0
+            if c0 <= keep_pos < c1:
+                kept = logits[:, keep_pos - c0, :]
+        return kept, kv
 
     def _eos_ids(self) -> set:
         eos = getattr(self.tokenizer, "eos_token_id", None)
@@ -404,8 +409,15 @@ class InferenceEngine:
         kv = self._init_kv(1, cache_len)
 
         ids, positions = self._pad_prompt(input_ids, cache_len)
-        logits, kv, last_c0 = self._chunked_prefill(
-            self._decode_step, self.params, ids, positions, kv, rope, prompt_len
+        last, kv = self._chunked_prefill(
+            self._decode_step,
+            self.params,
+            ids,
+            positions,
+            kv,
+            rope,
+            prompt_len,
+            keep_pos=prompt_len - 1,
         )
 
         key = jax.random.PRNGKey(seed)
@@ -413,7 +425,6 @@ class InferenceEngine:
         generated_mask = jnp.zeros((1, cfg.vocab_size), bool)
         generated: List[int] = []
         emitted_text = ""
-        last = logits[:, prompt_len - 1 - last_c0, :]
 
         for step in range(max_new_tokens):
             key, sample_key = jax.random.split(key)
@@ -508,10 +519,17 @@ class InferenceEngine:
         d_kv = init_kv_cache(self.draft_cfg, 1, cache_len, d_dtype)
 
         ids, positions = self._pad_prompt(input_ids, cache_len)
-        logits, kv, last_c0 = self._chunked_prefill(
-            self._decode_step, self.params, ids, positions, kv, rope, prompt_len
+        prompt_last, kv = self._chunked_prefill(
+            self._decode_step,
+            self.params,
+            ids,
+            positions,
+            kv,
+            rope,
+            prompt_len,
+            keep_pos=prompt_len - 1,
         )
-        _, d_kv, _ = self._chunked_prefill(
+        _, d_kv = self._chunked_prefill(
             self._draft_decode,
             self.draft_params,
             ids,
@@ -543,7 +561,7 @@ class InferenceEngine:
 
         x1 = int(
             sample_token(
-                logits[:, prompt_len - 1 - last_c0, :],
+                prompt_last,
                 jax.random.PRNGKey(0),
                 mask_pre,
                 repetition_penalty=rp,
@@ -662,7 +680,7 @@ class InferenceEngine:
             raise ValueError("generate_batch: empty prompt after encoding")
         B = len(seqs)
         max_len = max(len(s) for s in seqs)
-        L = -(-max_len // self.prompt_chunk) * self.prompt_chunk
+        L = -(-max_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
         total = L + max_new_tokens
         cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
         rope = rope_tables(cfg, cache_len)
@@ -678,7 +696,8 @@ class InferenceEngine:
             np.arange(cache_len, dtype=np.int32)[None, :] >= pad[:, None]
         )
 
-        logits, kv, _ = self._chunked_prefill(
+        # left padding: every row's final prompt token is at slot L-1
+        last, kv = self._chunked_prefill(
             self._decode_step,
             self.params,
             jnp.asarray(ids),
@@ -689,9 +708,6 @@ class InferenceEngine:
             mask_positions=jnp.asarray(slot_idx),
             token_valid=token_valid,
         )
-        # left padding: every row's final prompt token is at slot L-1,
-        # i.e. the last row of the final chunk
-        last = logits[:, -1, :]
 
         key = jax.random.PRNGKey(seed)
         eos_ids = self._eos_ids()

@@ -95,9 +95,9 @@ def _to_device(arr: np.ndarray, dtype, sharding=None) -> jnp.ndarray:
 class _StreamShardings:
     """Per-tensor placement for sharded loading: each weight goes STRAIGHT
     to its tensor-parallel sharding as it is read, so a checkpoint larger
-    than one chip's HBM never stages on the default device. Dims that do
-    not divide the mesh fall back to replicated (matching
-    parallel/train.param_shardings' fallback)."""
+    than one chip's HBM never stages on the default device. The rule table
+    is shared with param_shardings (one source of truth). Dims that do not
+    divide the mesh fall back to replicated."""
 
     def __init__(self, mesh):
         from ..parallel.train import loader_shardings
@@ -143,6 +143,20 @@ def load_params(
         sharding = ss.top(top, arr.shape) if top else ss.layer(key, arr.shape)
         return _to_device(arr, dtype, sharding)
 
+    def place_quant(arr, key, stacked=False):
+        """Quantize ON HOST (numpy) then place: quantizing after device_put
+        would spike device memory with a transient fp32 copy of exactly the
+        tensors quantization is supposed to shrink."""
+        qd = (quantize_stacked if stacked else quantize)(arr, bits=quant_bits)
+        qkey = "q3" if stacked else "q"
+        if ss is None:
+            return {k: jax.device_put(v) for k, v in qd.items()}
+        return {
+            qkey: jax.device_put(qd[qkey], ss.layer(key, qd[qkey].shape)),
+            # the scale is tiny; replicate (shard_params may refine later)
+            "scale": jax.device_put(qd["scale"], ss.rep),
+        }
+
     index_path = model_path / "model.safetensors.index.json"
     if index_path.exists():
         with open(index_path) as f:
@@ -158,7 +172,7 @@ def load_params(
         "layers": [dict() for _ in range(cfg.num_hidden_layers)]
     }
 
-    from .quant import quantize
+    from .quant import quantize, quantize_stacked
 
     for shard in shards:
         with SafeTensorsReader(model_path / shard) as reader:
@@ -190,13 +204,12 @@ def load_params(
                         continue
                     if suffix in _GPTOSS_EXPERT_WEIGHTS:
                         gk = _GPTOSS_EXPERT_WEIGHTS[suffix]
-                        w = place(arr, key=gk)
                         if quant_bits and gk in ("gate_up", "down"):
                             # the fused stacks dominate a gpt-oss param
                             # count; quantize per (expert, output channel)
-                            from .quant import quantize_stacked
-
-                            w = quantize_stacked(w, bits=quant_bits)
+                            w = place_quant(arr, gk, stacked=True)
+                        else:
+                            w = place(arr, key=gk)
                         layer.setdefault("gptoss_experts", {})[gk] = w
                         continue
                     if suffix.startswith("mlp.experts.") and suffix.endswith(
@@ -228,9 +241,11 @@ def load_params(
                             "experts",
                             [dict() for _ in range(cfg.num_local_experts)],
                         )
-                        w = place(arr, key=wname)
-                        if quant_bits:
-                            w = quantize(w, bits=quant_bits)
+                        w = (
+                            place_quant(arr, wname)
+                            if quant_bits
+                            else place(arr, key=wname)
+                        )
                         experts[expert_idx][wname] = w
                         continue
                     if suffix == "self_attn.qkv_proj.weight":
@@ -241,9 +256,12 @@ def load_params(
                             ("q_proj", "k_proj", "v_proj"),
                             np.split(arr, [q_dim, q_dim + kv_dim], axis=0),
                         ):
-                            w = place(np.ascontiguousarray(part), key=key)
-                            if quant_bits:
-                                w = quantize(w, bits=quant_bits)
+                            part = np.ascontiguousarray(part)
+                            w = (
+                                place_quant(part, key)
+                                if quant_bits
+                                else place(part, key=key)
+                            )
                             layer[key] = w
                         continue
                     if suffix == "mlp.gate_up_proj.weight":
@@ -251,18 +269,22 @@ def load_params(
                         for key, part in zip(
                             ("gate_proj", "up_proj"), np.split(arr, 2, axis=0)
                         ):
-                            w = place(np.ascontiguousarray(part), key=key)
-                            if quant_bits:
-                                w = quantize(w, bits=quant_bits)
+                            part = np.ascontiguousarray(part)
+                            w = (
+                                place_quant(part, key)
+                                if quant_bits
+                                else place(part, key=key)
+                            )
                             layer[key] = w
                         continue
                     key = _LAYER_WEIGHTS.get(suffix)
                     if key is None:
                         logger.warning("Skipping unknown weight %s", name)
                         continue
-                    w = place(arr, key=key)
                     if quant_bits and key in _QUANTIZABLE:
-                        w = quantize(w, bits=quant_bits)
+                        w = place_quant(arr, key)
+                    else:
+                        w = place(arr, key=key)
                     layer[key] = w
                 else:
                     logger.warning("Skipping unknown weight %s", name)

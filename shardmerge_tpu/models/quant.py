@@ -12,6 +12,7 @@ from typing import Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 __all__ = [
     "quantize",
@@ -22,8 +23,15 @@ __all__ = [
 ]
 
 
-def quantize(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
-    """Quantize an (out, in) weight matrix per output channel."""
+def quantize(w, bits: int = 8) -> Dict[str, jnp.ndarray]:
+    """Quantize an (out, in) weight matrix per output channel.
+
+    Accepts numpy input and then computes ON HOST (returning numpy):
+    checkpoint loading must quantize before device placement, or the
+    transient fp32 copy spikes device memory at the exact moment
+    quantization is supposed to make the model fit."""
+    if isinstance(w, np.ndarray):
+        return _quantize_host(w, bits)
     assert bits in (4, 8)
     w32 = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)
@@ -42,6 +50,40 @@ def quantize(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
+def _quantize_host(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
+    """Numpy twin of :func:`quantize` (loader path: never touches a
+    device). Copies mmap-backed views first — ml_dtypes astype on a mmap
+    bf16 view is ~25x slower than on a RAM copy."""
+    assert bits in (4, 8)
+    w32 = np.array(w).astype(np.float32)
+    absmax = np.max(np.abs(w32), axis=1, keepdims=True)
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = np.maximum(absmax / qmax, 1e-12).astype(np.float32)
+    q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
+    if bits == 4:
+        assert q.shape[1] % 2 == 0, "int4 requires even input dim"
+        u = (q + 8).astype(np.uint8)
+        packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+        return {"q": packed, "scale": scale}
+    return {"q": q, "scale": scale}
+
+
+def _quantize_stacked_host(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
+    """Numpy twin of :func:`quantize_stacked`."""
+    assert bits in (4, 8)
+    w32 = np.array(w).astype(np.float32)
+    absmax = np.max(np.abs(w32), axis=1, keepdims=True)
+    qmax = 127.0 if bits == 8 else 7.0
+    scale = np.maximum(absmax / qmax, 1e-12).astype(np.float32)
+    q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
+    if bits == 4:
+        assert q.shape[1] % 2 == 0, "int4 requires even reduction dim"
+        u = (q + 8).astype(np.uint8)
+        packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
+        return {"q3": packed, "scale": scale}
+    return {"q3": q, "scale": scale}
+
+
 def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
     lo = (packed & 0xF).astype(jnp.int8) - 8
     hi = (packed >> 4).astype(jnp.int8) - 8
@@ -54,10 +96,13 @@ def dequant(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 
-def quantize_stacked(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
+def quantize_stacked(w, bits: int = 8) -> Dict[str, jnp.ndarray]:
     """Quantize a stacked (n_exp, in, out) expert tensor per (expert,
     output-channel) — the gpt-oss fused gate_up/down layout, where the
-    LAST dim is the output channels (used as x @ W)."""
+    LAST dim is the output channels (used as x @ W). Numpy input computes
+    on host (see :func:`quantize`)."""
+    if isinstance(w, np.ndarray):
+        return _quantize_stacked_host(w, bits)
     assert bits in (4, 8)
     w32 = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)  # (E, 1, out)

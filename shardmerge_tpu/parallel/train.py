@@ -64,28 +64,15 @@ def loader_shardings(mesh: Mesh):
 
 
 def param_shardings(mesh: Mesh, params: Params) -> Params:
-    """NamedSharding pytree for Megatron-style TP over axis 'tp'."""
-    col = NamedSharding(mesh, P("tp", None))  # output-dim sharded
-    row = NamedSharding(mesh, P(None, "tp"))  # input-dim sharded
-    rep = NamedSharding(mesh, P())
-    vocab = NamedSharding(mesh, P("tp", None))
+    """NamedSharding pytree for Megatron-style TP over axis 'tp'.
 
-    rules = {
-        "q_proj": col,
-        "k_proj": col,
-        "v_proj": col,
-        "gate_proj": col,
-        "up_proj": col,
-        "o_proj": row,
-        "down_proj": row,
-        "q_bias": NamedSharding(mesh, P("tp")),
-        "k_bias": NamedSharding(mesh, P("tp")),
-        "v_bias": NamedSharding(mesh, P("tp")),
-        "input_layernorm": rep,
-        "post_attention_layernorm": rep,
-    }
+    The rule table is loader_shardings — the SAME map the streaming loader
+    places tensors with, so a stream-sharded load is already in its final
+    placement (device_put aliases when shardings match)."""
+    rules, top_rules, rep = loader_shardings(mesh)
+    vocab = top_rules["embed_tokens"]
 
-    expert_rules = {"w1": col, "w3": col, "w2": row}
+    expert_rules = {k: rules[k] for k in ("w1", "w3", "w2")}
 
     def apply(rule, leaf):
         """Match quantized {q, scale} dict leaves with a sharding dict:
