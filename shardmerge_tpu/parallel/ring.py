@@ -17,9 +17,13 @@ out = acc / l. Causality is enforced per hop from the blocks' global token
 positions, so the schedule is identical for every device (no data-dependent
 control flow; XLA pipelines the ppermute against the local matmuls).
 
-The alternative (DeepSpeed-Ulysses) trades two all-to-alls to shard HEADS
-during attention instead; ring is preferred here because it also bounds the
-K/V memory per device, which is the point of CP.
+Both named CP schemes are provided: :func:`ring_attention` (above) and
+:func:`ulysses_attention` (DeepSpeed-Ulysses — two all-to-alls re-shard the
+SEQUENCE axis into the HEAD axis so each device runs full-sequence
+attention for its head slice). Ulysses costs 2 all-to-alls instead of P
+ppermute hops but materializes the full (T, T) score matrix per local head
+and the full-sequence K/V per device — ring is the memory-bounding choice,
+Ulysses the latency choice when T fits.
 
 Numerics: fp32 score/softmax accumulators (same as models/llama._attention);
 output proven equal to single-device full attention in
@@ -34,7 +38,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["ring_attention"]
+__all__ = ["ring_attention", "ulysses_attention"]
 
 _AXIS = "cp"
 
@@ -123,6 +127,70 @@ def ring_attention(
         fn = jax.jit(
             jax.shard_map(
                 partial(_ring_body, n_dev=n_dev, scale=jnp.float32(scale)),
+                mesh=mesh,
+                in_specs=(spec, spec, spec),
+                out_specs=spec,
+            )
+        )
+        _RING_CACHE[key] = fn
+    seq_sharding = NamedSharding(mesh, P(None, None, _AXIS, None))
+    q, k, v = (jax.device_put(x, seq_sharding) for x in (q, k, v))
+    return fn(q, k, v)
+
+
+def _ulysses_body(ql, kl, vl, *, scale):
+    """shard_map body: re-shard sequence -> heads, full local attention,
+    re-shard back. ql: (B, H, Tl, D); kl/vl: (B, KVH, Tl, D)."""
+    # (B, H, Tl, D) -> (B, H/P, T, D): give sequence, take heads
+    q = jax.lax.all_to_all(ql, _AXIS, split_axis=1, concat_axis=2, tiled=True)
+    k = jax.lax.all_to_all(kl, _AXIS, split_axis=1, concat_axis=2, tiled=True)
+    v = jax.lax.all_to_all(vl, _AXIS, split_axis=1, concat_axis=2, tiled=True)
+
+    B, Hl, T, D = q.shape
+    KVHl = k.shape[1]
+    group = Hl // KVHl
+    qg = q.astype(jnp.float32).reshape(B, KVHl, group, T, D)
+    scores = (
+        jnp.einsum("bkgtd,bksd->bkgts", qg, k.astype(jnp.float32)) * scale
+    )
+    causal = jnp.arange(T)[:, None] >= jnp.arange(T)[None, :]
+    scores = jnp.where(causal[None, None, None], scores, jnp.float32(-1e9))
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
+    out = out.reshape(B, Hl, T, D)
+    # back: give heads, take sequence
+    return jax.lax.all_to_all(out, _AXIS, split_axis=2, concat_axis=1, tiled=True)
+
+
+def ulysses_attention(
+    mesh: Mesh,
+    q: jnp.ndarray,  # (B, H, T, D)
+    k: jnp.ndarray,  # (B, KVH, T, D)
+    v: jnp.ndarray,  # (B, KVH, T, D)
+    scale: float,
+) -> jnp.ndarray:
+    """Causal attention, sequence-sharded over 'cp', Ulysses style: two
+    all-to-alls swap the sharded axis to heads so every device computes
+    full-sequence attention for its head slice. Requires the axis size to
+    evenly divide H, KVH, and T (contiguous head blocks keep GQA groups
+    aligned because (H/P) is a multiple of H/KVH when P divides KVH).
+    Same numerics as :func:`ring_attention`; different comm/memory trade.
+    """
+    n_dev = mesh.shape[_AXIS]
+    B, H, T, D = q.shape
+    KVH = k.shape[1]
+    if T % n_dev or H % n_dev or KVH % n_dev:
+        raise ValueError(
+            f"cp={n_dev} must evenly divide T={T}, H={H}, KVH={KVH}"
+        )
+
+    key = ("ulysses", id(mesh), B, H, KVH, T, D, float(scale))
+    fn = _RING_CACHE.get(key)
+    if fn is None:
+        spec = P(None, None, _AXIS, None)
+        fn = jax.jit(
+            jax.shard_map(
+                partial(_ulysses_body, scale=jnp.float32(scale)),
                 mesh=mesh,
                 in_specs=(spec, spec, spec),
                 out_specs=spec,

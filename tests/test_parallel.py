@@ -590,6 +590,37 @@ def test_ring_attention_matches_full(rng):
         ring_attention(mesh, q[:, :, :30], k[:, :, :30], v[:, :, :30], scale)
 
 
+def test_ulysses_attention_matches_full(rng):
+    """Ulysses (all-to-all seq<->head re-sharding) == single-device causal
+    attention, GQA groups aligned across the contiguous head blocks."""
+    from shardmerge_tpu.parallel.ring import ulysses_attention
+
+    B, H, KVH, T, D = 2, 8, 4, 32, 8
+    scale = 1.0 / np.sqrt(D)
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KVH, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KVH, T, D)), jnp.float32)
+
+    group = H // KVH
+    qg = q.reshape(B, KVH, group, T, D)
+    scores = jnp.einsum("bkgtd,bksd->bkgts", qg, k) * scale
+    causal = jnp.tril(jnp.ones((T, T), bool))
+    scores = jnp.where(causal[None, None, None], scores, -1e9)
+    probs = jax.nn.softmax(scores, axis=-1)
+    expect = np.asarray(
+        jnp.einsum("bkgts,bksd->bkgtd", probs, v).reshape(B, H, T, D)
+    )
+
+    # 4 devices: KVH=4 divides, and each device's 2 q-heads span exactly
+    # one GQA group boundary alignment
+    mesh = make_mesh(("cp",), devices=jax.devices()[:4])
+    got = np.asarray(ulysses_attention(mesh, q, k, v, scale))
+    np.testing.assert_allclose(got, expect, rtol=1e-5, atol=1e-6)
+
+    with pytest.raises(ValueError, match="evenly divide"):
+        ulysses_attention(make_mesh(("cp",)), q, k[:, :3], v[:, :3], scale)
+
+
 def test_multihost_merge_mesh_and_init(rng):
     """merge_mesh orders devices host-contiguously and drives the sharded
     kernels identically to make_mesh; initialize_distributed is a no-op
