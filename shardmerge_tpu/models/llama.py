@@ -112,6 +112,9 @@ class ModelConfig:
     # "full_attention"); None falls back to the model_type patterns in
     # layer_is_sliding
     layer_types: Optional[tuple] = None
+    # smollm3: per-layer rope gate (HF's no_rope_layers — 1 means the
+    # layer DOES rope, 0 is a NoPE layer); None = rope everywhere
+    no_rope_layers: Optional[tuple] = None
 
     @property
     def head_dim(self) -> int:
@@ -168,6 +171,11 @@ class ModelConfig:
             return layer_idx % 2 == 0
         return self.model_type == "mistral"
 
+    def layer_uses_rope(self, layer_idx: int) -> bool:
+        if self.no_rope_layers is None:
+            return True
+        return bool(self.no_rope_layers[layer_idx])
+
     @classmethod
     def from_hf_config(cls, config: dict) -> "ModelConfig":
         model_type = config.get("model_type", "llama")
@@ -184,8 +192,10 @@ class ModelConfig:
             rms_norm_eps=config.get("rms_norm_eps", 1e-5),
             rope_theta=config.get("rope_theta", 10000.0),
             rope_scaling=config.get("rope_scaling"),
+            # gemma/smollm3 tie by default, so their config.json may omit it
             tie_word_embeddings=config.get(
-                "tie_word_embeddings", model_type.startswith("gemma")
+                "tie_word_embeddings",
+                model_type.startswith("gemma") or model_type == "smollm3",
             ),
             attention_bias=config.get(
                 "attention_bias", model_type == "qwen2"
@@ -210,11 +220,22 @@ class ModelConfig:
             attn_logit_softcapping=config.get("attn_logit_softcapping"),
             final_logit_softcapping=config.get("final_logit_softcapping"),
             sliding_window=config.get("sliding_window")
-            if model_type in ("gemma2", "mistral", "gpt_oss")
+            if (
+                model_type in ("gemma2", "mistral", "gpt_oss")
+                or (
+                    model_type == "smollm3"
+                    and config.get("use_sliding_window")
+                )
+            )
             else None,
             layer_types=(
                 tuple(config["layer_types"])
                 if config.get("layer_types")
+                else None
+            ),
+            no_rope_layers=(
+                tuple(config["no_rope_layers"])
+                if config.get("no_rope_layers") is not None
                 else None
             ),
             original_max_position_embeddings=config.get(
@@ -593,7 +614,9 @@ def init_kv_cache(
 # Forward
 # ---------------------------------------------------------------------------
 
-def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
+def _attention(
+    cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask, use_rope=True
+):
     """Self-attention over the cached keys/values.
 
     kv_slice: (2, B, KVH, S, D) full cache buffers for this layer.
@@ -617,7 +640,8 @@ def _attention(cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask):
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
 
-    q, k = apply_rope(q, k, cos, sin, positions)
+    if use_rope:  # smollm3 NoPE layers skip rotary entirely
+        q, k = apply_rope(q, k, cos, sin, positions)
 
     k_cache, v_cache = kv_slice
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
@@ -1182,6 +1206,7 @@ def forward(
             if mla
             else (kv_cache["k"][i], kv_cache["v"][i])
         )
+        attn_kwargs = {} if mla else {"use_rope": cfg.layer_uses_rope(i)}
         attn_out, k_c, v_c = attn(
             cfg,
             layer,
@@ -1192,6 +1217,7 @@ def forward(
             cache_slice,
             cache_pos,
             mask_sliding if cfg.layer_is_sliding(i) else mask,
+            **attn_kwargs,
         )
         new_k.append(k_c)
         new_v.append(v_c)
@@ -1225,7 +1251,17 @@ def forward(
     return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
 
 
-def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask, reduce=None):
+def block_train(
+    cfg: ModelConfig,
+    layer,
+    x,
+    cos,
+    sin,
+    positions,
+    mask,
+    reduce=None,
+    use_rope=True,
+):
     """One cache-free decoder block (attention + FFN with residuals).
 
     The body of forward_train's layer loop, factored out so the pipeline-
@@ -1258,7 +1294,8 @@ def block_train(cfg: ModelConfig, layer, x, cos, sin, positions, mask, reduce=No
     if "q_norm" in layer:  # qwen3: per-head RMSNorm before RoPE
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-    q, k = apply_rope(q, k, cos, sin, positions)
+    if use_rope:  # smollm3 NoPE layers skip rotary entirely
+        q, k = apply_rope(q, k, cos, sin, positions)
 
     group = H // KVH
     qg = q.reshape(B, KVH, group, T, D)
@@ -1341,7 +1378,10 @@ def forward_train(params: Params, cfg: ModelConfig, input_ids: jnp.ndarray):
         mask = (
             mask_sliding if cfg.layer_is_sliding(li) else mask_full
         )
-        x = block_train(cfg, layer, x, cos, sin, positions, mask)
+        x = block_train(
+            cfg, layer, x, cos, sin, positions, mask,
+            use_rope=cfg.layer_uses_rope(li),
+        )
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, po)
     head = params.get("lm_head", params["embed_tokens"])

@@ -50,6 +50,11 @@ def _check_cfg(cfg: ModelConfig):
             "pipeline stages are layer-index-blind; per-layer sliding "
             "windows (gemma2) cannot be scheduled"
         )
+    if cfg.no_rope_layers is not None and len(set(cfg.no_rope_layers)) > 1:
+        raise NotImplementedError(
+            "pipeline stages are layer-index-blind; mixed NoPE layers "
+            "(smollm3 no_rope_layers) cannot be scheduled"
+        )
 
 
 # Megatron TP classification of stacked block leaves (S, per, *weight dims):

@@ -1503,6 +1503,45 @@ def test_gpt_oss_kv_cache_decode_matches_full(rng):
         )
 
 
+def test_smollm3_nope_matches_transformers(tmp_path):
+    """SmolLM3: per-layer NoPE (no_rope_layers gates rotary off every 4th
+    layer by default) with tied embeddings."""
+    import torch
+    from transformers import SmolLM3Config, SmolLM3ForCausalLM
+
+    torch.manual_seed(17)
+    config = SmolLM3Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=True,
+        use_sliding_window=False,
+        pad_token_id=0,  # default 128004 exceeds the tiny vocab
+    )
+    model = SmolLM3ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "smollm3"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    # default interval-4 pattern: every 4th layer is NoPE
+    assert cfg.no_rope_layers == (1, 1, 1, 0)
+    assert cfg.layer_uses_rope(0) and not cfg.layer_uses_rope(3)
+    assert cfg.tie_word_embeddings
+    params = load_params(path, cfg, dtype=jnp.float32)
+    ids = np.array([[4, 29, 88, 17, 110, 6]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+
 def test_gpt_oss_mxfp4_checkpoint_raises_clear_error(tmp_path):
     """Official gpt-oss releases ship MXFP4 expert tensors
     (gate_up_proj_blocks/_scales); the loader must name the format instead
