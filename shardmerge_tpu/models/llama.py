@@ -179,6 +179,28 @@ class ModelConfig:
     @classmethod
     def from_hf_config(cls, config: dict) -> "ModelConfig":
         model_type = config.get("model_type", "llama")
+        no_rope = config.get("no_rope_layers")
+        layer_types = config.get("layer_types")
+        if model_type == "smollm3":
+            # HF derives both fields when config.json omits them
+            # (configuration_smollm3.py): NoPE every no_rope_layer_interval
+            # layers; sliding attention exactly on the NoPE layers
+            n_layers = config["num_hidden_layers"]
+            if no_rope is None:
+                interval = config.get("no_rope_layer_interval", 4)
+                no_rope = [
+                    int((i + 1) % interval != 0) for i in range(n_layers)
+                ]
+            if layer_types is None:
+                sw = config.get("use_sliding_window") and config.get(
+                    "sliding_window"
+                )
+                layer_types = [
+                    "sliding_attention"
+                    if (sw and not no_rope[i])
+                    else "full_attention"
+                    for i in range(n_layers)
+                ]
         return cls(
             vocab_size=config["vocab_size"],
             hidden_size=config["hidden_size"],
@@ -228,15 +250,9 @@ class ModelConfig:
                 )
             )
             else None,
-            layer_types=(
-                tuple(config["layer_types"])
-                if config.get("layer_types")
-                else None
-            ),
+            layer_types=tuple(layer_types) if layer_types else None,
             no_rope_layers=(
-                tuple(config["no_rope_layers"])
-                if config.get("no_rope_layers") is not None
-                else None
+                tuple(no_rope) if no_rope is not None else None
             ),
             original_max_position_embeddings=config.get(
                 "original_max_position_embeddings"

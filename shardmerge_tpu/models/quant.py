@@ -50,26 +50,12 @@ def quantize(w, bits: int = 8) -> Dict[str, jnp.ndarray]:
     return {"q": q, "scale": scale.astype(jnp.float32)}
 
 
-def _quantize_host(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
-    """Numpy twin of :func:`quantize` (loader path: never touches a
-    device). Copies mmap-backed views first — ml_dtypes astype on a mmap
-    bf16 view is ~25x slower than on a RAM copy."""
-    assert bits in (4, 8)
-    w32 = np.array(w).astype(np.float32)
-    absmax = np.max(np.abs(w32), axis=1, keepdims=True)
-    qmax = 127.0 if bits == 8 else 7.0
-    scale = np.maximum(absmax / qmax, 1e-12).astype(np.float32)
-    q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
-    if bits == 4:
-        assert q.shape[1] % 2 == 0, "int4 requires even input dim"
-        u = (q + 8).astype(np.uint8)
-        packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
-        return {"q": packed, "scale": scale}
-    return {"q": q, "scale": scale}
-
-
-def _quantize_stacked_host(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
-    """Numpy twin of :func:`quantize_stacked`."""
+def _quantize_host(w: np.ndarray, bits: int, qkey: str = "q") -> Dict[str, np.ndarray]:
+    """Numpy twin of :func:`quantize`/:func:`quantize_stacked` (loader
+    path: never touches a device) — ONE implementation for both layouts,
+    since they reduce over axis 1 identically and differ only in the
+    output key. Copies mmap-backed views first — ml_dtypes astype on a
+    mmap bf16 view is ~25x slower than on a RAM copy."""
     assert bits in (4, 8)
     w32 = np.array(w).astype(np.float32)
     absmax = np.max(np.abs(w32), axis=1, keepdims=True)
@@ -80,8 +66,8 @@ def _quantize_stacked_host(w: np.ndarray, bits: int) -> Dict[str, np.ndarray]:
         assert q.shape[1] % 2 == 0, "int4 requires even reduction dim"
         u = (q + 8).astype(np.uint8)
         packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
-        return {"q3": packed, "scale": scale}
-    return {"q3": q, "scale": scale}
+        return {qkey: packed, "scale": scale}
+    return {qkey: q, "scale": scale}
 
 
 def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
@@ -102,7 +88,7 @@ def quantize_stacked(w, bits: int = 8) -> Dict[str, jnp.ndarray]:
     LAST dim is the output channels (used as x @ W). Numpy input computes
     on host (see :func:`quantize`)."""
     if isinstance(w, np.ndarray):
-        return _quantize_stacked_host(w, bits)
+        return _quantize_host(w, bits, qkey="q3")
     assert bits in (4, 8)
     w32 = jnp.asarray(w, jnp.float32)
     absmax = jnp.max(jnp.abs(w32), axis=1, keepdims=True)  # (E, 1, out)

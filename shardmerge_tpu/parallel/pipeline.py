@@ -146,7 +146,8 @@ def stack_stages(
 
 
 def _schedule_body(
-    blocks, xs, cos, sin, positions, mask, *, cfg, n_stages, tp=False
+    blocks, xs, cos, sin, positions, mask, *, cfg, n_stages, tp=False,
+    use_rope=True,
 ):
     """shard_map body: run the GPipe ticks for this device's stage.
 
@@ -165,7 +166,8 @@ def _schedule_body(
         def one_layer(h, layer):
             return (
                 block_train(
-                    cfg, layer, h, cos, sin, positions, mask, reduce=reduce
+                    cfg, layer, h, cos, sin, positions, mask,
+                    reduce=reduce, use_rope=use_rope,
                 ),
                 None,
             )
@@ -285,7 +287,12 @@ def pipeline_forward_train(
                 head_dim_override=cfg.head_dim,
             )
         body = partial(
-            _schedule_body, cfg=local_cfg, n_stages=n_stages, tp=tp
+            _schedule_body,
+            cfg=local_cfg,
+            n_stages=n_stages,
+            tp=tp,
+            # _check_cfg guarantees uniformity, so layer 0 speaks for all
+            use_rope=cfg.layer_uses_rope(0),
         )
         block_specs = {
             k: _block_spec(k, v, tp) for k, v in blocks.items()

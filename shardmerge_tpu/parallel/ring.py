@@ -45,6 +45,12 @@ _AXIS = "cp"
 _RING_CACHE: dict = {}
 
 
+def _mesh_fp(mesh: Mesh) -> tuple:
+    """Cache-key fingerprint: id() alone can be reused after GC, so pin the
+    device set too (parallel/pipeline.py learned this the hard way)."""
+    return (id(mesh), tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+
+
 def _ring_body(ql, kl, vl, *, n_dev, scale):
     """shard_map body. ql: (B, H, Tl, D) local query block; kl/vl:
     (B, KVH, Tl, D) local key/value blocks. Returns (B, H, Tl, D) fp32."""
@@ -120,7 +126,7 @@ def ring_attention(
     if H % k.shape[1] != 0:
         raise ValueError(f"{H} heads do not group over {k.shape[1]} kv heads")
 
-    key = (id(mesh), B, H, k.shape[1], T, D, float(scale))
+    key = (_mesh_fp(mesh), B, H, k.shape[1], T, D, float(scale))
     fn = _RING_CACHE.get(key)
     if fn is None:
         spec = P(None, None, _AXIS, None)
@@ -184,7 +190,7 @@ def ulysses_attention(
             f"cp={n_dev} must evenly divide T={T}, H={H}, KVH={KVH}"
         )
 
-    key = ("ulysses", id(mesh), B, H, KVH, T, D, float(scale))
+    key = ("ulysses", _mesh_fp(mesh), B, H, KVH, T, D, float(scale))
     fn = _RING_CACHE.get(key)
     if fn is None:
         spec = P(None, None, _AXIS, None)

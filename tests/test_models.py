@@ -1542,6 +1542,35 @@ def test_smollm3_nope_matches_transformers(tmp_path):
     np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
 
 
+def test_smollm3_config_derives_nope_and_sliding():
+    """config.json files that omit no_rope_layers/layer_types get HF's
+    derived defaults: NoPE every no_rope_layer_interval layers, sliding
+    attention exactly on the NoPE layers when use_sliding_window."""
+    base = {
+        "model_type": "smollm3",
+        "vocab_size": 64,
+        "hidden_size": 32,
+        "intermediate_size": 64,
+        "num_hidden_layers": 8,
+        "num_attention_heads": 4,
+    }
+    cfg = ModelConfig.from_hf_config(dict(base))
+    assert cfg.no_rope_layers == (1, 1, 1, 0, 1, 1, 1, 0)
+    assert not cfg.layer_uses_rope(3) and cfg.layer_uses_rope(2)
+    assert cfg.sliding_window is None  # use_sliding_window defaults off
+
+    cfg_sw = ModelConfig.from_hf_config(
+        {**base, "use_sliding_window": True, "sliding_window": 4}
+    )
+    assert cfg_sw.sliding_window == 4
+    assert cfg_sw.layer_is_sliding(3) and not cfg_sw.layer_is_sliding(2)
+
+    cfg_i2 = ModelConfig.from_hf_config(
+        {**base, "no_rope_layer_interval": 2}
+    )
+    assert cfg_i2.no_rope_layers == (1, 0) * 4
+
+
 def test_gpt_oss_mxfp4_checkpoint_raises_clear_error(tmp_path):
     """Official gpt-oss releases ship MXFP4 expert tensors
     (gate_up_proj_blocks/_scales); the loader must name the format instead
