@@ -70,6 +70,9 @@ class ModelConfig:
     norm_topk_prob: bool = True
     # Qwen3: per-head RMSNorm on q/k before RoPE
     qk_norm: bool = False
+    # Olmo2: RMSNorm over the FULL projected q/k vectors (before the head
+    # split), and post-norm residuals with no input_layernorm
+    qk_norm_full: bool = False
     # Gemma family
     head_dim_override: Optional[int] = None  # gemma2 sets head_dim explicitly
     hidden_act: str = "silu"  # gemma: gelu_pytorch_tanh (GeGLU)
@@ -158,6 +161,10 @@ class ModelConfig:
     def is_gemma2(self) -> bool:
         return self.model_type == "gemma2"
 
+    @property
+    def is_olmo2(self) -> bool:
+        return self.model_type == "olmo2"
+
     def layer_is_sliding(self, layer_idx: int) -> bool:
         """gemma2 alternates local (sliding-window) and global attention
         (HF applies the window on even layer indices); mistral applies the
@@ -233,6 +240,7 @@ class ModelConfig:
             moe_intermediate_size=config.get("moe_intermediate_size"),
             norm_topk_prob=config.get("norm_topk_prob", True),
             qk_norm=model_type.startswith("qwen3"),
+            qk_norm_full=model_type == "olmo2",
             # explicit head_dim (gemma always; qwen3/new-mistral when present)
             head_dim_override=config.get("head_dim"),
             hidden_act=config.get(
@@ -527,6 +535,13 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
         if cfg.qk_norm:
             layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
             layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
+        if cfg.qk_norm_full:  # olmo2
+            layer["q_norm"] = jnp.ones((q_dim,), dtype)
+            layer["k_norm"] = jnp.ones((kv_dim,), dtype)
+        if cfg.is_olmo2:
+            layer["post_feedforward_layernorm"] = norm_init(
+                (cfg.hidden_size,), dtype
+            )
         if cfg.is_gemma2:
             layer["pre_feedforward_layernorm"] = norm_init(
                 (cfg.hidden_size,), dtype
@@ -648,11 +663,15 @@ def _attention(
         q = q + layer["q_bias"]
         k = k + layer["k_bias"]
         v = v + layer["v_bias"]
+    if cfg.qk_norm_full:  # olmo2: norm the FULL vectors before head split
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
 
     q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
-    if "q_norm" in layer:  # qwen3: per-head RMSNorm before RoPE
+    if "q_norm" in layer and not cfg.qk_norm_full:
+        # qwen3: per-head RMSNorm before RoPE
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
 
@@ -1215,7 +1234,12 @@ def forward(
     new_k = []
     new_v = []
     for i, layer in enumerate(params["layers"]):
-        h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
+        # olmo2 has no input norm: attention consumes the raw residual
+        h = (
+            x
+            if cfg.is_olmo2
+            else rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
+        )
         attn = _attention_mla if mla else _attention
         cache_slice = (
             (kv_cache["ckv"][i], kv_cache["kpe"][i])
@@ -1237,7 +1261,16 @@ def forward(
         )
         new_k.append(k_c)
         new_v.append(v_c)
-        if "pre_feedforward_layernorm" in layer:  # gemma2 post-norm blocks
+        if cfg.is_olmo2:  # post-norm residuals, no pre-FFN norm
+            x = x + rms_norm(
+                attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps
+            )
+            x = x + rms_norm(
+                _ffn(cfg, layer, x),
+                layer["post_feedforward_layernorm"],
+                cfg.rms_norm_eps,
+            )
+        elif "pre_feedforward_layernorm" in layer:  # gemma2 post-norm blocks
             x = x + rms_norm(
                 attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, po
             )
@@ -1296,7 +1329,11 @@ def block_train(
     H, KVH, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     po = cfg.is_gemma
 
-    h = rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
+    h = (
+        x
+        if cfg.is_olmo2  # olmo2: no input norm (post-norm residuals)
+        else rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
+    )
     q = matmul(h, layer["q_proj"])
     k = matmul(h, layer["k_proj"])
     v = matmul(h, layer["v_proj"])
@@ -1304,10 +1341,14 @@ def block_train(
         q = q + layer["q_bias"]
         k = k + layer["k_bias"]
         v = v + layer["v_bias"]
+    if cfg.qk_norm_full:  # olmo2: norm the FULL vectors before head split
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
     q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
-    if "q_norm" in layer:  # qwen3: per-head RMSNorm before RoPE
+    if "q_norm" in layer and not cfg.qk_norm_full:
+        # qwen3: per-head RMSNorm before RoPE
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
     if use_rope:  # smollm3 NoPE layers skip rotary entirely
@@ -1336,6 +1377,17 @@ def block_train(
     attn_out = matmul(out.astype(x.dtype), layer["o_proj"])
     if reduce is not None:  # TP: o_proj is row-parallel; sum the partials
         attn_out = reduce(attn_out)
+    if cfg.is_olmo2:  # post-norm residuals, no pre-FFN norm
+        x = x + rms_norm(
+            attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps
+        )
+        ffn_out = _ffn(cfg, layer, x)
+        if reduce is not None:
+            ffn_out = reduce(ffn_out)
+        x = x + rms_norm(
+            ffn_out, layer["post_feedforward_layernorm"], cfg.rms_norm_eps
+        )
+        return x
     if "pre_feedforward_layernorm" in layer:  # gemma2 post-norm blocks
         x = x + rms_norm(
             attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps, po

@@ -1542,6 +1542,65 @@ def test_smollm3_nope_matches_transformers(tmp_path):
     np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
 
 
+def test_olmo2_matches_transformers(tmp_path):
+    """Olmo2: post-norm residuals with NO input layernorm, and RMSNorm over
+    the FULL projected q/k vectors before the head split."""
+    import torch
+    from transformers import Olmo2Config, Olmo2ForCausalLM
+
+    torch.manual_seed(18)
+    config = Olmo2Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    model = Olmo2ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "olmo2"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.is_olmo2 and cfg.qk_norm_full
+    params = load_params(path, cfg, dtype=jnp.float32)
+    layer0 = params["layers"][0]
+    assert "input_layernorm" not in layer0
+    assert layer0["q_norm"].shape == (64,)  # FULL q width, not head_dim
+    assert "post_feedforward_layernorm" in layer0
+    ids = np.array([[6, 41, 95, 13, 77, 2]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+    # cache decode equivalence through the post-norm structure
+    cache_len = 16
+    rope = rope_tables(cfg, cache_len)
+    kv = init_kv_cache(cfg, 1, cache_len, jnp.float32)
+    full_logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    logits_p, kv = forward(
+        params, cfg, jnp.asarray(ids[:, :4]),
+        jnp.arange(4, dtype=jnp.int32)[None, :], kv,
+        cache_pos=0, rope=rope, attn_len=4,
+    )
+    step_logits, _ = forward(
+        params, cfg, jnp.asarray(ids[:, 4:5]),
+        jnp.full((1, 1), 4, jnp.int32), kv,
+        cache_pos=4, rope=rope, attn_len=5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(step_logits[:, 0]), np.asarray(full_logits[:, 4]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
 def test_smollm3_config_derives_nope_and_sliding():
     """config.json files that omit no_rope_layers/layer_types get HF's
     derived defaults: NoPE every no_rope_layer_interval layers, sliding
