@@ -529,9 +529,11 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
                 "k_proj": dense(k[1], (kv_dim, cfg.hidden_size)),
                 "v_proj": dense(k[2], (kv_dim, cfg.hidden_size)),
                 "o_proj": dense(k[3], (cfg.hidden_size, q_dim)),
-                "input_layernorm": norm_init((cfg.hidden_size,), dtype),
                 "post_attention_layernorm": norm_init((cfg.hidden_size,), dtype),
             }
+            if not cfg.is_olmo2:  # olmo2 has no input norm (checkpoints
+                # omit it; keep init pytrees structurally identical)
+                layer["input_layernorm"] = norm_init((cfg.hidden_size,), dtype)
         if cfg.qk_norm:
             layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
             layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)

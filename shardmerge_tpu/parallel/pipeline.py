@@ -237,6 +237,13 @@ def pipeline_forward_train(
     tp = "tp" in mesh.axis_names
     if tp:
         n_tp = mesh.shape["tp"]
+        if cfg.qk_norm_full:
+            raise NotImplementedError(
+                "olmo2's full-vector q/k RMSNorm spans every head, so its "
+                "statistic cannot be computed on a Megatron head slice "
+                "without a cross-tp reduction; pp x tp is unsupported for "
+                "qk_norm_full models"
+            )
         if (
             cfg.num_attention_heads % n_tp
             or cfg.num_key_value_heads % n_tp

@@ -1584,11 +1584,15 @@ def test_olmo2_matches_transformers(tmp_path):
     cache_len = 16
     rope = rope_tables(cfg, cache_len)
     kv = init_kv_cache(cfg, 1, cache_len, jnp.float32)
-    full_logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    full_logits = logits
     logits_p, kv = forward(
         params, cfg, jnp.asarray(ids[:, :4]),
         jnp.arange(4, dtype=jnp.int32)[None, :], kv,
         cache_pos=0, rope=rope, attn_len=4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(full_logits[:, :4]),
+        rtol=1e-4, atol=1e-4,
     )
     step_logits, _ = forward(
         params, cfg, jnp.asarray(ids[:, 4:5]),
