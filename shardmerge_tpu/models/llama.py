@@ -99,8 +99,10 @@ class ModelConfig:
     v_head_dim: Optional[int] = None
     # DeepSeek checkpoints store rope dims as interleaved (even, odd) pairs
     # (HF deepseek_v3 rope_interleave; deepseek_v2 always, via its complex-
-    # valued apply_rotary_emb)
+    # valued apply_rotary_emb); glm4 interleaves its partial-rotary dims
     rope_interleave: bool = False
+    # glm4: only the first head_dim * factor dims rotate
+    partial_rotary_factor: float = 1.0
     # DeepSeek MoE: dense first_k layers, always-on shared experts, routed
     # weight scaling, group-limited expert selection
     n_shared_experts: int = 0
@@ -136,8 +138,10 @@ class ModelConfig:
     @property
     def rope_dims(self) -> int:
         """Head dims the rotary tables cover (MLA ropes only the shared
-        qk_rope part; HF deepseek configs set head_dim = qk_rope_head_dim)."""
-        return self.qk_rope_head_dim if self.is_mla else self.head_dim
+        qk_rope part; glm4 ropes the partial_rotary_factor fraction)."""
+        if self.is_mla:
+            return self.qk_rope_head_dim
+        return int(self.head_dim * self.partial_rotary_factor)
 
     @property
     def mla_softmax_scale(self) -> float:
@@ -274,12 +278,13 @@ class ModelConfig:
             qk_rope_head_dim=config.get("qk_rope_head_dim", 0),
             v_head_dim=config.get("v_head_dim"),
             rope_interleave=(
-                model_type == "deepseek_v2"
+                model_type in ("deepseek_v2", "glm4")
                 or (
                     model_type == "deepseek_v3"
                     and config.get("rope_interleave", True)
                 )
             ),
+            partial_rotary_factor=config.get("partial_rotary_factor", 1.0),
             n_shared_experts=config.get("n_shared_experts") or 0,
             first_k_dense_replace=config.get("first_k_dense_replace", 0),
             routed_scaling_factor=config.get("routed_scaling_factor", 1.0),
@@ -446,6 +451,27 @@ def apply_rope(q, k, cos, sin, positions):
     return q_out.astype(q.dtype), k_out.astype(k.dtype)
 
 
+def apply_rope_cfg(cfg: ModelConfig, q, k, cos, sin, positions):
+    """Rope application honoring partial rotary and interleaved pair
+    layouts (glm4 uses both; plain models take the fast path). The
+    interleaved form rotates (2i, 2i+1) pairs — un-interleaving to the
+    half layout and applying the standard rotation transforms q and k
+    consistently, so attention scores are identical (see _uninterleave)."""
+    d = cos.shape[-1]
+    if d == q.shape[-1] and not cfg.rope_interleave:
+        return apply_rope(q, k, cos, sin, positions)
+    q_rot, q_pass = q[..., :d], q[..., d:]
+    k_rot, k_pass = k[..., :d], k[..., d:]
+    if cfg.rope_interleave:
+        q_rot = _uninterleave(q_rot)
+        k_rot = _uninterleave(k_rot)
+    q_rot, k_rot = apply_rope(q_rot, k_rot, cos, sin, positions)
+    return (
+        jnp.concatenate([q_rot, q_pass], axis=-1),
+        jnp.concatenate([k_rot, k_pass], axis=-1),
+    )
+
+
 def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ W.T with transparent dequantization.
 
@@ -544,7 +570,7 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
             layer["post_feedforward_layernorm"] = norm_init(
                 (cfg.hidden_size,), dtype
             )
-        if cfg.is_gemma2:
+        if cfg.is_gemma2 or cfg.model_type == "glm4":  # sandwich norms
             layer["pre_feedforward_layernorm"] = norm_init(
                 (cfg.hidden_size,), dtype
             )
@@ -678,7 +704,7 @@ def _attention(
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
 
     if use_rope:  # smollm3 NoPE layers skip rotary entirely
-        q, k = apply_rope(q, k, cos, sin, positions)
+        q, k = apply_rope_cfg(cfg, q, k, cos, sin, positions)
 
     k_cache, v_cache = kv_slice
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
@@ -1354,7 +1380,7 @@ def block_train(
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
     if use_rope:  # smollm3 NoPE layers skip rotary entirely
-        q, k = apply_rope(q, k, cos, sin, positions)
+        q, k = apply_rope_cfg(cfg, q, k, cos, sin, positions)
 
     group = H // KVH
     qg = q.reshape(B, KVH, group, T, D)

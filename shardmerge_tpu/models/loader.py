@@ -60,6 +60,13 @@ _LAYER_WEIGHTS = {
 }
 # qwen3-moe expert weights use HF mlp names; the pytree keeps mixtral's w1/w3/w2
 _EXPERT_WEIGHTS = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
+# glm4 sandwich norms -> the gemma2-structure slot names (its
+# post_attention_layernorm is the PRE-ffn norm)
+_GLM4_NORMS = {
+    "post_self_attn_layernorm.weight": "post_attention_layernorm",
+    "post_attention_layernorm.weight": "pre_feedforward_layernorm",
+    "post_mlp_layernorm.weight": "post_feedforward_layernorm",
+}
 # gpt-oss stacks ALL experts into single fused tensors
 _GPTOSS_EXPERT_WEIGHTS = {
     "mlp.experts.gate_up_proj": "gate_up",
@@ -276,6 +283,14 @@ def load_params(
                                 else place(part, key=key)
                             )
                             layer[key] = w
+                        continue
+                    if cfg.model_type == "glm4" and suffix in _GLM4_NORMS:
+                        # glm4's sandwich norms are gemma2's structure with
+                        # rotated names — note its post_attention_layernorm
+                        # is the PRE-ffn norm, so the generic map must not
+                        # see it
+                        key = _GLM4_NORMS[suffix]
+                        layer[key] = place(arr, key=key)
                         continue
                     key = _LAYER_WEIGHTS.get(suffix)
                     if key is None:

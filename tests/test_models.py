@@ -1605,6 +1605,53 @@ def test_olmo2_matches_transformers(tmp_path):
     )
 
 
+def test_glm4_matches_transformers(tmp_path):
+    """GLM-4: sandwich norms (its post_attention_layernorm is the PRE-ffn
+    norm — loader remaps onto the gemma2-structure slots) and partial
+    INTERLEAVED rotary (factor 0.5, (2i, 2i+1) pairs), q/k/v biases."""
+    import torch
+    from transformers import Glm4Config, Glm4ForCausalLM
+
+    torch.manual_seed(19)
+    config = Glm4Config(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rope_theta=10000.0,
+        attention_bias=True,
+        partial_rotary_factor=0.5,
+        tie_word_embeddings=False,
+        pad_token_id=0,
+    )
+    model = Glm4ForCausalLM(config).eval().to(torch.float32)
+    with torch.no_grad():
+        for layer in model.model.layers:
+            layer.self_attn.q_proj.bias.uniform_(-0.3, 0.3)
+            layer.self_attn.k_proj.bias.uniform_(-0.3, 0.3)
+            layer.self_attn.v_proj.bias.uniform_(-0.3, 0.3)
+    path = tmp_path / "glm4"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.rope_interleave and cfg.rope_dims == 8  # head_dim 16 x 0.5
+    params = load_params(path, cfg, dtype=jnp.float32)
+    layer0 = params["layers"][0]
+    assert "pre_feedforward_layernorm" in layer0  # remapped sandwich norm
+    assert "q_bias" in layer0
+    ids = np.array([[8, 52, 99, 23, 71, 5]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+
 def test_smollm3_config_derives_nope_and_sliding():
     """config.json files that omit no_rope_layers/layer_types get HF's
     derived defaults: NoPE every no_rope_layer_interval layers, sliding
