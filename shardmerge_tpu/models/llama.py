@@ -230,8 +230,9 @@ class ModelConfig:
                 "tie_word_embeddings",
                 model_type.startswith("gemma") or model_type == "smollm3",
             ),
+            # qwen2 and glm4 bias q/k/v by default
             attention_bias=config.get(
-                "attention_bias", model_type == "qwen2"
+                "attention_bias", model_type in ("qwen2", "glm4")
             ),
             model_type=model_type,
             # Mixtral names the field num_local_experts; Qwen3-MoE
@@ -284,7 +285,10 @@ class ModelConfig:
                     and config.get("rope_interleave", True)
                 )
             ),
-            partial_rotary_factor=config.get("partial_rotary_factor", 1.0),
+            # HF Glm4Config defaults to half rotary
+            partial_rotary_factor=config.get(
+                "partial_rotary_factor", 0.5 if model_type == "glm4" else 1.0
+            ),
             n_shared_experts=config.get("n_shared_experts") or 0,
             first_k_dense_replace=config.get("first_k_dense_replace", 0),
             routed_scaling_factor=config.get("routed_scaling_factor", 1.0),
@@ -794,10 +798,7 @@ def _attention_mla(cfg, layer, x, cos, sin, positions, cache_slice, cache_pos, m
     c = rms_norm(ckv[..., :dc], layer["kv_a_layernorm"], cfg.rms_norm_eps)
     k_pe = ckv[..., dc:][:, None]  # (B, 1, T, Dr) — shared across heads
 
-    if cfg.rope_interleave:
-        q_pe = _uninterleave(q_pe)
-        k_pe = _uninterleave(k_pe)
-    q_pe, k_pe = apply_rope(q_pe, k_pe, cos, sin, positions)
+    q_pe, k_pe = apply_rope_cfg(cfg, q_pe, k_pe, cos, sin, positions)
 
     c_cache, pe_cache = cache_slice
     c_cache = jax.lax.dynamic_update_slice(c_cache, c, (0, cache_pos, 0))
