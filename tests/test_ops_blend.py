@@ -156,6 +156,62 @@ def test_merge_slerp_matches_oracle(rng, shape):
     _assert_mostly_close(ours, theirs.numpy(), rtol=2e-3, atol=2e-4 * scale)
 
 
+def test_fuzz_kernels_match_oracle_random_shapes():
+    """Randomized-shape sweep of both blend kernels against the torch
+    oracle: odd sizes, 1-D, skinny and fat matrices, varied t/cutoff/cull
+    — the parity contract must hold off the convenient power-of-two grid.
+
+    Tolerances are the engine-level acceptance class (rtol 2e-2), not the
+    kernel-level 2e-3: when the imag-plane spectra happen to be nearly
+    aligned, the inner slerp amplifies the ~1e-7 XLA-vs-torch FFT rounding
+    to ~1e-3 outputs (sin(theta) in the denominator; the (3,128) case here
+    measured 4e-3 relative with BIT-TIGHT agreement when both sides are
+    fed identical spectra — library rounding, not a semantic gap)."""
+    gen = np.random.default_rng(777)
+    shapes = [(17,), (5, 7), (3, 128), (129, 4), (31, 33), (8, 200)]
+    for i, shape in enumerate(shapes):
+        v0 = gen.standard_normal(shape).astype(np.float32)
+        v1 = (gen.standard_normal(shape) * (0.3 + 0.4 * (i % 3))).astype(
+            np.float32
+        )
+        t = float(0.1 + 0.15 * i)
+        cutoff = float(0.02 + 0.03 * (i % 4))
+        cull = float(0.05 * (i % 5))
+
+        ours, n0, n1 = blend.merge_tensors_fft2_slerp(
+            jnp.asarray(v0), jnp.asarray(v1), t=t,
+            cutoff_pct=cutoff, cull_pct=cull,
+        )
+        theirs, tn0, tn1 = oracle.merge_tensors_fft2_slerp(
+            torch.from_numpy(v0), torch.from_numpy(v1), t=t,
+            cutoff_pct=cutoff, cull_pct=cull,
+        )
+        assert np.isclose(n0, tn0, rtol=1e-5), shape
+        assert np.isclose(n1, tn1, rtol=1e-5), shape
+        scale = max(np.abs(theirs.numpy()).max(), 1e-3)
+        _assert_mostly_close(
+            ours, theirs.numpy(), rtol=2e-2, atol=2e-3 * scale,
+            max_flip_frac=0.03,
+        )
+
+        for agreement in (True, False):
+            a_ours = np.asarray(
+                blend.task_arithmetic_fft2(
+                    jnp.asarray(v0), jnp.asarray(v1), jnp.float32(t),
+                    agreement=agreement,
+                )
+            )
+            a_theirs = oracle.task_arithmetic_fft2(
+                torch.from_numpy(v0), torch.from_numpy(v1), t=t,
+                agreement=agreement,
+            ).numpy()
+            a_scale = max(np.abs(a_theirs).max(), 1.0)
+            _assert_mostly_close(
+                a_ours, a_theirs, rtol=2e-2, atol=2e-3 * a_scale,
+                max_flip_frac=0.02,
+            )
+
+
 def test_merge_slerp_small_norm_early_return(rng):
     v0 = _rand(rng, (16, 16))
     v1 = np.zeros((16, 16), np.float32)
