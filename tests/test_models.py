@@ -532,6 +532,25 @@ def test_speculative_decoding_exact_and_fewer_dispatches(tmp_path):
     assert got3 == expected
     assert propose_calls["n"] <= -(-16 // 4) + 1
 
+    # speculative decoding composes with tensor-parallel serving: the
+    # verify dispatch runs on the sharded target, the draft stays local.
+    # Compare sharded-vs-sharded: GSPMD collectives reorder reductions, so
+    # sharded logits can resolve fp near-ties differently than unsharded
+    plain_sharded = InferenceEngine.from_pretrained(
+        str(tmp_path / "target"), tokenizer=StubTokenizer(), shard=True
+    )
+    expected_sharded, _ = run(plain_sharded)
+    spec_sharded = InferenceEngine.from_pretrained(
+        str(tmp_path / "target"),
+        tokenizer=StubTokenizer(),
+        draft_model=str(tmp_path / "target"),
+        speculation_k=4,
+        shard=True,
+    )
+    assert spec_sharded.mesh is not None
+    got4, _ = run(spec_sharded)
+    assert got4 == expected_sharded
+
     # meta reports finish_reason; max_new_tokens=0 emits nothing (both paths)
     meta = {}
     out0 = "".join(
