@@ -131,9 +131,48 @@ def bench_torch_reference(a_np, b_np):
     return time.perf_counter() - start, merged
 
 
+def _probe_device(timeout_s: float = 180.0) -> None:
+    """Fail FAST if the device backend is unreachable.
+
+    The tunneled TPU's relay can die silently; jax.devices() then blocks
+    forever with no diagnostic. Probing in a subprocess converts a hang
+    (driver timeout-kill, no evidence) into a quick, explicit failure."""
+    import subprocess
+
+    probe = (
+        "import jax\n"
+        "d = jax.devices()\n"
+        "import jax.numpy as jnp\n"
+        "float(jnp.sum(jnp.ones((4,))))\n"
+        "print('probe ok:', d[0].platform)\n"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", probe],
+            capture_output=True,
+            text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            f"FAIL: device backend unresponsive after {timeout_s:.0f}s "
+            "(TPU relay down?); refusing to hang",
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    if proc.returncode != 0:
+        print(
+            "FAIL: device probe crashed:\n" + proc.stderr[-1000:],
+            file=sys.stderr,
+        )
+        sys.exit(2)
+    print(proc.stdout.strip(), file=sys.stderr)
+
+
 def main():
     import numpy as np
 
+    _probe_device()
     rng = np.random.default_rng(0)
     a_np = rng.standard_normal(SHAPE).astype(np.float32)
     b_np = rng.standard_normal(SHAPE).astype(np.float32)
