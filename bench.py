@@ -131,12 +131,15 @@ def bench_torch_reference(a_np, b_np):
     return time.perf_counter() - start, merged
 
 
-def _probe_device(timeout_s: float = 180.0) -> None:
-    """Fail FAST if the device backend is unreachable.
+def _probe_device(timeout_s: float = 180.0, attempts: int = 3) -> None:
+    """Fail FAST (with retries) if the device backend is unreachable.
 
-    The tunneled TPU's relay can die silently; jax.devices() then blocks
-    forever with no diagnostic. Probing in a subprocess converts a hang
-    (driver timeout-kill, no evidence) into a quick, explicit failure."""
+    The tunneled TPU's relay can die silently — jax.devices() or the first
+    dispatch then blocks forever with no diagnostic — and it is FLAKY: it
+    has been observed answering one probe and hanging the next. Probing in
+    a subprocess with a deadline converts a hang (driver timeout-kill, no
+    evidence) into an explicit failure; a few attempts ride out transient
+    relay stalls."""
     import subprocess
 
     probe = (
@@ -146,27 +149,36 @@ def _probe_device(timeout_s: float = 180.0) -> None:
         "float(jnp.sum(jnp.ones((4,))))\n"
         "print('probe ok:', d[0].platform)\n"
     )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", probe],
-            capture_output=True,
-            text=True,
-            timeout=timeout_s,
-        )
-    except subprocess.TimeoutExpired:
-        print(
-            f"FAIL: device backend unresponsive after {timeout_s:.0f}s "
-            "(TPU relay down?); refusing to hang",
-            file=sys.stderr,
-        )
-        sys.exit(2)
-    if proc.returncode != 0:
-        print(
-            "FAIL: device probe crashed:\n" + proc.stderr[-1000:],
-            file=sys.stderr,
-        )
-        sys.exit(2)
-    print(proc.stdout.strip(), file=sys.stderr)
+    for attempt in range(1, attempts + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True,
+                text=True,
+                timeout=timeout_s,
+            )
+        except subprocess.TimeoutExpired:
+            print(
+                f"probe attempt {attempt}/{attempts}: backend unresponsive "
+                f"after {timeout_s:.0f}s (TPU relay stalled?)",
+                file=sys.stderr,
+            )
+            continue
+        if proc.returncode != 0:
+            print(
+                f"probe attempt {attempt}/{attempts} crashed:\n"
+                + proc.stderr[-1000:],
+                file=sys.stderr,
+            )
+            continue
+        print(proc.stdout.strip(), file=sys.stderr)
+        return
+    print(
+        f"FAIL: device backend unreachable after {attempts} probe attempts; "
+        "refusing to hang",
+        file=sys.stderr,
+    )
+    sys.exit(2)
 
 
 def main():
