@@ -131,6 +131,38 @@ class _IndexBase:
         self.model_shards: Dict[str, Dict[str, ModelShard]] = {}
         self._tensor_cache: Dict[Tuple[str, str], np.ndarray] = {}
         self._ordered_weights: Dict[str, List[str]] = {}
+        # (model, tensor) -> promises awaiting one in-flight load. Without
+        # this, a prefetch racing a demand fetch for the same tensor would
+        # read (or download) the shard twice; the reference has the same
+        # hazard but never prefetches (index.py:195-221).
+        self._inflight: Dict[Tuple[str, str], List[TensorPromise]] = {}
+
+    def _join_or_start_load(
+        self, promise: TensorPromise, shard_key: Tuple[str, str]
+    ) -> None:
+        """Attach ``promise`` to an in-flight load of the same tensor, or
+        start one (subclass ``_load_tensor`` does the IO)."""
+        key = (promise.model_uri, promise.tensor_name)
+        waiters = self._inflight.get(key)
+        if waiters is not None:
+            waiters.append(promise)
+            return
+        self._inflight[key] = [promise]
+        asyncio.create_task(self._load_tensor(promise, shard_key))
+
+    def _settle_load(
+        self,
+        promise: TensorPromise,
+        tensor: Optional[np.ndarray],
+        exc: Optional[Exception] = None,
+    ) -> None:
+        """Resolve every promise joined to this load (incl. ``promise``)."""
+        key = (promise.model_uri, promise.tensor_name)
+        for p in self._inflight.pop(key, [promise]):
+            if exc is not None:
+                p.set_exception(exc)
+            else:
+                p.set_result(tensor)
 
     def _register_index(self, model_id: str, index: dict):
         if "weight_map" not in index:
@@ -288,7 +320,7 @@ class HFMultiModelIndex(_IndexBase):
             return promise
 
         shard_name = index["weight_map"][tensor_name]
-        asyncio.create_task(self._load_tensor(promise, (model_uri, shard_name)))
+        self._join_or_start_load(promise, (model_uri, shard_name))
         return promise
 
     async def preload_tensor(self, model_uri: str, tensor_name: str):
@@ -332,7 +364,7 @@ class HFMultiModelIndex(_IndexBase):
 
             tensor = await asyncio.to_thread(read)
             self._tensor_cache[(model_uri, promise.tensor_name)] = tensor
-            promise.set_result(tensor)
+            self._settle_load(promise, tensor)
         except Exception as e:
             logger.exception(
                 "Failed to load tensor %s from %s/%s",
@@ -340,7 +372,7 @@ class HFMultiModelIndex(_IndexBase):
                 shard_key[0],
                 shard_key[1],
             )
-            promise.set_exception(e)
+            self._settle_load(promise, None, e)
 
 
 class OfflineMultiModelIndex(_IndexBase):
@@ -411,13 +443,29 @@ class OfflineMultiModelIndex(_IndexBase):
             return promise
 
         shard_name = index["weight_map"][tensor_name]
-        asyncio.create_task(self._load_tensor(promise, (model_id, shard_name)))
+        self._join_or_start_load(promise, (model_id, shard_name))
         return promise
 
     async def preload_tensor(self, model_id: str, tensor_name: str):
-        """No-op transport-wise (local files); kept for surface parity."""
-        if self._resolve(model_id) not in self.model_indexes:
+        """Read the tensor into the memory cache ahead of demand.
+
+        The reference's preload only warms the *download* (index.py:223-236),
+        which for local files is a no-op; here the disk read itself is the
+        transport, so prefetch means doing the read (in a worker thread,
+        deduped against demand fetches via ``_join_or_start_load``)."""
+        model_id = self._resolve(model_id)
+        if model_id not in self.model_indexes:
             raise KeyError(f"Model {model_id} not found in index")
+        key = (model_id, tensor_name)
+        if key in self._tensor_cache or key in self._inflight:
+            return
+        try:
+            await self.get_tensor(model_id, tensor_name).get()
+        except Exception:
+            # demand fetch will surface the error with full context
+            logger.exception(
+                "Failed to preload tensor %r from %r", tensor_name, model_id
+            )
 
     async def _load_tensor(self, promise: TensorPromise, shard_key: Tuple[str, str]):
         model_id, shard_name = shard_key
@@ -438,7 +486,7 @@ class OfflineMultiModelIndex(_IndexBase):
 
             tensor = await asyncio.to_thread(read)
             self._tensor_cache[(model_id, promise.tensor_name)] = tensor
-            promise.set_result(tensor)
+            self._settle_load(promise, tensor)
         except Exception as e:
             logger.exception(
                 "Failed to load tensor %r from model %r shard %r (%s)",
@@ -447,4 +495,4 @@ class OfflineMultiModelIndex(_IndexBase):
                 shard_name,
                 local_shard_path,
             )
-            promise.set_exception(e)
+            self._settle_load(promise, None, e)

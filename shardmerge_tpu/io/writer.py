@@ -159,6 +159,15 @@ class ModelWriter:
             )
             return
 
+        if self.read_only:
+            # non-primary multi-host processes: keep the bookkeeping (dedupe
+            # + progress) but never stage the data — staging would pin every
+            # pending shard's tensors in host RAM for a writer that is
+            # forbidden to flush them
+            with self._state_lock:
+                self.written_shard_layers.add((shard_name, layer_name))
+            return
+
         arr = np.asarray(tensor)
         if arr.dtype != self.output_astype:
             arr = self._cast(arr)

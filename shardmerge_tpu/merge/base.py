@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import asyncio
 import logging
+import os
+import time
 from abc import ABC, abstractmethod
 from typing import List, Optional
 
@@ -63,6 +65,14 @@ class MergeTensorsBase(ABC):
         # a per-shape TPU compile and a dispatch round-trip for every
         # layernorm-sized tensor (a Llama family has ~2x layers of them).
         self.small_tensor_numel = _ignored.get("small_tensor_numel", 1 << 18)
+        # How many layers ahead to start host reads (SURVEY.md §7 step 4:
+        # double-buffered host->HBM pipeline; the reads for layer n+1..n+k
+        # run in worker threads while layer n computes/transfers). 0 = off.
+        # Env override so CLI runs (rehearsals) can A/B the pipeline depth.
+        self.prefetch_depth = _ignored.get(
+            "prefetch_depth",
+            int(os.environ.get("SHARDMERGE_PREFETCH_DEPTH", "2")),
+        )
 
     @abstractmethod
     def get_readme(self) -> str:
@@ -100,7 +110,16 @@ class MergeTensorsBase(ABC):
 
     async def _fetch(self, model_uri: str, tensor_name: str) -> jnp.ndarray:
         """Fetch a tensor to the device (single host->HBM transfer)."""
+        t0 = time.perf_counter()
         host = await self.index_manager.get_tensor(model_uri, tensor_name).get()
+        t1 = time.perf_counter()
+        self.stats.span_fetch_s += t1 - t0
+        try:
+            return self._place(host, tensor_name)
+        finally:
+            self.stats.span_h2d_s += time.perf_counter() - t1
+
+    def _place(self, host: np.ndarray, tensor_name: str) -> jnp.ndarray:
         sharding = self._sharding_for(host)
         if sharding:
             pad = self._pad_rows_for(host, sharding)
@@ -177,10 +196,47 @@ class MergeTensorsBase(ABC):
         """Device->host, gathering cross-host shards first (collective —
         every process must call it for every tensor, in order)."""
         if isinstance(tensor, jax.Array) and not tensor.is_fully_addressable:
-            from jax.experimental import multihost_utils
-
-            tensor = multihost_utils.process_allgather(tensor, tiled=True)
+            return self._gather_cross_host(tensor)
         return np.asarray(tensor)
+
+    def _gather_cross_host(self, tensor) -> np.ndarray:
+        """Gather a cross-host-sharded tensor in bounded row blocks.
+
+        ``process_allgather`` of a whole tensor materializes a full host
+        copy on EVERY process — at 70B scale (4.2 GB embed) that is P full
+        copies for one write. Instead gather row blocks of at most
+        SHARDMERGE_GATHER_BLOCK_BYTES (default 256 MiB): the primary
+        assembles the result into one preallocated array; other processes
+        hold a single transient block (they participate in the collectives
+        but never keep the data — their writer is read_only)."""
+        from jax.experimental import multihost_utils
+
+        limit = int(
+            os.environ.get("SHARDMERGE_GATHER_BLOCK_BYTES", 256 << 20)
+        )
+        if tensor.ndim < 2 or tensor.nbytes <= limit:
+            return np.asarray(
+                multihost_utils.process_allgather(tensor, tiled=True)
+            )
+        rows = tensor.shape[0]
+        step = max(1, limit // max(tensor.nbytes // rows, 1))
+        primary = self._is_primary()
+        out = np.empty(tensor.shape, tensor.dtype) if primary else None
+        for r0 in range(0, rows, step):
+            blk = multihost_utils.process_allgather(
+                tensor[r0:r0 + step], tiled=True
+            )
+            if primary:
+                out[r0:r0 + step] = np.asarray(blk)
+            del blk
+        if primary:
+            return out
+        # non-primary: stats/bookkeeping see the true logical size but no
+        # memory is retained (zero-stride broadcast; read_only writers
+        # never touch the data)
+        return np.broadcast_to(
+            np.zeros((), tensor.dtype), tensor.shape
+        )
 
     def get_writer(
         self, layer_order: List[str], read_only: Optional[bool] = None
@@ -232,6 +288,33 @@ class MergeTensorsBase(ABC):
         logger.info("Merge complete. Output saved to %s", self.config.output_path)
         logger.info("Merge stats: %s", self.stats.summary())
 
+    def _prefetch_layer(self, shard_layer: ShardLayer) -> None:
+        """Start background host reads for every tensor this layer will
+        fetch (fire-and-forget; ``preload_tensor`` dedupes against demand
+        fetches). Engines with narrower model coverage may override."""
+        uris = [self.config.output_base_model]
+        for m in self.config.finetune_merge:
+            try:
+                covered = m.use_layer_index(shard_layer.layer_number)
+            except Exception:
+                covered = True
+            if covered:
+                uris += [m.model, m.base]
+        async def _quiet(coro):
+            try:
+                await coro
+            except Exception:  # noqa: BLE001 — prefetch must never fail a merge
+                logger.debug("prefetch skipped", exc_info=True)
+
+        for uri in dict.fromkeys(uris):
+            asyncio.create_task(
+                _quiet(
+                    self.index_manager.preload_tensor(
+                        uri, shard_layer.layer_name
+                    )
+                )
+            )
+
     async def _process_layers(
         self, writer: ModelWriter, shard_layers: List[ShardLayer]
     ):
@@ -239,24 +322,31 @@ class MergeTensorsBase(ABC):
         # still computing / copying device->host, layer n+1's shard preloads,
         # host reads and host->HBM transfers already run. The deferred
         # write-back (one layer deep) keeps at most one extra output tensor
-        # alive.
+        # alive; ``prefetch_depth`` layers of host reads run ahead in worker
+        # threads.
         shard_layer = None
         pending = None  # (shard_layer, device_or_host_tensor)
 
         def flush(entry):
             layer, tensor = entry
             self._check_deferred(layer.layer_name)
+            t0 = time.perf_counter()
             # waits on the async D2H copy; gathers cross-host shards
             host_tensor = self._to_host(tensor)
             writer.add_tensor(layer.layer_name, host_tensor)
+            self.stats.span_flush_s += time.perf_counter() - t0
             self.stats.tensors_merged += 1
             self.stats.bytes_written += host_tensor.nbytes
             self._evict_layer(layer.layer_name)
 
         try:
-            for shard_layer in shard_layers:
+            for i, shard_layer in enumerate(shard_layers):
+                for ahead in shard_layers[i + 1:i + 1 + self.prefetch_depth]:
+                    self._prefetch_layer(ahead)
+                t0 = time.perf_counter()
                 with phase_profiler(f"merge {shard_layer.layer_name}"):
                     out_tensor = await self._merge_layer(shard_layer)
+                self.stats.span_merge_s += time.perf_counter() - t0
                 if hasattr(out_tensor, "copy_to_host_async"):
                     out_tensor.copy_to_host_async()
                 if pending is not None:

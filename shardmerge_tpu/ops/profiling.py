@@ -114,6 +114,14 @@ class MergeStats:
     # blocking device->host fetches issued inside reduction loops (the
     # stepwise engine targets <=1 per reduction round)
     host_syncs: int = 0
+    # host-pipeline spans (seconds, summed over layers): time awaiting host
+    # tensor data, host->device puts, _merge_layer walls, and write-back
+    # (D2H wait + shard write). With prefetch overlapping reads under
+    # compute, span_fetch_s shrinks while wall stays ~span_merge+span_flush.
+    span_fetch_s: float = 0.0
+    span_h2d_s: float = 0.0
+    span_merge_s: float = 0.0
+    span_flush_s: float = 0.0
     started_at: float = field(default_factory=time.time)
 
     def record_pair(self, regime: str):
@@ -130,6 +138,13 @@ class MergeStats:
             + (
                 f"; scrubbed {self.nans_scrubbed} NaNs"
                 if self.nans_scrubbed
+                else ""
+            )
+            + (
+                f"; spans fetch={self.span_fetch_s:.1f}s "
+                f"h2d={self.span_h2d_s:.1f}s merge={self.span_merge_s:.1f}s "
+                f"flush={self.span_flush_s:.1f}s"
+                if self.span_merge_s
                 else ""
             )
         )

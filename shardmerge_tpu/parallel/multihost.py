@@ -110,11 +110,21 @@ def initialize_distributed(
     ):
         logger.debug("single-process run; distributed runtime not started")
         return False
+    extra = {}
+    # One oversubscribed host (or a cold remote compiler) can stall a worker
+    # past the 100 s default without it being dead; let deployments widen it.
+    hb = os.environ.get("SHARDMERGE_HEARTBEAT_TIMEOUT_S")
+    if hb:
+        try:
+            extra["heartbeat_timeout_seconds"] = int(hb)
+        except ValueError:
+            logger.warning("ignoring malformed SHARDMERGE_HEARTBEAT_TIMEOUT_S")
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
+            **extra,
         )
     except Exception as e:
         logger.info(

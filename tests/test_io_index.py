@@ -209,3 +209,67 @@ def test_ordered_weights_moe_namings():
         i0 = max(i for i, w in enumerate(order) if ".layers.0." in w)
         i1 = min(i for i, w in enumerate(order) if ".layers.1." in w)
         assert i0 < i1
+
+
+def test_offline_concurrent_fetches_share_one_read(
+    tiny_model_factory, monkeypatch
+):
+    """A prefetch racing a demand fetch (or two demand fetches) for the same
+    tensor must issue exactly one disk read (``_join_or_start_load``)."""
+    import shardmerge_tpu.io.index as index_mod
+
+    path, tensors = tiny_model_factory("model-dedupe", seed=5)
+    real_reader = index_mod.SafeTensorsReader
+    opens = []
+
+    class CountingReader(real_reader):
+        def __init__(self, p, *a, **k):
+            opens.append(str(p))
+            super().__init__(p, *a, **k)
+
+    monkeypatch.setattr(index_mod, "SafeTensorsReader", CountingReader)
+    name = "model.layers.0.mlp.gate_proj.weight"
+
+    async def main():
+        index = OfflineMultiModelIndex()
+        index.add_model(path)
+        p1 = index.get_tensor("model-dedupe", name)
+        p2 = index.get_tensor("model-dedupe", name)
+        pre = asyncio.create_task(index.preload_tensor("model-dedupe", name))
+        a, b, _ = await asyncio.gather(p1.get(), p2.get(), pre)
+        assert a is b
+        np.testing.assert_array_equal(a, tensors[name])
+        assert len(opens) == 1, opens
+        # preload of an uncached tensor does the read; a later demand fetch
+        # then hits the cache
+        index.release_tensor("model-dedupe", name)
+        await index.preload_tensor("model-dedupe", name)
+        assert len(opens) == 2
+        c = await index.get_tensor("model-dedupe", name).get()
+        assert len(opens) == 2
+        np.testing.assert_array_equal(c, tensors[name])
+
+    asyncio.run(main())
+
+
+def test_offline_load_failure_rejects_all_waiters(tiny_model_factory):
+    """Every promise joined to one failed load gets the exception."""
+    path, _ = tiny_model_factory("model-fail", seed=6)
+    name = "model.layers.0.mlp.gate_proj.weight"
+
+    async def main():
+        index = OfflineMultiModelIndex()
+        index.add_model(path)
+        # break the shard file path after registration
+        index.model_paths["model-fail"] = path / "nonexistent"
+        p1 = index.get_tensor("model-fail", name)
+        p2 = index.get_tensor("model-fail", name)
+        for p in (p1, p2):
+            with pytest.raises(FileNotFoundError):
+                await p.get()
+        # the inflight entry is gone; a fixed path works again
+        index.model_paths["model-fail"] = path
+        got = await index.get_tensor("model-fail", name).get()
+        assert got is not None
+
+    asyncio.run(main())

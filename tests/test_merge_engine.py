@@ -1018,3 +1018,41 @@ def test_fused_pair_at_fast_imag_activation_size(tmp_path):
     scale = max(np.abs(expect).max(), 1e-6)
     _mostly_close(got, expect, rtol=2e-2, atol=2e-2 * scale,
                   max_flip_frac=0.002)
+
+
+def test_prefetch_depth_invariance_and_spans(tmp_path, tiny_model_factory):
+    """prefetch_depth only changes WHEN host reads happen, never the output;
+    the span counters populate (VERDICT r2 #3 instrumentation)."""
+    base_path, _ = tiny_model_factory("base", seed=70)
+    ft1_path, _ = tiny_model_factory("ft1", seed=71)
+    ft2_path, _ = tiny_model_factory("ft2", seed=72)
+
+    outs = {}
+    for depth in (0, 3):
+        out_dir = tmp_path / f"d{depth}"
+        out_dir.mkdir()
+        config = _make_config(
+            out_dir,
+            base_path,
+            [
+                {"model": str(ft1_path), "base": str(base_path), "alpha": 0.8},
+                {"model": str(ft2_path), "base": str(base_path), "alpha": 0.4},
+            ],
+        )
+        merger = FourierMerge(
+            config,
+            index_manager=_offline_index(base_path, ft1_path, ft2_path),
+            prefetch_depth=depth,
+        )
+        _run_merge(merger)
+        outs[depth] = _read_output(out_dir / "merged")
+        assert merger.stats.span_merge_s > 0
+        assert merger.stats.span_fetch_s >= 0
+        assert merger.stats.span_flush_s > 0
+        assert "spans" in merger.stats.summary()
+
+    assert set(outs[0]) == set(outs[3])
+    for name in outs[0]:
+        np.testing.assert_array_equal(
+            outs[0][name].view(np.uint16), outs[3][name].view(np.uint16)
+        )

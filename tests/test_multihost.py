@@ -1,19 +1,20 @@
 """True multi-process (multi-host analogue) coverage for the merge pipeline.
 
 SURVEY.md §2.3 marks multi-node as new TPU-native work; parallel/multihost.py
-holds the design. These tests exercise it with REAL process boundaries: two
-OS processes, each owning 2 virtual CPU devices, joined into one
+holds the design. These tests exercise it with REAL process boundaries: four
+OS processes, each owning one virtual CPU device, joined into one
 jax.distributed cluster over localhost with gloo collectives — the CPU
-harness's analogue of a 2-host TPU pod (ICI within a process, "DCN" = gloo
-between processes).
+harness's analogue of a 4-host TPU pod ("DCN" = gloo between processes).
 
-Both processes run the production ``merge`` CLI on the same config and
+All processes run the production ``merge`` CLI on the same config and
 shared output directory: cross-process device_put sharding, the distributed
-FFT's all-to-all spanning the process boundary, psum'd order statistics,
-``process_allgather`` at write-back, and the primary-only ModelWriter all
-run for real. The result is compared against a single-process run sharded
-over an equally-sized mesh (identical partitioning; only collective
-reduction order may differ).
+FFT's all-to-all spanning three process boundaries, psum'd order statistics,
+bounded-block gather at write-back (SHARDMERGE_GATHER_BLOCK_BYTES is set
+tiny so the row-block path actually runs), and the primary-only ModelWriter
+all run for real. The result is compared against a single-process run
+sharded over an equally-sized mesh (identical partitioning; only collective
+reduction order may differ). A second worker mode runs a pipeline-parallel
+forward whose ppermute edges cross the process boundaries (VERDICT r2 #6).
 """
 
 import os
@@ -30,8 +31,8 @@ from shardmerge_tpu.utils import host_device_count_flags
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
-N_PROCESSES = 2
-DEVICES_PER_PROCESS = 2
+N_PROCESSES = 4
+DEVICES_PER_PROCESS = 1
 MESH_SIZE = N_PROCESSES * DEVICES_PER_PROCESS
 
 
@@ -54,12 +55,21 @@ def _worker_env(port: int, process_id: int) -> dict:
     env["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
     env["JAX_NUM_PROCESSES"] = str(N_PROCESSES)
     env["JAX_PROCESS_ID"] = str(process_id)
+    # force the bounded-block write-back gather to actually take row blocks
+    # at tiny-test tensor sizes (merge/base.py _gather_cross_host)
+    env["SHARDMERGE_GATHER_BLOCK_BYTES"] = "512"
+    # 4 workers compiling XLA programs on this host's ONE core can stall any
+    # of them past the 100 s default heartbeat without being dead
+    env["SHARDMERGE_HEARTBEAT_TIMEOUT_S"] = "900"
     return env
 
 
-def _run_cluster(config_path: Path, out_dir: Path, attempts: int = 3) -> list:
-    """Spawn the N-process CLI merge cluster; returns per-process outputs.
+def _run_cluster(
+    worker_arg: str, out_dir: Path | None, attempts: int = 3
+) -> list:
+    """Spawn the N-process worker cluster; returns per-process outputs.
 
+    ``worker_arg`` is a merge config path or a worker mode ("pp").
     Retries with a fresh port when the cluster failed to FORM (the
     _free_port TOCTOU race: someone else bound the port between probe and
     coordinator startup); genuine merge failures — cluster formed, nonzero
@@ -70,14 +80,15 @@ def _run_cluster(config_path: Path, out_dir: Path, attempts: int = 3) -> list:
     for _ in range(attempts):
         # a failed/degraded attempt may have written partial (or complete,
         # single-process) output; the next attempt must merge from scratch
-        shutil.rmtree(out_dir, ignore_errors=True)
+        if out_dir is not None:
+            shutil.rmtree(out_dir, ignore_errors=True)
         port = _free_port()
         procs = [
             subprocess.Popen(
                 [
                     sys.executable,
                     str(REPO_ROOT / "tests" / "multihost_worker.py"),
-                    str(config_path),
+                    worker_arg,
                 ],
                 env=_worker_env(port, pid),
                 cwd=str(REPO_ROOT),
@@ -170,7 +181,7 @@ def test_two_process_cli_merge_matches_single_process(
     config_path = tmp_path / "mh.yaml"
     config_path.write_text(yaml.safe_dump(config))
 
-    outputs = _run_cluster(config_path, mh_out_dir)
+    outputs = _run_cluster(str(config_path), mh_out_dir)
 
     # The cluster must actually have formed — a silent single-process
     # degradation would make this test pass vacuously (and both processes
@@ -242,3 +253,15 @@ def test_initialize_distributed_env_triple(monkeypatch):
     monkeypatch.setenv("JAX_NUM_PROCESSES", "four")
     assert multihost.initialize_distributed() is False
     assert calls == [("10.0.0.1:1234", None, None)]
+
+
+def test_four_process_pipeline_crosses_boundaries():
+    """Pipeline parallelism with every ppermute edge on a process boundary
+    (4 stages x 1 device/process), gemma2-style per-layer sliding schedule:
+    the workers assert logits == single-device forward and print PP-OK."""
+    outputs = _run_cluster("pp", None)
+    for pid, out in enumerate(outputs):
+        assert f"distributed runtime up: process {pid}/{N_PROCESSES}" in out, (
+            f"process {pid} did not join the cluster:\n{out[-2000:]}"
+        )
+        assert "PP-OK" in out, f"process {pid}:\n{out[-2000:]}"
