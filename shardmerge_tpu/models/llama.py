@@ -1380,8 +1380,17 @@ def block_train(
         # qwen3: per-head RMSNorm before RoPE
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-    if use_rope:  # smollm3 NoPE layers skip rotary entirely
-        q, k = apply_rope_cfg(cfg, q, k, cos, sin, positions)
+    # smollm3 NoPE layers skip rotary entirely. ``use_rope`` may be a traced
+    # scalar bool (the pipeline schedule scans layer-index-dependent flags
+    # through one compiled body, parallel/pipeline.py): rope is then always
+    # computed and selected — branchless, XLA-friendly.
+    if isinstance(use_rope, bool):
+        if use_rope:
+            q, k = apply_rope_cfg(cfg, q, k, cos, sin, positions)
+    else:
+        qr, kr = apply_rope_cfg(cfg, q, k, cos, sin, positions)
+        q = jnp.where(use_rope, qr, q)
+        k = jnp.where(use_rope, kr, k)
 
     group = H // KVH
     qg = q.reshape(B, KVH, group, T, D)

@@ -20,9 +20,12 @@ SAME ``block_train`` the dp x tp path uses, so PP is numerically identical
 to the single-device forward — and differentiable, so ``make_pp_loss`` can
 back a training step.
 
-Restrictions: homogeneous dense decoder stacks only (no per-layer sliding
-windows — the scanned stage body is layer-index-blind), layers divisible by
-the stage count.
+Per-layer attention schedules ARE supported: the scanned stage body knows
+each layer's global index (stage r owns layers [r*per, (r+1)*per)) and
+selects that layer's mask (gemma2/gpt-oss/mistral sliding windows) and rope
+gate (smollm3 mixed NoPE) from static flag tables. Remaining restrictions:
+dense float decoder stacks (no MoE expert lists / quantized leaves — see
+stack_stages), layers divisible by the stage count.
 """
 
 from __future__ import annotations
@@ -44,17 +47,11 @@ _AXIS = "pp"
 _PP_CACHE: dict = {}
 
 
-def _check_cfg(cfg: ModelConfig):
-    if cfg.sliding_window is not None:
-        raise NotImplementedError(
-            "pipeline stages are layer-index-blind; per-layer sliding "
-            "windows (gemma2) cannot be scheduled"
-        )
-    if cfg.no_rope_layers is not None and len(set(cfg.no_rope_layers)) > 1:
-        raise NotImplementedError(
-            "pipeline stages are layer-index-blind; mixed NoPE layers "
-            "(smollm3 no_rope_layers) cannot be scheduled"
-        )
+# Per-layer sliding windows (gemma2/gpt-oss/mistral) and mixed NoPE
+# (smollm3) ARE supported: the scanned stage body carries each layer's
+# global index (stage r owns layers [r*per, (r+1)*per)) and selects that
+# layer's mask / rope gate from statically-known flag tables — branchless
+# jnp.where / gather, so one compiled body still serves every stage.
 
 
 # Megatron TP classification of stacked block leaves (S, per, *weight dims):
@@ -129,7 +126,11 @@ def stack_stages(
             ]
         )
 
-    stacked = {k: stage_stack(k) for k in keys}
+    # sorted: ``keys`` is a set, and per-process hash randomization would
+    # give each multihost process a DIFFERENT device_put order — multihost
+    # device_put is collective, so mismatched orders crash the transport
+    # (gloo "received data size doesn't match expected size")
+    stacked = {k: stage_stack(k) for k in sorted(keys)}
     pp_shard = {
         k: jax.device_put(v, NamedSharding(mesh, _block_spec(k, v, tp)))
         for k, v in stacked.items()
@@ -146,24 +147,45 @@ def stack_stages(
 
 
 def _schedule_body(
-    blocks, xs, cos, sin, positions, mask, *, cfg, n_stages, tp=False,
-    use_rope=True,
+    blocks, xs, cos, sin, positions, masks, *, cfg, n_stages, tp=False,
+    rope_flags=None, sliding_flags=None,
 ):
     """shard_map body: run the GPipe ticks for this device's stage.
 
     blocks: this stage's stacked layer weights, leaves (1, per, ...) — with
     ``tp`` the weight dims are additionally this device's Megatron slice and
     ``cfg`` is already scaled to the LOCAL head/ffn counts;
-    xs: (n_micro, mb, T, E) embedded microbatches, replicated.
+    xs: (n_micro, mb, T, E) embedded microbatches, replicated;
+    masks: (2, T, T) additive [full, sliding] (sliding == full when the
+    model has no window);
+    rope_flags / sliding_flags: static per-GLOBAL-layer bool tuples. When a
+    table is uniform the per-layer select compiles away (python branch);
+    otherwise the scanned body gathers its layer's entry by global index.
     Returns (n_micro, mb, T, E) final-stage activations, replicated (psum).
     """
     blocks = jax.tree.map(lambda v: v[0], blocks)  # (per, ...)
     rank = jax.lax.axis_index(_AXIS)
     n_micro = xs.shape[0]
+    per = jax.tree.leaves(blocks)[0].shape[0]
     reduce = (lambda y: jax.lax.psum(y, "tp")) if tp else None
 
+    rope_uniform = len(set(rope_flags)) == 1
+    sliding_uniform = len(set(sliding_flags)) == 1
+    rope_table = jnp.asarray(rope_flags)
+    sliding_table = jnp.asarray(sliding_flags, jnp.int32)
+
     def stage_apply(x):
-        def one_layer(h, layer):
+        def one_layer(h, inp):
+            layer, li = inp
+            g = rank * per + li  # global layer index of this scan step
+            if sliding_uniform:
+                mask = masks[1 if sliding_flags[0] else 0]
+            else:
+                mask = masks[sliding_table[g]]
+            if rope_uniform:
+                use_rope = rope_flags[0]
+            else:
+                use_rope = rope_table[g]
             return (
                 block_train(
                     cfg, layer, h, cos, sin, positions, mask,
@@ -172,7 +194,9 @@ def _schedule_body(
                 None,
             )
 
-        h, _ = jax.lax.scan(one_layer, x, blocks)
+        h, _ = jax.lax.scan(
+            one_layer, x, (blocks, jnp.arange(per, dtype=jnp.int32))
+        )
         return h
 
     def tick(carry, t):
@@ -232,7 +256,6 @@ def pipeline_forward_train(
     two psums per block (after o_proj and down_proj) assemble the
     activations — 2-D (pp x tp) scaling in one shard_map.
     """
-    _check_cfg(cfg)
     n_stages = mesh.shape[_AXIS]
     tp = "tp" in mesh.axis_names
     if tp:
@@ -270,7 +293,19 @@ def pipeline_forward_train(
     cos, sin = rope_tables(cfg, T)
     positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(mb, axis=0)
     causal = jnp.tril(jnp.ones((T, T), bool))
-    mask = jnp.where(causal, 0.0, jnp.float32(-1e9))
+    mask_full = jnp.where(causal, 0.0, jnp.float32(-1e9))
+    if cfg.sliding_window is not None:
+        ii = jnp.arange(T)[:, None]
+        jj = jnp.arange(T)[None, :]
+        sl = causal & (jj > ii - cfg.sliding_window)
+        mask_sliding = jnp.where(sl, 0.0, jnp.float32(-1e9))
+    else:
+        mask_sliding = mask_full
+    masks = jnp.stack([mask_full, mask_sliding])
+
+    n_layers = cfg.num_hidden_layers
+    rope_flags = tuple(cfg.layer_uses_rope(i) for i in range(n_layers))
+    sliding_flags = tuple(cfg.layer_is_sliding(i) for i in range(n_layers))
 
     import dataclasses
 
@@ -298,8 +333,8 @@ def pipeline_forward_train(
             cfg=local_cfg,
             n_stages=n_stages,
             tp=tp,
-            # _check_cfg guarantees uniformity, so layer 0 speaks for all
-            use_rope=cfg.layer_uses_rope(0),
+            rope_flags=rope_flags,
+            sliding_flags=sliding_flags,
         )
         block_specs = {
             k: _block_spec(k, v, tp) for k, v in blocks.items()
@@ -313,7 +348,7 @@ def pipeline_forward_train(
             )
         )
         _PP_CACHE[key] = fn
-    out = fn(blocks, xs, cos, sin, positions, mask)
+    out = fn(blocks, xs, cos, sin, positions, masks)
 
     x = out.reshape(B, T, -1)
     x = rms_norm(x, pp_params["norm"], cfg.rms_norm_eps, cfg.is_gemma)
