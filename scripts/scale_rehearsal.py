@@ -80,10 +80,10 @@ class Pool:
     rehearsal; the merge math only needs nonzero, model-distinct deltas.
     """
 
-    def __init__(self, seed: int):
+    def __init__(self, seed: int, min_elems: int = 0):
         global _POOL_BUF
-        if _POOL_BUF is None:
-            n = VOCAB * HIDDEN + (1 << 17)
+        n = max(VOCAB * HIDDEN, min_elems) + (1 << 17)
+        if _POOL_BUF is None or _POOL_BUF.size < n:
             # uniform is ~10x faster to generate than gaussian on this host
             # and serves the same purpose here
             _POOL_BUF = np.random.default_rng(0).random(n, dtype=np.float32)
@@ -98,7 +98,8 @@ class Pool:
 
 
 def write_model(path: Path, seed: int, layers: int, base_dir: Path | None,
-                delta_scale: float = 2e-3, shard_bytes: int = 4 << 30):
+                delta_scale: float = 2e-3, shard_bytes: int = 4 << 30,
+                shapes: dict | None = None):
     """Write a sharded bf16 safetensors model; if base_dir is given, tensors
     are base + delta_scale * noise (a finetune)."""
     import ml_dtypes
@@ -107,8 +108,9 @@ def write_model(path: Path, seed: int, layers: int, base_dir: Path | None,
     from shardmerge_tpu.io import safetensors_io as stio
 
     path.mkdir(parents=True, exist_ok=True)
-    shapes = model_shapes(layers)
-    pool = Pool(seed)
+    if shapes is None:
+        shapes = model_shapes(layers)
+    pool = Pool(seed, max(int(np.prod(s)) for s in shapes.values()))
     if base_dir is not None:
         base_idx = json.load(open(base_dir / "model.safetensors.index.json"))
         base_map = base_idx["weight_map"]
@@ -210,6 +212,32 @@ storage_dir: "{out}/storage"
         print(proc.stderr[-3000:])
         sys.exit(1)
     report["merge_wall_s"] = round(merge_wall, 1)
+
+    # host-pipeline spans (merge/base.py instrumentation): fetch = time the
+    # engine actually WAITED for host reads (prefetch-absorbed reads don't
+    # show), h2d = device_put walls, merge = _merge_layer walls, flush =
+    # D2H wait + shard write. overlap_fraction estimates how much of the
+    # fetch+flush IO ran under the merge wall instead of adding to it.
+    m = re.search(
+        r"spans fetch=([\d.]+)s h2d=([\d.]+)s merge=([\d.]+)s "
+        r"flush=([\d.]+)s",
+        proc.stdout + proc.stderr,
+    )
+    if m:
+        fetch_s, h2d_s, span_merge_s, flush_s = map(float, m.groups())
+        report["spans_s"] = {
+            "fetch_wait": fetch_s,
+            "h2d": h2d_s,
+            "merge": span_merge_s,
+            "flush": flush_s,
+        }
+        # the prefetch signal: reads the pipeline HID under compute never
+        # appear in fetch_wait, so (bytes_read/disk_rate - fetch_wait) is
+        # hidden IO. Report the raw ratio; BASELINE.md interprets it
+        # against a prefetch_depth=0 control.
+        report["fetch_wait_frac_of_merge_wall"] = (
+            round(fetch_s / merge_wall, 4) if merge_wall else None
+        )
 
     # phase breakdown from the profiler lines; median = steady state, the
     # first occurrence of each shape carries the XLA compile
