@@ -73,6 +73,18 @@ class MergeTensorsBase(ABC):
             "prefetch_depth",
             int(os.environ.get("SHARDMERGE_PREFETCH_DEPTH", "2")),
         )
+        # Tensors ABOVE this element count compute on the host CPU backend:
+        # the FFT pair merge holds ~6-8 fp32 copies of the tensor live
+        # (inputs + two complex half-spectra + masks + result), so a 70B
+        # embed/lm_head (128256x8192, 4.2 GB fp32) blows a 16 GB HBM even
+        # alone — measured: its merge kernel fails to compile on a v5e
+        # (scripts/kernel70b_probe.py). 2^29 elements ~ 2 GB fp32 ~ 16 GB
+        # working set. Mesh-sharded runs ignore this (the working set
+        # divides across devices).
+        self.huge_tensor_numel = _ignored.get(
+            "huge_tensor_numel",
+            int(os.environ.get("SHARDMERGE_HUGE_TENSOR_NUMEL", str(1 << 29))),
+        )
 
     @abstractmethod
     def get_readme(self) -> str:
@@ -90,8 +102,11 @@ class MergeTensorsBase(ABC):
         return None
 
     def _device_for(self, host: np.ndarray):
-        """Small tensors are pinned to the host CPU backend (see __init__)."""
-        if host.size >= self.small_tensor_numel:
+        """Small AND huge tensors are pinned to the host CPU backend (see
+        __init__: small ones to dodge per-shape compiles + dispatch
+        round-trips, huge ones because their merge working set exceeds
+        device HBM)."""
+        if self.small_tensor_numel <= host.size < self.huge_tensor_numel:
             return None
         try:
             cpus = jax.devices("cpu")
@@ -99,6 +114,11 @@ class MergeTensorsBase(ABC):
             return None
         if jax.devices()[0].platform == "cpu":
             return None  # already on CPU; leave placement implicit
+        if host.size >= self.huge_tensor_numel:
+            logger.info(
+                "tensor of %.1fM elements exceeds the device working-set "
+                "budget; merging on the host CPU backend", host.size / 1e6
+            )
         return cpus[0]
 
     def _pad_rows_for(self, host: np.ndarray, sharding) -> int:

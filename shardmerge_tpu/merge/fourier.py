@@ -624,28 +624,50 @@ Models merged:
         # result is still resident (no stack re-read per round).
         norms_by_name: Dict[str, object] = dict(zip(layer_stack, layer_norms))
 
+        def _in_hbm(v) -> bool:
+            """True for device arrays on the accelerator (CPU-backend
+            arrays — small/huge-tensor routing — are already host RAM)."""
+            if isinstance(v, np.ndarray):
+                return False
+            try:
+                return all(d.platform != "cpu" for d in v.devices())
+            except Exception:
+                return True
+
         def cache_put(name: str, value, norm=None):
             norms_by_name[name] = (
                 norm if norm is not None else jnp.linalg.norm(value.ravel())
             )
             cache[name] = value
             if self.hbm_budget_bytes is not None:
-                resident = {
-                    n: v for n, v in cache.items() if not isinstance(v, np.ndarray)
-                }
+                resident = {n: v for n, v in cache.items() if _in_hbm(v)}
                 if sum(v.nbytes for v in resident.values()) > self.hbm_budget_bytes:
                     for n, v in resident.items():
                         cache[n] = np.asarray(v)  # spill to host RAM
+                    self.stats.hbm_spills += len(resident)
+                    logger.info(
+                        "HBM budget exceeded: spilled %d stack entries "
+                        "(%.2f GiB) to host RAM",
+                        len(resident),
+                        sum(v.nbytes for v in resident.values()) / 2**30,
+                    )
 
         def cache_get(name: str):
             value = cache[name]
             if isinstance(value, np.ndarray):
                 sharding = self._sharding_for(value)
-                value = (
-                    jax.device_put(value, sharding)
-                    if sharding
-                    else jax.device_put(value)
-                )
+                if sharding:
+                    value = jax.device_put(value, sharding)
+                else:
+                    # honor the size-based placement policy on re-upload:
+                    # huge spilled tensors must come back to the CPU
+                    # backend, not the accelerator they cannot fit on
+                    device = self._device_for(value)
+                    value = (
+                        jax.device_put(value, device)
+                        if device
+                        else jax.device_put(value)
+                    )
             return value
 
         if self.hbm_budget_bytes is not None:

@@ -114,6 +114,8 @@ class MergeStats:
     # blocking device->host fetches issued inside reduction loops (the
     # stepwise engine targets <=1 per reduction round)
     host_syncs: int = 0
+    # delta-stack entries spilled to host RAM under hbm_budget_bytes
+    hbm_spills: int = 0
     # host-pipeline spans (seconds, summed over layers): time awaiting host
     # tensor data, host->device puts, _merge_layer walls, and write-back
     # (D2H wait + shard write). With prefetch overlapping reads under

@@ -131,7 +131,7 @@ def _run_cluster(
     )
 
 
-def test_two_process_cli_merge_matches_single_process(
+def test_four_process_cli_merge_matches_single_process(
     tmp_path, tiny_model_factory
 ):
     from shardmerge_tpu.merge.fourier import FourierMerge
@@ -152,7 +152,7 @@ def test_two_process_cli_merge_matches_single_process(
     ]
 
     # Reference: single-process merge sharded over an equally-sized mesh of
-    # this process's virtual devices (same partitioning as the 2x2 cluster).
+    # this process's virtual devices (same partitioning as the 4x1 cluster).
     import jax
 
     ref_dir = tmp_path / "ref"
@@ -167,7 +167,7 @@ def test_two_process_cli_merge_matches_single_process(
     _run_merge(ref_merger)
     ref_out = _read_output(ref_dir / "merged")
 
-    # Cluster run: the production CLI in two coordinated processes.
+    # Cluster run: the production CLI in four coordinated processes.
     mh_out_dir = tmp_path / "mh" / "merged"
     config = {
         "output_base_model": str(base_path),
