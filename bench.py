@@ -98,6 +98,52 @@ def bench_jax(a_np, b_np, iters=5):
             file=sys.stderr,
         )
         per_merge = t2 / 2
+
+    # --- fast-imag identity, pinned ON-DEVICE (VERDICT r2 #7) -------------
+    # The rfft fast path rests on the analytic double-FFT identity
+    # (merge/fourier.py module comment); its conformance is asserted on CPU
+    # in the suite, but the TPU FFT is a different library path. Compare
+    # _pair_slerp_rfft against the exact full-complex _pair_slerp on the
+    # device each bench run so the identity's deviation class (2e-7 identity
+    # + 2.6e-4 rfft symmetrization, NUMERICS.md §3) is driver-recorded.
+    from shardmerge_tpu.merge.fourier import _pair_slerp
+
+    common = (
+        a,
+        b,
+        jnp.float32(norm_a),
+        jnp.float32(norm_b),
+        jnp.float32(T),
+        jnp.int32(blend.cutoff_rank(numel, CUTOFF_PCT)),
+        jnp.int32(blend.cull_rank(numel, CULL_PCT)),
+        jnp.int32(blend.cull_limit(numel, CULL_PCT)),
+        jnp.float32(TARGET_NORM),
+    )
+    fast_out, _, _ = _pair_slerp_rfft(*common, use_cutoff=True, use_cull=True)
+    exact_out, _, _ = _pair_slerp(
+        *common, use_cutoff=True, use_cull=True, fast_imag=False
+    )
+    import numpy as _np
+
+    fast_np = _np.asarray(fast_out)
+    exact_np = _np.asarray(exact_out)
+    denom = max(float(_np.linalg.norm(exact_np)), 1e-12)
+    fi_rel = float(_np.linalg.norm(fast_np - exact_np)) / denom
+    # Bound: the two documented deviation classes plus threshold-flip
+    # headroom at 32M elements (mask flips near the cutoff rank move single
+    # elements; NUMERICS.md §4 measures the combined class at ~2.6e-4).
+    if fi_rel > 2e-3:
+        print(
+            f"FAIL: fast-imag identity off-class on this device "
+            f"(relL2 {fi_rel:.3e} > 2e-3 vs exact path)",
+            file=sys.stderr,
+        )
+        sys.exit(1)
+    print(
+        f"fast-imag identity OK on-device: relL2 {fi_rel:.3e} vs exact "
+        f"full-complex path (bound 2e-3)",
+        file=sys.stderr,
+    )
     # chain feeds x back in, so out4 != single-merge output; redo one clean
     single, _, _ = _pair_slerp_rfft(
         a,
@@ -116,19 +162,36 @@ def bench_jax(a_np, b_np, iters=5):
 
 
 def bench_torch_reference(a_np, b_np):
-    """Reference-semantics pair merge on torch CPU (tests/oracle_torch)."""
+    """Reference-semantics pair merge on torch CPU (tests/oracle_torch).
+
+    Methodology (VERDICT r2 #8): min-of-N, same as the JAX side. A single
+    run on this one-core host swings ~2x with background load (r1 recorded
+    vs_baseline 4422, r2 2534 from the same code); take the minimum of two
+    runs and a third only if the first two disagree by >30%, so the
+    driver-recorded ratio tracks the code, not the host. The remaining
+    caveat is inherent: the reference's runnable path here is torch CPU on
+    one core (its CUDA path does not exist on this host)."""
     import torch
 
     from tests import oracle_torch as oracle
 
     a = torch.from_numpy(a_np)
     b = torch.from_numpy(b_np)
-    start = time.perf_counter()
-    merged, _, _ = oracle.merge_tensors_fft2_slerp(
-        a, b, t=T, cutoff_pct=CUTOFF_PCT, cull_pct=CULL_PCT
-    )
-    merged = merged * TARGET_NORM
-    return time.perf_counter() - start, merged
+
+    def one_run():
+        start = time.perf_counter()
+        merged, _, _ = oracle.merge_tensors_fft2_slerp(
+            a, b, t=T, cutoff_pct=CUTOFF_PCT, cull_pct=CULL_PCT
+        )
+        return time.perf_counter() - start, merged * TARGET_NORM
+
+    t_a, merged = one_run()
+    t_b, _ = one_run()
+    best = min(t_a, t_b)
+    if abs(t_a - t_b) > 0.3 * best:
+        t_c, _ = one_run()
+        best = min(best, t_c)
+    return best, merged
 
 
 def _probe_device(timeout_s: float = 180.0, attempts: int = 3) -> None:
