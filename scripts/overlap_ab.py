@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""A/B the host-pipeline prefetch on the real device path (VERDICT r2 #3).
+
+Builds base + 2 finetunes of N identical (4096, 8192) bf16 tensors (the
+bench shape — big enough that host reads and host->device transfers
+dominate on this relay), then runs the production merge CLI twice:
+SHARDMERGE_PREFETCH_DEPTH=0 (serial reads) vs 2 (reads k layers ahead in
+worker threads). Reports each run's wall clock and span breakdown; the
+prefetch run's `fetch` span collapsing while wall shrinks IS the overlap
+fraction moving.
+
+The depth-0 run goes FIRST so the depth-2 run cannot win via XLA compile
+caching (axon does not cache; each subprocess recompiles the same single
+shape once — comparable across runs).
+
+Usage: python scripts/overlap_ab.py [--out-dir /tmp/overlap_ab]
+           [--tensors 10] [--keep]
+Run ALONE (one-core host; see CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "scripts"))
+
+from scale_rehearsal import write_model  # noqa: E402
+
+SHAPE = (4096, 8192)
+
+
+def ab_shapes(n: int) -> dict:
+    # llama-style names so the writer/index are exercised normally; all
+    # mid-layer so every tensor takes the full merge path
+    shapes = {"model.embed_tokens.weight": (64, 64)}
+    for i in range(n):
+        shapes[f"model.layers.{i}.mlp.gate_proj.weight"] = SHAPE
+        shapes[f"model.layers.{i}.input_layernorm.weight"] = (64,)
+    shapes["model.norm.weight"] = (64,)
+    shapes["lm_head.weight"] = (64, 64)
+    return shapes
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out-dir", type=Path, default=Path("/tmp/overlap_ab"))
+    ap.add_argument("--tensors", type=int, default=10)
+    ap.add_argument("--keep", action="store_true")
+    args = ap.parse_args()
+
+    out = args.out_dir
+    out.mkdir(parents=True, exist_ok=True)
+    shapes = ab_shapes(args.tensors)
+    report = {"shape": SHAPE, "n_big_tensors": args.tensors}
+
+    def synth(name, seed, base):
+        idx = out / name / "model.safetensors.index.json"
+        if idx.exists():
+            return json.load(open(idx))["metadata"]["total_size"]
+        return write_model(out / name, seed, 0, base, shapes=shapes)
+
+    t0 = time.time()
+    synth("base", 1, None)
+    for i, name in enumerate(["ft1", "ft2"]):
+        synth(name, 2 + i, out / "base")
+    report["synthesis_s"] = round(time.time() - t0, 1)
+
+    span_re = re.compile(
+        r"spans fetch=([\d.]+)s h2d=([\d.]+)s merge=([\d.]+)s flush=([\d.]+)s"
+    )
+
+    def run(depth: int) -> dict:
+        merged = out / f"merged_d{depth}"
+        shutil.rmtree(merged, ignore_errors=True)
+        cfg = out / f"config_d{depth}.yaml"
+        cfg.write_text(
+            f"""output_base_model: "{out}/base"
+finetune_merge:
+  - {{model: "{out}/ft1", base: "{out}/base", alpha: 0.8}}
+  - {{model: "{out}/ft2", base: "{out}/base", alpha: 0.4}}
+output_dir: "{merged}"
+cache_dir: "{out}/cache"
+storage_dir: "{out}/storage"
+"""
+        )
+        env = dict(os.environ, SHARDMERGE_PREFETCH_DEPTH=str(depth))
+        t = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-m", "shardmerge_tpu", "merge", str(cfg)],
+            cwd=str(REPO), env=env, capture_output=True, text=True,
+        )
+        wall = time.time() - t
+        log = proc.stdout + proc.stderr
+        (out / f"merge_d{depth}.log").write_text(log)
+        if proc.returncode != 0:
+            print(log[-3000:])
+            sys.exit(1)
+        m = span_re.search(log)
+        entry = {"wall_s": round(wall, 1)}
+        if m:
+            entry.update(
+                fetch_s=float(m.group(1)), h2d_s=float(m.group(2)),
+                merge_s=float(m.group(3)), flush_s=float(m.group(4)),
+            )
+        return entry
+
+    report["depth_0"] = run(0)
+    print("depth 0:", json.dumps(report["depth_0"]), flush=True)
+    report["depth_2"] = run(2)
+    print("depth 2:", json.dumps(report["depth_2"]), flush=True)
+
+    f0 = report["depth_0"].get("fetch_s")
+    f2 = report["depth_2"].get("fetch_s")
+    if f0 and f2 is not None:
+        report["fetch_hidden_fraction"] = round(1.0 - f2 / f0, 3)
+    json.dump(report, open(out / "report.json", "w"), indent=2)
+    print(json.dumps(report, indent=2))
+
+    if not args.keep:
+        for d in ["base", "ft1", "ft2", "cache", "storage"]:
+            shutil.rmtree(out / d, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1339,6 +1339,7 @@ def block_train(
     mask,
     reduce=None,
     use_rope=True,
+    qk_stat_reduce=None,
 ):
     """One cache-free decoder block (attention + FFN with residuals).
 
@@ -1371,8 +1372,27 @@ def block_train(
         k = k + layer["k_bias"]
         v = v + layer["v_bias"]
     if cfg.qk_norm_full:  # olmo2: norm the FULL vectors before head split
-        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+        if qk_stat_reduce is None:
+            q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
+            k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+        else:
+            # Megatron TP: each device holds a head slice of q/k, but the
+            # RMS statistic spans the FULL vector — psum the squared sums
+            # across 'tp' and divide by the global width. layer["q_norm"]
+            # is this device's weight slice (stack_stages shards it).
+            n_shards, psum = qk_stat_reduce
+
+            def full_rms(v_, w):
+                ss = psum(jnp.sum(jnp.square(v_.astype(jnp.float32)),
+                                  axis=-1, keepdims=True))
+                dim = v_.shape[-1] * n_shards
+                inv = jax.lax.rsqrt(ss / dim + cfg.rms_norm_eps)
+                return (
+                    v_.astype(jnp.float32) * inv * w.astype(jnp.float32)
+                ).astype(v_.dtype)
+
+            q = full_rms(q, layer["q_norm"])
+            k = full_rms(k, layer["k_norm"])
     q = q.reshape(B, T, H, D).transpose(0, 2, 1, 3)
     k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)

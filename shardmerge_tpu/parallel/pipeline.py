@@ -62,7 +62,7 @@ _TP_ROW = {"o_proj", "down_proj"}
 _TP_COL_1D = {"q_bias", "k_bias", "v_bias"}
 
 
-def _block_spec(key: str, leaf, tp: bool) -> P:
+def _block_spec(key: str, leaf, tp: bool, qk_full: bool = False) -> P:
     """PartitionSpec for one stacked block leaf."""
     if not tp:
         return P(_AXIS, *([None] * (leaf.ndim - 1)))
@@ -72,11 +72,19 @@ def _block_spec(key: str, leaf, tp: bool) -> P:
         return P(_AXIS, None, None, "tp")
     if key in _TP_COL_1D:
         return P(_AXIS, None, "tp")
+    if qk_full and key in ("q_norm", "k_norm"):
+        # olmo2 full-vector q/k norms: the WEIGHT spans every head, so it
+        # column-shards with q/k; the statistic is psummed in block_train
+        return P(_AXIS, None, "tp")
     return P(_AXIS, *([None] * (leaf.ndim - 1)))  # norms: replicated
 
 
 def stack_stages(
-    mesh: Mesh, params: Params, n_stages: int, tp: bool = False
+    mesh: Mesh,
+    params: Params,
+    n_stages: int,
+    tp: bool = False,
+    qk_norm_full: bool = False,
 ) -> Params:
     """Stack per-layer weights into (n_stages, layers_per_stage, ...) leaves
     sharded over 'pp' (each device materializes only its own stage), and
@@ -85,6 +93,8 @@ def stack_stages(
     With ``tp=True`` the mesh is 2-D ('pp', 'tp') and each leaf additionally
     shards Megatron-style over 'tp' (column-parallel q/k/v/gate/up, row-
     parallel o/down) — each device then holds 1/(P*T) of the block weights.
+    ``qk_norm_full`` (olmo2): the full-vector q/k norm weights shard with
+    their columns (pass cfg.qk_norm_full when using tp).
 
     All layers must share one structure (dense llama-family stacks do).
     """
@@ -132,7 +142,9 @@ def stack_stages(
     # (gloo "received data size doesn't match expected size")
     stacked = {k: stage_stack(k) for k in sorted(keys)}
     pp_shard = {
-        k: jax.device_put(v, NamedSharding(mesh, _block_spec(k, v, tp)))
+        k: jax.device_put(
+            v, NamedSharding(mesh, _block_spec(k, v, tp, qk_norm_full))
+        )
         for k, v in stacked.items()
     }
     rep = NamedSharding(mesh, P())
@@ -148,7 +160,7 @@ def stack_stages(
 
 def _schedule_body(
     blocks, xs, cos, sin, positions, masks, *, cfg, n_stages, tp=False,
-    rope_flags=None, sliding_flags=None,
+    n_tp=1, rope_flags=None, sliding_flags=None,
 ):
     """shard_map body: run the GPipe ticks for this device's stage.
 
@@ -168,6 +180,11 @@ def _schedule_body(
     n_micro = xs.shape[0]
     per = jax.tree.leaves(blocks)[0].shape[0]
     reduce = (lambda y: jax.lax.psum(y, "tp")) if tp else None
+    qk_stat_reduce = (
+        (n_tp, lambda y: jax.lax.psum(y, "tp"))
+        if (tp and cfg.qk_norm_full)
+        else None
+    )
 
     rope_uniform = len(set(rope_flags)) == 1
     sliding_uniform = len(set(sliding_flags)) == 1
@@ -190,6 +207,7 @@ def _schedule_body(
                 block_train(
                     cfg, layer, h, cos, sin, positions, mask,
                     reduce=reduce, use_rope=use_rope,
+                    qk_stat_reduce=qk_stat_reduce,
                 ),
                 None,
             )
@@ -260,13 +278,6 @@ def pipeline_forward_train(
     tp = "tp" in mesh.axis_names
     if tp:
         n_tp = mesh.shape["tp"]
-        if cfg.qk_norm_full:
-            raise NotImplementedError(
-                "olmo2's full-vector q/k RMSNorm spans every head, so its "
-                "statistic cannot be computed on a Megatron head slice "
-                "without a cross-tp reduction; pp x tp is unsupported for "
-                "qk_norm_full models"
-            )
         if (
             cfg.num_attention_heads % n_tp
             or cfg.num_key_value_heads % n_tp
@@ -333,11 +344,13 @@ def pipeline_forward_train(
             cfg=local_cfg,
             n_stages=n_stages,
             tp=tp,
+            n_tp=(n_tp if tp else 1),
             rope_flags=rope_flags,
             sliding_flags=sliding_flags,
         )
         block_specs = {
-            k: _block_spec(k, v, tp) for k, v in blocks.items()
+            k: _block_spec(k, v, tp, cfg.qk_norm_full)
+            for k, v in blocks.items()
         }
         fn = jax.jit(
             jax.shard_map(

