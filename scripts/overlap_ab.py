@@ -80,6 +80,7 @@ def main():
     span_re = re.compile(
         r"spans fetch=([\d.]+)s h2d=([\d.]+)s merge=([\d.]+)s flush=([\d.]+)s"
     )
+    h2d_re = re.compile(r"h2d ([\d.]+) GiB \((\d+) deduped puts\)")
 
     def run(depth: int) -> dict:
         merged = out / f"merged_d{depth}"
@@ -113,6 +114,11 @@ storage_dir: "{out}/storage"
             entry.update(
                 fetch_s=float(m.group(1)), h2d_s=float(m.group(2)),
                 merge_s=float(m.group(3)), flush_s=float(m.group(4)),
+            )
+        b = h2d_re.search(log)
+        if b:
+            entry.update(
+                h2d_gib=float(b.group(1)), h2d_dedup_hits=int(b.group(2))
             )
         return entry
 

@@ -57,6 +57,19 @@ class MergeTensorsBase(ABC):
             index_manager if index_manager is not None else HFMultiModelIndex()
         )
         self.stats = MergeStats()
+        # (model_uri, tensor_name) -> device array already placed this
+        # layer; see _fetch. NOTE: safe only while no kernel donates its
+        # inputs (none in the merge path does).
+        self._placed: dict = {}
+        # tensor names whose merge already completed — guards late
+        # device-prefetch tasks from re-staging (and thus leaking) buffers
+        self._released_layers: set = set()
+        # how many layers ahead to stage on-device (<= prefetch_depth);
+        # DMA for layer n+1 then overlaps layer n's compute on real hosts
+        self.device_prefetch_depth = _ignored.get(
+            "device_prefetch_depth",
+            int(os.environ.get("SHARDMERGE_DEVICE_PREFETCH", "1")),
+        )
         # tensor name -> true (pre-padding) row count, for engines that pad
         # rows to shard tensors whose row count does not divide the mesh
         self._true_rows: dict = {}
@@ -129,13 +142,35 @@ class MergeTensorsBase(ABC):
         return 0
 
     async def _fetch(self, model_uri: str, tensor_name: str) -> jnp.ndarray:
-        """Fetch a tensor to the device (single host->HBM transfer)."""
+        """Fetch a tensor to the device (single host->HBM transfer).
+
+        Placement is deduped per (model, tensor) within a layer: a
+        2-finetune merge otherwise uploads the shared base tensor three
+        times (once per delta + once as the output base) — the index cache
+        dedupes the host READ but each ``device_put`` is its own wire
+        transfer (reference base.py:121-137 re-fetches the same way, but
+        its cost is a host dict lookup, not a PCIe/relay copy). The cache
+        is released as soon as the layer's merge returns
+        (``_release_placed``) so device-memory holding time does not grow.
+        """
+        key = (model_uri, tensor_name)
+        cached = self._placed.get(key)
+        if cached is not None:
+            self.stats.h2d_dedup_hits += 1
+            return cached
         t0 = time.perf_counter()
         host = await self.index_manager.get_tensor(model_uri, tensor_name).get()
         t1 = time.perf_counter()
         self.stats.span_fetch_s += t1 - t0
+        cached = self._placed.get(key)  # a device-prefetch task may have won
+        if cached is not None:
+            self.stats.h2d_dedup_hits += 1
+            return cached
         try:
-            return self._place(host, tensor_name)
+            placed = self._place(host, tensor_name)
+            self._placed[key] = placed
+            self.stats.h2d_bytes += host.nbytes
+            return placed
         finally:
             self.stats.span_h2d_s += time.perf_counter() - t1
 
@@ -308,10 +343,20 @@ class MergeTensorsBase(ABC):
         logger.info("Merge complete. Output saved to %s", self.config.output_path)
         logger.info("Merge stats: %s", self.stats.summary())
 
-    def _prefetch_layer(self, shard_layer: ShardLayer) -> None:
+    def _prefetch_layer(
+        self, shard_layer: ShardLayer, to_device: bool = False
+    ) -> None:
         """Start background host reads for every tensor this layer will
         fetch (fire-and-forget; ``preload_tensor`` dedupes against demand
-        fetches). Engines with narrower model coverage may override."""
+        fetches). Engines with narrower model coverage may override.
+
+        ``to_device=True`` additionally stages the tensor on its target
+        device once the host read lands, so the H2D DMA overlaps the
+        current layer's compute (SURVEY.md §7 step 4's double buffering).
+        Only tensors in the device-routed size band are staged — small ones
+        merge on the host CPU backend anyway, and huge ones would add a
+        multi-GB host memcpy alongside the running merge.
+        """
         uris = [self.config.output_base_model]
         for m in self.config.finetune_merge:
             try:
@@ -326,14 +371,31 @@ class MergeTensorsBase(ABC):
             except Exception:  # noqa: BLE001 — prefetch must never fail a merge
                 logger.debug("prefetch skipped", exc_info=True)
 
+        name = shard_layer.layer_name
+
+        async def _stage(uri):
+            await self.index_manager.preload_tensor(uri, name)
+            if not to_device or name in self._released_layers:
+                return
+            key = (uri, name)
+            if key in self._placed:
+                return
+            host = await self.index_manager.get_tensor(uri, name).get()
+            if not (
+                self.small_tensor_numel
+                <= host.size
+                < self.huge_tensor_numel
+            ):
+                return
+            # re-check: the demand path may have placed it while the host
+            # read was in flight, and the layer may have finished entirely
+            if key in self._placed or name in self._released_layers:
+                return
+            self._placed[key] = self._place(host, name)
+            self.stats.h2d_bytes += host.nbytes
+
         for uri in dict.fromkeys(uris):
-            asyncio.create_task(
-                _quiet(
-                    self.index_manager.preload_tensor(
-                        uri, shard_layer.layer_name
-                    )
-                )
-            )
+            asyncio.create_task(_quiet(_stage(uri)))
 
     async def _process_layers(
         self, writer: ModelWriter, shard_layers: List[ShardLayer]
@@ -361,12 +423,17 @@ class MergeTensorsBase(ABC):
 
         try:
             for i, shard_layer in enumerate(shard_layers):
-                for ahead in shard_layers[i + 1:i + 1 + self.prefetch_depth]:
-                    self._prefetch_layer(ahead)
+                for j, ahead in enumerate(
+                    shard_layers[i + 1:i + 1 + self.prefetch_depth]
+                ):
+                    self._prefetch_layer(
+                        ahead, to_device=j < self.device_prefetch_depth
+                    )
                 t0 = time.perf_counter()
                 with phase_profiler(f"merge {shard_layer.layer_name}"):
                     out_tensor = await self._merge_layer(shard_layer)
                 self.stats.span_merge_s += time.perf_counter() - t0
+                self._release_placed(shard_layer.layer_name)
                 if hasattr(out_tensor, "copy_to_host_async"):
                     out_tensor.copy_to_host_async()
                 if pending is not None:
@@ -378,6 +445,13 @@ class MergeTensorsBase(ABC):
             name = shard_layer.layer_name if shard_layer else "?"
             logger.error("Error processing %s: %s", name, e)
             raise
+
+    def _release_placed(self, tensor_name: str):
+        """Drop the layer's placed-device-array cache entries (any pending
+        async computation keeps the underlying buffers alive on its own)."""
+        self._released_layers.add(tensor_name)
+        for key in [k for k in self._placed if k[1] == tensor_name]:
+            del self._placed[key]
 
     def _check_deferred(self, layer_name: str):
         """Hook for engines that defer device-side validity checks (e.g. Inf

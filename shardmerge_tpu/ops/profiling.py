@@ -124,6 +124,11 @@ class MergeStats:
     span_h2d_s: float = 0.0
     span_merge_s: float = 0.0
     span_flush_s: float = 0.0
+    # host->device traffic accounting: bytes actually device_put vs
+    # transfers avoided by the per-layer placement dedupe (_fetch). Byte
+    # counts are deterministic where relay/PCIe wall times are not.
+    h2d_bytes: int = 0
+    h2d_dedup_hits: int = 0
     started_at: float = field(default_factory=time.time)
 
     def record_pair(self, regime: str):
@@ -147,6 +152,12 @@ class MergeStats:
                 f"h2d={self.span_h2d_s:.1f}s merge={self.span_merge_s:.1f}s "
                 f"flush={self.span_flush_s:.1f}s"
                 if self.span_merge_s
+                else ""
+            )
+            + (
+                f"; h2d {self.h2d_bytes/2**30:.2f} GiB "
+                f"({self.h2d_dedup_hits} deduped puts)"
+                if self.h2d_bytes
                 else ""
             )
         )

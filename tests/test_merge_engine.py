@@ -420,6 +420,19 @@ def test_three_way_merge_runs(tmp_path, tiny_model_factory):
         np.testing.assert_array_equal(
             out[name].view(np.uint16), out2[name].view(np.uint16)
         )
+    # The stepwise (>2-model) path fetches the shared base once per delta
+    # plus once as the output base; the per-layer placement cache collapses
+    # those to ONE device_put per (model, tensor). Byte invariant: uploads
+    # == 4 models x the merged (non-passthrough) tensors exactly —
+    # passthrough tensors copy host-side and never reach _fetch.
+    passthrough = {"model.embed_tokens.weight", "model.norm.weight",
+                   "lm_head.weight"}
+    merged_bytes = sum(
+        t.nbytes for n, t in tensors["base"].items() if n not in passthrough
+    )
+    assert merger2.stats.h2d_bytes == 4 * merged_bytes
+    # and the dedupe demonstrably fired (>=2 extra base fetches per matrix)
+    assert merger2.stats.h2d_dedup_hits >= 2 * merger2.stats.tensors_merged
 
 
 def test_resume_skips_written_layers(tmp_path, tiny_model_factory):
