@@ -57,15 +57,21 @@ def main():
 
     def timed(fn, K, reps=6):
         jfn = jax.jit(functools.partial(chain, fn, K=K))
+
+        def run():
+            # CLAUDE.md: block_until_ready alone can under-measure through
+            # the relay; force a scalar fetch to pin true completion
+            out = jfn(x)
+            float(jnp.sum(out[:1, :8]))
+            return out
+
         t0 = time.perf_counter()
-        out = jfn(x)
-        jax.block_until_ready(out)
+        out = run()
         compile_s = time.perf_counter() - t0
         best = float("inf")
         for _ in range(reps):
             start = time.perf_counter()
-            out = jfn(x)
-            jax.block_until_ready(out)
+            out = run()
             best = min(best, time.perf_counter() - start)
         return best, compile_s, out
 

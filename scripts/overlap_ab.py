@@ -22,21 +22,23 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import re
 import shutil
-import subprocess
 import sys
 import time
 from pathlib import Path
 
-import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
-from scale_rehearsal import write_model  # noqa: E402
+from scale_rehearsal import (  # noqa: E402  (sibling script)
+    cleanup_inputs,
+    run_merge_cli,
+    synth_trio,
+    write_std_config,
+)
 
 SHAPE = (4096, 8192)
 
@@ -65,16 +67,8 @@ def main():
     shapes = ab_shapes(args.tensors)
     report = {"shape": SHAPE, "n_big_tensors": args.tensors}
 
-    def synth(name, seed, base):
-        idx = out / name / "model.safetensors.index.json"
-        if idx.exists():
-            return json.load(open(idx))["metadata"]["total_size"]
-        return write_model(out / name, seed, 0, base, shapes=shapes)
-
     t0 = time.time()
-    synth("base", 1, None)
-    for i, name in enumerate(["ft1", "ft2"]):
-        synth(name, 2 + i, out / "base")
+    synth_trio(out, shapes=shapes)
     report["synthesis_s"] = round(time.time() - t0, 1)
 
     span_re = re.compile(
@@ -83,30 +77,14 @@ def main():
     h2d_re = re.compile(r"h2d ([\d.]+) GiB \((\d+) deduped puts\)")
 
     def run(depth: int) -> dict:
-        merged = out / f"merged_d{depth}"
-        shutil.rmtree(merged, ignore_errors=True)
-        cfg = out / f"config_d{depth}.yaml"
-        cfg.write_text(
-            f"""output_base_model: "{out}/base"
-finetune_merge:
-  - {{model: "{out}/ft1", base: "{out}/base", alpha: 0.8}}
-  - {{model: "{out}/ft2", base: "{out}/base", alpha: 0.4}}
-output_dir: "{merged}"
-cache_dir: "{out}/cache"
-storage_dir: "{out}/storage"
-"""
+        merged = f"merged_d{depth}"
+        shutil.rmtree(out / merged, ignore_errors=True)
+        cfg = write_std_config(out, merged=merged)
+        wall, log, rc = run_merge_cli(
+            cfg, out / f"merge_d{depth}.log",
+            env_extra={"SHARDMERGE_PREFETCH_DEPTH": str(depth)},
         )
-        env = dict(os.environ, SHARDMERGE_PREFETCH_DEPTH=str(depth))
-        t = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-m", "shardmerge_tpu", "merge", str(cfg)],
-            cwd=str(REPO), env=env, capture_output=True, text=True,
-        )
-        wall = time.time() - t
-        log = proc.stdout + proc.stderr
-        (out / f"merge_d{depth}.log").write_text(log)
-        if proc.returncode != 0:
-            print(log[-3000:])
+        if rc != 0:
             sys.exit(1)
         m = span_re.search(log)
         entry = {"wall_s": round(wall, 1)}
@@ -134,9 +112,7 @@ storage_dir: "{out}/storage"
     json.dump(report, open(out / "report.json", "w"), indent=2)
     print(json.dumps(report, indent=2))
 
-    if not args.keep:
-        for d in ["base", "ft1", "ft2", "cache", "storage"]:
-            shutil.rmtree(out / d, ignore_errors=True)
+    cleanup_inputs(out, args.keep)
 
 
 if __name__ == "__main__":

@@ -25,21 +25,24 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
-import re
-import shutil
-import subprocess
 import sys
 import time
 from pathlib import Path
 
-import numpy as np
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 sys.path.insert(0, str(REPO / "scripts"))
 
-from scale_rehearsal import write_model  # noqa: E402  (sibling script)
+from scale_rehearsal import (  # noqa: E402  (sibling script)
+    cleanup_inputs,
+    oracle_agreement,
+    per_tensor_ms,
+    run_merge_cli,
+    synth_trio,
+    verify_gate,
+    write_std_config,
+)
 
 # Llama-3.1-70B geometry (config.json of meta-llama/Llama-3.1-70B):
 # hidden 8192, intermediate 28672, 64 heads / 8 kv heads (head_dim 128),
@@ -92,91 +95,33 @@ def main():
     }
 
     t0 = time.time()
-
-    def synth(name, seed, base):
-        idx = out / name / "model.safetensors.index.json"
-        if idx.exists():
-            print(f"{name}: reusing existing synthesis", flush=True)
-            return json.load(open(idx))["metadata"]["total_size"]
-        t = time.time()
-        n = write_model(out / name, seed, 0, base, shapes=shapes)
-        print(f"{name}: {n/2**30:.1f} GiB in {time.time()-t:.0f}s", flush=True)
-        return n
-
-    sizes = {"base": synth("base", 1, None)}
-    for i, name in enumerate(["ft1", "ft2"]):
-        sizes[name] = synth(name, 2 + i, out / "base")
+    sizes = synth_trio(out, shapes=shapes)
     report["synthesis_s"] = round(time.time() - t0, 1)
     report["input_bytes"] = sum(sizes.values())
 
-    cfg = out / "config.yaml"
-    cfg.write_text(
-        f"""output_base_model: "{out}/base"
-finetune_merge:
-  - {{model: "{out}/ft1", base: "{out}/base", alpha: 0.8}}
-  - {{model: "{out}/ft2", base: "{out}/base", alpha: 0.4}}
-output_dir: "{out}/merged"
-cache_dir: "{out}/cache"
-storage_dir: "{out}/storage"
-hbm_budget_gb: {args.hbm_budget_gb}
-"""
-    )
-
-    env = dict(os.environ, SHARDMERGE_PROFILE="1")
-    t1 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "shardmerge_tpu", "merge", str(cfg)],
-        cwd=str(REPO), env=env, capture_output=True, text=True,
-    )
-    merge_wall = time.time() - t1
-    log = proc.stdout + proc.stderr
-    (out / "merge.log").write_text(log)
-    if proc.returncode != 0:
-        print(log[-4000:])
+    cfg = write_std_config(out, extra=f"hbm_budget_gb: {args.hbm_budget_gb}\n")
+    merge_wall, log, rc = run_merge_cli(cfg, out / "merge.log")
+    if rc != 0:
         report["merge_failed"] = True
         json.dump(report, open(out / "report.json", "w"), indent=2)
         sys.exit(1)
     report["merge_wall_s"] = round(merge_wall, 1)
 
-    per_tensor = {}
-    for m in re.finditer(r"\[profile\] merge ([\w.]+): ([\d.]+) ms", log):
-        per_tensor.setdefault(m.group(1), []).append(float(m.group(2)))
     report["per_tensor_ms"] = {
-        k: [round(x, 1) for x in v] for k, v in sorted(per_tensor.items())
+        k: [round(x, 1) for x in v]
+        for k, v in sorted(per_tensor_ms(log).items())
     }
     report["spill_events"] = log.count("spill")
 
-    v = subprocess.run(
-        [sys.executable, "-m", "shardmerge_tpu", "verify-safetensors",
-         "--model_dir", str(out / "merged")],
-        cwd=str(REPO), capture_output=True, text=True,
-    )
-    report["verify_ok"] = v.returncode == 0 and "align perfectly" in v.stdout
+    report["verify_ok"] = verify_gate(out / "merged")
     print("verify:", report["verify_ok"], flush=True)
 
     if not args.skip_oracle:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        from shardmerge_tpu.io import safetensors_io as stio
-        from tests.test_merge_engine import _oracle_fourier_pair
-
-        def load(d, n):
-            idx = json.load(open(Path(d) / "model.safetensors.index.json"))
-            with stio.SafeTensorsReader(Path(d) / idx["weight_map"][n]) as r:
-                return r.get_tensor(n, copy=True).astype(np.float32)
-
         # k_proj (1024x8192, 8M elements): the largest tensor the torch-CPU
         # oracle finishes in minutes on this one-core host
-        name = "model.layers.0.self_attn.k_proj.weight"
-        got = load(out / "merged", name)
-        expect = np.asarray(_oracle_fourier_pair(
-            load(out / "base", name), load(out / "ft1", name),
-            load(out / "ft2", name), 0.8, 0.4,
-        ))
-        scale = max(np.abs(expect).max(), 1e-6)
-        agree = float(np.isclose(got, expect, rtol=2e-2,
-                                 atol=2e-2 * scale).mean())
+        agree = oracle_agreement(
+            out, "model.layers.0.self_attn.k_proj.weight"
+        )
         report["oracle_agreement_k_proj"] = round(agree, 4)
         print("oracle agreement (k_proj):", agree, flush=True)
 
@@ -184,9 +129,7 @@ hbm_budget_gb: {args.hbm_budget_gb}
     json.dump(report, open(out / "report.json", "w"), indent=2)
     print(json.dumps(report, indent=2))
 
-    if not args.keep:
-        for d in ["base", "ft1", "ft2", "cache", "storage"]:
-            shutil.rmtree(out / d, ignore_errors=True)
+    cleanup_inputs(out, args.keep)
 
 
 if __name__ == "__main__":

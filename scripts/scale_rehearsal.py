@@ -102,8 +102,6 @@ def write_model(path: Path, seed: int, layers: int, base_dir: Path | None,
                 shapes: dict | None = None):
     """Write a sharded bf16 safetensors model; if base_dir is given, tensors
     are base + delta_scale * noise (a finetune)."""
-    import ml_dtypes
-
     from shardmerge_tpu.io import native
     from shardmerge_tpu.io import safetensors_io as stio
 
@@ -155,6 +153,128 @@ def write_model(path: Path, seed: int, layers: int, base_dir: Path | None,
     return total
 
 
+# ---- shared probe harness (used by the sibling scale/MoE/overlap probes;
+# keep gate strings / tolerances / cleanup in ONE place) ----
+
+def synth_or_reuse(out: Path, name: str, seed: int, base: Path | None,
+                   layers: int = 0, shapes: dict | None = None,
+                   shard_bytes: int = 4 << 30) -> int:
+    """Write a synthetic model dir under ``out/name``, or reuse one already
+    on disk (index-presence check); returns total bytes."""
+    idx = out / name / "model.safetensors.index.json"
+    if idx.exists():
+        print(f"{name}: reusing existing synthesis", flush=True)
+        return json.load(open(idx))["metadata"]["total_size"]
+    t = time.time()
+    n = write_model(out / name, seed, layers, base, shapes=shapes,
+                    shard_bytes=shard_bytes)
+    print(f"{name}: {n/2**30:.1f} GiB in {time.time()-t:.0f}s", flush=True)
+    return n
+
+
+def synth_trio(out: Path, layers: int = 0, shapes: dict | None = None,
+               shard_bytes: int = 4 << 30) -> dict:
+    """base + ft1 + ft2 with the standard seeds; returns name->bytes."""
+    sizes = {"base": synth_or_reuse(out, "base", 1, None, layers, shapes,
+                                    shard_bytes)}
+    for i, name in enumerate(["ft1", "ft2"]):
+        sizes[name] = synth_or_reuse(out, name, 2 + i, out / "base", layers,
+                                     shapes, shard_bytes)
+    return sizes
+
+
+ALPHAS = (0.8, 0.4)
+
+
+def write_std_config(out: Path, extra: str = "",
+                     merged: str = "merged") -> Path:
+    """The standard base+2-finetune config; ``extra`` appends raw YAML."""
+    cfg = out / f"config_{merged}.yaml" if merged != "merged" else (
+        out / "config.yaml"
+    )
+    cfg.write_text(
+        f"""output_base_model: "{out}/base"
+finetune_merge:
+  - {{model: "{out}/ft1", base: "{out}/base", alpha: {ALPHAS[0]}}}
+  - {{model: "{out}/ft2", base: "{out}/base", alpha: {ALPHAS[1]}}}
+output_dir: "{out}/{merged}"
+cache_dir: "{out}/cache"
+storage_dir: "{out}/storage"
+{extra}"""
+    )
+    return cfg
+
+
+def run_merge_cli(cfg: Path, log_path: Path, env_extra: dict | None = None):
+    """Run the production merge CLI; returns (wall_s, log, returncode)."""
+    env = dict(os.environ, SHARDMERGE_PROFILE="1", **(env_extra or {}))
+    t1 = time.time()
+    proc = subprocess.run(
+        [sys.executable, "-m", "shardmerge_tpu", "merge", str(cfg)],
+        cwd=str(REPO), env=env, capture_output=True, text=True,
+    )
+    wall = time.time() - t1
+    log = proc.stdout + proc.stderr
+    log_path.write_text(log)
+    if proc.returncode != 0:
+        print(log[-4000:])
+    return wall, log, proc.returncode
+
+
+def verify_gate(model_dir: Path) -> bool:
+    """verify-safetensors CLI gate (index/offset alignment)."""
+    v = subprocess.run(
+        [sys.executable, "-m", "shardmerge_tpu", "verify-safetensors",
+         "--model_dir", str(model_dir)],
+        cwd=str(REPO), capture_output=True, text=True,
+    )
+    return v.returncode == 0 and "align perfectly" in v.stdout
+
+
+def load_tensor_f32(d: Path, n: str) -> np.ndarray:
+    from shardmerge_tpu.io import safetensors_io as stio
+
+    idx = json.load(open(Path(d) / "model.safetensors.index.json"))
+    with stio.SafeTensorsReader(Path(d) / idx["weight_map"][n]) as r:
+        return r.get_tensor(n, copy=True).astype(np.float32)
+
+
+def oracle_agreement(out: Path, name: str, merged: str = "merged") -> float:
+    """Elementwise agreement of a merged tensor vs the independent torch
+    oracle of the full layer algorithm (rtol/atol 2e-2: bf16 output + FFT
+    library rounding; see tests/oracle_torch.py)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from tests.test_merge_engine import _oracle_fourier_pair
+
+    got = load_tensor_f32(out / merged, name)
+    expect = np.asarray(_oracle_fourier_pair(
+        load_tensor_f32(out / "base", name), load_tensor_f32(out / "ft1", name),
+        load_tensor_f32(out / "ft2", name), *ALPHAS,
+    ))
+    scale = max(np.abs(expect).max(), 1e-6)
+    return float(np.isclose(got, expect, rtol=2e-2, atol=2e-2 * scale).mean())
+
+
+def per_tensor_ms(log: str, collapse: tuple = ()) -> dict:
+    """[profile] lines -> name -> [ms, ...]; ``collapse`` regexes rewrite
+    names (e.g. layer/expert indices) onto shared keys first."""
+    phases: dict = {}
+    for m in re.finditer(r"\[profile\] merge ([\w.]+): ([\d.]+) ms", log):
+        key = m.group(1)
+        for pat, rep in collapse:
+            key = re.sub(pat, rep, key)
+        phases.setdefault(key, []).append(float(m.group(2)))
+    return phases
+
+
+def cleanup_inputs(out: Path, keep: bool):
+    if not keep:
+        for d in ["base", "ft1", "ft2", "cache", "storage"]:
+            shutil.rmtree(out / d, ignore_errors=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out-dir", type=Path, default=Path("/tmp/scale8b"))
@@ -168,48 +288,15 @@ def main():
     report = {"layers": args.layers, "shapes": "llama-3.1-8b"}
 
     t0 = time.time()
-    sizes = {}
-
-    def synth(name, seed, base):
-        if (out / name / "model.safetensors.index.json").exists():
-            idx = json.load(open(out / name / "model.safetensors.index.json"))
-            print(f"{name}: reusing existing synthesis", flush=True)
-            return idx["metadata"]["total_size"]
-        t = time.time()
-        n = write_model(out / name, seed, args.layers, base)
-        print(f"{name}: {n/2**30:.1f} GiB in {time.time()-t:.0f}s", flush=True)
-        return n
-
-    sizes["base"] = synth("base", 1, None)
-    for i, name in enumerate(["ft1", "ft2"]):
-        sizes[name] = synth(name, 2 + i, out / "base")
+    sizes = synth_trio(out, layers=args.layers)
     report["synthesis_s"] = round(time.time() - t0, 1)
     report["input_bytes"] = sum(sizes.values())
     print(f"synthesized {report['input_bytes']/2**30:.1f} GiB in "
           f"{report['synthesis_s']}s", flush=True)
 
-    cfg = out / "config.yaml"
-    cfg.write_text(
-        f"""output_base_model: "{out}/base"
-finetune_merge:
-  - {{model: "{out}/ft1", base: "{out}/base", alpha: 0.8}}
-  - {{model: "{out}/ft2", base: "{out}/base", alpha: 0.4}}
-output_dir: "{out}/merged"
-cache_dir: "{out}/cache"
-storage_dir: "{out}/storage"
-"""
-    )
-
-    env = dict(os.environ, SHARDMERGE_PROFILE="1")
-    t1 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "shardmerge_tpu", "merge", str(cfg)],
-        cwd=str(REPO), env=env, capture_output=True, text=True,
-    )
-    merge_wall = time.time() - t1
-    (out / "merge.log").write_text(proc.stdout + proc.stderr)
-    if proc.returncode != 0:
-        print(proc.stderr[-3000:])
+    cfg = write_std_config(out)
+    merge_wall, log, rc = run_merge_cli(cfg, out / "merge.log")
+    if rc != 0:
         sys.exit(1)
     report["merge_wall_s"] = round(merge_wall, 1)
 
@@ -221,7 +308,7 @@ storage_dir: "{out}/storage"
     m = re.search(
         r"spans fetch=([\d.]+)s h2d=([\d.]+)s merge=([\d.]+)s "
         r"flush=([\d.]+)s",
-        proc.stdout + proc.stderr,
+        log,
     )
     if m:
         fetch_s, h2d_s, span_merge_s, flush_s = map(float, m.groups())
@@ -241,12 +328,7 @@ storage_dir: "{out}/storage"
 
     # phase breakdown from the profiler lines; median = steady state, the
     # first occurrence of each shape carries the XLA compile
-    phases = {}
-    for m in re.finditer(r"\[profile\] merge ([\w.]+): ([\d.]+) ms",
-                         proc.stdout + proc.stderr):
-        name, ms = m.group(1), float(m.group(2))
-        key = re.sub(r"layers\.\d+\.", "layers.N.", name)
-        phases.setdefault(key, []).append(ms)
+    phases = per_tensor_ms(log, collapse=((r"layers\.\d+\.", "layers.N."),))
     report["per_tensor_ms_median"] = {
         k: round(float(np.median(v)), 1) for k, v in sorted(phases.items())
     }
@@ -254,37 +336,12 @@ storage_dir: "{out}/storage"
         k: round(v[0], 1) for k, v in sorted(phases.items())
     }
 
-    # verify gate
-    v = subprocess.run(
-        [sys.executable, "-m", "shardmerge_tpu", "verify-safetensors",
-         "--model_dir", str(out / "merged")],
-        cwd=str(REPO), capture_output=True, text=True,
-    )
-    report["verify_ok"] = v.returncode == 0 and "align perfectly" in v.stdout
+    report["verify_ok"] = verify_gate(out / "merged")
     print("verify:", report["verify_ok"], flush=True)
 
     # oracle spot-check (one q_proj tensor, reference-semantics torch path)
     if not args.skip_oracle:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-        from shardmerge_tpu.io import safetensors_io as stio
-        from tests.test_merge_engine import _oracle_fourier_pair
-
-        def load(d, n):
-            idx = json.load(open(Path(d) / "model.safetensors.index.json"))
-            with stio.SafeTensorsReader(Path(d) / idx["weight_map"][n]) as r:
-                return r.get_tensor(n, copy=True).astype(np.float32)
-
-        name = "model.layers.0.self_attn.q_proj.weight"
-        got = load(out / "merged", name)
-        expect = np.asarray(_oracle_fourier_pair(
-            load(out / "base", name), load(out / "ft1", name),
-            load(out / "ft2", name), 0.8, 0.4,
-        ))
-        scale = max(np.abs(expect).max(), 1e-6)
-        agree = float(np.isclose(got, expect, rtol=2e-2,
-                                 atol=2e-2 * scale).mean())
+        agree = oracle_agreement(out, "model.layers.0.self_attn.q_proj.weight")
         report["oracle_agreement"] = round(agree, 4)
         print("oracle agreement:", agree, flush=True)
 
@@ -315,9 +372,7 @@ storage_dir: "{out}/storage"
     json.dump(report, open(out / "report.json", "w"), indent=2)
     print(json.dumps(report, indent=2))
 
-    if not args.keep:
-        for d in ["base", "ft1", "ft2", "cache", "storage"]:
-            shutil.rmtree(out / d, ignore_errors=True)
+    cleanup_inputs(out, args.keep)
 
 
 if __name__ == "__main__":

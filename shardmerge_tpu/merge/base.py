@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import MergeConfig, MergeModel
+from ..constants import INPUT_LAYER, OUTPUT_LAYER
 from ..io.index import HFMultiModelIndex
 from ..io.writer import ModelWriter, ShardLayer
 from ..ops.profiling import MergeStats, phase_profiler
@@ -114,12 +115,18 @@ class MergeTensorsBase(ABC):
         Engines override to shard huge tensors over a mesh."""
         return None
 
+    def _on_device_band(self, numel: int) -> bool:
+        """True when a tensor of ``numel`` elements merges on the default
+        accelerator (the single policy shared by demand placement and
+        device prefetch; see __init__ for the band rationale)."""
+        return self.small_tensor_numel <= numel < self.huge_tensor_numel
+
     def _device_for(self, host: np.ndarray):
         """Small AND huge tensors are pinned to the host CPU backend (see
         __init__: small ones to dodge per-shape compiles + dispatch
         round-trips, huge ones because their merge working set exceeds
         device HBM)."""
-        if self.small_tensor_numel <= host.size < self.huge_tensor_numel:
+        if self._on_device_band(host.size):
             return None
         try:
             cpus = jax.devices("cpu")
@@ -202,13 +209,22 @@ class MergeTensorsBase(ABC):
         distinct base uri (the index memory cache provides the reuse).
         """
         results = []
+        name = shard_layer.layer_name
         for model in models:
-            base_tensor = await self._fetch(model.base, shard_layer.layer_name)
-            model_tensor = await self._fetch(model.model, shard_layer.layer_name)
+            base_tensor = await self._fetch(model.base, name)
+            model_tensor = await self._fetch(model.model, name)
             delta = _delta_fp32(model_tensor, base_tensor)
             if apply_alpha:
                 delta = _scale(delta, jnp.float32(model.alpha))
             results.append(delta)
+        # the finetune (and any non-output base) inputs are consumed by the
+        # deltas; dropping their cache refs lets HBM reclaim them during the
+        # multi-round reduction — otherwise the stepwise path pins N+1 input
+        # tensors that the hbm_budget spill accounting never sees
+        for model in models:
+            self._placed.pop((model.model, name), None)
+            if model.base != self.config.output_base_model:
+                self._placed.pop((model.base, name), None)
         return results
 
     async def initialize(self):
@@ -357,14 +373,40 @@ class MergeTensorsBase(ABC):
         merge on the host CPU backend anyway, and huge ones would add a
         multi-GB host memcpy alongside the running merge.
         """
-        uris = [self.config.output_base_model]
-        for m in self.config.finetune_merge:
+        if shard_layer.layer_number in (INPUT_LAYER, OUTPUT_LAYER):
+            # passthrough layers host-copy ONE source tensor (the first
+            # finetune flagged is_input/is_output, else the base —
+            # fourier.py _passthrough); reading anything else ahead is
+            # wasted IO, and no device array is ever used
+            flag = (
+                "is_input"
+                if shard_layer.layer_number == INPUT_LAYER
+                else "is_output"
+            )
+            chosen = next(
+                (m for m in self.config.finetune_merge if getattr(m, flag)),
+                None,
+            )
+            uris = [chosen.model if chosen else self.config.output_base_model]
+            to_device = False
+        else:
+            uris = [self.config.output_base_model]
+            for m in self.config.finetune_merge:
+                try:
+                    covered = m.use_layer_index(shard_layer.layer_number)
+                except Exception:
+                    covered = True
+                if covered:
+                    uris += [m.model, m.base]
+        # cross-process runs must not device-stage: a sharded device_put's
+        # issue order would depend on per-process IO timing, and multihost
+        # transports require identical op order on every process (see
+        # parallel/pipeline.py stack_stages)
+        if to_device:
             try:
-                covered = m.use_layer_index(shard_layer.layer_number)
+                to_device = jax.process_count() == 1
             except Exception:
-                covered = True
-            if covered:
-                uris += [m.model, m.base]
+                pass
         async def _quiet(coro):
             try:
                 await coro
@@ -381,11 +423,7 @@ class MergeTensorsBase(ABC):
             if key in self._placed:
                 return
             host = await self.index_manager.get_tensor(uri, name).get()
-            if not (
-                self.small_tensor_numel
-                <= host.size
-                < self.huge_tensor_numel
-            ):
+            if not self._on_device_band(host.size):
                 return
             # re-check: the demand path may have placed it while the host
             # read was in flight, and the layer may have finished entirely

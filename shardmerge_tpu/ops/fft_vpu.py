@@ -31,14 +31,18 @@ STATUS — measured on the v5e, closing VERDICT r2 #4: the core batched
 complex FFT (length 4096, batch 4096 fp32, b=32) runs 6.26 ms/transform vs
 2.11 ms for XLA's ``jnp.fft.fft`` on identical data (slope-timed, K=1 vs
 K=3 chains; scripts/bench_fft_vpu.py + BASELINE.md "Pallas FFT
-post-mortem"). The loss is Mosaic-structural, not tunable away here: the
-log2(N)-stage ping-pong keeps ALL traffic in VMEM but each stage's
-sub-128-lane early concats and the two in-kernel transposes serialize on
-the VPU's sublane shuffle network, while XLA's FFT pipelines HBM<->VMEM
-with the MXU free. NOT wired into the merge engines; kept as the measured
-answer to "is a hand-written TPU FFT faster than XLA's?" — no, ~3x slower
-in the best lowerable formulation (the 3-D Stockham does not lower at all,
-and the r2 MXU-DFT loses 39x on fp32-exactness passes).
+post-mortem"). Re-measured after snapping quarter-turn twiddles exact
+(multiplier-free radix-2/4 butterflies) and forcing a scalar fetch in the
+timer: full rfft2+irfft2 roundtrip at (4096, 8192) is 31.0 ms vs XLA's
+15.9 — the VPU path stays ~2x slower. The loss is Mosaic-structural, not
+tunable away here: the log2(N)-stage ping-pong keeps ALL traffic in VMEM
+but each stage's sub-128-lane early concats and the two in-kernel
+transposes serialize on the VPU's sublane shuffle network, while XLA's FFT
+pipelines HBM<->VMEM with the MXU free. NOT wired into the merge engines;
+kept as the measured answer to "is a hand-written TPU FFT faster than
+XLA's?" — no, ~2-3x slower in the best lowerable formulation (the 3-D
+Stockham does not lower at all, and the r2 MXU-DFT loses 39x on
+fp32-exactness passes).
 """
 
 from __future__ import annotations
@@ -112,7 +116,14 @@ def _flat_stockham(yr, yi, n: int, b: int, inverse: bool):
     m = n
     for r in radices:
         m_new = m // r
-        wr_e = tuple(complex(np.exp(sgnc * j / r)) for j in range(r))
+        # snap quarter-turn twiddles to exact values: np.exp gives e.g.
+        # exp(-i*pi) = -1 - 1.22e-16j, which would defeat _cmul_scalar's
+        # multiplier-free special cases AND seed ~1e-16 error per stage
+        def _snap(z: complex) -> complex:
+            snap1 = lambda v: round(v) if abs(v - round(v)) < 1e-12 else v
+            return complex(snap1(z.real), snap1(z.imag))
+
+        wr_e = tuple(_snap(complex(np.exp(sgnc * j / r))) for j in range(r))
         ar = [yr[j * m_new:(j + 1) * m_new] for j in range(r)]
         ai = [yi[j * m_new:(j + 1) * m_new] for j in range(r)]
         # w[p] = e^{sign*2pi*i*p/m}, generated in-kernel (iota must be
