@@ -1146,3 +1146,64 @@ def test_device_routing_small_and_huge(tmp_path, tiny_model_factory):
     # and the real method keeps returning None (implicit placement) when
     # the default device is already the CPU
     assert merger._device_for(np.zeros(4, np.float32)) is None
+
+
+def test_prefetch_targets_per_layer_kind(tmp_path, tiny_model_factory):
+    """_prefetch_layer's read set: passthrough layers preload ONLY the
+    chosen source (the is_input/is_output finetune, else the output base —
+    anything else is wasted IO since fourier.py _passthrough host-copies one
+    tensor); merge layers preload each distinct model exactly once."""
+    from shardmerge_tpu.io.writer import ShardLayer
+
+    base_path, _ = tiny_model_factory("base", seed=95)
+    ft1_path, _ = tiny_model_factory("ft1", seed=96)
+    ft2_path, _ = tiny_model_factory("ft2", seed=97)
+    config = _make_config(
+        tmp_path,
+        base_path,
+        [
+            {"model": str(ft1_path), "base": str(base_path), "alpha": 0.5,
+             "is_output": True},
+            {"model": str(ft2_path), "base": str(base_path), "alpha": 0.5},
+        ],
+    )
+    merger = FourierMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+
+    calls = []
+
+    async def recording_preload(uri, name):
+        calls.append((uri, name))
+
+    merger.index_manager.preload_tensor = recording_preload
+
+    def prefetched(layer_name):
+        calls.clear()
+
+        async def drive():
+            merger._prefetch_layer(
+                ShardLayer(0, "s", layer_name, False), to_device=False
+            )
+            # drain the fire-and-forget tasks
+            for _ in range(4):
+                await asyncio.sleep(0)
+
+        asyncio.run(drive())
+        return calls[:]
+
+    # input passthrough, no is_input flag anywhere -> base only
+    got = prefetched("model.embed_tokens.weight")
+    assert got == [(str(base_path), "model.embed_tokens.weight")], got
+
+    # output passthrough -> only the is_output finetune
+    got = prefetched("lm_head.weight")
+    assert got == [(str(ft1_path), "lm_head.weight")], got
+
+    # merge layer -> base + each finetune (per-model bases == output base
+    # dedupe away), each exactly once
+    got = prefetched("model.layers.0.self_attn.q_proj.weight")
+    assert [u for u, _ in got] == [
+        str(base_path), str(ft1_path), str(ft2_path)
+    ], got
+    assert all(n == "model.layers.0.self_attn.q_proj.weight" for _, n in got)
