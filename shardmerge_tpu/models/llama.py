@@ -848,6 +848,19 @@ def _mlp(layer, x, hidden_act: str = "silu"):
     return matmul(act.astype(x.dtype) * up, layer["down_proj"])
 
 
+def _expert_mlp_weights(layer, e: int):
+    """Expert ``e``'s SwiGLU matrices as an ``_mlp`` layer dict, from either
+    the per-expert list (``experts``) or the stacked ``(W1, W3, W2)`` tuple
+    (``experts_stacked`` — serving's capacity dispatch and the pipeline-
+    parallel stage stacking both use it). Slicing the stacked arrays keeps
+    the dense-and-mask loop numerically identical across representations."""
+    if "experts_stacked" in layer:
+        W1, W3, W2 = layer["experts_stacked"]
+        return {"gate_proj": W1[e], "up_proj": W3[e], "down_proj": W2[e]}
+    ex = layer["experts"][e]
+    return {"gate_proj": ex["w1"], "up_proj": ex["w3"], "down_proj": ex["w2"]}
+
+
 def _moe(cfg: ModelConfig, layer, x):
     """Mixtral block-sparse MoE (HF MixtralSparseMoeBlock semantics):
     softmax router -> top-k experts -> renormalized weights -> SwiGLU experts.
@@ -871,16 +884,7 @@ def _moe(cfg: ModelConfig, layer, x):
 
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e in range(n_exp):
-        expert = layer["experts"][e]
-        h = _mlp(
-            {
-                "gate_proj": expert["w1"],
-                "up_proj": expert["w3"],
-                "down_proj": expert["w2"],
-            },
-            x,
-            cfg.hidden_act,
-        )
+        h = _mlp(_expert_mlp_weights(layer, e), x, cfg.hidden_act)
         out = out + h.astype(jnp.float32) * weights[..., e : e + 1]
     return out.astype(x.dtype)
 
@@ -996,24 +1000,15 @@ def _moe_deepseek(cfg: ModelConfig, layer, x):
     """DeepSeek MoE block: routed experts (dense-mask accumulation, like
     :func:`_moe`) + the always-on shared-experts MLP
     (HF modeling_deepseek_v3.DeepseekV3MoE.forward)."""
-    if "experts_stacked" in layer or (
-        cfg.moe_dispatch == "capacity"
-        and not isinstance(layer["experts"][0]["w1"], dict)
-    ):
+    quantized = "experts" in layer and isinstance(
+        layer["experts"][0]["w1"], dict
+    )
+    if cfg.moe_dispatch == "capacity" and not quantized:
         return _moe_deepseek_capacity(cfg, layer, x, cfg.moe_capacity_factor)
     weights = deepseek_router(cfg, layer, x)
     out = jnp.zeros_like(x, dtype=jnp.float32)
     for e in range(cfg.num_local_experts):
-        expert = layer["experts"][e]
-        h = _mlp(
-            {
-                "gate_proj": expert["w1"],
-                "up_proj": expert["w3"],
-                "down_proj": expert["w2"],
-            },
-            x,
-            cfg.hidden_act,
-        )
+        h = _mlp(_expert_mlp_weights(layer, e), x, cfg.hidden_act)
         out = out + h.astype(jnp.float32) * weights[..., e : e + 1]
     shared = _shared_experts_out(cfg, layer, x)
     if shared is not None:
@@ -1187,16 +1182,19 @@ def stack_expert_weights(params: Params) -> bool:
 def _ffn(cfg: ModelConfig, layer, x):
     if "gptoss_experts" in layer:
         return _moe_gptoss(cfg, layer, x)
-    if cfg.model_type.startswith("deepseek") and (
-        "experts" in layer or "experts_stacked" in layer
-    ):
+    has_experts = "experts" in layer or "experts_stacked" in layer
+    if cfg.model_type.startswith("deepseek") and has_experts:
         return _moe_deepseek(cfg, layer, x)  # dense first_k layers: _mlp
-    if "experts_stacked" in layer:  # pre-stacked => capacity dispatch
-        return _moe_capacity(cfg, layer, x, cfg.moe_capacity_factor)
-    if "experts" in layer:
-        if cfg.moe_dispatch == "capacity" and not isinstance(
+    if has_experts:
+        # dispatch follows the CONFIG, not the weight representation:
+        # serving stacks experts only under moe_dispatch="capacity"
+        # (inference.py), while pipeline stages stack them for ANY dispatch
+        # (parallel/pipeline.py) and dense-and-mask must stay available
+        # there for exactness
+        quantized = "experts" in layer and isinstance(
             layer["experts"][0]["w1"], dict
-        ):
+        )
+        if cfg.moe_dispatch == "capacity" and not quantized:
             return _moe_capacity(cfg, layer, x, cfg.moe_capacity_factor)
         return _moe(cfg, layer, x)
     return _mlp(layer, x, cfg.hidden_act)

@@ -23,9 +23,17 @@ back a training step.
 Per-layer attention schedules ARE supported: the scanned stage body knows
 each layer's global index (stage r owns layers [r*per, (r+1)*per)) and
 selects that layer's mask (gemma2/gpt-oss/mistral sliding windows) and rope
-gate (smollm3 mixed NoPE) from static flag tables. Remaining restrictions:
-dense float decoder stacks (no MoE expert lists / quantized leaves — see
-stack_stages), layers divisible by the stage count.
+gate (smollm3 mixed NoPE) from static flag tables.
+
+MoE decoder stacks ARE supported: per-expert weight lists stack into
+``experts_stacked = (W1, W3, W2)`` leaves (so Mixtral / Qwen3-MoE /
+GPT-OSS blocks pipeline like dense ones, with the exact dense-and-mask
+dispatch), and under pp x tp the expert matrices slice Megatron-style on
+their intermediate dim — the same two per-block psums assemble the
+routed-and-weighted partial sums. Remaining restrictions: homogeneous
+float stacks (no quantized leaves; no gpt-oss experts under tp — their
+down_bias precedes the row-parallel psum), layers divisible by the stage
+count.
 """
 
 from __future__ import annotations
@@ -56,16 +64,42 @@ _PP_CACHE: dict = {}
 
 # Megatron TP classification of stacked block leaves (S, per, *weight dims):
 # column-parallel weights shard their OUTPUT dim (leaf axis 2), row-parallel
-# their INPUT dim (leaf axis 3); norms replicate within the stage.
-_TP_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
-_TP_ROW = {"o_proj", "down_proj"}
+# their INPUT dim (leaf axis 3); norms replicate within the stage. Shared
+# experts (deepseek) are an ordinary MLP, so they classify like one.
+_TP_COL = {
+    "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+    "shared_gate_proj", "shared_up_proj",
+}
+_TP_ROW = {"o_proj", "down_proj", "shared_down_proj"}
 _TP_COL_1D = {"q_bias", "k_bias", "v_bias"}
 
 
-def _block_spec(key: str, leaf, tp: bool, qk_full: bool = False) -> P:
-    """PartitionSpec for one stacked block leaf."""
+def _leaf_name(path):
+    """Classification key for a stacked block leaf from its tree path:
+    the last dict key, plus the tuple slot for ``experts_stacked``
+    (0 = W1/gate, 1 = W3/up, 2 = W2/down — see models/llama.py
+    stack_expert_weights)."""
+    import jax.tree_util as jtu
+
+    name = next(
+        p.key for p in reversed(path) if isinstance(p, jtu.DictKey)
+    )
+    if name == "experts_stacked":
+        slot = next(
+            p.idx for p in reversed(path) if isinstance(p, jtu.SequenceKey)
+        )
+        return ("experts_stacked", slot)
+    return name
+
+
+def _block_spec(key, leaf, tp: bool, qk_full: bool = False) -> P:
+    """PartitionSpec for one stacked block leaf (key from _leaf_name)."""
     if not tp:
         return P(_AXIS, *([None] * (leaf.ndim - 1)))
+    if isinstance(key, tuple):  # experts_stacked: (S, per, E, out/in, in/out)
+        if key[1] in (0, 1):  # W1/W3: column-parallel on the expert inter dim
+            return P(_AXIS, None, None, "tp", None)
+        return P(_AXIS, None, None, None, "tp")  # W2: row-parallel
     if key in _TP_COL:
         return P(_AXIS, None, "tp", None)
     if key in _TP_ROW:
@@ -76,7 +110,51 @@ def _block_spec(key: str, leaf, tp: bool, qk_full: bool = False) -> P:
         # olmo2 full-vector q/k norms: the WEIGHT spans every head, so it
         # column-shards with q/k; the statistic is psummed in block_train
         return P(_AXIS, None, "tp")
-    return P(_AXIS, *([None] * (leaf.ndim - 1)))  # norms: replicated
+    return P(_AXIS, *([None] * (leaf.ndim - 1)))  # norms/router: replicated
+
+
+def _normalize_block(layer, tp: bool):
+    """One layer's weights as a stackable tree: per-expert weight-dict lists
+    become the stacked ``experts_stacked = (W1, W3, W2)`` tuple the dense
+    MoE paths slice (models/llama.py _expert_mlp_weights), so MoE blocks
+    stage-stack like any other leaf. Quantized leaves cannot (the
+    {'q','scale'} pairs would shard meaninglessly); they raise."""
+    out = dict(layer)
+    experts = out.pop("experts", None)
+    if experts is not None:
+        if isinstance(experts[0]["w1"], dict):
+            raise NotImplementedError(
+                "quantized experts cannot be stage-stacked; pipeline "
+                "stages need raw expert matrices"
+            )
+        out["experts_stacked"] = (
+            jnp.stack([e["w1"] for e in experts]),
+            jnp.stack([e["w3"] for e in experts]),
+            jnp.stack([e["w2"] for e in experts]),
+        )
+    if "gptoss_experts" in out:
+        if any(
+            not hasattr(w, "ndim") for w in out["gptoss_experts"].values()
+        ):
+            raise NotImplementedError(
+                "quantized gpt-oss experts cannot be stage-stacked"
+            )
+        if tp:
+            raise NotImplementedError(
+                "gpt-oss MoE blocks support pp but not pp x tp: the "
+                "per-expert down_bias is added before the row-parallel "
+                "psum, so a tp slice would count it n_tp times"
+            )
+    for k, v in out.items():
+        if k in ("experts_stacked", "gptoss_experts"):
+            continue
+        if not hasattr(v, "ndim"):
+            raise NotImplementedError(
+                f"pipeline stages require array block weights; layer leaf "
+                f"{k!r} is {type(v).__name__} (quantized params cannot be "
+                "stage-stacked)"
+            )
+    return out
 
 
 def stack_stages(
@@ -94,10 +172,15 @@ def stack_stages(
     shards Megatron-style over 'tp' (column-parallel q/k/v/gate/up, row-
     parallel o/down) — each device then holds 1/(P*T) of the block weights.
     ``qk_norm_full`` (olmo2): the full-vector q/k norm weights shard with
-    their columns (pass cfg.qk_norm_full when using tp).
+    their columns (pass cfg.qk_norm_full when using tp); MoE expert stacks
+    shard their intermediate dim over 'tp' (routers replicate).
 
-    All layers must share one structure (dense llama-family stacks do).
+    All layers must share one structure (dense llama-family stacks do;
+    uniform MoE stacks like Mixtral/Qwen3-MoE/GPT-OSS do too — DeepSeek's
+    first_k_dense_replace mix does not).
     """
+    import jax.tree_util as jtu
+
     layers = params["layers"]
     if len(layers) % n_stages != 0:
         raise ValueError(
@@ -105,48 +188,40 @@ def stack_stages(
             f"{len(layers)} layers"
         )
     per = len(layers) // n_stages
-    keys = set(layers[0].keys())
-    for i, layer in enumerate(layers[1:], 1):
-        if set(layer.keys()) != keys:
+    norm_layers = [_normalize_block(layer, tp) for layer in layers]
+    struct = jtu.tree_structure(norm_layers[0])
+    for i, layer in enumerate(norm_layers[1:], 1):
+        if jtu.tree_structure(layer) != struct:
             raise ValueError(
                 f"layer {i} structure differs from layer 0; pipeline stages "
                 "must be homogeneous"
             )
-    # dense float blocks only: MoE expert lists and int8/int4-quantized
-    # {'q','scale'} leaves cannot be jnp.stack'd into stage tensors
-    if "experts" in keys:
-        raise NotImplementedError(
-            "pipeline stages support dense blocks; shard experts via "
-            "parallel/moe.py instead"
-        )
-    for k in keys:
-        if not hasattr(layers[0][k], "ndim"):
-            raise NotImplementedError(
-                f"pipeline stages require array block weights; layer leaf "
-                f"{k!r} is {type(layers[0][k]).__name__} (quantized/MoE "
-                "params cannot be stage-stacked)"
-            )
 
-    def stage_stack(key):
-        # (n_stages, per, *leaf): stage-major stacking
-        return jnp.stack(
+    # (n_stages, per, *leaf): stage-major stacking of every block leaf.
+    # Tree flattening orders dict leaves by sorted key — deterministic
+    # across processes, which matters because per-process hash
+    # randomization would otherwise give each multihost process a
+    # DIFFERENT device_put order, and multihost device_put is collective
+    # (mismatched orders crash the transport: gloo "received data size
+    # doesn't match expected size")
+    stacked = jax.tree.map(
+        lambda *ls: jnp.stack(
             [
-                jnp.stack([layers[s * per + i][key] for i in range(per)])
+                jnp.stack([ls[s * per + i] for i in range(per)])
                 for s in range(n_stages)
             ]
-        )
-
-    # sorted: ``keys`` is a set, and per-process hash randomization would
-    # give each multihost process a DIFFERENT device_put order — multihost
-    # device_put is collective, so mismatched orders crash the transport
-    # (gloo "received data size doesn't match expected size")
-    stacked = {k: stage_stack(k) for k in sorted(keys)}
-    pp_shard = {
-        k: jax.device_put(
-            v, NamedSharding(mesh, _block_spec(k, v, tp, qk_norm_full))
-        )
-        for k, v in stacked.items()
-    }
+        ),
+        *norm_layers,
+    )
+    pp_shard = jtu.tree_map_with_path(
+        lambda path, v: jax.device_put(
+            v,
+            NamedSharding(
+                mesh, _block_spec(_leaf_name(path), v, tp, qk_norm_full)
+            ),
+        ),
+        stacked,
+    )
     rep = NamedSharding(mesh, P())
     out: Params = {
         "embed_tokens": jax.device_put(params["embed_tokens"], rep),
@@ -278,15 +353,23 @@ def pipeline_forward_train(
     tp = "tp" in mesh.axis_names
     if tp:
         n_tp = mesh.shape["tp"]
+        moe_inter = (
+            (cfg.moe_intermediate_size or cfg.intermediate_size)
+            if cfg.num_local_experts
+            else 0
+        )
         if (
             cfg.num_attention_heads % n_tp
             or cfg.num_key_value_heads % n_tp
             or cfg.intermediate_size % n_tp
+            or moe_inter % n_tp
         ):
             raise ValueError(
                 f"tp={n_tp} must evenly divide heads/kv-heads/ffn "
                 f"({cfg.num_attention_heads}/{cfg.num_key_value_heads}/"
-                f"{cfg.intermediate_size})"
+                f"{cfg.intermediate_size}"
+                + (f"/experts {moe_inter}" if moe_inter else "")
+                + ")"
             )
     B, T = input_ids.shape
     if B % n_microbatches != 0:
@@ -348,10 +431,14 @@ def pipeline_forward_train(
             rope_flags=rope_flags,
             sliding_flags=sliding_flags,
         )
-        block_specs = {
-            k: _block_spec(k, v, tp, cfg.qk_norm_full)
-            for k, v in blocks.items()
-        }
+        import jax.tree_util as jtu
+
+        block_specs = jtu.tree_map_with_path(
+            lambda path, v: _block_spec(
+                _leaf_name(path), v, tp, cfg.qk_norm_full
+            ),
+            blocks,
+        )
         fn = jax.jit(
             jax.shard_map(
                 body,

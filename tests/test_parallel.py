@@ -775,13 +775,17 @@ def test_pipeline_rejects_bad_configs():
 
     import dataclasses
 
-    # MoE blocks can't be stage-stacked regardless of tp (expert lists are
-    # not arrays); the guard must raise cleanly, not die inside jnp.stack
+    # QUANTIZED experts can't be stage-stacked ({'q','scale'} pairs would
+    # shard meaninglessly); the guard must raise cleanly, not die inside
+    # jnp.stack
     moe_cfg = dataclasses.replace(
         cfg, num_local_experts=2, num_experts_per_tok=1
     )
     moe_params = init_params(moe_cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
-    with pytest.raises(NotImplementedError, match="experts"):
+    for layer in moe_params["layers"]:
+        for ex in layer["experts"]:
+            ex["w1"] = {"q": ex["w1"], "scale": 1.0}
+    with pytest.raises(NotImplementedError, match="quantized experts"):
         stack_stages(mesh4, moe_params, 4)
 
     # same for non-array (e.g. quantized {'q','scale'}) block leaves
@@ -926,3 +930,123 @@ def test_pipeline_tp_olmo2_full_qk_norm():
     want = np.asarray(forward_train(params, cfg, ids))
     got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def _moe_pp_cfg(layers=4, **kw):
+    import dataclasses
+
+    return dataclasses.replace(
+        _pp_cfg(layers=layers),
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+        **kw,
+    )
+
+
+def test_pipeline_moe_matches_single_device():
+    """Mixtral-style MoE blocks through the pipeline: per-expert weight
+    lists stage-stack as (W1, W3, W2) leaves and the scanned body runs the
+    SAME dense-and-mask dispatch as forward_train — logits and grads match
+    the single-device forward (lifts the r2 dense-only pp boundary)."""
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.parallel.pipeline import (
+        make_pp_loss,
+        pipeline_forward_train,
+        stack_stages,
+    )
+    from shardmerge_tpu.parallel.train import _loss_fn
+
+    cfg = _moe_pp_cfg(layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(20), dtype=jnp.float32)
+    assert "experts" in params["layers"][0]
+    mesh = make_mesh(("pp",), devices=jax.devices()[:4])
+    pp_params = stack_stages(mesh, params, 4)
+    # the stacked experts shard over 'pp' like any block leaf
+    w1 = pp_params["blocks"]["experts_stacked"][0]
+    assert w1.shape == (4, 1, 4, 48, 32)  # (S, per, E, inter, hidden)
+    assert w1.sharding.shard_shape(w1.shape)[0] == 1
+
+    B, T = 4, 9
+    ids = jax.random.randint(
+        jax.random.PRNGKey(21), (B, T), 0, cfg.vocab_size
+    )
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    batch = jax.random.randint(
+        jax.random.PRNGKey(22), (4, 10), 0, cfg.vocab_size
+    )
+    loss_fn = make_pp_loss(mesh, cfg, n_microbatches=2)
+    pp_loss, pp_grads = jax.value_and_grad(loss_fn)(pp_params, batch)
+    ref_loss, _ = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    for leaf in jax.tree.leaves(pp_grads["blocks"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_pipeline_moe_with_tensor_parallel():
+    """pp x tp over MoE stages: expert W1/W3 column-shard and W2 row-shards
+    on the expert intermediate dim, the router replicates, and the block's
+    existing down_proj psum assembles the routed partial sums — logits
+    match the single-device forward."""
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = _moe_pp_cfg(layers=4, num_key_value_heads=4)
+    params = init_params(cfg, jax.random.PRNGKey(23), dtype=jnp.float32)
+    mesh = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
+    pp_params = stack_stages(mesh, params, 2, tp=True)
+    w1, _, w2 = pp_params["blocks"]["experts_stacked"]
+    assert w1.sharding.shard_shape(w1.shape) == (1, 2, 4, 24, 32)
+    assert w2.sharding.shard_shape(w2.shape) == (1, 2, 4, 32, 24)
+    gate = pp_params["blocks"]["moe_gate"]  # router replicates within stage
+    assert gate.sharding.shard_shape(gate.shape) == (1, 2, 4, 32)
+
+    B, T = 4, 9
+    ids = jax.random.randint(
+        jax.random.PRNGKey(24), (B, T), 0, cfg.vocab_size
+    )
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_gptoss_moe_pp_only():
+    """GPT-OSS MoE blocks (fused interleaved experts, sinks, router bias)
+    pipeline correctly under pp; under tp they raise — the per-expert
+    down_bias precedes the row-parallel psum and would be counted n_tp
+    times."""
+    import dataclasses
+
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = dataclasses.replace(
+        _moe_pp_cfg(layers=4),
+        model_type="gpt_oss",
+        sliding_window=3,  # gpt-oss alternates sliding/full per layer
+    )
+    params = init_params(cfg, jax.random.PRNGKey(25), dtype=jnp.float32)
+    assert "gptoss_experts" in params["layers"][0]
+    mesh = make_mesh(("pp",), devices=jax.devices()[:4])
+    pp_params = stack_stages(mesh, params, 4)
+
+    B, T = 4, 9
+    ids = jax.random.randint(
+        jax.random.PRNGKey(26), (B, T), 0, cfg.vocab_size
+    )
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    mesh2 = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
+    with pytest.raises(NotImplementedError, match="pp x tp"):
+        stack_stages(mesh2, params, 2, tp=True)
