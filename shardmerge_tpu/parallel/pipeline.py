@@ -18,7 +18,9 @@ Embedding, final norm and the LM head run replicated outside the pipeline
 schedule is ``lax.scan``-over-ticks of ``lax.scan``-over-stage-layers of the
 SAME ``block_train`` the dp x tp path uses, so PP is numerically identical
 to the single-device forward — and differentiable, so ``make_pp_loss`` can
-back a training step.
+back a training step. Composes with 'tp' (Megatron slicing inside each
+stage) and 'dp' (microbatches shard their batch dim) into the full 3-D
+dp x pp x tp layout in one shard_map.
 
 Per-layer attention schedules ARE supported: the scanned stage body knows
 each layer's global index (stage r owns layers [r*per, (r+1)*per)) and
@@ -348,9 +350,17 @@ def pipeline_forward_train(
     parallelism: every tp device computes its slice of the heads/ffn and
     two psums per block (after o_proj and down_proj) assemble the
     activations — 2-D (pp x tp) scaling in one shard_map.
+
+    When the mesh also has a 'dp' axis, the microbatch dim shards over it:
+    each dp group runs the identical pipeline schedule on its slice of
+    every microbatch (weights replicate over 'dp', so shard_map's
+    transpose psums the weight cotangents across 'dp' — standard data
+    parallelism), giving the full 3-D dp x pp x tp training layout in one
+    shard_map.
     """
     n_stages = mesh.shape[_AXIS]
     tp = "tp" in mesh.axis_names
+    n_dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
     if tp:
         n_tp = mesh.shape["tp"]
         moe_inter = (
@@ -377,6 +387,11 @@ def pipeline_forward_train(
             f"{n_microbatches} microbatches do not evenly divide batch {B}"
         )
     mb = B // n_microbatches
+    if mb % n_dp != 0:
+        raise ValueError(
+            f"dp={n_dp} must evenly divide the microbatch size {mb} "
+            f"(batch {B} / {n_microbatches} microbatches)"
+        )
 
     embed = pp_params["embed_tokens"]
     x = embed[input_ids]
@@ -439,12 +454,16 @@ def pipeline_forward_train(
             ),
             blocks,
         )
+        # with a 'dp' axis the (n_micro, mb, T, E) microbatches shard on
+        # mb; each dp group pipelines its slice (weights replicate on 'dp')
+        xs_spec = P(None, "dp") if n_dp > 1 else P()
+        pos_spec = P("dp", None) if n_dp > 1 else P()
         fn = jax.jit(
             jax.shard_map(
                 body,
                 mesh=mesh,
-                in_specs=(block_specs, P(), P(), P(), P(), P()),
-                out_specs=P(),
+                in_specs=(block_specs, xs_spec, P(), P(), pos_spec, P()),
+                out_specs=xs_spec,
             )
         )
         _PP_CACHE[key] = fn

@@ -10,6 +10,10 @@ Modes (argv[1]):
   alternating sliding-window config, so the per-layer schedule also runs
   cross-process), then compare against the local single-device forward and
   print ``PP-OK``.
+- ``cp`` — join the cluster and run ring attention over a 'cp' mesh whose
+  K/V-block ppermute hops each cross a process boundary (forward AND a
+  grad through the flash recombination), compare against full single-
+  device causal attention, and print ``CP-OK``.
 
 Invoked by tests/test_multihost.py — not a test module itself.
 
@@ -86,10 +90,91 @@ def pp_main() -> None:
     print(f"PP-OK max|diff|={np.abs(got - want).max():.3e}", flush=True)
 
 
+def cp_main() -> None:
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from shardmerge_tpu.parallel.multihost import initialize_distributed
+    from shardmerge_tpu.parallel.ring import ring_attention
+
+    assert initialize_distributed(), "cluster did not form"
+    devs = sorted(jax.devices(), key=lambda d: (d.process_index, d.id))
+    mesh = Mesh(np.asarray(devs), axis_names=("cp",))
+
+    B, H, KVH, T, D = 2, 4, 2, 8 * len(devs), 8
+    scale = 1.0 / np.sqrt(D)
+    rng = np.random.default_rng(0)  # same seed everywhere: replicated inputs
+    q = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, KVH, T, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, KVH, T, D)), jnp.float32)
+
+    def full_attention(q):
+        group = H // KVH
+        qg = q.reshape(B, KVH, group, T, D)
+        scores = jnp.einsum("bkgtd,bksd->bkgts", qg, k) * scale
+        causal = jnp.tril(jnp.ones((T, T), bool))
+        scores = jnp.where(causal[None, None, None], scores, -1e9)
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("bkgts,bksd->bkgtd", probs, v).reshape(B, H, T, D)
+
+    want = np.asarray(full_attention(q))
+    print("phase: local attention done", flush=True)
+
+    def check_local_shards(global_arr, ref, **tol):
+        """Compare this process's addressable shards of a cross-process
+        sharded array against the matching slices of the local reference —
+        no gather needed, and every process checks its own sequence rows."""
+        shards = global_arr.addressable_shards
+        assert shards, "process holds no shards"
+        diffs = []
+        for s in shards:
+            got_block = np.asarray(s.data)
+            ref_block = ref[s.index]
+            np.testing.assert_allclose(got_block, ref_block, **tol)
+            diffs.append(np.abs(got_block - ref_block).max())
+        return max(diffs)
+
+    got_sharded = ring_attention(mesh, q, k, v, scale)
+    d_fwd = check_local_shards(got_sharded, want, rtol=1e-5, atol=1e-6)
+    print("phase: cp forward done", flush=True)
+
+    # a grad flowing through the cross-process ring (flash recombination +
+    # ppermute transpose): must match the full-attention grad. The whole
+    # loss runs under ONE jit: eager device_put's transpose cannot reshard
+    # a cross-process cotangent ("input that is not fully addressable"),
+    # but inside jit the reshard is just an SPMD sharding constraint.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w_host = jnp.asarray(rng.standard_normal((B, H, T, D)), jnp.float32)
+    g_full = np.asarray(
+        jax.grad(lambda q: jnp.sum(full_attention(q) * w_host))(q)
+    )
+    w = jax.device_put(w_host, NamedSharding(mesh, P()))
+    q_g = jax.device_put(q, NamedSharding(mesh, P(None, None, "cp", None)))
+    g_fn = jax.jit(
+        jax.grad(lambda qq: jnp.sum(ring_attention(mesh, qq, k, v, scale) * w))
+    )
+    g_ring = g_fn(q_g)
+    check_local_shards(g_ring, g_full, rtol=1e-4, atol=1e-5)
+    print(f"CP-OK max|diff|={d_fwd:.3e}", flush=True)
+
+
 def main() -> None:
     arg = sys.argv[1]
     if arg == "pp":
         pp_main()
+        return
+    if arg == "cp":
+        cp_main()
         return
 
     import jax

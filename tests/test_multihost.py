@@ -265,3 +265,17 @@ def test_four_process_pipeline_crosses_boundaries():
             f"process {pid} did not join the cluster:\n{out[-2000:]}"
         )
         assert "PP-OK" in out, f"process {pid}:\n{out[-2000:]}"
+
+
+def test_four_process_ring_attention_crosses_boundaries():
+    """Context parallelism across process boundaries: ring attention over a
+    4-process 'cp' mesh — every K/V-block ppermute hop is a cross-process
+    edge — matches full single-device causal attention (forward and the
+    grad through the flash recombination). Each worker checks its own
+    addressable sequence rows and prints CP-OK."""
+    outputs = _run_cluster("cp", None)
+    for pid, out in enumerate(outputs):
+        assert f"distributed runtime up: process {pid}/{N_PROCESSES}" in out, (
+            f"process {pid} did not join the cluster:\n{out[-2000:]}"
+        )
+        assert "CP-OK" in out, f"process {pid}:\n{out[-2000:]}"

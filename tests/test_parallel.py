@@ -1016,6 +1016,61 @@ def test_pipeline_moe_with_tensor_parallel():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize(
+    "axes,shape", [(("dp", "pp"), (2, 4)), (("dp", "pp", "tp"), (2, 2, 2))]
+)
+def test_pipeline_with_data_parallel(axes, shape):
+    """dp x pp (and the full 3-D dp x pp x tp): the microbatch dim shards
+    over 'dp', each dp group pipelines its slice, weights replicate over
+    'dp' — logits, loss and grads match the single-device forward, and the
+    weight grads come out dp-synchronized (shard_map's transpose psums the
+    replicated-in cotangents)."""
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.parallel.pipeline import (
+        make_pp_loss,
+        pipeline_forward_train,
+        stack_stages,
+    )
+    from shardmerge_tpu.parallel.train import _loss_fn
+
+    tp = "tp" in axes
+    cfg = _pp_cfg(layers=4)
+    if tp:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, num_key_value_heads=4)
+    params = init_params(cfg, jax.random.PRNGKey(30), dtype=jnp.float32)
+    mesh = make_mesh(axes, shape=shape)
+    pp = shape[list(axes).index("pp")]
+    pp_params = stack_stages(mesh, params, pp, tp=tp)
+
+    B, T = 4, 9  # 2 microbatches of mb=2, sharded 1/dp-device
+    ids = jax.random.randint(
+        jax.random.PRNGKey(31), (B, T), 0, cfg.vocab_size
+    )
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    batch = jax.random.randint(
+        jax.random.PRNGKey(32), (4, 10), 0, cfg.vocab_size
+    )
+    loss_fn = make_pp_loss(mesh, cfg, n_microbatches=2)
+    pp_loss, pp_grads = jax.value_and_grad(loss_fn)(pp_params, batch)
+    ref_loss, ref_grads = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pp_grads["embed_tokens"]),
+        np.asarray(ref_grads["embed_tokens"]),
+        rtol=2e-4, atol=2e-5,
+    )
+
+    # indivisible microbatch-per-dp must raise, not silently misshard
+    ids_bad = ids[:2]  # mb would be 1 with n_micro=2, dp=2
+    with pytest.raises(ValueError, match="dp="):
+        pipeline_forward_train(mesh, cfg, pp_params, ids_bad, 2)
+
+
 def test_pipeline_gptoss_moe_pp_only():
     """GPT-OSS MoE blocks (fused interleaved experts, sinks, router bias)
     pipeline correctly under pp; under tp they raise — the per-expert
