@@ -1017,9 +1017,14 @@ def test_pipeline_moe_with_tensor_parallel():
 
 
 @pytest.mark.parametrize(
-    "axes,shape", [(("dp", "pp"), (2, 4)), (("dp", "pp", "tp"), (2, 2, 2))]
+    "axes,shape,moe",
+    [
+        (("dp", "pp"), (2, 4), False),
+        (("dp", "pp", "tp"), (2, 2, 2), False),
+        (("dp", "pp"), (2, 2), True),  # dp x pp over stage-stacked experts
+    ],
 )
-def test_pipeline_with_data_parallel(axes, shape):
+def test_pipeline_with_data_parallel(axes, shape, moe):
     """dp x pp (and the full 3-D dp x pp x tp): the microbatch dim shards
     over 'dp', each dp group pipelines its slice, weights replicate over
     'dp' — logits, loss and grads match the single-device forward, and the
@@ -1034,13 +1039,14 @@ def test_pipeline_with_data_parallel(axes, shape):
     from shardmerge_tpu.parallel.train import _loss_fn
 
     tp = "tp" in axes
-    cfg = _pp_cfg(layers=4)
+    cfg = _moe_pp_cfg(layers=4) if moe else _pp_cfg(layers=4)
     if tp:
         import dataclasses
 
         cfg = dataclasses.replace(cfg, num_key_value_heads=4)
     params = init_params(cfg, jax.random.PRNGKey(30), dtype=jnp.float32)
-    mesh = make_mesh(axes, shape=shape)
+    n_dev = int(np.prod(shape))
+    mesh = make_mesh(axes, devices=jax.devices()[:n_dev], shape=shape)
     pp = shape[list(axes).index("pp")]
     pp_params = stack_stages(mesh, params, pp, tp=tp)
 
