@@ -237,7 +237,7 @@ def stack_stages(
 
 def _schedule_body(
     blocks, xs, cos, sin, positions, masks, *, cfg, n_stages, tp=False,
-    n_tp=1, rope_flags=None, sliding_flags=None,
+    n_tp=1, rope_flags=None, sliding_flags=None, remat=False,
 ):
     """shard_map body: run the GPipe ticks for this device's stage.
 
@@ -289,8 +289,13 @@ def _schedule_body(
                 None,
             )
 
+        # remat: recompute each block in the backward instead of saving its
+        # intermediates across the whole tick schedule — with M + P - 1
+        # ticks of scan-over-layers the saved-residual footprint is the
+        # dominant training HBM term
+        body = jax.checkpoint(one_layer) if remat else one_layer
         h, _ = jax.lax.scan(
-            one_layer, x, (blocks, jnp.arange(per, dtype=jnp.int32))
+            body, x, (blocks, jnp.arange(per, dtype=jnp.int32))
         )
         return h
 
@@ -337,6 +342,7 @@ def pipeline_forward_train(
     pp_params: Params,
     input_ids: jnp.ndarray,  # (B, T)
     n_microbatches: int,
+    remat: bool = False,
 ):
     """Causal forward with the decoder stack pipelined over 'pp'.
 
@@ -423,7 +429,7 @@ def pipeline_forward_train(
     # address can be reused by a different one (same convention as
     # parallel/moe.py _FFN_CACHE)
     cfg_fp = tuple(sorted(dataclasses.asdict(cfg).items()))
-    key = (id(mesh), cfg_fp, n_microbatches, mb, T)
+    key = (id(mesh), cfg_fp, n_microbatches, mb, T, remat)
     fn = _PP_CACHE.get(key)
     if fn is None:
         local_cfg = cfg
@@ -445,6 +451,7 @@ def pipeline_forward_train(
             n_tp=(n_tp if tp else 1),
             rope_flags=rope_flags,
             sliding_flags=sliding_flags,
+            remat=remat,
         )
         import jax.tree_util as jtu
 
@@ -479,15 +486,21 @@ def pipeline_forward_train(
     return logits
 
 
-def make_pp_loss(mesh: Mesh, cfg: ModelConfig, n_microbatches: int):
+def make_pp_loss(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    n_microbatches: int,
+    remat: bool = False,
+):
     """Next-token cross-entropy through the pipeline — differentiable, so
-    ``jax.value_and_grad`` of this is a PP training step's core."""
+    ``jax.value_and_grad`` of this is a PP training step's core.
+    ``remat=True`` gradient-checkpoints each block (see _schedule_body)."""
 
     def loss_fn(pp_params: Params, batch: jnp.ndarray) -> jnp.ndarray:
         inputs = batch[:, :-1]
         targets = batch[:, 1:]
         logits = pipeline_forward_train(
-            mesh, cfg, pp_params, inputs, n_microbatches
+            mesh, cfg, pp_params, inputs, n_microbatches, remat=remat
         )
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]

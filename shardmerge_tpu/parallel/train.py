@@ -118,21 +118,32 @@ def shard_params(mesh: Mesh, params: Params) -> Params:
     )
 
 
-def _loss_fn(params: Params, cfg: ModelConfig, batch: jnp.ndarray) -> jnp.ndarray:
+def _loss_fn(
+    params: Params,
+    cfg: ModelConfig,
+    batch: jnp.ndarray,
+    remat: bool = False,
+) -> jnp.ndarray:
     """Next-token cross entropy over (B, T+1) token batches."""
     inputs = batch[:, :-1]
     targets = batch[:, 1:]
-    logits = forward_train(params, cfg, inputs)
+    logits = forward_train(params, cfg, inputs, remat=remat)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
     return jnp.mean(nll)
 
 
 def make_train_step(
-    mesh: Mesh, cfg: ModelConfig, learning_rate: float = 1e-4
+    mesh: Mesh,
+    cfg: ModelConfig,
+    learning_rate: float = 1e-4,
+    remat: bool = False,
 ):
     """Build (init_state, train_step) with dp-sharded batches and tp-sharded
-    params/optimizer state. train_step: (state, batch) -> (state, loss)."""
+    params/optimizer state. train_step: (state, batch) -> (state, loss).
+
+    ``remat=True`` gradient-checkpoints each decoder block (activation HBM
+    becomes O(1) blocks instead of O(layers); see forward_train)."""
     tx = optax.adamw(learning_rate)
     batch_sharding = NamedSharding(mesh, P("dp", None))
 
@@ -144,7 +155,9 @@ def make_train_step(
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: jnp.ndarray):
         batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
-        loss, grads = jax.value_and_grad(_loss_fn)(state["params"], cfg, batch)
+        loss, grads = jax.value_and_grad(_loss_fn)(
+            state["params"], cfg, batch, remat
+        )
         updates, opt_state = tx.update(
             grads, state["opt_state"], state["params"]
         )

@@ -1077,6 +1077,60 @@ def test_pipeline_with_data_parallel(axes, shape, moe):
         pipeline_forward_train(mesh, cfg, pp_params, ids_bad, 2)
 
 
+def test_remat_matches_unremat():
+    """jax.checkpoint rematerialisation (the standard TPU HBM-for-FLOPs
+    trade) changes neither the loss nor the grads — in the dp x tp train
+    step and through the pipeline schedule."""
+    from shardmerge_tpu.models.llama import init_params
+    from shardmerge_tpu.parallel.pipeline import make_pp_loss, stack_stages
+    from shardmerge_tpu.parallel.train import _loss_fn, make_train_step
+
+    cfg = _pp_cfg(layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(40), dtype=jnp.float32)
+    batch = jax.random.randint(
+        jax.random.PRNGKey(41), (4, 10), 0, cfg.vocab_size
+    )
+
+    # plain loss/grads: remat must be value- and grad-invariant
+    loss_p, grads_p = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    loss_r, grads_r = jax.value_and_grad(_loss_fn)(params, cfg, batch, True)
+    np.testing.assert_allclose(float(loss_r), float(loss_p), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(grads_r), jax.tree.leaves(grads_p)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+    # sharded train step accepts remat and produces the same first loss.
+    # NOTE fresh params per init: the donated train state can ALIAS the
+    # input tree (device_put aliases on matching placement) and donation
+    # then deletes the original buffers (CLAUDE.md gotcha)
+    mesh = make_mesh(("dp", "tp"), shape=(2, 2), devices=jax.devices()[:4])
+    init_s, step = make_train_step(mesh, cfg)
+    init_r, step_r = make_train_step(mesh, cfg, remat=True)
+    _, loss_a = step(
+        init_s(init_params(cfg, jax.random.PRNGKey(40), dtype=jnp.float32)),
+        batch,
+    )
+    _, loss_b = step_r(
+        init_r(init_params(cfg, jax.random.PRNGKey(40), dtype=jnp.float32)),
+        batch,
+    )
+    np.testing.assert_allclose(float(loss_b), float(loss_a), rtol=1e-6)
+
+    # pipeline: remat through scan-over-ticks of scan-over-layers
+    mesh_pp = make_mesh(("pp",), devices=jax.devices()[:4])
+    pp_params = stack_stages(mesh_pp, params, 4)
+    loss_fn = make_pp_loss(mesh_pp, cfg, n_microbatches=2)
+    loss_fn_r = make_pp_loss(mesh_pp, cfg, n_microbatches=2, remat=True)
+    pl, pg = jax.value_and_grad(loss_fn)(pp_params, batch)
+    rl, rg = jax.value_and_grad(loss_fn_r)(pp_params, batch)
+    np.testing.assert_allclose(float(rl), float(pl), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(rg), jax.tree.leaves(pg)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_pipeline_gptoss_moe_pp_only():
     """GPT-OSS MoE blocks (fused interleaved experts, sinks, router bias)
     pipeline correctly under pp; under tp they raise — the per-expert
