@@ -848,6 +848,13 @@ def _mlp(layer, x, hidden_act: str = "silu"):
     return matmul(act.astype(x.dtype) * up, layer["down_proj"])
 
 
+def experts_quantized(experts) -> bool:
+    """True when per-expert weights are int8/int4 {'q','scale'} dicts
+    (models/quant.py) rather than raw matrices — the single predicate the
+    dispatchers and stackers share."""
+    return isinstance(experts[0]["w1"], dict)
+
+
 def _expert_mlp_weights(layer, e: int):
     """Expert ``e``'s SwiGLU matrices as an ``_mlp`` layer dict, from either
     the per-expert list (``experts``) or the stacked ``(W1, W3, W2)`` tuple
@@ -1000,9 +1007,7 @@ def _moe_deepseek(cfg: ModelConfig, layer, x):
     """DeepSeek MoE block: routed experts (dense-mask accumulation, like
     :func:`_moe`) + the always-on shared-experts MLP
     (HF modeling_deepseek_v3.DeepseekV3MoE.forward)."""
-    quantized = "experts" in layer and isinstance(
-        layer["experts"][0]["w1"], dict
-    )
+    quantized = "experts" in layer and experts_quantized(layer["experts"])
     if cfg.moe_dispatch == "capacity" and not quantized:
         return _moe_deepseek_capacity(cfg, layer, x, cfg.moe_capacity_factor)
     weights = deepseek_router(cfg, layer, x)
@@ -1165,7 +1170,7 @@ def stack_expert_weights(params: Params) -> bool:
     if not any("experts" in layer for layer in layers):
         return False
     for layer in layers:
-        if "experts" in layer and isinstance(layer["experts"][0]["w1"], dict):
+        if "experts" in layer and experts_quantized(layer["experts"]):
             return False  # quantized: caller should warn + use dense
     for layer in layers:
         if "experts" not in layer:
@@ -1191,8 +1196,8 @@ def _ffn(cfg: ModelConfig, layer, x):
         # (inference.py), while pipeline stages stack them for ANY dispatch
         # (parallel/pipeline.py) and dense-and-mask must stay available
         # there for exactness
-        quantized = "experts" in layer and isinstance(
-            layer["experts"][0]["w1"], dict
+        quantized = "experts" in layer and experts_quantized(
+            layer["experts"]
         )
         if cfg.moe_dispatch == "capacity" and not quantized:
             return _moe_capacity(cfg, layer, x, cfg.moe_capacity_factor)

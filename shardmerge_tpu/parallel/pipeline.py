@@ -66,13 +66,12 @@ _PP_CACHE: dict = {}
 
 # Megatron TP classification of stacked block leaves (S, per, *weight dims):
 # column-parallel weights shard their OUTPUT dim (leaf axis 2), row-parallel
-# their INPUT dim (leaf axis 3); norms replicate within the stage. Shared
-# experts (deepseek) are an ordinary MLP, so they classify like one.
-_TP_COL = {
-    "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
-    "shared_gate_proj", "shared_up_proj",
-}
-_TP_ROW = {"o_proj", "down_proj", "shared_down_proj"}
+# their INPUT dim (leaf axis 3); norms replicate within the stage.
+# (DeepSeek's shared-expert MLPs would classify like an ordinary MLP, but
+# DeepSeek stacks never reach here: first_k_dense_replace makes them
+# heterogeneous and block_train has no MLA attention.)
+_TP_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
+_TP_ROW = {"o_proj", "down_proj"}
 _TP_COL_1D = {"q_bias", "k_bias", "v_bias"}
 
 
@@ -116,23 +115,21 @@ def _block_spec(key, leaf, tp: bool, qk_full: bool = False) -> P:
 
 
 def _normalize_block(layer, tp: bool):
-    """One layer's weights as a stackable tree: per-expert weight-dict lists
-    become the stacked ``experts_stacked = (W1, W3, W2)`` tuple the dense
-    MoE paths slice (models/llama.py _expert_mlp_weights), so MoE blocks
-    stage-stack like any other leaf. Quantized leaves cannot (the
-    {'q','scale'} pairs would shard meaninglessly); they raise."""
+    """Validate one layer's weights for stage stacking and return the
+    stackable non-expert tree. Per-expert weight lists are removed here and
+    stage-stacked separately, straight into one buffer (_stack_experts) —
+    stacking them per layer first would hold a full extra copy of every
+    expert matrix alive during the stage-major stack. Quantized leaves
+    cannot stack (the {'q','scale'} pairs would shard meaninglessly); they
+    raise."""
+    from ..models.llama import experts_quantized
+
     out = dict(layer)
     experts = out.pop("experts", None)
-    if experts is not None:
-        if isinstance(experts[0]["w1"], dict):
-            raise NotImplementedError(
-                "quantized experts cannot be stage-stacked; pipeline "
-                "stages need raw expert matrices"
-            )
-        out["experts_stacked"] = (
-            jnp.stack([e["w1"] for e in experts]),
-            jnp.stack([e["w3"] for e in experts]),
-            jnp.stack([e["w2"] for e in experts]),
+    if experts is not None and experts_quantized(experts):
+        raise NotImplementedError(
+            "quantized experts cannot be stage-stacked; pipeline "
+            "stages need raw expert matrices"
         )
     if "gptoss_experts" in out:
         if any(
@@ -148,7 +145,7 @@ def _normalize_block(layer, tp: bool):
                 "psum, so a tp slice would count it n_tp times"
             )
     for k, v in out.items():
-        if k in ("experts_stacked", "gptoss_experts"):
+        if k == "gptoss_experts":
             continue
         if not hasattr(v, "ndim"):
             raise NotImplementedError(
@@ -157,6 +154,39 @@ def _normalize_block(layer, tp: bool):
                 "stage-stacked)"
             )
     return out
+
+
+def _stack_experts(layers, n_stages: int, per: int):
+    """Stage-stack per-expert SwiGLU weights into the
+    ``experts_stacked = (W1, W3, W2)`` tuple of (S, per, E, ·, ·) arrays the
+    dense MoE paths slice (models/llama.py _expert_mlp_weights).
+
+    Fills one preallocated host buffer per matrix kind instead of nesting
+    jnp.stack calls: nested stacking keeps every intermediate (E, ·, ·)
+    copy alive until the outer stack consumes them — a full extra copy of
+    all expert bytes, which at Mixtral-8x7B scale is ~2x 45 GiB of host RAM
+    for no reason."""
+    import numpy as np
+
+    n_exp = len(layers[0]["experts"])
+    if any(len(layer["experts"]) != n_exp for layer in layers):
+        raise ValueError(
+            "pipeline stages must be homogeneous: expert counts differ "
+            "across layers"
+        )
+    out = []
+    for kind in ("w1", "w3", "w2"):
+        proto = layers[0]["experts"][0][kind]
+        buf = np.empty(
+            (n_stages, per, n_exp) + tuple(proto.shape), proto.dtype
+        )
+        for s in range(n_stages):
+            for i in range(per):
+                experts = layers[s * per + i]["experts"]
+                for e in range(n_exp):
+                    buf[s, i, e] = np.asarray(experts[e][kind])
+        out.append(buf)
+    return tuple(out)
 
 
 def stack_stages(
@@ -192,8 +222,12 @@ def stack_stages(
     per = len(layers) // n_stages
     norm_layers = [_normalize_block(layer, tp) for layer in layers]
     struct = jtu.tree_structure(norm_layers[0])
+    has_experts = "experts" in layers[0]
     for i, layer in enumerate(norm_layers[1:], 1):
-        if jtu.tree_structure(layer) != struct:
+        if (
+            jtu.tree_structure(layer) != struct
+            or ("experts" in layers[i]) != has_experts
+        ):
             raise ValueError(
                 f"layer {i} structure differs from layer 0; pipeline stages "
                 "must be homogeneous"
@@ -215,6 +249,8 @@ def stack_stages(
         ),
         *norm_layers,
     )
+    if has_experts:
+        stacked["experts_stacked"] = _stack_experts(layers, n_stages, per)
     pp_shard = jtu.tree_map_with_path(
         lambda path, v: jax.device_put(
             v,
