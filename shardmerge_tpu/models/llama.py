@@ -779,10 +779,28 @@ def _attention_mla(cfg, layer, x, cos, sin, positions, cache_slice, cache_pos, m
     cache_slice: (c_cache (B, S, Ckv), pe_cache (B, S, Dr)).
     Returns (output, new_c_cache, new_pe_cache).
     """
+    c, k_pe, q_nope, q_pe = _mla_project(cfg, layer, x, cos, sin, positions)
+
+    c_cache, pe_cache = cache_slice
+    c_cache = jax.lax.dynamic_update_slice(c_cache, c, (0, cache_pos, 0))
+    pe_cache = jax.lax.dynamic_update_slice(
+        pe_cache, k_pe, (0, cache_pos, 0)
+    )
+    out = _mla_attend(
+        cfg, layer, x.dtype, q_nope, q_pe, c_cache, pe_cache,
+        mask[:, None, :, :],
+    )
+    return out, c_cache, pe_cache
+
+
+def _mla_project(cfg, layer, x, cos, sin, positions):
+    """MLA projections: (c latent (B, T, Ckv), roped shared key k_pe
+    (B, T, Dr), per-head q_nope (B, H, T, Dn), roped q_pe (B, H, T, Dr)).
+    Shared between the cached serving path and the cache-free train path."""
     B, T, _ = x.shape
     H = cfg.num_attention_heads
     dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
-    dv, dc = cfg.v_head_dim, cfg.kv_lora_rank
+    dc = cfg.kv_lora_rank
 
     if "q_proj" in layer:  # q_lora_rank is null (V2-Lite)
         q = matmul(x, layer["q_proj"])
@@ -799,12 +817,20 @@ def _attention_mla(cfg, layer, x, cos, sin, positions, cache_slice, cache_pos, m
     k_pe = ckv[..., dc:][:, None]  # (B, 1, T, Dr) — shared across heads
 
     q_pe, k_pe = apply_rope_cfg(cfg, q_pe, k_pe, cos, sin, positions)
+    return c, k_pe[:, 0], q_nope, q_pe
 
-    c_cache, pe_cache = cache_slice
-    c_cache = jax.lax.dynamic_update_slice(c_cache, c, (0, cache_pos, 0))
-    pe_cache = jax.lax.dynamic_update_slice(
-        pe_cache, k_pe[:, 0], (0, cache_pos, 0)
-    )
+
+def _mla_attend(cfg, layer, out_dtype, q_nope, q_pe, c_keys, pe_keys, mask):
+    """Absorbed-matmul MLA attention over latent keys: scores =
+    (W_k^T q_nope)^T c + q_pe k_pe; out = (probs c) W_v — algebraically
+    identical to decompressing per-head K/V by matmul associativity.
+    ``c_keys`` (B, S, Ckv) / ``pe_keys`` (B, S, Dr) are the cache arrays
+    when serving, or this call's own latents when training.
+    ``mask``: additive, broadcastable to (B, H, T, S)."""
+    B = q_nope.shape[0]
+    T = q_nope.shape[2]
+    H = cfg.num_attention_heads
+    dn, dv, dc = cfg.qk_nope_head_dim, cfg.v_head_dim, cfg.kv_lora_rank
 
     wkb = layer["kv_b_proj"]
     if isinstance(wkb, dict):  # int8/int4-quantized (models/quant.py)
@@ -818,18 +844,17 @@ def _attention_mla(cfg, layer, x, cos, sin, positions, cache_slice, cache_pos, m
     # absorbed scores: q_nope^T (W_k c) == (W_k^T q_nope)^T c
     q_abs = jnp.einsum("bhtd,hdc->bhtc", q_nope.astype(jnp.float32), w_k)
     scores = jnp.einsum(
-        "bhtc,bsc->bhts", q_abs, c_cache.astype(jnp.float32)
+        "bhtc,bsc->bhts", q_abs, c_keys.astype(jnp.float32)
     ) + jnp.einsum(
-        "bhtd,bsd->bhts", q_pe.astype(jnp.float32), pe_cache.astype(jnp.float32)
+        "bhtd,bsd->bhts", q_pe.astype(jnp.float32), pe_keys.astype(jnp.float32)
     )
     scores = scores * jnp.float32(cfg.mla_softmax_scale)
-    scores = scores + mask[:, None, :, :]
+    scores = scores + mask
     probs = jax.nn.softmax(scores, axis=-1)
-    ctx = jnp.einsum("bhts,bsc->bhtc", probs, c_cache.astype(jnp.float32))
+    ctx = jnp.einsum("bhts,bsc->bhtc", probs, c_keys.astype(jnp.float32))
     out = jnp.einsum("bhtc,hvc->bhtv", ctx, w_v)  # (B, H, T, Dv)
     out = out.transpose(0, 2, 1, 3).reshape(B, T, H * dv)
-    out = matmul(out.astype(x.dtype), layer["o_proj"])
-    return out, c_cache, pe_cache
+    return matmul(out.astype(out_dtype), layer["o_proj"])
 
 
 def _act(g32: jnp.ndarray, hidden_act: str) -> jnp.ndarray:
@@ -1367,6 +1392,25 @@ def block_train(
         if cfg.is_olmo2  # olmo2: no input norm (post-norm residuals)
         else rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
     )
+    if cfg.is_mla:
+        # DeepSeek MLA, cache-free: attend over this call's own latents
+        # (S = T). Same projections and absorbed matmuls as serving
+        # (_mla_project/_mla_attend); deepseek has no sliding windows or
+        # NoPE layers, so mask/use_rope scheduling does not apply.
+        c, k_pe, q_nope, q_pe = _mla_project(
+            cfg, layer, h, cos, sin, positions
+        )
+        attn_out = _mla_attend(
+            cfg, layer, x.dtype, q_nope, q_pe, c, k_pe, mask[None, None]
+        )
+        if reduce is not None:
+            attn_out = reduce(attn_out)
+        x = x + attn_out
+        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, po)
+        ffn_out = _ffn(cfg, layer, h)
+        if reduce is not None:
+            ffn_out = reduce(ffn_out)
+        return x + ffn_out
     q = matmul(h, layer["q_proj"])
     k = matmul(h, layer["k_proj"])
     v = matmul(h, layer["v_proj"])

@@ -1131,6 +1131,76 @@ def test_remat_matches_unremat():
         )
 
 
+def test_deepseek_mla_trains():
+    """DeepSeek gains a train path (block_train's MLA branch): the
+    cache-free forward_train equals the serving forward's prefill logits
+    (which are HF-validated in test_models.py), gradients flow finite —
+    with and without remat — and the dp x tp train step runs, covering
+    MLA + grouped routing + shared experts + the dense first_k layer."""
+    from shardmerge_tpu.models.llama import (
+        ModelConfig,
+        forward,
+        forward_train,
+        init_kv_cache,
+        init_params,
+        rope_tables,
+    )
+    from shardmerge_tpu.parallel.train import _loss_fn, make_train_step
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+        model_type="deepseek_v3",
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        first_k_dense_replace=1,
+        n_group=2,
+        topk_group=1,
+        topk_method="noaux_tc",
+        rope_interleave=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(60), dtype=jnp.float32)
+    assert "kv_a_proj" in params["layers"][0]  # MLA layers, not q/k/v
+
+    B, T = 2, 9
+    ids = jax.random.randint(jax.random.PRNGKey(61), (B, T), 0, 64)
+    rope = rope_tables(cfg, T)
+    kv = init_kv_cache(cfg, B, T, jnp.float32)
+    positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, 0)
+    want, _ = forward(
+        params, cfg, ids, positions, kv, cache_pos=0, rope=rope, attn_len=T
+    )
+    got = forward_train(params, cfg, ids)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+    )
+
+    batch = jax.random.randint(jax.random.PRNGKey(62), (2, 10), 0, 64)
+    loss, grads = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    loss_r, _ = jax.value_and_grad(_loss_fn)(params, cfg, batch, True)
+    np.testing.assert_allclose(float(loss_r), float(loss), rtol=1e-6)
+    assert all(
+        bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(grads)
+    )
+
+    mesh = make_mesh(("dp", "tp"), shape=(2, 2), devices=jax.devices()[:4])
+    init_s, step = make_train_step(mesh, cfg)
+    _, loss2 = step(init_s(params), batch)
+    np.testing.assert_allclose(float(loss2), float(loss), rtol=1e-5)
+
+
 def test_pipeline_gptoss_moe_pp_only():
     """GPT-OSS MoE blocks (fused interleaved experts, sinks, router bias)
     pipeline correctly under pp; under tp they raise — the per-expert
