@@ -1201,6 +1201,63 @@ def test_deepseek_mla_trains():
     np.testing.assert_allclose(float(loss2), float(loss), rtol=1e-5)
 
 
+def test_deepseek_homogeneous_stack_pipelines_pp_only():
+    """A homogeneous DeepSeek stack (first_k_dense_replace=0) pipelines:
+    MLA blocks + grouped routing + shared experts through the GPipe
+    schedule equal the single-device forward. Under pp x tp it raises —
+    MLA's q_b/kv_b head slicing is not implemented."""
+    import dataclasses
+
+    from shardmerge_tpu.models.llama import (
+        ModelConfig,
+        forward_train,
+        init_params,
+    )
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=32,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+        model_type="deepseek_v3",
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        first_k_dense_replace=0,
+        n_group=2,
+        topk_group=1,
+        topk_method="noaux_tc",
+        rope_interleave=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(63), dtype=jnp.float32)
+    mesh = make_mesh(("pp",), devices=jax.devices()[:2])
+    pp_params = stack_stages(mesh, params, 2)
+
+    B, T = 2, 9
+    ids = jax.random.randint(jax.random.PRNGKey(64), (B, T), 0, 64)
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    mesh2 = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
+    pp2 = stack_stages(mesh2, params, 2, tp=True)
+    with pytest.raises(NotImplementedError, match="pp x tp"):
+        pipeline_forward_train(mesh2, cfg, pp2, ids, 2)
+
+
 def test_pipeline_gptoss_moe_pp_only():
     """GPT-OSS MoE blocks (fused interleaved experts, sinks, router bias)
     pipeline correctly under pp; under tp they raise — the per-expert
