@@ -67,11 +67,16 @@ _PP_CACHE: dict = {}
 # Megatron TP classification of stacked block leaves (S, per, *weight dims):
 # column-parallel weights shard their OUTPUT dim (leaf axis 2), row-parallel
 # their INPUT dim (leaf axis 3); norms replicate within the stage.
-# (Homogeneous DeepSeek stacks — first_k_dense_replace=0 — pipeline
-# pp-only: MLA's q_b/kv_b head slicing under 'tp' is not implemented, and
-# pipeline_forward_train raises for that combination.)
-_TP_COL = {"q_proj", "k_proj", "v_proj", "gate_proj", "up_proj"}
-_TP_ROW = {"o_proj", "down_proj"}
+# MLA (homogeneous DeepSeek stacks, first_k_dense_replace=0): q_b/kv_b
+# outputs are contiguous per-head blocks (H x (dn+dr), H x (dn+dv)), so
+# column slicing them IS head slicing; the latent-side q_a/kv_a
+# projections and their norms replicate (the latent is shared across
+# heads). Shared experts are an ordinary biasless MLP.
+_TP_COL = {
+    "q_proj", "k_proj", "v_proj", "gate_proj", "up_proj",
+    "q_b_proj", "kv_b_proj", "shared_gate_proj", "shared_up_proj",
+}
+_TP_ROW = {"o_proj", "down_proj", "shared_down_proj"}
 _TP_COL_1D = {"q_bias", "k_bias", "v_bias"}
 
 
@@ -403,11 +408,6 @@ def pipeline_forward_train(
     n_stages = mesh.shape[_AXIS]
     tp = "tp" in mesh.axis_names
     n_dp = mesh.shape["dp"] if "dp" in mesh.axis_names else 1
-    if tp and cfg.is_mla:
-        raise NotImplementedError(
-            "MLA attention supports pp but not pp x tp: slicing the "
-            "q_b/kv_b head blocks for Megatron TP is not implemented"
-        )
     if tp:
         n_tp = mesh.shape["tp"]
         moe_inter = (

@@ -1201,11 +1201,12 @@ def test_deepseek_mla_trains():
     np.testing.assert_allclose(float(loss2), float(loss), rtol=1e-5)
 
 
-def test_deepseek_homogeneous_stack_pipelines_pp_only():
+def test_deepseek_homogeneous_stack_pipelines():
     """A homogeneous DeepSeek stack (first_k_dense_replace=0) pipelines:
     MLA blocks + grouped routing + shared experts through the GPipe
-    schedule equal the single-device forward. Under pp x tp it raises —
-    MLA's q_b/kv_b head slicing is not implemented."""
+    schedule equal the single-device forward — pp-only AND pp x tp
+    (q_b/kv_b outputs are contiguous head blocks, so Megatron column
+    slicing IS head slicing; the shared latent side replicates)."""
     import dataclasses
 
     from shardmerge_tpu.models.llama import (
@@ -1254,8 +1255,12 @@ def test_deepseek_homogeneous_stack_pipelines_pp_only():
 
     mesh2 = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
     pp2 = stack_stages(mesh2, params, 2, tp=True)
-    with pytest.raises(NotImplementedError, match="pp x tp"):
-        pipeline_forward_train(mesh2, cfg, pp2, ids, 2)
+    qb = pp2["blocks"]["q_b_proj"]  # head blocks column-shard over 'tp'
+    assert qb.sharding.shard_shape(qb.shape) == (
+        qb.shape[0] // 2, qb.shape[1], qb.shape[2] // 2, qb.shape[3]
+    )
+    got2 = np.asarray(pipeline_forward_train(mesh2, cfg, pp2, ids, 2))
+    np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
 
 
 def test_pipeline_gptoss_moe_pp_only():
