@@ -1396,21 +1396,16 @@ def block_train(
         # DeepSeek MLA, cache-free: attend over this call's own latents
         # (S = T). Same projections and absorbed matmuls as serving
         # (_mla_project/_mla_attend); deepseek has no sliding windows or
-        # NoPE layers, so mask/use_rope scheduling does not apply.
+        # NoPE layers, so mask/use_rope scheduling does not apply. Falls
+        # through to the SAME reduce/residual/FFN tail as every other
+        # attention variant.
         c, k_pe, q_nope, q_pe = _mla_project(
             cfg, layer, h, cos, sin, positions
         )
         attn_out = _mla_attend(
             cfg, layer, x.dtype, q_nope, q_pe, c, k_pe, mask[None, None]
         )
-        if reduce is not None:
-            attn_out = reduce(attn_out)
-        x = x + attn_out
-        h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, po)
-        ffn_out = _ffn(cfg, layer, h)
-        if reduce is not None:
-            ffn_out = reduce(ffn_out)
-        return x + ffn_out
+        return _block_tail(cfg, layer, x, attn_out, reduce, po)
     q = matmul(h, layer["q_proj"])
     k = matmul(h, layer["k_proj"])
     v = matmul(h, layer["v_proj"])
@@ -1480,6 +1475,14 @@ def block_train(
     out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
     attn_out = matmul(out.astype(x.dtype), layer["o_proj"])
+    return _block_tail(cfg, layer, x, attn_out, reduce, po)
+
+
+def _block_tail(cfg: ModelConfig, layer, x, attn_out, reduce, po):
+    """The reduce/residual/FFN tail every attention variant shares (single
+    source of the Megatron reduce contract and the per-family residual
+    structures: olmo2 post-norms, gemma2 sandwich norms, standard
+    pre-norm)."""
     if reduce is not None:  # TP: o_proj is row-parallel; sum the partials
         attn_out = reduce(attn_out)
     if cfg.is_olmo2:  # post-norm residuals, no pre-FFN norm

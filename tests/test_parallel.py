@@ -1207,8 +1207,6 @@ def test_deepseek_homogeneous_stack_pipelines():
     schedule equal the single-device forward — pp-only AND pp x tp
     (q_b/kv_b outputs are contiguous head blocks, so Megatron column
     slicing IS head slicing; the shared latent side replicates)."""
-    import dataclasses
-
     from shardmerge_tpu.models.llama import (
         ModelConfig,
         forward_train,
