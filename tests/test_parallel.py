@@ -1201,6 +1201,32 @@ def test_deepseek_mla_trains():
     np.testing.assert_allclose(float(loss2), float(loss), rtol=1e-5)
 
 
+def test_stack_experts_single_buffer_and_homogeneity():
+    """_stack_experts fills one (S, per, E, ., .) buffer per matrix kind
+    straight from the per-layer lists (no per-layer intermediate copies)
+    and rejects ragged expert counts."""
+    from shardmerge_tpu.parallel.pipeline import _stack_experts
+
+    def expert(seed):
+        rng = np.random.default_rng(seed)
+        return {
+            "w1": rng.standard_normal((6, 4), dtype=np.float32),
+            "w3": rng.standard_normal((6, 4), dtype=np.float32),
+            "w2": rng.standard_normal((4, 6), dtype=np.float32),
+        }
+
+    layers = [{"experts": [expert(10 * li + e) for e in range(3)]}
+              for li in range(4)]
+    W1, W3, W2 = _stack_experts(layers, n_stages=2, per=2)
+    assert W1.shape == (2, 2, 3, 6, 4) and W2.shape == (2, 2, 3, 4, 6)
+    np.testing.assert_array_equal(W1[1, 0, 2], layers[2]["experts"][2]["w1"])
+    np.testing.assert_array_equal(W2[0, 1, 1], layers[1]["experts"][1]["w2"])
+
+    layers[3]["experts"].pop()
+    with pytest.raises(ValueError, match="expert counts differ"):
+        _stack_experts(layers, n_stages=2, per=2)
+
+
 def test_deepseek_homogeneous_stack_pipelines():
     """A homogeneous DeepSeek stack (first_k_dense_replace=0) pipelines:
     MLA blocks + grouped routing + shared experts through the GPipe
