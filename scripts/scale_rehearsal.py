@@ -228,7 +228,7 @@ def verify_gate(model_dir: Path) -> bool:
          "--model_dir", str(model_dir)],
         cwd=str(REPO), capture_output=True, text=True,
     )
-    return v.returncode == 0 and "align perfectly" in v.stdout
+    return v.returncode == 0 and "agree" in v.stdout
 
 
 def load_tensor_f32(d: Path, n: str) -> np.ndarray:

@@ -1,136 +1,173 @@
-"""Verify / repair index <-> shard alignment for a safetensors model dir.
+"""Audit / repair the weight-map index of a sharded safetensors directory.
 
-Parity surface: reference scripts/verify_safetensors.py — verify_alignment
-(:39-87) reports missing/extra files and per-file key diffs; repair_index
-(:89-112) rebuilds weight_map from actual files with a timestamped backup.
+Behavior contract only (reference scripts/verify_safetensors.py:39-112):
+detect shard files the index promises but the directory lacks, shard files
+on disk the index never mentions, and per-shard tensor-key drift; with
+repair enabled, rebuild ``weight_map`` from what is actually on disk after
+backing up the stale index. The report structure, rendering, and
+organization here are this repo's own.
 """
 
 from __future__ import annotations
 
 import json
 import shutil
-from collections import defaultdict
-from datetime import datetime
+import time
+from dataclasses import dataclass
 from pathlib import Path
-from typing import Dict, Optional, Set
+from typing import Dict, FrozenSet, Iterator, Mapping, Optional, Tuple
 
 from ..io.safetensors_io import SafeTensorsReader
 
-__all__ = ["load_index", "get_actual_keys", "verify_alignment", "repair_index", "main"]
+__all__ = [
+    "ShardDrift",
+    "AlignmentReport",
+    "scan_shard_keys",
+    "audit_alignment",
+    "rebuild_index",
+    "main",
+]
 
 
-def load_index(index_path: Path):
-    with open(index_path) as f:
-        index = json.load(f)
-    return index["weight_map"], index
+@dataclass(frozen=True)
+class ShardDrift:
+    """Key-level disagreement for one shard that exists on both sides."""
+
+    shard: str
+    absent: Tuple[str, ...]  # index promises these keys; the file lacks them
+    unlisted: Tuple[str, ...]  # the file holds these keys; the index doesn't
+
+    def lines(self) -> Iterator[str]:
+        yield f"shard {self.shard} disagrees with the index:"
+        for key in self.absent:
+            yield f"    -{key}  (promised by index, absent from file)"
+        for key in self.unlisted:
+            yield f"    +{key}  (present in file, unlisted in index)"
 
 
-def get_actual_keys(safetensors_dir: Path) -> Dict[str, Set[str]]:
-    file_keys = {}
-    for file in sorted(Path(safetensors_dir).glob("*.safetensors")):
-        with SafeTensorsReader(file) as reader:
-            file_keys[file.name] = set(reader.keys())
-    return file_keys
+@dataclass(frozen=True)
+class AlignmentReport:
+    """Everything the audit found, as data; rendering is separate."""
+
+    phantom_shards: Tuple[str, ...] = ()  # in index, not on disk
+    orphan_shards: Tuple[str, ...] = ()  # on disk, not in index
+    drift: Tuple[ShardDrift, ...] = ()
+    shards_checked: int = 0
+    keys_checked: int = 0
+
+    @property
+    def clean(self) -> bool:
+        return not (self.phantom_shards or self.orphan_shards or self.drift)
+
+    def lines(self) -> Iterator[str]:
+        if self.clean:
+            yield (
+                f"index and shards agree ({self.shards_checked} shards, "
+                f"{self.keys_checked} tensors)"
+            )
+            return
+        for name in self.phantom_shards:
+            yield f"phantom shard {name}: named by the index, not on disk"
+        for name in self.orphan_shards:
+            yield f"orphan shard {name}: on disk, never named by the index"
+        for d in self.drift:
+            yield from d.lines()
+
+    def render(self) -> str:
+        return "\n".join(self.lines())
 
 
-def verify_alignment(weight_map: Dict[str, str], file_keys: Dict[str, Set[str]]) -> bool:
-    """Print a report; returns True when there ARE issues (reference :39-87)."""
-    expected_file_keys = defaultdict(set)
-    for key, file in weight_map.items():
-        expected_file_keys[file].add(key)
-
-    missing_files = set(expected_file_keys) - set(file_keys)
-    if missing_files:
-        print("Missing safetensors files:")
-        for file in sorted(missing_files):
-            print(f"  {file}")
-        print()
-
-    extra_files = set(file_keys) - set(expected_file_keys)
-    if extra_files:
-        print("Extra safetensors files not in index:")
-        for file in sorted(extra_files):
-            print(f"  {file}")
-        print()
-
-    has_mismatches = False
-    for file in sorted(set(expected_file_keys) & set(file_keys)):
-        expected = expected_file_keys[file]
-        actual = file_keys[file]
-        missing_keys = expected - actual
-        extra_keys = actual - expected
-        if missing_keys or extra_keys:
-            has_mismatches = True
-            print(f"Mismatches in {file}:")
-            if missing_keys:
-                print("  Missing keys (in index but not in file):")
-                for key in sorted(missing_keys):
-                    print(f"    {key}")
-            if extra_keys:
-                print("  Extra keys (in file but not in index):")
-                for key in sorted(extra_keys):
-                    print(f"    {key}")
-            print()
-
-    if not has_mismatches and not missing_files and not extra_files:
-        print("All safetensors files align perfectly with the index!")
-
-    return bool(has_mismatches or missing_files or extra_files)
+def scan_shard_keys(model_dir: Path) -> Dict[str, FrozenSet[str]]:
+    """Read every ``*.safetensors`` header under ``model_dir``: name -> keys."""
+    out: Dict[str, FrozenSet[str]] = {}
+    for shard in sorted(Path(model_dir).glob("*.safetensors")):
+        with SafeTensorsReader(shard) as reader:
+            out[shard.name] = frozenset(reader.keys())
+    return out
 
 
-def repair_index(
-    file_keys: Dict[str, Set[str]], original_index: dict, output_path: Path
-):
-    """Rebuild weight_map from the actual files, backing up the old index."""
-    new_weight_map = {}
-    for file, keys in file_keys.items():
-        for key in keys:
-            new_weight_map[key] = file
+def audit_alignment(
+    weight_map: Mapping[str, str], shard_keys: Mapping[str, FrozenSet[str]]
+) -> AlignmentReport:
+    """Cross-check an index weight_map against on-disk shard headers."""
+    promised: Dict[str, set] = {}
+    for key, shard in weight_map.items():
+        promised.setdefault(shard, set()).add(key)
 
-    new_index = {
-        "metadata": original_index.get("metadata", {}),
-        "weight_map": new_weight_map,
+    on_disk = set(shard_keys)
+    drift = []
+    for shard in sorted(promised.keys() & on_disk):
+        absent = tuple(sorted(promised[shard] - shard_keys[shard]))
+        unlisted = tuple(sorted(shard_keys[shard] - promised[shard]))
+        if absent or unlisted:
+            drift.append(ShardDrift(shard, absent, unlisted))
+
+    return AlignmentReport(
+        phantom_shards=tuple(sorted(promised.keys() - on_disk)),
+        orphan_shards=tuple(sorted(on_disk - promised.keys())),
+        drift=tuple(drift),
+        shards_checked=len(on_disk),
+        keys_checked=sum(len(k) for k in shard_keys.values()),
+    )
+
+
+def rebuild_index(
+    shard_keys: Mapping[str, FrozenSet[str]],
+    index_path: Path,
+    metadata: Optional[dict] = None,
+) -> Path:
+    """Write a weight_map derived from disk truth; keep the stale index as
+    ``<name>.stale-<unixtime>``. Returns the backup path ('' path if none)."""
+    index_path = Path(index_path)
+    backup = Path("")
+    if index_path.exists():
+        backup = index_path.with_name(f"{index_path.name}.stale-{int(time.time())}")
+        shutil.copy2(index_path, backup)
+
+    rebuilt = {
+        "metadata": dict(metadata or {}),
+        "weight_map": {
+            key: shard
+            for shard in sorted(shard_keys)
+            for key in sorted(shard_keys[shard])
+        },
     }
-
-    output_path = Path(output_path)
-    if output_path.exists():
-        backup_path = Path(
-            f"{output_path}.bak.{datetime.now().strftime('%Y%m%d_%H%M%S')}"
-        )
-        shutil.copy2(output_path, backup_path)
-        print(f"Backed up original index to: {backup_path}")
-
-    with open(output_path, "w") as f:
-        json.dump(new_index, f, indent=2)
-    print(f"Wrote repaired index to: {output_path}")
+    index_path.write_text(json.dumps(rebuilt, indent=2))
+    return backup
 
 
 def main(
     model_dir: Path, index_path: Optional[Path] = None, repair: bool = False
 ) -> bool:
-    """Returns True when the model verifies clean (possibly after repair)."""
+    """Audit ``model_dir``; optionally repair. True iff the dir ends up clean."""
     model_dir = Path(model_dir)
     if index_path is None:
         index_path = model_dir / "model.safetensors.index.json"
-    weight_map, original_index = load_index(index_path)
-    file_keys = get_actual_keys(model_dir)
-    has_issues = verify_alignment(weight_map, file_keys)
-    if repair:
-        if has_issues:
-            repair_index(file_keys, original_index, index_path)
-            return True
-        print("No repair needed - index is already correct!")
-    return not has_issues
+    index = json.loads(Path(index_path).read_text())
+    shard_keys = scan_shard_keys(model_dir)
+    report = audit_alignment(index.get("weight_map", {}), shard_keys)
+    print(report.render())
+
+    if report.clean:
+        if repair:
+            print("nothing to repair")
+        return True
+    if not repair:
+        return False
+
+    backup = rebuild_index(shard_keys, index_path, index.get("metadata"))
+    if backup.name:
+        print(f"stale index kept at {backup}")
+    print(f"rebuilt {index_path} from {len(shard_keys)} shard headers")
+    return True
 
 
 if __name__ == "__main__":
     import argparse
 
-    parser = argparse.ArgumentParser(
-        description="Verify and repair safetensors files against index"
-    )
-    parser.add_argument("--model_dir", type=str, required=True)
-    parser.add_argument("--index_path", type=str, required=True)
-    parser.add_argument("--repair", action="store_true")
-    args = parser.parse_args()
-    main(Path(args.model_dir), Path(args.index_path), args.repair)
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--model_dir", type=Path, required=True)
+    ap.add_argument("--index_path", type=Path, default=None)
+    ap.add_argument("--repair", action="store_true")
+    ns = ap.parse_args()
+    raise SystemExit(0 if main(ns.model_dir, ns.index_path, ns.repair) else 1)

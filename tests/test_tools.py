@@ -14,42 +14,43 @@ from shardmerge_tpu.tools.rewrite_reorder import (
     transformer_sort_key,
 )
 from shardmerge_tpu.tools.verify_safetensors import (
-    get_actual_keys,
-    load_index,
-    repair_index,
-    verify_alignment,
+    audit_alignment,
+    rebuild_index,
+    scan_shard_keys,
 )
 
 from .conftest import TINY_SHARD_MAP
 
 
-def test_verify_clean_model(tiny_model_factory, capsys):
+def test_verify_clean_model(tiny_model_factory):
     path, _ = tiny_model_factory("m", seed=1)
-    weight_map, _ = load_index(path / "model.safetensors.index.json")
-    file_keys = get_actual_keys(path)
-    assert verify_alignment(weight_map, file_keys) is False
-    assert "align perfectly" in capsys.readouterr().out
+    index = json.load(open(path / "model.safetensors.index.json"))
+    report = audit_alignment(index["weight_map"], scan_shard_keys(path))
+    assert report.clean
+    assert "agree" in report.render()
+    assert report.keys_checked == len(index["weight_map"])
 
 
-def test_verify_detects_and_repairs(tiny_model_factory, capsys):
+def test_verify_detects_and_repairs(tiny_model_factory):
     path, _ = tiny_model_factory("m", seed=2)
     index_path = path / "model.safetensors.index.json"
     index = json.load(open(index_path))
-    # break the index: point a key at a nonexistent file and drop another
+    # break the index: point a key at a nonexistent file
     index["weight_map"]["model.norm.weight"] = "model-00009-of-00009.safetensors"
     json.dump(index, open(index_path, "w"))
 
-    weight_map, original = load_index(index_path)
-    file_keys = get_actual_keys(path)
-    assert verify_alignment(weight_map, file_keys) is True
-    out = capsys.readouterr().out
-    assert "Missing safetensors files" in out
+    shard_keys = scan_shard_keys(path)
+    report = audit_alignment(index["weight_map"], shard_keys)
+    assert not report.clean
+    assert "model-00009-of-00009.safetensors" in report.phantom_shards
+    # the real shard now holds a key the index no longer claims for it
+    assert any("model.norm.weight" in d.unlisted for d in report.drift)
+    assert "phantom shard" in report.render()
 
-    repair_index(file_keys, original, index_path)
-    weight_map2, _ = load_index(index_path)
-    assert verify_alignment(weight_map2, get_actual_keys(path)) is False
-    # a timestamped backup exists
-    assert list(path.glob("model.safetensors.index.json.bak.*"))
+    backup = rebuild_index(shard_keys, index_path, index.get("metadata"))
+    assert backup.exists()  # the stale index was kept
+    repaired = json.load(open(index_path))
+    assert audit_alignment(repaired["weight_map"], scan_shard_keys(path)).clean
 
 
 def test_transformer_sort_key_order():
@@ -172,7 +173,7 @@ def test_cli_verify_command(tiny_model_factory):
     runner = CliRunner()
     result = runner.invoke(cli, ["verify-safetensors", "--model_dir", str(path)])
     assert result.exit_code == 0, result.output
-    assert "align perfectly" in result.output
+    assert "agree" in result.output
 
 
 def test_cli_merge_offline(tmp_path, tiny_model_factory):
