@@ -64,10 +64,19 @@ def _all_local(config: MergeConfig) -> bool:
 def _enable_compile_cache(cache_dir: Path):
     """Persist XLA compilations under the merge cache dir: a Llama family
     has ~6 distinct tensor shapes, each a multi-second TPU compile — reruns
-    and resumes should pay none of it."""
+    and resumes should pay none of it.
+
+    An explicit JAX_COMPILATION_CACHE_DIR wins: multi-process launches point
+    every worker at ONE stable cache so they stop redundantly compiling the
+    same programs (on an oversubscribed host, N cold compiles can stall a
+    worker past the 30 s gloo rendezvous window — tests/test_multihost.py)."""
     try:
+        import os
+
         import jax
 
+        if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+            return
         path = Path(cache_dir) / "xla_cache"
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))
@@ -121,7 +130,7 @@ async def run_merge(
         )
 
     mesh = None
-    if config.shard_tensors:
+    if config.shard_tensors is not False:
         import jax
 
         from .parallel.multihost import initialize_distributed, merge_mesh
@@ -130,12 +139,20 @@ async def run_merge(
         # single-process) so jax.devices() is the global device set
         initialize_distributed(force=config.distributed)
         if len(jax.devices()) > 1:
+            # Default-on (shard_tensors unset): a multi-chip user should
+            # never get host-CPU merges for tensors the mesh holds easily —
+            # a 70B embed working set divides across devices.
             mesh = merge_mesh()
             logger.info(
                 "Sharding tensors >= %d bytes over %d devices (%d hosts)",
                 config.shard_min_bytes,
                 mesh.devices.size,
                 jax.process_count(),
+            )
+        elif config.shard_tensors:
+            logger.info(
+                "shard_tensors requested but only one device is visible; "
+                "huge tensors will merge on the host CPU backend"
             )
 
     merger = merge_cls(

@@ -95,7 +95,12 @@ class MergeConfig:
     # TPU-native extensions (absent fields keep reference-config files valid):
     write_through: bool = False  # per-tensor shard rewrite (reference behavior)
     merge_method: str = "fourier"  # fourier | fourier-legacy | addition | task-addition
-    shard_tensors: bool = False  # row-shard huge tensors over all devices
+    # Row-shard huge tensors over all devices. None = auto: when more than
+    # one device is visible, a mesh is created and tensors >= shard_min_bytes
+    # (or >= the huge-tensor working-set bound) merge sharded instead of
+    # falling back to the host CPU backend. False disables; True logs when
+    # requested with a single device.
+    shard_tensors: Optional[bool] = None
     shard_min_bytes: int = 1 << 30  # sharding threshold (per-tensor fp32 bytes)
     hbm_budget_gb: Optional[float] = None  # spill delta stack to host RAM above this
     distributed: bool = False  # force jax.distributed.initialize (GCE TPU

@@ -188,6 +188,7 @@ class MergeTensorsBase(ABC):
             if pad:
                 self._true_rows[tensor_name] = host.shape[0]
                 host = np.pad(host, ((0, pad),) + ((0, 0),) * (host.ndim - 1))
+            self.stats.tensors_sharded += 1
             return jax.device_put(host, sharding)
         device = self._device_for(host)
         return jax.device_put(host, device) if device else jax.device_put(host)

@@ -463,7 +463,7 @@ class FourierMerge(MergeTensorsBase):
         shard_min_bytes: int = 1 << 30,
         **kwargs,
     ):
-        super().__init__(config, index_manager)
+        super().__init__(config, index_manager, **kwargs)
         self.task_add_models = task_add_models or []
         self.target_norm_offset = target_norm_offset
         self.cull_start_pct = cull_start_pct
@@ -494,15 +494,20 @@ class FourierMerge(MergeTensorsBase):
         self.batch_rounds = kwargs.get("batch_rounds", False)
 
     def _sharding_for(self, host):
+        if self.mesh is None or host.ndim != 2:
+            return None
+        # Two triggers: the opt-in byte threshold, OR the huge-tensor
+        # working-set bound (base._device_for) — a tensor too big to merge
+        # on one chip must shard over the mesh, not fall back to host CPU.
         if (
-            self.mesh is None
-            or host.ndim != 2
-            or host.nbytes < self.shard_min_bytes
-            # the all-to-all transpose splits the LAST dim over the mesh:
-            # columns must divide it (rows may be zero-padded, see
-            # _pad_rows_for) — otherwise fall back to a single device
-            or host.shape[-1] % self.mesh.devices.size != 0
+            host.nbytes < self.shard_min_bytes
+            and host.size < self.huge_tensor_numel
         ):
+            return None
+        # the all-to-all transpose splits the LAST dim over the mesh:
+        # columns must divide it (rows may be zero-padded, see
+        # _pad_rows_for) — otherwise fall back to a single device
+        if host.shape[-1] % self.mesh.devices.size != 0:
             return None
         from ..parallel.merge import row_sharding
 

@@ -73,7 +73,7 @@ class LegacyFourierMerge(MergeTensorsBase):
         index_manager=None,
         **kwargs,
     ):
-        super().__init__(config, index_manager)
+        super().__init__(config, index_manager, **kwargs)
         self.task_add_models = task_add_models or []
         self.target_norm_offset = target_norm_offset
         self.cull_start_pct = cull_start_pct

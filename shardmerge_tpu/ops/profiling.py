@@ -129,6 +129,9 @@ class MergeStats:
     # counts are deterministic where relay/PCIe wall times are not.
     h2d_bytes: int = 0
     h2d_dedup_hits: int = 0
+    # input tensors placed row-sharded over a mesh (the GSPMD capacity
+    # route; 0 on single-device runs)
+    tensors_sharded: int = 0
     started_at: float = field(default_factory=time.time)
 
     def record_pair(self, regime: str):
@@ -152,6 +155,11 @@ class MergeStats:
                 f"h2d={self.span_h2d_s:.1f}s merge={self.span_merge_s:.1f}s "
                 f"flush={self.span_flush_s:.1f}s"
                 if self.span_merge_s
+                else ""
+            )
+            + (
+                f"; mesh-sharded {self.tensors_sharded} input tensors"
+                if self.tensors_sharded
                 else ""
             )
             + (

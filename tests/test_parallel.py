@@ -1287,11 +1287,13 @@ def test_deepseek_homogeneous_stack_pipelines():
     np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
 
 
-def test_pipeline_gptoss_moe_pp_only():
+def test_pipeline_gptoss_moe_pp_and_pp_tp():
     """GPT-OSS MoE blocks (fused interleaved experts, sinks, router bias)
-    pipeline correctly under pp; under tp they raise — the per-expert
-    down_bias precedes the row-parallel psum and would be counted n_tp
-    times."""
+    pipeline correctly under pp AND pp x tp: gate_up column-shards its
+    interleaved dim (even slices keep every (gate, up) pair intact), down
+    row-shards, down_bias rides replicated pre-scaled by 1/n_tp so the
+    row-parallel psum counts it once, and the per-head sinks slice with
+    the tp head split."""
     import dataclasses
 
     from shardmerge_tpu.models.llama import forward_train, init_params
@@ -1319,5 +1321,288 @@ def test_pipeline_gptoss_moe_pp_only():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
     mesh2 = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
-    with pytest.raises(NotImplementedError, match="pp x tp"):
-        stack_stages(mesh2, params, 2, tp=True)
+    pp2 = stack_stages(mesh2, params, 2, tp=True)
+    ge = pp2["blocks"]["gptoss_experts"]
+    gu = ge["gate_up"]  # (S, per, E, hidden, 2*inter): cols shard over tp
+    assert gu.sharding.shard_shape(gu.shape) == (
+        1, gu.shape[1], gu.shape[2], gu.shape[3], gu.shape[4] // 2
+    )
+    dw = ge["down"]  # (S, per, E, inter, hidden): rows shard over tp
+    assert dw.sharding.shard_shape(dw.shape)[3] == dw.shape[3] // 2
+    sinks = pp2["blocks"]["sinks"]  # per-head: slices with the head split
+    assert sinks.sharding.shard_shape(sinks.shape)[2] == sinks.shape[2] // 2
+    # down_bias replicates, pre-scaled so the psum counts it exactly once
+    db = ge["down_bias"]
+    assert db.sharding.shard_shape(db.shape) == (1,) + db.shape[1:]
+    np.testing.assert_allclose(
+        np.asarray(jax.device_get(db))[0],
+        np.stack([
+            np.asarray(l["gptoss_experts"]["down_bias"])
+            for l in params["layers"][:2]
+        ]) / 2,
+    )
+    got2 = np.asarray(pipeline_forward_train(mesh2, cfg, pp2, ids, 2))
+    np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
+
+
+def test_huge_tensors_route_to_mesh_not_host(mesh, tmp_path, tiny_model_factory):
+    """With a mesh, a tensor over the huge-tensor working-set bound shards
+    over the mesh (its working set divides across devices) instead of
+    falling back to the host CPU backend; without a mesh the documented
+    host fallback stands (merge/base.py _device_for)."""
+    from shardmerge_tpu.config import MergeConfig, MergeModel
+    from shardmerge_tpu.io.index import OfflineMultiModelIndex
+    from shardmerge_tpu.merge import FourierMerge
+
+    base_path, _ = tiny_model_factory("base", seed=400)
+    ft_path, _ = tiny_model_factory("ft", seed=401)
+    config = MergeConfig(
+        finetune_merge=[MergeModel(model=str(ft_path), base=str(base_path))],
+        output_base_model=str(base_path),
+        output_dir=str(tmp_path / "m"),
+        cache_dir=str(tmp_path / "c"),
+        storage_dir=str(tmp_path / "s"),
+    )
+    index = OfflineMultiModelIndex()
+    # default shard_min_bytes (1 GiB) stays: only the huge trigger fires
+    merger = FourierMerge(
+        config, index_manager=index, mesh=mesh, huge_tensor_numel=24 * 16
+    )
+    assert merger.huge_tensor_numel == 24 * 16  # kwargs reach the base now
+    huge = np.zeros((24, 16), np.float32)
+    assert merger._sharding_for(huge) is not None
+    assert merger._sharding_for(np.zeros((8, 16), np.float32)) is None
+    # the sharding wins inside _place: the host-CPU pin never engages
+    placed = merger._place(huge, "w")
+    assert len(placed.sharding.device_set) == mesh.devices.size
+    # no mesh -> huge tensors keep the host-CPU fallback
+    nomesh = FourierMerge(config, index_manager=index, huge_tensor_numel=24 * 16)
+    assert nomesh._sharding_for(huge) is None
+
+
+def test_cli_auto_mesh_default(tmp_path, tiny_model_factory):
+    """shard_tensors unset (auto): the merge CLI creates the mesh on its own
+    when more than one device is visible, and the sharded result matches a
+    shard_tensors: false run."""
+    import json as _json
+
+    import yaml
+    from click.testing import CliRunner
+
+    from shardmerge_tpu.cli import cli
+    from tests.test_merge_engine import _read_output
+
+    base_path, _ = tiny_model_factory("base", seed=410)
+    ft1_path, _ = tiny_model_factory("f1", seed=411)
+    ft2_path, _ = tiny_model_factory("f2", seed=412)
+
+    def run(subdir, extra):
+        cfg = {
+            "output_base_model": str(base_path),
+            "finetune_merge": [
+                {"model": str(ft1_path), "base": str(base_path), "alpha": 0.7},
+                {"model": str(ft2_path), "base": str(base_path), "alpha": 0.4},
+            ],
+            "output_dir": str(tmp_path / subdir / "merged"),
+            "cache_dir": str(tmp_path / subdir / "cache"),
+            "storage_dir": str(tmp_path / subdir / "storage"),
+            **extra,
+        }
+        cfg_path = tmp_path / f"{subdir}.yaml"
+        cfg_path.write_text(yaml.safe_dump(cfg))
+        result = CliRunner().invoke(cli, ["merge", str(cfg_path)])
+        assert result.exit_code == 0, result.output
+        return _read_output(tmp_path / subdir / "merged")
+
+    # auto (key absent) + a tiny threshold: every 2-D tensor shards
+    sharded = run("auto", {"shard_min_bytes": 256})
+    plain = run("plain", {"shard_tensors": False})
+    assert set(sharded) == set(plain)
+    for name in plain:
+        a = sharded[name].astype(np.float32)
+        b = plain[name].astype(np.float32)
+        scale = max(np.abs(b).max(), 1e-6)
+        close = np.isclose(a, b, rtol=2e-2, atol=2e-2 * scale)
+        # tiny tensors: distributed-FFT rounding flips a handful of
+        # threshold-boundary elements vs the single-chip exact path
+        assert close.mean() > 0.94, name
+
+
+def _deepseek_cfg(layers: int, first_k: int):
+    from shardmerge_tpu.models.llama import ModelConfig
+
+    return ModelConfig(
+        vocab_size=64,
+        hidden_size=64,
+        intermediate_size=96,
+        moe_intermediate_size=32,
+        num_hidden_layers=layers,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        max_position_embeddings=64,
+        model_type="deepseek_v3",
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        first_k_dense_replace=first_k,
+        n_group=2,
+        topk_group=1,
+        topk_method="noaux_tc",
+        rope_interleave=True,
+    )
+
+
+def test_pipeline_deepseek_dense_prefix():
+    """Real-checkpoint-shaped DeepSeek (first_k_dense_replace=1) pipelines:
+    the dense layer replicates as a pre-pipeline prefix (auto-detected) and
+    the homogeneous MoE remainder stage-stacks — logits AND grads match the
+    unpipelined forward, pp-only and pp x tp."""
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.parallel.pipeline import (
+        make_pp_loss,
+        pipeline_forward_train,
+        stack_stages,
+    )
+    from shardmerge_tpu.parallel.train import _loss_fn
+
+    cfg = _deepseek_cfg(layers=3, first_k=1)
+    params = init_params(cfg, jax.random.PRNGKey(70), dtype=jnp.float32)
+    assert "experts" not in params["layers"][0]
+    assert "experts" in params["layers"][1]
+
+    mesh = make_mesh(("pp",), devices=jax.devices()[:2])
+    pp_params = stack_stages(mesh, params, 2)
+    assert len(pp_params["prefix_blocks"]) == 1
+    # the prefix layer replicates over the mesh
+    gate_w = pp_params["prefix_blocks"][0]["gate_proj"]
+    assert gate_w.sharding.is_fully_replicated
+
+    B, T = 2, 9
+    ids = jax.random.randint(jax.random.PRNGKey(71), (B, T), 0, 64)
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # grads flow through the replicated prefix too
+    batch = jax.random.randint(jax.random.PRNGKey(72), (2, 10), 0, 64)
+    loss_fn = make_pp_loss(mesh, cfg, n_microbatches=2)
+    pp_loss, pp_grads = jax.value_and_grad(loss_fn)(pp_params, batch)
+    ref_loss, _ = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    for leaf in jax.tree.leaves(pp_grads["prefix_blocks"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    mesh2 = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
+    pp2 = stack_stages(mesh2, params, 2, tp=True)
+    got2 = np.asarray(pipeline_forward_train(mesh2, cfg, pp2, ids, 2))
+    np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_prefix_divisibility_hint():
+    """When the pipelined remainder does not divide the stage count, the
+    error suggests n_prefix_layers; replicating one MoE layer into the
+    prefix restores divisibility and exactness (the DeepSeek-V2 1+59 case
+    in miniature)."""
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = _deepseek_cfg(layers=4, first_k=1)  # 1 dense + 3 MoE; pp=2
+    params = init_params(cfg, jax.random.PRNGKey(73), dtype=jnp.float32)
+    mesh = make_mesh(("pp",), devices=jax.devices()[:2])
+    with pytest.raises(ValueError, match="n_prefix_layers"):
+        stack_stages(mesh, params, 2)
+    with pytest.raises(ValueError, match="heterogeneous"):
+        stack_stages(mesh, params, 2, n_prefix_layers=0)
+
+    pp_params = stack_stages(mesh, params, 2, n_prefix_layers=2)
+    assert len(pp_params["prefix_blocks"]) == 2
+
+    B, T = 2, 9
+    ids = jax.random.randint(jax.random.PRNGKey(74), (B, T), 0, 64)
+    want = np.asarray(forward_train(params, cfg, ids))
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "axes,shape",
+    [
+        (("dp", "cp"), (2, 4)),
+        (("dp", "cp", "tp"), (2, 2, 2)),
+    ],
+)
+def test_train_with_context_parallel(axes, shape):
+    """cp composes into training (dp x cp [x tp] in one shard_map): loss
+    AND grads of the ring-attention sequence-sharded step equal the
+    unsharded single-device step; the full adamw train step runs and its
+    loss matches make_train_step's on the same batch."""
+    from shardmerge_tpu.models.llama import init_params
+    from shardmerge_tpu.parallel.train import (
+        _loss_fn,
+        make_cp_loss,
+        make_cp_train_step,
+    )
+
+    cfg = _pp_cfg(layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(80), dtype=jnp.float32)
+    mesh = make_mesh(axes, devices=jax.devices()[: int(np.prod(shape))],
+                     shape=shape)
+
+    B, T = 4, 16  # T divides cp; B divides dp
+    batch = jax.random.randint(
+        jax.random.PRNGKey(81), (B, T + 1), 0, cfg.vocab_size
+    )
+
+    loss_fn = make_cp_loss(mesh, cfg, params)
+    cp_loss, cp_grads = jax.value_and_grad(loss_fn)(params, batch)
+    ref_loss, ref_grads = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    np.testing.assert_allclose(float(cp_loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        ),
+        cp_grads,
+        ref_grads,
+    )
+
+    # remat is loss-invariant through the cp path too
+    loss_r = make_cp_loss(mesh, cfg, params, remat=True)(params, batch)
+    np.testing.assert_allclose(float(loss_r), float(cp_loss), rtol=1e-6)
+
+    # the full train step: state shards, loss matches the dp x tp step
+    init_state, train_step = make_cp_train_step(mesh, cfg, params)
+    state = init_state(params)
+    state2, loss0 = train_step(state, batch)
+    np.testing.assert_allclose(float(loss0), float(ref_loss), rtol=1e-5)
+    for leaf in jax.tree.leaves(state2["params"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_cp_loss_rejects_incompatible_attention():
+    """Ring attention composes only with plain causal attention; the cp
+    loss names the offending feature instead of silently mis-masking."""
+    import dataclasses
+
+    from shardmerge_tpu.models.llama import init_params
+    from shardmerge_tpu.parallel.train import make_cp_loss
+
+    cfg = _pp_cfg(layers=2)
+    params = init_params(cfg, jax.random.PRNGKey(82), dtype=jnp.float32)
+    mesh = make_mesh(("dp", "cp"), devices=jax.devices()[:4], shape=(2, 2))
+
+    sliding = dataclasses.replace(
+        cfg, sliding_window=8, model_type="mistral"
+    )
+    with pytest.raises(NotImplementedError, match="sliding"):
+        make_cp_loss(mesh, sliding, params)
+    capped = dataclasses.replace(cfg, attn_logit_softcapping=30.0)
+    with pytest.raises(NotImplementedError, match="softcapping"):
+        make_cp_loss(mesh, capped, params)
