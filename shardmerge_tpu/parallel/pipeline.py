@@ -77,7 +77,10 @@ _TP_COL = {
     "q_b_proj", "kv_b_proj", "shared_gate_proj", "shared_up_proj",
 }
 _TP_ROW = {"o_proj", "down_proj", "shared_down_proj"}
-_TP_COL_1D = {"q_bias", "k_bias", "v_bias"}
+# 1-D leaves that slice with their column-parallel producer: qkv biases
+# (out-dim slices) and gpt-oss attention sinks (one logit per head — the
+# heads are tp-sliced, so each device keeps its own heads' sinks)
+_TP_COL_1D = {"q_bias", "k_bias", "v_bias", "sinks"}
 
 
 def _leaf_name(path):
@@ -106,6 +109,18 @@ def _block_spec(key, leaf, tp: bool, qk_full: bool = False) -> P:
         if key[1] in (0, 1):  # W1/W3: column-parallel on the expert inter dim
             return P(_AXIS, None, None, "tp", None)
         return P(_AXIS, None, None, None, "tp")  # W2: row-parallel
+    # gpt-oss fused experts: gate_up (S, per, E, hidden, 2*inter) is
+    # column-parallel on the interleaved gate/up dim (an even-sized,
+    # even-offset slice keeps every (gate, up) pair intact when
+    # inter % n_tp == 0); down (S, per, E, inter, hidden) is row-parallel.
+    # down_bias is pre-scaled by 1/n_tp at stack time (see stack_stages)
+    # so the row-parallel psum reassembles it exactly once.
+    if key == "gate_up":
+        return P(_AXIS, None, None, None, "tp")
+    if key == "gate_up_bias":
+        return P(_AXIS, None, None, "tp")
+    if key == "down":
+        return P(_AXIS, None, None, "tp", None)
     if key in _TP_COL:
         return P(_AXIS, None, "tp", None)
     if key in _TP_ROW:
@@ -142,12 +157,6 @@ def _normalize_block(layer, tp: bool):
         ):
             raise NotImplementedError(
                 "quantized gpt-oss experts cannot be stage-stacked"
-            )
-        if tp:
-            raise NotImplementedError(
-                "gpt-oss MoE blocks support pp but not pp x tp: the "
-                "per-expert down_bias is added before the row-parallel "
-                "psum, so a tp slice would count it n_tp times"
             )
     for k, v in out.items():
         if k == "gptoss_experts":
@@ -194,12 +203,23 @@ def _stack_experts(layers, n_stages: int, per: int):
     return tuple(out)
 
 
+def _struct_of(layer):
+    """Structural fingerprint of a layer for stage-stacking compatibility."""
+    import jax.tree_util as jtu
+
+    return (
+        jtu.tree_structure(layer),
+        "experts" in layer or "experts_stacked" in layer,
+    )
+
+
 def stack_stages(
     mesh: Mesh,
     params: Params,
     n_stages: int,
     tp: bool = False,
     qk_norm_full: bool = False,
+    n_prefix_layers: int | None = None,
 ) -> Params:
     """Stack per-layer weights into (n_stages, layers_per_stage, ...) leaves
     sharded over 'pp' (each device materializes only its own stage), and
@@ -210,19 +230,47 @@ def stack_stages(
     parallel o/down) — each device then holds 1/(P*T) of the block weights.
     ``qk_norm_full`` (olmo2): the full-vector q/k norm weights shard with
     their columns (pass cfg.qk_norm_full when using tp); MoE expert stacks
-    shard their intermediate dim over 'tp' (routers replicate).
+    shard their intermediate dim over 'tp' (routers replicate). GPT-OSS
+    fused experts shard too — their ``down_bias`` is pre-scaled by 1/n_tp
+    here so the row-parallel psum reassembles it exactly once.
 
-    All layers must share one structure (dense llama-family stacks do;
-    uniform MoE stacks like Mixtral/Qwen3-MoE/GPT-OSS do too — DeepSeek's
-    first_k_dense_replace mix does not).
+    Heterogeneous stacks with a leading run of structurally different
+    layers — DeepSeek's ``first_k_dense_replace`` dense prefix — ARE
+    supported: the prefix layers replicate over the mesh (like embed/norm/
+    head; they are a small fraction of weights) and run before the pipeline,
+    while the homogeneous remainder stage-stacks. The prefix is
+    auto-detected as everything before the longest structurally-uniform
+    suffix; pass ``n_prefix_layers`` to replicate MORE leading layers
+    (e.g. to make the pipelined remainder divide ``n_stages`` — DeepSeek-V2
+    has 1 dense + 59 MoE layers, and 59 is prime). Heterogeneity anywhere
+    else still raises.
     """
     import jax.tree_util as jtu
 
     layers = params["layers"]
+    # auto-detect the replicated prefix: longest structurally-uniform suffix
+    tail_struct = _struct_of(layers[-1])
+    auto_prefix = len(layers) - 1
+    while auto_prefix > 0 and _struct_of(layers[auto_prefix - 1]) == tail_struct:
+        auto_prefix -= 1
+    if n_prefix_layers is None:
+        n_prefix_layers = auto_prefix
+    elif n_prefix_layers < auto_prefix:
+        raise ValueError(
+            f"n_prefix_layers={n_prefix_layers} < the {auto_prefix} "
+            "structurally-different leading layers; the pipelined remainder "
+            "would be heterogeneous"
+        )
+    prefix, layers = layers[:n_prefix_layers], layers[n_prefix_layers:]
     if len(layers) % n_stages != 0:
+        hint = (
+            " (replicate more leading layers via n_prefix_layers)"
+            if n_prefix_layers or auto_prefix
+            else ""
+        )
         raise ValueError(
             f"{n_stages} pipeline stages do not evenly divide "
-            f"{len(layers)} layers"
+            f"{len(layers)} pipelined layers{hint}"
         )
     per = len(layers) // n_stages
     norm_layers = [_normalize_block(layer, tp) for layer in layers]
@@ -256,6 +304,12 @@ def stack_stages(
     )
     if has_experts:
         stacked["experts_stacked"] = _stack_experts(layers, n_stages, per)
+    if tp and "gptoss_experts" in stacked:
+        # the per-expert down_bias is added BEFORE the row-parallel psum;
+        # replicate it scaled by 1/n_tp so the psum counts it exactly once
+        ge = dict(stacked["gptoss_experts"])
+        ge["down_bias"] = ge["down_bias"] / mesh.shape["tp"]
+        stacked["gptoss_experts"] = ge
     pp_shard = jtu.tree_map_with_path(
         lambda path, v: jax.device_put(
             v,
@@ -271,6 +325,11 @@ def stack_stages(
         "norm": jax.device_put(params["norm"], rep),
         "blocks": pp_shard,
     }
+    if prefix:
+        out["prefix_blocks"] = [
+            jax.tree.map(lambda v: jax.device_put(v, rep), layer)
+            for layer in prefix
+        ]
     if "lm_head" in params:
         out["lm_head"] = jax.device_put(params["lm_head"], rep)
     return out
@@ -444,7 +503,6 @@ def pipeline_forward_train(
     x = embed[input_ids]
     if cfg.is_gemma:
         x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
-    xs = x.reshape(n_microbatches, mb, T, -1)
 
     cos, sin = rope_tables(cfg, T)
     positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(mb, axis=0)
@@ -463,6 +521,25 @@ def pipeline_forward_train(
     rope_flags = tuple(cfg.layer_uses_rope(i) for i in range(n_layers))
     sliding_flags = tuple(cfg.layer_is_sliding(i) for i in range(n_layers))
 
+    # heterogeneous stacks (DeepSeek first_k_dense_replace): the replicated
+    # prefix layers run before the pipeline, full-batch, exactly like
+    # forward_train's loop; the flag tables the schedule sees are offset so
+    # stage r's global layer g = n_prefix + r*per + li keeps its own entry
+    prefix = pp_params.get("prefix_blocks", ())
+    n_prefix = len(prefix)
+    if n_prefix:
+        pos_full = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
+        for i, layer in enumerate(prefix):
+            x = block_train(
+                cfg, layer, x, cos, sin, pos_full,
+                masks[1 if sliding_flags[i] else 0],
+                use_rope=rope_flags[i],
+            )
+        rope_flags = rope_flags[n_prefix:]
+        sliding_flags = sliding_flags[n_prefix:]
+
+    xs = x.reshape(n_microbatches, mb, T, -1)
+
     import dataclasses
 
     blocks = pp_params["blocks"]
@@ -470,7 +547,7 @@ def pipeline_forward_train(
     # address can be reused by a different one (same convention as
     # parallel/moe.py _FFN_CACHE)
     cfg_fp = tuple(sorted(dataclasses.asdict(cfg).items()))
-    key = (id(mesh), cfg_fp, n_microbatches, mb, T, remat)
+    key = (id(mesh), cfg_fp, n_microbatches, mb, T, remat, n_prefix)
     fn = _PP_CACHE.get(key)
     if fn is None:
         local_cfg = cfg
