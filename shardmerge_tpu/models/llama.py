@@ -1368,6 +1368,7 @@ def block_train(
     reduce=None,
     use_rope=True,
     qk_stat_reduce=None,
+    attend=None,
 ):
     """One cache-free decoder block (attention + FFN with residuals).
 
@@ -1454,9 +1455,21 @@ def block_train(
         q = jnp.where(use_rope, qr, q)
         k = jnp.where(use_rope, kr, k)
 
+    scale = jnp.sqrt(jnp.float32(cfg.query_pre_attn_scalar or D))
+    if attend is not None:
+        # context parallelism: the caller supplies the score/softmax/value
+        # kernel (e.g. ring attention over a 'cp' axis — parallel/ring.py
+        # _ring_body derives causality from GLOBAL token positions, so
+        # ``mask`` is unused here). Softcapping/sinks do not compose with
+        # an external kernel; parallel/train.py validates the config.
+        out = attend(q, k, v, 1.0 / scale)
+        out = (
+            out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, H * D)
+        )
+        attn_out = matmul(out, layer["o_proj"])
+        return _block_tail(cfg, layer, x, attn_out, reduce, po)
     group = H // KVH
     qg = q.reshape(B, KVH, group, T, D)
-    scale = jnp.sqrt(jnp.float32(cfg.query_pre_attn_scalar or D))
     scores = jnp.einsum(
         "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k.astype(jnp.float32)
     ) / scale

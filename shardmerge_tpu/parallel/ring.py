@@ -96,8 +96,13 @@ def _ring_body(ql, kl, vl, *, n_dev, scale):
     l0 = jnp.zeros((B, KVH, group, Tl, 1), jnp.float32)
     # the fresh accumulators are replicated but become device-varying after
     # the first hop; declare so scan's carry type is stable (kl/vl/rank are
-    # already varying)
-    acc0, m0, l0 = jax.lax.pcast((acc0, m0, l0), (_AXIS,), to="varying")
+    # already varying). When the ring runs INSIDE a larger shard_map (the
+    # dp x cp x tp train step), the carry must match kl's full varying set
+    # — not just 'cp' — or scan rejects the carry type.
+    vary = tuple(
+        sorted(set(jax.typeof(kl).vma) - set(jax.typeof(acc0).vma))
+    ) or (_AXIS,)
+    acc0, m0, l0 = jax.lax.pcast((acc0, m0, l0), vary, to="varying")
     (acc, _, l, _, _, _), _ = jax.lax.scan(
         hop, (acc0, m0, l0, kl, vl, rank), None, length=n_dev
     )

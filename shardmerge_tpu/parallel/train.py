@@ -6,6 +6,9 @@ The merge framework's model stack (models/llama.py) scales over a 2-D mesh:
 - tp: Megatron-style tensor parallelism — attention/MLP projections sharded
   on the head/ffn dimension (column-parallel q/k/v/gate/up, row-parallel
   o/down), vocab-parallel embeddings and lm_head
+- cp: context parallelism — make_cp_train_step shard_maps the blocks over a
+  ('dp','cp'[,'tp']) mesh with the sequence sharded on 'cp' and ring
+  attention (parallel/ring.py) inside every block
 
 Shardings are expressed as NamedSharding rules on the param pytree; XLA
 GSPMD inserts the all-reduces. Sequence-parallel activations fall out of the
@@ -27,7 +30,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llama import ModelConfig, Params, forward_train
 
-__all__ = ["param_shardings", "shard_params", "make_train_step", "TrainState"]
+__all__ = [
+    "param_shardings",
+    "shard_params",
+    "make_train_step",
+    "make_cp_loss",
+    "make_cp_train_step",
+    "TrainState",
+]
 
 TrainState = Dict[str, Any]
 
@@ -158,6 +168,191 @@ def make_train_step(
         loss, grads = jax.value_and_grad(_loss_fn)(
             state["params"], cfg, batch, remat
         )
+        updates, opt_state = tx.update(
+            grads, state["opt_state"], state["params"]
+        )
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state}, loss
+
+    return init_state, train_step
+
+
+def _cp_layer_specs(params: Params, tp: bool):
+    """PartitionSpec pytree for the manual (shard_map) cp train path:
+    Megatron rules over 'tp' when present (same key table as
+    loader_shardings), everything else replicated. Embeddings/lm_head
+    replicate here — vocab-parallel lookups need masked gathers + psums in
+    manual mode; the auto path (make_train_step) keeps vocab parallelism."""
+    col, row, col1 = P("tp", None), P(None, "tp"), P("tp")
+    rules = {
+        "q_proj": col, "k_proj": col, "v_proj": col,
+        "gate_proj": col, "up_proj": col,
+        "o_proj": row, "down_proj": row,
+        "q_bias": col1, "k_bias": col1, "v_bias": col1,
+    }
+    expert_rules = {"w1": col, "w3": col, "w2": row}
+
+    def layer_spec(layer):
+        out = {}
+        for k, v in layer.items():
+            if tp and k == "experts":
+                out[k] = [dict(expert_rules) for _ in v]
+            elif tp and k in rules:
+                out[k] = rules[k]
+            else:
+                out[k] = jax.tree.map(lambda _: P(), v)
+        return out
+
+    specs: Params = {
+        "embed_tokens": P(),
+        "norm": P(),
+        "layers": [layer_spec(layer) for layer in params["layers"]],
+    }
+    if "lm_head" in params:
+        specs["lm_head"] = P()
+    return specs
+
+
+def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
+    """Next-token cross-entropy with the SEQUENCE sharded over mesh axis
+    'cp' and ring attention (parallel/ring.py) inside every block — long-
+    context training where no device ever holds the full (T, T) score
+    matrix or full-sequence K/V. Composes with 'dp' (batch-sharded) and
+    'tp' (Megatron, manual psums) axes on the same mesh: the full
+    dp x cp x tp layout in one shard_map. Differentiable; weight cotangents
+    psum over 'dp' and 'cp' through shard_map's transpose.
+
+    ``params`` fixes the pytree structure for the shard_map specs. Plain
+    causal attention only: sliding windows, logit softcapping, attention
+    sinks and MLA do not compose with the ring kernel and raise.
+    """
+    from functools import partial as _partial
+
+    import dataclasses
+
+    from ..models.llama import block_train, matmul, rms_norm, rope_tables
+    from .ring import _ring_body
+
+    if cfg.is_mla:
+        raise NotImplementedError("MLA attention does not ring-decompose")
+    if cfg.attn_logit_softcapping:
+        raise NotImplementedError("logit softcapping under cp")
+    if cfg.model_type == "gpt_oss":
+        raise NotImplementedError("attention sinks under cp")
+    if cfg.sliding_window is not None and any(
+        cfg.layer_is_sliding(i) for i in range(cfg.num_hidden_layers)
+    ):
+        raise NotImplementedError("sliding windows under cp")
+
+    n_cp = mesh.shape["cp"]
+    tp = "tp" in mesh.axis_names
+    n_tp = mesh.shape["tp"] if tp else 1
+    dp = "dp" in mesh.axis_names
+    local_cfg = cfg
+    if tp:
+        if (
+            cfg.num_attention_heads % n_tp
+            or cfg.num_key_value_heads % n_tp
+            or cfg.intermediate_size % n_tp
+        ):
+            raise ValueError(
+                f"tp={n_tp} must evenly divide heads/kv-heads/ffn"
+            )
+        local_cfg = dataclasses.replace(
+            cfg,
+            num_attention_heads=cfg.num_attention_heads // n_tp,
+            num_key_value_heads=cfg.num_key_value_heads // n_tp,
+            intermediate_size=cfg.intermediate_size // n_tp,
+            head_dim_override=cfg.head_dim,
+        )
+
+    def body(p, inputs):
+        B, Tl = inputs.shape
+        x = p["embed_tokens"][inputs]
+        if cfg.is_gemma:
+            x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
+        rank = jax.lax.axis_index("cp")
+        positions = (
+            rank * Tl + jnp.arange(Tl, dtype=jnp.int32)
+        )[None, :].repeat(B, axis=0)
+        cos, sin = rope_tables(cfg, Tl * n_cp)
+        reduce = (lambda y: jax.lax.psum(y, "tp")) if tp else None
+        qk_sr = (
+            (n_tp, lambda y: jax.lax.psum(y, "tp"))
+            if (tp and cfg.qk_norm_full)
+            else None
+        )
+        attend = lambda q, k, v, s: _ring_body(  # noqa: E731
+            q, k, v, n_dev=n_cp, scale=s
+        )
+
+        def one(x_, layer, use_rope):
+            return block_train(
+                local_cfg, layer, x_, cos, sin, positions, None,
+                reduce=reduce, use_rope=use_rope,
+                qk_stat_reduce=qk_sr, attend=attend,
+            )
+
+        fn = jax.checkpoint(one, static_argnums=(2,)) if remat else one
+        for i, layer in enumerate(p["layers"]):
+            x = fn(x, layer, cfg.layer_uses_rope(i))
+        x = rms_norm(x, p["norm"], cfg.rms_norm_eps, cfg.is_gemma)
+        head = p.get("lm_head", p["embed_tokens"])
+        return matmul(x, head).astype(jnp.float32)
+
+    param_specs = _cp_layer_specs(params, tp)
+    ids_spec = P("dp", "cp") if dp else P(None, "cp")
+    logits_spec = P("dp", "cp", None) if dp else P(None, "cp", None)
+    fwd = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(param_specs, ids_spec),
+        out_specs=logits_spec,
+    )
+
+    def loss_fn(p: Params, batch: jnp.ndarray) -> jnp.ndarray:
+        inputs = batch[:, :-1]
+        targets = batch[:, 1:]
+        logits = fwd(p, inputs)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return jnp.mean(nll)
+
+    return loss_fn
+
+
+def make_cp_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    params_template: Params,
+    learning_rate: float = 1e-4,
+    remat: bool = False,
+):
+    """(init_state, train_step) over a ('dp','cp'[, 'tp']) mesh: batches
+    shard (batch, sequence) over (dp, cp), blocks run ring attention over
+    'cp' (and Megatron psums over 'tp'), adamw states shard like params.
+    Same contract as make_train_step; ``params_template`` fixes the param
+    pytree structure (pass the params init_state will receive). See
+    make_cp_loss for the kernel."""
+    tx = optax.adamw(learning_rate)
+    dp = "dp" in mesh.axis_names
+    batch_sharding = NamedSharding(mesh, P("dp", "cp") if dp else P(None, "cp"))
+    specs = _cp_layer_specs(params_template, "tp" in mesh.axis_names)
+    loss_fn = make_cp_loss(mesh, cfg, params_template, remat=remat)
+
+    def init_state(params: Params) -> TrainState:
+        params = jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            params,
+            specs,
+        )
+        opt_state = jax.jit(tx.init)(params)
+        return {"params": params, "opt_state": opt_state}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: jnp.ndarray):
+        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch)
         updates, opt_state = tx.update(
             grads, state["opt_state"], state["params"]
         )
