@@ -21,6 +21,7 @@ import os
 import socket
 import subprocess
 import sys
+import tempfile
 from pathlib import Path
 
 import numpy as np
@@ -61,6 +62,14 @@ def _worker_env(port: int, process_id: int) -> dict:
     # 4 workers compiling XLA programs on this host's ONE core can stall any
     # of them past the 100 s default heartbeat without being dead
     env["SHARDMERGE_HEARTBEAT_TIMEOUT_S"] = "900"
+    # One STABLE persistent compile cache, shared by all workers and across
+    # runs: redundant cold compiles on the one core are what pushed a worker
+    # past the 30 s gloo rendezvous window under full-suite load (r3 flake).
+    # The CLI's per-config cache would be cold every test invocation.
+    cache = Path(tempfile.gettempdir()) / "shardmerge_multihost_xla_cache"
+    cache.mkdir(parents=True, exist_ok=True)
+    env["JAX_COMPILATION_CACHE_DIR"] = str(cache)
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0.0"
     return env
 
 
