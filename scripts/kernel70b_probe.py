@@ -29,6 +29,43 @@ SHAPES = {
 }
 
 
+def _mem_analysis(compiled):
+    """Flatten ``compiled.memory_analysis()`` into plain ints.
+
+    XLA computes these client-side from the executable, so they are
+    available even when the relay backend reports no allocator stats.
+    ``peak_estimate_bytes`` = arguments + outputs + temps − aliased: the
+    HBM high-water mark the executable needs (excludes anything else
+    resident on the chip at launch)."""
+    try:
+        ma = compiled.memory_analysis()
+        if ma is None:
+            return None
+        fields = (
+            "argument_size_in_bytes",
+            "output_size_in_bytes",
+            "temp_size_in_bytes",
+            "alias_size_in_bytes",
+            "generated_code_size_in_bytes",
+        )
+        d = {f: int(getattr(ma, f)) for f in fields if hasattr(ma, f)}
+        need = {
+            "argument_size_in_bytes",
+            "output_size_in_bytes",
+            "temp_size_in_bytes",
+        }
+        if need <= d.keys():
+            d["peak_estimate_bytes"] = (
+                d["argument_size_in_bytes"]
+                + d["output_size_in_bytes"]
+                + d["temp_size_in_bytes"]
+                - d.get("alias_size_in_bytes", 0)
+            )
+        return d
+    except Exception as e:  # noqa: BLE001 — evidence, not control flow
+        return {"error": f"{type(e).__name__}: {str(e)[:300]}"}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--shapes", default=",".join(SHAPES))
@@ -69,22 +106,35 @@ def main():
             norm_b = jnp.linalg.norm(b.ravel())
             jax.block_until_ready((norm_a, norm_b))
 
+            merge_args = (
+                a, b, norm_a, norm_b, jnp.float32(0.6),
+                jnp.int32(blend.cutoff_rank(numel, 0.08)),
+                jnp.int32(blend.cull_rank(numel, 0.2)),
+                jnp.int32(blend.cull_limit(numel, 0.2)),
+                jnp.float32(1.0),
+            )
+            # AOT: lower+compile ONCE, execute the compiled object. This
+            # yields XLA's own memory_analysis() for the shape — the peak
+            # HBM evidence the relay's empty allocator stats can't give
+            # (VERDICT r3 #7) — and if the shape genuinely exceeds the
+            # chip, the compile/alloc error lands here in entry["error"]
+            # with the allocator's message.
+            t0 = time.perf_counter()
+            compiled = _pair_slerp_rfft.lower(
+                *merge_args, use_cutoff=True, use_cull=True
+            ).compile()
+            entry["compile_s"] = round(time.perf_counter() - t0, 1)
+            entry["xla_memory_analysis"] = _mem_analysis(compiled)
+
             def run():
-                out, nan_count, has_inf = _pair_slerp_rfft(
-                    a, b, norm_a, norm_b, jnp.float32(0.6),
-                    jnp.int32(blend.cutoff_rank(numel, 0.08)),
-                    jnp.int32(blend.cull_rank(numel, 0.2)),
-                    jnp.int32(blend.cull_limit(numel, 0.2)),
-                    jnp.float32(1.0),
-                    use_cutoff=True, use_cull=True,
-                )
+                out, nan_count, has_inf = compiled(*merge_args)
                 # force a scalar fetch (block_until_ready under-measures on
                 # the relay; CLAUDE.md)
                 return float(jnp.sum(out[:1, :8]))
 
             t0 = time.perf_counter()
             run()
-            entry["first_run_incl_compile_s"] = round(time.perf_counter() - t0, 1)
+            entry["first_run_s"] = round(time.perf_counter() - t0, 1)
             best = float("inf")
             for _ in range(3):
                 t = time.perf_counter()
@@ -94,6 +144,7 @@ def main():
             entry["ms_per_melem"] = round(best * 1e3 / (numel / 1e6), 3)
             stats = device_memory_stats()
             entry["peak_bytes_in_use"] = stats.get("peak_bytes_in_use")
+            entry["live_bytes_client"] = stats.get("live_bytes_client")
             del a, b
         except Exception as e:  # noqa: BLE001 — record and continue
             entry["error"] = f"{type(e).__name__}: {str(e)[:500]}"

@@ -38,17 +38,35 @@ def _rss_bytes() -> int:
 
 
 def device_memory_stats() -> Dict[str, int]:
-    """Live/peak bytes on the default device (empty when unsupported)."""
+    """Live/peak bytes on the default device.
+
+    When the backend exposes no allocator stats (the axon relay returns
+    none — VERDICT r3 #7), falls back to client-side accounting: the sum
+    of live jax.Array bytes resident on that device. That misses XLA's
+    transient workspace (use AOT ``compiled.memory_analysis()`` for
+    per-kernel peaks) but turns "0" into a real lower bound."""
     import jax
 
+    out: Dict[str, int] = {}
     try:
         stats = jax.devices()[0].memory_stats() or {}
-        return {
+        out = {
             "bytes_in_use": stats.get("bytes_in_use", 0),
             "peak_bytes_in_use": stats.get("peak_bytes_in_use", 0),
         }
     except Exception:
-        return {}
+        out = {}
+    if not out.get("bytes_in_use"):
+        try:
+            dev = jax.devices()[0]
+            out["live_bytes_client"] = sum(
+                x.nbytes
+                for x in jax.live_arrays()
+                if dev in x.devices()
+            )
+        except Exception:
+            pass
+    return out
 
 
 @contextlib.contextmanager
