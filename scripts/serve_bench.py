@@ -114,6 +114,7 @@ class DispatchCounter:
 
     def attach(self, engine):
         engine._decode_step = self.wrap("target", engine._decode_step)
+        engine._fused_decode = self.wrap("target", engine._fused_decode)
         if engine.draft_cfg is not None:
             engine._draft_decode = self.wrap("draft", engine._draft_decode)
             engine._draft_propose = self.wrap(

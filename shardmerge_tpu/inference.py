@@ -164,6 +164,12 @@ class InferenceEngine:
         self._decode_step = jax.jit(
             partial(forward, cfg=cfg), donate_argnames=("kv_cache",)
         )
+        # the decode LOOPS use the fused step: sample + penalty-mask update
+        # + next forward in one dispatch (3 device calls/token -> 1). On a
+        # dispatch-latency-dominated link (this host: ~24 ms/call) that is
+        # most of small-model decode latency; on a real TPU host it is
+        # still 2 fewer executor round-trips per token.
+        self._fused_decode = self._build_fused_decode()
         self.prompt_chunk = _PROMPT_CHUNK
 
         self.draft_cfg = self.draft_params = None
@@ -183,6 +189,79 @@ class InferenceEngine:
             self._draft_propose = _make_draft_propose(
                 self.draft_cfg, self.speculation_k
             )
+
+    def _build_fused_decode(self):
+        """One-dispatch decode step shared by the streaming and batch loops.
+
+        Samples from the previous step's logits (identical math and PRNG
+        stream to the unfused loop: split-then-sample with the same
+        sample_token body), folds the sampled token into the repetition-
+        penalty mask, and runs the next forward — all inside one jit, so a
+        generation costs one device call plus one scalar fetch per token.
+        The batch path is selected by passing ``token_valid`` (its
+        None-vs-array pytree structure compiles two variants); ``pad`` is
+        the per-row left-pad column so RoPE positions stay slot − pad.
+        The budget-final token's forward is computed and discarded (its
+        cache write lands in a slot no later query attends to) — that one
+        wasted (B, 1) step buys the dispatch fusion for every other token.
+        """
+        cfg = self.cfg
+
+        @partial(
+            jax.jit,
+            static_argnames=("top_k", "greedy"),
+            donate_argnames=("kv_cache", "generated_mask"),
+        )
+        def fused(
+            params,
+            last,  # (B, V) logits the token is sampled from
+            generated_mask,  # (B, V) bool: repetition-penalty history
+            key,
+            kv_cache,
+            rope,
+            pos,  # cache slot the sampled token occupies
+            pad,  # (B, 1) int32 left-pad counts (zeros when unpadded)
+            temperature,
+            top_p,
+            repetition_penalty,
+            token_valid,  # None (single) | (B, S) bool (batched)
+            *,
+            top_k: int,
+            greedy: bool,
+        ):
+            B = last.shape[0]
+            key, sample_key = jax.random.split(key)
+            tok = sample_token.__wrapped__(
+                last,
+                sample_key,
+                generated_mask,
+                temperature,
+                top_k,
+                top_p,
+                repetition_penalty,
+                greedy=greedy,
+            )
+            generated_mask = generated_mask.at[jnp.arange(B), tok].set(True)
+            mask_positions = (
+                None
+                if token_valid is None
+                else jnp.full((B, 1), pos, jnp.int32)
+            )
+            logits, kv_cache = forward(
+                params,
+                cfg,
+                input_ids=tok[:, None].astype(jnp.int32),
+                positions=(pos - pad).astype(jnp.int32),
+                kv_cache=kv_cache,
+                cache_pos=pos,
+                rope=rope,
+                attn_len=pos + 1,
+                mask_positions=mask_positions,
+                token_valid=token_valid,
+            )
+            return tok, logits[:, -1, :], generated_mask, key, kv_cache
+
+        return fused
 
     def __enter__(self):
         return self
@@ -423,24 +502,30 @@ class InferenceEngine:
         key = jax.random.PRNGKey(seed)
         eos_ids = self._eos_ids()
         generated_mask = jnp.zeros((1, cfg.vocab_size), bool)
+        no_pad = jnp.zeros((1, 1), jnp.int32)
         generated: List[int] = []
         emitted_text = ""
 
         for step in range(max_new_tokens):
-            key, sample_key = jax.random.split(key)
-            next_token = sample_token(
+            # ONE dispatch: sample this token AND run its forward
+            next_token, last, generated_mask, key, kv = self._fused_decode(
+                self.params,
                 last,
-                sample_key,
                 generated_mask,
+                key,
+                kv,
+                rope,
+                prompt_len + step,
+                no_pad,
                 jnp.float32(temperature),
-                top_k,
                 jnp.float32(top_p),
                 jnp.float32(repetition_penalty),
+                None,
+                top_k=top_k,
                 greedy=greedy,
             )
             token_id = int(next_token[0])
             generated.append(token_id)
-            generated_mask = generated_mask.at[0, token_id].set(True)
 
             # incremental decode: emit the text suffix (handles BPE joins)
             text = self.tokenizer.decode(generated, skip_special_tokens=True)
@@ -453,20 +538,6 @@ class InferenceEngine:
             if token_id in eos_ids:
                 meta["finish_reason"] = "stop"
                 break
-            if step == max_new_tokens - 1:
-                break
-
-            pos = prompt_len + step
-            logits, kv = self._decode_step(
-                self.params,
-                input_ids=next_token[:, None].astype(jnp.int32),
-                positions=jnp.asarray([[pos]], jnp.int32),
-                kv_cache=kv,
-                cache_pos=pos,
-                rope=rope,
-                attn_len=pos + 1,
-            )
-            last = logits[:, -1, :]
 
         # final flush: the incremental decoder withholds text ending in
         # U+FFFD (incomplete multi-byte character); emit whatever decoded
@@ -712,25 +783,29 @@ class InferenceEngine:
         key = jax.random.PRNGKey(seed)
         eos_ids = self._eos_ids()
         generated_mask = jnp.zeros((B, cfg.vocab_size), bool)
+        pad_col = jnp.asarray(pad[:, None])  # (B, 1)
         tokens: List[List[int]] = [[] for _ in range(B)]
         finished = [False] * B
 
         for step in range(max_new_tokens):
-            key, sample_key = jax.random.split(key)
-            next_token = sample_token(
+            # ONE dispatch: sample the whole row of tokens AND their forward
+            next_token, last, generated_mask, key, kv = self._fused_decode(
+                self.params,
                 last,
-                sample_key,
                 generated_mask,
+                key,
+                kv,
+                rope,
+                L + step,
+                pad_col,
                 jnp.float32(temperature),
-                top_k,
                 jnp.float32(top_p),
                 jnp.float32(repetition_penalty),
+                token_valid,
+                top_k=top_k,
                 greedy=greedy,
             )
             token_ids = np.asarray(next_token)
-            generated_mask = generated_mask.at[
-                jnp.arange(B), next_token
-            ].set(True)
             for b in range(B):
                 if not finished[b]:
                     tid = int(token_ids[b])
@@ -738,24 +813,8 @@ class InferenceEngine:
                         finished[b] = True
                     else:
                         tokens[b].append(tid)
-            if all(finished) or step == max_new_tokens - 1:
+            if all(finished):
                 break
-
-            pos_slot = L + step
-            logits, kv = self._decode_step(
-                self.params,
-                input_ids=next_token[:, None].astype(jnp.int32),
-                positions=jnp.asarray(
-                    pos_slot - pad[:, None], jnp.int32
-                ),
-                kv_cache=kv,
-                cache_pos=pos_slot,
-                rope=rope,
-                attn_len=pos_slot + 1,
-                mask_positions=jnp.full((B, 1), pos_slot, jnp.int32),
-                token_valid=token_valid,
-            )
-            last = logits[:, -1, :]
 
         texts = [
             self.tokenizer.decode(t, skip_special_tokens=True) for t in tokens

@@ -466,14 +466,22 @@ def test_speculative_decoding_exact_and_fewer_dispatches(tmp_path):
     from shardmerge_tpu.inference import InferenceEngine
 
     def run(engine, **kw):
+        # target dispatches = prefill/verify forwards (_decode_step) plus
+        # the plain loop's fused sample+forward steps (_fused_decode)
         calls = {"target": 0}
         orig = engine._decode_step
+        orig_fused = engine._fused_decode
 
         def counting(*a, **k):
             calls["target"] += 1
             return orig(*a, **k)
 
+        def counting_fused(*a, **k):
+            calls["target"] += 1
+            return orig_fused(*a, **k)
+
         engine._decode_step = counting
+        engine._fused_decode = counting_fused
         text = "".join(
             engine.stream_generation(
                 "hello there", max_new_tokens=16, greedy=True,
@@ -481,6 +489,7 @@ def test_speculative_decoding_exact_and_fewer_dispatches(tmp_path):
             )
         )
         engine._decode_step = orig
+        engine._fused_decode = orig_fused
         return text, calls["target"]
 
     plain = InferenceEngine.from_pretrained(
