@@ -117,9 +117,7 @@ class DispatchCounter:
         engine._fused_decode = self.wrap("target", engine._fused_decode)
         if engine.draft_cfg is not None:
             engine._draft_decode = self.wrap("draft", engine._draft_decode)
-            engine._draft_propose = self.wrap(
-                "draft_propose", engine._draft_propose
-            )
+            engine._spec_round = self.wrap("spec_round", engine._spec_round)
         return self
 
     def snapshot(self):
@@ -378,10 +376,11 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
             report["speculative"][label] = {
                 "wall_s": round(t, 3),
                 "ms_per_token": round(t / N2 * 1e3, 3),
-                # includes the single prompt-prefill dispatch
+                # target prefill dispatches (catch-up+propose+verify are
+                # all inside the fused round)
                 "target_dispatches": counts.get("target", 0),
-                "draft_propose_dispatches": counts.get("draft_propose", 0),
-                "draft_catchup_dispatches": counts.get("draft", 0),
+                "round_dispatches": counts.get("spec_round", 0),
+                "draft_prefill_dispatches": counts.get("draft", 0),
                 "tokens": N2,
             }
         # plain greedy baseline at the same budget, same engine weights

@@ -59,40 +59,93 @@ class ChatMessage:
         return json.dumps(self.to_dict())
 
 
-def _make_draft_propose(draft_cfg: ModelConfig, k: int):
-    """Speculative proposal as ONE dispatch: k-1 chained draft decodes with
-    the penalized argmax fused in, via lax.scan inside a single jit — on a
-    dispatch-latency-dominated link (this host's ~24 ms relay) the k-1
-    separate decode+argmax+fetch round-trips would cancel the verify-step
-    savings."""
+def _make_spec_round(cfg: ModelConfig, draft_cfg: ModelConfig, k: int):
+    """One ENTIRE speculative round as a single dispatch.
 
-    def propose(params, kv, rope, x1, t, base_mask, rp):
-        # base_mask: (V,) bool — every emitted token incl. x1
+    Fuses (a) the draft's catch-up decode of the one true token it may
+    have skipped last round (lax.cond — lag is provably 0 or 1), (b) k−1
+    chained draft decodes proposing continuations of the pending token
+    ``x1``, each with the penalized argmax fused in (lax.scan), and (c)
+    the target's verify forward over all k speculative positions with the
+    per-position greedy re-derivation (:func:`_greedy_verify`). Returns
+    the proposals and verify argmaxes PACKED into one (2k−1,) int32 array
+    so the host pays one dispatch plus one fetch per round — on a
+    dispatch-latency-dominated link (this host's ~24 ms relay) the
+    previous 2-dispatch/2-fetch/2-eager-op round spent more time in
+    round-trips than in compute.
+    """
+
+    def spec_round(
+        t_params,
+        d_params,
+        kv,  # target cache
+        d_kv,  # draft cache
+        rope,
+        d_rope,
+        x1,  # pending token (always emitted before the round)
+        t,  # x1's cache slot
+        mask_pre,  # (1, V) bool: tokens emitted BEFORE this round
+        rp,
+        catch_tok,  # true token at slot t-1 the draft never consumed
+        do_catch,  # bool scalar: whether the draft lags by one
+    ):
+        def catchup(dk):
+            _, dk = forward(
+                d_params,
+                draft_cfg,
+                input_ids=catch_tok.reshape(1, 1),
+                positions=(t - 1).reshape(1, 1),
+                kv_cache=dk,
+                cache_pos=t - 1,
+                rope=d_rope,
+                attn_len=t,
+            )
+            return dk
+
+        d_kv = jax.lax.cond(do_catch, catchup, lambda dk: dk, d_kv)
+
+        # draft proposes k-1 continuations of x1
+        base_mask = mask_pre[0].at[x1].set(True)
+
         def step(carry, i):
-            kv, prev, mask = carry
+            dk, prev, mask = carry
             pos = t + i
-            logits, kv = forward(
-                params,
+            logits, dk = forward(
+                d_params,
                 draft_cfg,
                 prev.reshape(1, 1),
                 pos.reshape(1, 1),
-                kv,
+                dk,
                 cache_pos=pos,
-                rope=rope,
+                rope=d_rope,
                 attn_len=pos + 1,
             )
             lg = logits[0, -1]
             pen = jnp.where(lg > 0, lg / rp, lg * rp)
             tok = jnp.argmax(jnp.where(mask, pen, lg)).astype(jnp.int32)
             mask = mask.at[tok].set(True)
-            return (kv, tok, mask), tok
+            return (dk, tok, mask), tok
 
-        (kv, _, _), toks = jax.lax.scan(
-            step, (kv, x1, base_mask), jnp.arange(k - 1, dtype=jnp.int32)
+        (d_kv, _, _), toks = jax.lax.scan(
+            step, (d_kv, x1, base_mask), jnp.arange(k - 1, dtype=jnp.int32)
         )
-        return toks, kv
 
-    return jax.jit(propose, donate_argnums=(1,))
+        # target scores every speculative position in the same dispatch
+        fed = jnp.concatenate([x1[None], toks])  # (k,)
+        v_logits, kv = forward(
+            t_params,
+            cfg,
+            input_ids=fed[None],
+            positions=jnp.arange(k, dtype=jnp.int32)[None] + t,
+            kv_cache=kv,
+            cache_pos=t,
+            rope=rope,
+            attn_len=t + k,
+        )
+        y = _greedy_verify.__wrapped__(v_logits[0], mask_pre[0], fed, rp)
+        return jnp.concatenate([toks, y.astype(jnp.int32)]), kv, d_kv
+
+    return jax.jit(spec_round, donate_argnums=(2, 3))
 
 
 @jax.jit
@@ -186,8 +239,8 @@ class InferenceEngine:
                 partial(forward, cfg=self.draft_cfg),
                 donate_argnames=("kv_cache",),
             )
-            self._draft_propose = _make_draft_propose(
-                self.draft_cfg, self.speculation_k
+            self._spec_round = _make_spec_round(
+                cfg, self.draft_cfg, self.speculation_k
             )
 
     def _build_fused_decode(self):
@@ -555,12 +608,13 @@ class InferenceEngine:
     ) -> Iterator[str]:
         """Greedy speculative decoding against the loaded draft model.
 
-        Per round: ONE draft dispatch (a jitted scan of k-1 chained decodes
-        with the penalized argmax fused in, :func:`_make_draft_propose`)
-        proposes continuations of the known-correct pending token; ONE
-        target dispatch scores all of them; the longest target-greedy-
-        matching prefix is accepted and the target's own argmax at the
-        first mismatch becomes the next pending token. The verify applies
+        Per round, ONE fused dispatch (:func:`_make_spec_round`): the
+        draft's catch-up decode (if it lags), a jitted scan of k-1 chained
+        draft decodes with the penalized argmax fused in proposing
+        continuations of the known-correct pending token, and the target
+        forward scoring all of them; the longest target-greedy-matching
+        prefix is accepted and the target's own argmax at the first
+        mismatch becomes the next pending token. The verify applies
         the same repetition-penalty-then-argmax per position, with each
         position's mask assuming the earlier drafts were accepted — the
         only case in which that position's result is consumed — so the
@@ -568,8 +622,8 @@ class InferenceEngine:
         floating-point near-ties: the (1,k) verify forward may round logits
         differently than the (1,1) decode, and an ulp-level tie between the
         top two tokens can resolve either way (both are valid greedy
-        decodes; the test models are far from ties). Costs 2 dispatches + 2
-        host syncs per round for up to k accepted tokens — the win on TPU
+        decodes; the test models are far from ties). Costs 1 dispatch + 1
+        host sync per round for up to k accepted tokens — the win on TPU
         relays where per-dispatch latency dominates small-batch decode.
         Rejected tokens leave stale cache slots on both models; harmless
         because every slot is rewritten (cache_pos) before the attn_len
@@ -611,7 +665,10 @@ class InferenceEngine:
         )
 
         eos_ids = self._eos_ids()
-        mask_pre = jnp.zeros((1, cfg.vocab_size), bool)  # emitted before round
+        # the emitted-token penalty mask lives on HOST (numpy) and rides
+        # into each fused round as an input — updating it with a device
+        # scatter would cost a dispatch per round
+        mask_pre = np.zeros((1, cfg.vocab_size), bool)
         all_tokens = list(input_ids)  # slot-indexed true context
         generated: List[int] = []
         state = {"text": ""}
@@ -634,7 +691,7 @@ class InferenceEngine:
             sample_token(
                 prompt_last,
                 jax.random.PRNGKey(0),
-                mask_pre,
+                jnp.asarray(mask_pre),
                 repetition_penalty=rp,
                 greedy=True,
             )[0]
@@ -648,46 +705,28 @@ class InferenceEngine:
                 break
             t = prompt_len + len(generated) - 1  # x1's slot
 
-            # catch-up: true tokens the draft never consumed (<=1 per round)
-            while draft_pos < t:
-                _, d_kv = self._draft_decode(
-                    self.draft_params,
-                    input_ids=jnp.asarray([[all_tokens[draft_pos]]], jnp.int32),
-                    positions=jnp.asarray([[draft_pos]], jnp.int32),
-                    kv_cache=d_kv,
-                    cache_pos=draft_pos,
-                    rope=d_rope,
-                    attn_len=draft_pos + 1,
-                )
-                draft_pos += 1
-
-            # draft proposes k-1 continuations of x1 in ONE dispatch
-            toks, d_kv = self._draft_propose(
+            # ONE dispatch + ONE fetch per round: draft catch-up (lag is
+            # 0 or 1 — full acceptance leaves exactly the verify argmax
+            # unconsumed), k-1 proposals, and the target verify, fused
+            assert draft_pos in (t, t - 1), (draft_pos, t)
+            do_catch = draft_pos < t
+            packed, kv, d_kv = self._spec_round(
+                self.params,
                 self.draft_params,
+                kv,
                 d_kv,
+                rope,
                 d_rope,
                 jnp.int32(x1),
                 jnp.int32(t),
-                mask_pre[0].at[x1].set(True),
+                jnp.asarray(mask_pre),
                 rp,
+                jnp.int32(all_tokens[t - 1] if do_catch else 0),
+                jnp.asarray(do_catch),
             )
-            draft_pos += k - 1
-            fed = [x1] + [int(v) for v in np.asarray(toks)]
-
-            # ONE target dispatch scores every speculative position
-            fed_arr = jnp.asarray([fed], jnp.int32)
-            v_logits, kv = self._decode_step(
-                self.params,
-                input_ids=fed_arr,
-                positions=jnp.arange(t, t + k, dtype=jnp.int32)[None, :],
-                kv_cache=kv,
-                cache_pos=t,
-                rope=rope,
-                attn_len=t + k,
-            )
-            y = np.asarray(
-                _greedy_verify(v_logits[0], mask_pre[0], fed_arr[0], rp)
-            )
+            arr = np.asarray(packed)
+            fed = [x1] + [int(v) for v in arr[: k - 1]]
+            y = arr[k - 1 :]
 
             m = 0
             while m < k - 1 and int(y[m]) == fed[m + 1]:
@@ -699,9 +738,7 @@ class InferenceEngine:
                 if not go_on:
                     break
             # fed[0..m] are now emitted history for later penalty masks
-            mask_pre = mask_pre.at[
-                0, jnp.asarray(fed[: m + 1], jnp.int32)
-            ].set(True)
+            mask_pre[0, fed[: m + 1]] = True
             # true context the draft has consumed (rejected tail is stale)
             draft_pos = t + min(m, k - 2) + 1
             if not go_on:

@@ -527,19 +527,19 @@ def test_speculative_decoding_exact_and_fewer_dispatches(tmp_path):
     )
     assert isinstance(sampled, str)
 
-    # the proposal scan is ONE dispatch per round (not k-1)
-    propose_calls = {"n": 0}
-    orig_propose = perfect._draft_propose
+    # the whole round (catch-up + proposal scan + verify) is ONE dispatch
+    round_calls = {"n": 0}
+    orig_round = perfect._spec_round
 
-    def counting_propose(*a, **kw):
-        propose_calls["n"] += 1
-        return orig_propose(*a, **kw)
+    def counting_round(*a, **kw):
+        round_calls["n"] += 1
+        return orig_round(*a, **kw)
 
-    perfect._draft_propose = counting_propose
+    perfect._spec_round = counting_round
     got3, _ = run(perfect)
-    perfect._draft_propose = orig_propose
+    perfect._spec_round = orig_round
     assert got3 == expected
-    assert propose_calls["n"] <= -(-16 // 4) + 1
+    assert round_calls["n"] <= -(-16 // 4) + 1
 
     # speculative decoding composes with tensor-parallel serving: the
     # verify dispatch runs on the sharded target, the draft stays local.
