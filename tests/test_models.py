@@ -392,6 +392,30 @@ def test_inference_engine_stream(tmp_path):
     )
     assert "".join(chunks2) == text
 
+    # the fused loop costs exactly ONE device call per generated token
+    # (sample + penalty-mask update + forward) after the single-chunk
+    # prefill — the dispatch budget the serving latency model relies on
+    calls = {"fused": 0, "prefill": 0}
+    orig_fused, orig_step = engine._fused_decode, engine._decode_step
+
+    def count_fused(*a, **k):
+        calls["fused"] += 1
+        return orig_fused(*a, **k)
+
+    def count_step(*a, **k):
+        calls["prefill"] += 1
+        return orig_step(*a, **k)
+
+    engine._fused_decode, engine._decode_step = count_fused, count_step
+    list(
+        engine.stream_generation(
+            "hi", max_new_tokens=8, greedy=True, use_template=False
+        )
+    )
+    engine._fused_decode, engine._decode_step = orig_fused, orig_step
+    assert calls["prefill"] == 1
+    assert calls["fused"] <= 8  # == tokens generated (EOS may end early)
+
 
 def test_inference_engine_streams_deepseek(tmp_path):
     """The engine's generic load/prefill/decode path serves MLA models (the
