@@ -175,7 +175,7 @@ def param_bytes(params) -> int:
     return sum(x.nbytes for x in jax.tree.leaves(params))
 
 
-def timed_generate(engine, n_tokens: int, greedy: bool) -> float:
+def timed_generate(engine, n_tokens: int, greedy: bool, decode_chunk=1) -> float:
     t0 = time.perf_counter()
     text = "".join(
         engine.stream_generation(
@@ -184,6 +184,7 @@ def timed_generate(engine, n_tokens: int, greedy: bool) -> float:
             greedy=greedy,
             use_template=False,
             repetition_penalty=1.1,
+            decode_chunk=decode_chunk,
         )
     )
     dt = time.perf_counter() - t0
@@ -191,11 +192,15 @@ def timed_generate(engine, n_tokens: int, greedy: bool) -> float:
     return dt
 
 
-def decode_slope_ms(engine, greedy=True):
+def decode_slope_ms(engine, greedy=True, decode_chunk=1):
     """Wall ms/token between N1 and N2 generated tokens (shapes warm)."""
-    timed_generate(engine, N2, greedy)  # warm every shape
-    t1 = min(timed_generate(engine, N1, greedy) for _ in range(2))
-    t2 = min(timed_generate(engine, N2, greedy) for _ in range(2))
+    timed_generate(engine, N2, greedy, decode_chunk)  # warm every shape
+    t1 = min(
+        timed_generate(engine, N1, greedy, decode_chunk) for _ in range(2)
+    )
+    t2 = min(
+        timed_generate(engine, N2, greedy, decode_chunk) for _ in range(2)
+    )
     return (t2 - t1) / (N2 - N1) * 1e3, t1, t2
 
 
@@ -347,6 +352,13 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
         "scan_k": SCAN_K,
         "wall_s_scan": round(t_k, 3),
         "wall_s_single": round(t_1, 3),
+    }
+
+    # throughput mode: 8 fused steps per dispatch through the real link
+    ck_ms, _, _ = decode_slope_ms(engine, decode_chunk=8)
+    report["decode_chunked8"] = {
+        "wall_ms_per_token": round(ck_ms, 3),
+        "tokens_per_s_wall": round(1e3 / ck_ms, 2) if ck_ms > 0 else None,
     }
 
     report["prefill"] = {

@@ -221,8 +221,12 @@ class InferenceEngine:
         # + next forward in one dispatch (3 device calls/token -> 1). On a
         # dispatch-latency-dominated link (this host: ~24 ms/call) that is
         # most of small-model decode latency; on a real TPU host it is
-        # still 2 fewer executor round-trips per token.
-        self._fused_decode = self._build_fused_decode()
+        # still 2 fewer executor round-trips per token. `decode_chunk > 1`
+        # generalizes it: S fused steps scanned inside ONE dispatch,
+        # amortizing the per-call latency to ~1/S per token (throughput
+        # mode; emission granularity becomes S tokens).
+        self._decode_chunks: dict = {}
+        self._fused_decode = self._build_chunk_decode(1)
         self.prompt_chunk = _PROMPT_CHUNK
 
         self.draft_cfg = self.draft_params = None
@@ -243,20 +247,37 @@ class InferenceEngine:
                 cfg, self.draft_cfg, self.speculation_k
             )
 
-    def _build_fused_decode(self):
-        """One-dispatch decode step shared by the streaming and batch loops.
+    def _chunk_step(self, chunk: int):
+        """Jitted decode program for ``chunk`` fused steps (cached per size).
 
-        Samples from the previous step's logits (identical math and PRNG
-        stream to the unfused loop: split-then-sample with the same
-        sample_token body), folds the sampled token into the repetition-
-        penalty mask, and runs the next forward — all inside one jit, so a
-        generation costs one device call plus one scalar fetch per token.
-        The batch path is selected by passing ``token_valid`` (its
-        None-vs-array pytree structure compiles two variants); ``pad`` is
-        the per-row left-pad column so RoPE positions stay slot − pad.
-        The budget-final token's forward is computed and discarded (its
-        cache write lands in a slot no later query attends to) — that one
-        wasted (B, 1) step buys the dispatch fusion for every other token.
+        chunk=1 routes through the ``_fused_decode`` attribute so tests
+        and dispatch counters can wrap the default path in one place."""
+        if chunk == 1:
+            return self._fused_decode
+        fn = self._decode_chunks.get(chunk)
+        if fn is None:
+            fn = self._build_chunk_decode(chunk)
+            self._decode_chunks[chunk] = fn
+        return fn
+
+    def _build_chunk_decode(self, S: int):
+        """S fused decode steps in ONE dispatch, shared by the streaming
+        and batch loops.
+
+        Each scanned step samples from the previous step's logits
+        (identical math and PRNG stream to the unfused loop for every S:
+        split-then-sample with the same sample_token body), folds the
+        sampled token into the repetition-penalty mask, and runs the next
+        forward. A generation costs ceil(N/S) device calls and fetches;
+        S=1 is the latency mode (token-granular streaming), larger S
+        amortizes per-dispatch latency at S-token emission granularity
+        (tokens sampled after an EOS inside a chunk are discarded on the
+        host — their cache slots are never attended to). The batch path
+        is selected by passing ``token_valid`` (its None-vs-array pytree
+        structure compiles two variants); ``pad`` is the per-row left-pad
+        column so RoPE positions stay slot − pad. The budget-final
+        token's forward is computed and discarded — one wasted (B, 1)
+        step buys the sample+forward fusion for every other token.
         """
         cfg = self.cfg
 
@@ -265,14 +286,14 @@ class InferenceEngine:
             static_argnames=("top_k", "greedy"),
             donate_argnames=("kv_cache", "generated_mask"),
         )
-        def fused(
+        def chunk_decode(
             params,
-            last,  # (B, V) logits the token is sampled from
+            last,  # (B, V) logits the first token is sampled from
             generated_mask,  # (B, V) bool: repetition-penalty history
             key,
             kv_cache,
             rope,
-            pos,  # cache slot the sampled token occupies
+            pos0,  # cache slot the first sampled token occupies
             pad,  # (B, 1) int32 left-pad counts (zeros when unpadded)
             temperature,
             top_p,
@@ -283,38 +304,50 @@ class InferenceEngine:
             greedy: bool,
         ):
             B = last.shape[0]
-            key, sample_key = jax.random.split(key)
-            tok = sample_token.__wrapped__(
-                last,
-                sample_key,
-                generated_mask,
-                temperature,
-                top_k,
-                top_p,
-                repetition_penalty,
-                greedy=greedy,
-            )
-            generated_mask = generated_mask.at[jnp.arange(B), tok].set(True)
-            mask_positions = (
-                None
-                if token_valid is None
-                else jnp.full((B, 1), pos, jnp.int32)
-            )
-            logits, kv_cache = forward(
-                params,
-                cfg,
-                input_ids=tok[:, None].astype(jnp.int32),
-                positions=(pos - pad).astype(jnp.int32),
-                kv_cache=kv_cache,
-                cache_pos=pos,
-                rope=rope,
-                attn_len=pos + 1,
-                mask_positions=mask_positions,
-                token_valid=token_valid,
-            )
-            return tok, logits[:, -1, :], generated_mask, key, kv_cache
 
-        return fused
+            def step(carry, i):
+                last, mask, key, kv = carry
+                pos = pos0 + i
+                key, sample_key = jax.random.split(key)
+                tok = sample_token.__wrapped__(
+                    last,
+                    sample_key,
+                    mask,
+                    temperature,
+                    top_k,
+                    top_p,
+                    repetition_penalty,
+                    greedy=greedy,
+                )
+                mask = mask.at[jnp.arange(B), tok].set(True)
+                mask_positions = (
+                    None
+                    if token_valid is None
+                    else jnp.full((B, 1), pos, jnp.int32)
+                )
+                logits, kv = forward(
+                    params,
+                    cfg,
+                    input_ids=tok[:, None].astype(jnp.int32),
+                    positions=(pos - pad).astype(jnp.int32),
+                    kv_cache=kv,
+                    cache_pos=pos,
+                    rope=rope,
+                    attn_len=pos + 1,
+                    mask_positions=mask_positions,
+                    token_valid=token_valid,
+                )
+                return (logits[:, -1, :], mask, key, kv), tok
+
+            (last, generated_mask, key, kv_cache), toks = jax.lax.scan(
+                step,
+                (last, generated_mask, key, kv_cache),
+                jnp.arange(S, dtype=jnp.int32),
+            )
+            # toks: (S, B)
+            return toks, last, generated_mask, key, kv_cache
+
+        return chunk_decode
 
     def __enter__(self):
         return self
@@ -513,12 +546,16 @@ class InferenceEngine:
         greedy: bool = False,
         seed: int = 0,
         meta: Optional[dict] = None,
+        decode_chunk: int = 1,
     ) -> Iterator[str]:
         """Yield generated text chunks token by token.
 
         With a draft model loaded and ``greedy=True``, decoding is
         speculative (see :meth:`_stream_speculative`): same output, fewer
-        target dispatches. Pass a dict as ``meta`` to receive
+        target dispatches. ``decode_chunk=S`` runs S decode steps per
+        device call (throughput mode: ~1/S the per-token dispatch
+        latency, S-token emission granularity, identical tokens).
+        Pass a dict as ``meta`` to receive
         ``{"finish_reason": "stop"|"length"}`` after exhaustion."""
         cfg = self.cfg
         if meta is None:
@@ -559,16 +596,19 @@ class InferenceEngine:
         generated: List[int] = []
         emitted_text = ""
 
-        for step in range(max_new_tokens):
-            # ONE dispatch: sample this token AND run its forward
-            next_token, last, generated_mask, key, kv = self._fused_decode(
+        done = 0
+        stopped = False
+        while done < max_new_tokens and not stopped:
+            S = min(decode_chunk, max_new_tokens - done)
+            # ONE dispatch: sample S tokens AND run their forwards
+            toks, last, generated_mask, key, kv = self._chunk_step(S)(
                 self.params,
                 last,
                 generated_mask,
                 key,
                 kv,
                 rope,
-                prompt_len + step,
+                prompt_len + done,
                 no_pad,
                 jnp.float32(temperature),
                 jnp.float32(top_p),
@@ -577,20 +617,25 @@ class InferenceEngine:
                 top_k=top_k,
                 greedy=greedy,
             )
-            token_id = int(next_token[0])
-            generated.append(token_id)
+            done += S
+            for token_id in (int(v) for v in np.asarray(toks)[:, 0]):
+                generated.append(token_id)
 
-            # incremental decode: emit the text suffix (handles BPE joins)
-            text = self.tokenizer.decode(generated, skip_special_tokens=True)
-            if len(text) > len(emitted_text) and not text.endswith("�"):
-                chunk = text[len(emitted_text) :]
-                emitted_text = text
-                if chunk:
-                    yield chunk
+                # incremental decode: emit the text suffix (handles BPE
+                # joins)
+                text = self.tokenizer.decode(
+                    generated, skip_special_tokens=True
+                )
+                if len(text) > len(emitted_text) and not text.endswith("�"):
+                    chunk = text[len(emitted_text) :]
+                    emitted_text = text
+                    if chunk:
+                        yield chunk
 
-            if token_id in eos_ids:
-                meta["finish_reason"] = "stop"
-                break
+                if token_id in eos_ids:
+                    meta["finish_reason"] = "stop"
+                    stopped = True
+                    break
 
         # final flush: the incremental decoder withholds text ending in
         # U+FFFD (incomplete multi-byte character); emit whatever decoded
@@ -762,6 +807,7 @@ class InferenceEngine:
         greedy: bool = False,
         seed: int = 0,
         return_meta: bool = False,
+        decode_chunk: int = 1,
     ):
         """Generate completions for a whole batch in lockstep (serving path).
 
@@ -776,7 +822,8 @@ class InferenceEngine:
 
         Returns a list of texts; with ``return_meta=True`` returns
         ``(texts, finish_reasons)`` where each reason is ``"stop"`` (EOS)
-        or ``"length"`` (truncated by max_new_tokens).
+        or ``"length"`` (truncated by max_new_tokens). ``decode_chunk=S``
+        runs S lockstep steps per device call (see stream_generation).
         """
         cfg = self.cfg
         seqs = [
@@ -824,16 +871,18 @@ class InferenceEngine:
         tokens: List[List[int]] = [[] for _ in range(B)]
         finished = [False] * B
 
-        for step in range(max_new_tokens):
-            # ONE dispatch: sample the whole row of tokens AND their forward
-            next_token, last, generated_mask, key, kv = self._fused_decode(
+        done = 0
+        while done < max_new_tokens and not all(finished):
+            S = min(decode_chunk, max_new_tokens - done)
+            # ONE dispatch: S lockstep rows of sampled tokens + forwards
+            toks, last, generated_mask, key, kv = self._chunk_step(S)(
                 self.params,
                 last,
                 generated_mask,
                 key,
                 kv,
                 rope,
-                L + step,
+                L + done,
                 pad_col,
                 jnp.float32(temperature),
                 jnp.float32(top_p),
@@ -842,16 +891,17 @@ class InferenceEngine:
                 top_k=top_k,
                 greedy=greedy,
             )
-            token_ids = np.asarray(next_token)
-            for b in range(B):
-                if not finished[b]:
-                    tid = int(token_ids[b])
-                    if tid in eos_ids:
-                        finished[b] = True
-                    else:
-                        tokens[b].append(tid)
-            if all(finished):
-                break
+            done += S
+            for row in np.asarray(toks):  # (S, B) chunk-major
+                for b in range(B):
+                    if not finished[b]:
+                        tid = int(row[b])
+                        if tid in eos_ids:
+                            finished[b] = True
+                        else:
+                            tokens[b].append(tid)
+                if all(finished):
+                    break
 
         texts = [
             self.tokenizer.decode(t, skip_special_tokens=True) for t in tokens

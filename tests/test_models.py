@@ -416,6 +416,76 @@ def test_inference_engine_stream(tmp_path):
     assert calls["prefill"] == 1
     assert calls["fused"] <= 8  # == tokens generated (EOS may end early)
 
+    # chunked decode (S steps per dispatch) emits the same tokens as the
+    # step-per-dispatch loop, for greedy AND sampled decoding (the PRNG
+    # split order is identical), in ceil(N/S) dispatches
+    for greedy in (True, False):
+        ref = "".join(
+            engine.stream_generation(
+                "hi", max_new_tokens=8, greedy=greedy, use_template=False
+            )
+        )
+        calls = {"n": 0}
+        orig_build = engine._build_chunk_decode
+
+        def counting_build(S):
+            inner = orig_build(S)
+
+            def counted(*a, **k):
+                calls["n"] += 1
+                return inner(*a, **k)
+
+            return counted
+
+        engine._decode_chunks.clear()
+        engine._build_chunk_decode = counting_build
+        chunked = "".join(
+            engine.stream_generation(
+                "hi",
+                max_new_tokens=8,
+                greedy=greedy,
+                use_template=False,
+                decode_chunk=3,
+            )
+        )
+        engine._build_chunk_decode = orig_build
+        engine._decode_chunks.clear()
+        assert chunked == ref
+        assert calls["n"] <= 3  # ceil(8/3): chunks of 3, 3, 2
+
+
+def test_generate_batch_chunked_matches_stepwise(tmp_path):
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(11)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    LlamaForCausalLM(config).eval().save_pretrained(
+        str(tmp_path / "m"), safe_serialization=True
+    )
+    from shardmerge_tpu.inference import InferenceEngine
+
+    engine = InferenceEngine.from_pretrained(
+        str(tmp_path / "m"), tokenizer=StubTokenizer()
+    )
+    prompts = ["hello there", "hi"]
+    ref = engine.generate_batch(
+        prompts, max_new_tokens=7, greedy=True, use_template=False
+    )
+    chunked = engine.generate_batch(
+        prompts, max_new_tokens=7, greedy=True, use_template=False,
+        decode_chunk=4,
+    )
+    assert chunked == ref
+
 
 def test_inference_engine_streams_deepseek(tmp_path):
     """The engine's generic load/prefill/decode path serves MLA models (the
