@@ -7,9 +7,12 @@ shape, so a merge can be smoke-tested or load-tested without re-loading
 weights per prompt:
 
 - ``POST /v1/completions`` — ``{"prompt": str | [str, ...], "max_tokens",
-  "temperature", "top_p", "top_k", "repetition_penalty", "greedy", "seed"}``
+  "temperature", "top_p", "top_k", "repetition_penalty", "greedy", "seed",
+  "decode_chunk"}``
   → ``{"choices": [{"index", "text", "finish_reason"}, ...]}`` with
   ``finish_reason`` "stop" (EOS) or "length" (max_tokens truncation).
+  ``decode_chunk=S`` (default 1) runs S decode steps per device call —
+  identical tokens, ~1/S the per-token dispatch latency.
   Every request — single or list prompt — runs the batched decode path
   (InferenceEngine.generate_batch): one jitted lockstep decode per batch.
   Batch size and prompt length are capped (_MAX_BATCH/_MAX_PROMPT_CHARS):
@@ -222,11 +225,17 @@ class ModelServer:
                 greedy=bool(payload.get("greedy", False)),
                 seed=int(payload.get("seed", 0)),
                 use_template=bool(payload.get("use_template", False)),
+                decode_chunk=int(payload.get("decode_chunk", 1)),
             )
         except (TypeError, ValueError):
             raise ValueError("sampling parameters must be numeric")
         if kwargs["max_new_tokens"] < 1 or kwargs["max_new_tokens"] > 4096:
             raise ValueError("max_tokens must be in [1, 4096]")
+        if not 1 <= kwargs["decode_chunk"] <= 64:
+            # throughput mode: S decode steps per device call (tokens are
+            # identical; compile cache holds one program per chunk size,
+            # hence the cap)
+            raise ValueError("decode_chunk must be in [1, 64]")
         if kwargs["top_k"] < 0:
             raise ValueError("top_k must be >= 0")
         # lax.top_k rejects k > vocab; clamping matches the 'consider

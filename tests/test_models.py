@@ -2031,11 +2031,21 @@ def test_model_server_endpoints(tmp_path):
         assert status == 200 and len(body["choices"]) == 2
         assert body["choices"][0]["text"] == single  # batch == single greedy
 
+        # throughput mode over HTTP: chunked decode emits identical text
+        status, body = call(
+            "/v1/completions",
+            {"prompt": "hi", "max_tokens": 6, "greedy": True,
+             "decode_chunk": 3},
+        )
+        assert status == 200 and body["choices"][0]["text"] == single
+
         for bad in [{}, {"prompt": []}, {"prompt": ["ok", ""]},
                     {"prompt": "x", "max_tokens": 0},
                     {"prompt": ["x"] * 65},  # batch cap
                     {"prompt": "y" * (256 * 1024 + 1)},  # length cap
-                    {"prompt": "x", "temperature": "hot"}]:
+                    {"prompt": "x", "temperature": "hot"},
+                    {"prompt": "x", "decode_chunk": 0},
+                    {"prompt": "x", "decode_chunk": 65}]:
             status, body = call("/v1/completions", bad)
             assert status == 400 and "error" in body, bad
         status, _ = call("/nope")
