@@ -194,7 +194,9 @@ def bench_torch_reference(a_np, b_np):
     return best, merged
 
 
-def _probe_device(timeout_s: float = 180.0, attempts: int = 3) -> None:
+def _probe_device(
+    timeout_s: float = 180.0, attempts: int = 3, fallback_cpu: bool = False
+) -> str:
     """Fail FAST (with retries) if the device backend is unreachable.
 
     The tunneled TPU's relay can die silently — jax.devices() or the first
@@ -202,7 +204,13 @@ def _probe_device(timeout_s: float = 180.0, attempts: int = 3) -> None:
     has been observed answering one probe and hanging the next. Probing in
     a subprocess with a deadline converts a hang (driver timeout-kill, no
     evidence) into an explicit failure; a few attempts ride out transient
-    relay stalls."""
+    relay stalls.
+
+    ``fallback_cpu=True`` (the bench's own mode): instead of exiting when
+    every probe fails, force the CPU backend via the config API (env vars
+    cannot override the host sitecustomize) and return "cpu_fallback" —
+    a parity-checked bench labeled as non-TPU beats a round with no bench
+    artifact at all. Returns "device" on a healthy probe."""
     import subprocess
 
     probe = (
@@ -235,7 +243,19 @@ def _probe_device(timeout_s: float = 180.0, attempts: int = 3) -> None:
             )
             continue
         print(proc.stdout.strip(), file=sys.stderr)
-        return
+        return "device"
+    if fallback_cpu:
+        print(
+            "WARN: TPU relay unreachable after "
+            f"{attempts} probe attempts; falling back to the CPU backend. "
+            "The reported value is NOT a TPU number (see 'platform' in the "
+            "JSON).",
+            file=sys.stderr,
+        )
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        return "cpu_fallback"
     print(
         f"FAIL: device backend unreachable after {attempts} probe attempts; "
         "refusing to hang",
@@ -247,7 +267,7 @@ def _probe_device(timeout_s: float = 180.0, attempts: int = 3) -> None:
 def main():
     import numpy as np
 
-    _probe_device()
+    platform = _probe_device(fallback_cpu=True)
     rng = np.random.default_rng(0)
     a_np = rng.standard_normal(SHAPE).astype(np.float32)
     b_np = rng.standard_normal(SHAPE).astype(np.float32)
@@ -288,16 +308,16 @@ def main():
     gbps = bytes_moved / jax_time / 1e9
     vs_baseline = torch_time / jax_time
 
-    print(
-        json.dumps(
-            {
-                "metric": "fft_blend_pair_merge_gbps",
-                "value": round(gbps, 3),
-                "unit": "GB/s",
-                "vs_baseline": round(vs_baseline, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "fft_blend_pair_merge_gbps",
+        "value": round(gbps, 3),
+        "unit": "GB/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }
+    if platform != "device":
+        # relay outage: this run measured the CPU backend, not the chip
+        line["platform"] = platform
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
