@@ -305,10 +305,15 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
         "hidden_size", "intermediate_size", "num_hidden_layers",
         "num_attention_heads", "num_key_value_heads", "vocab_size")}}
 
-    # --- bf16 engine, falling back to int8 when params exceed the chip
+    # --- bf16 engine, falling back to int8 then int4 when params exceed
+    # the chip (8B bf16 = 16.06 GB vs a 16 GB v5e)
     engine = None
-    for attempt in ({"quant_bits": None}, {"quant_bits": 8}):
-        label = "int8" if attempt["quant_bits"] else "bf16"
+    for attempt in (
+        {"quant_bits": None},
+        {"quant_bits": 8},
+        {"quant_bits": 4},
+    ):
+        label = f"int{attempt['quant_bits']}" if attempt["quant_bits"] else "bf16"
         try:
             engine, init_s = build_engine(hf_cfg, seed=0, **attempt)
             # materialize one forward before declaring victory
@@ -407,18 +412,21 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
             "tokens": N2,
         }
 
-    if report["dtype"] == "bf16":  # int8 A/B only when bf16 fit
-        try:
-            q_engine, _ = build_engine(hf_cfg, seed=0, quant_bits=8)
-            q_ms, _, _ = decode_slope_ms(q_engine)
-            q_floor, _, _ = device_floor_ms(q_engine)
-            report["int8"] = {
-                "wall_ms_per_token": round(q_ms, 3),
-                "device_floor_ms_per_token": round(q_floor, 3),
-                "param_bytes": param_bytes(q_engine.params),
-            }
-        except Exception as e:
-            report["int8"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    if report["dtype"] == "bf16":  # quant A/Bs only when bf16 fit
+        for bits in (8, 4):
+            try:
+                q_engine, _ = build_engine(hf_cfg, seed=0, quant_bits=bits)
+                q_ms, _, _ = decode_slope_ms(q_engine)
+                q_floor, _, _ = device_floor_ms(q_engine)
+                report[f"int{bits}"] = {
+                    "wall_ms_per_token": round(q_ms, 3),
+                    "device_floor_ms_per_token": round(q_floor, 3),
+                    "param_bytes": param_bytes(q_engine.params),
+                }
+            except Exception as e:
+                report[f"int{bits}"] = {
+                    "error": f"{type(e).__name__}: {e}"[:300]
+                }
 
     return report
 
