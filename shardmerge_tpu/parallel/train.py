@@ -33,6 +33,7 @@ from ..models.llama import ModelConfig, Params, forward_train
 __all__ = [
     "param_shardings",
     "shard_params",
+    "zero1_opt_shardings",
     "make_train_step",
     "make_cp_loss",
     "make_cp_train_step",
@@ -128,6 +129,58 @@ def shard_params(mesh: Mesh, params: Params) -> Params:
     )
 
 
+def _extend_dp(mesh: Mesh, rule: NamedSharding, leaf) -> NamedSharding:
+    """Add 'dp' to the first free, divisible dim of a param's sharding.
+
+    ZeRO-1 leaf rule: the optimizer moment for a (out, in) tensor keeps
+    the param's 'tp' placement and additionally partitions one unsharded
+    dim over 'dp' — e.g. column-parallel P('tp', None) → P('tp', 'dp'),
+    replicated norms P() → P('dp'). Leaves with no dim divisible by the
+    dp size stay dp-replicated (tiny: norms on odd sizes, scalars)."""
+    dp = mesh.shape["dp"]
+    ndim = getattr(leaf, "ndim", 0)
+    spec = list(rule.spec) + [None] * (ndim - len(rule.spec))
+    for i in range(ndim):
+        if spec[i] is None and leaf.shape[i] % dp == 0:
+            spec[i] = "dp"
+            break
+    return NamedSharding(mesh, P(*spec))
+
+
+def zero1_opt_shardings(mesh: Mesh, params: Params, opt_state):
+    """Sharding pytree for ZeRO-1 optimizer-state partitioning.
+
+    Adam's first/second moments mirror the param tree, so their shardings
+    are the param shardings extended onto the 'dp' axis (_extend_dp):
+    each dp rank holds 1/dp of every moment instead of a full replica.
+    Under jit, GSPMD then derives the ZeRO-1 communication pattern from
+    the annotations alone: gradients reduce-scatter into the moment
+    shards, the update computes on 1/dp of the elements per rank, and the
+    parameter delta all-gathers back to the params' own placement — no
+    hand-written collectives. Anything in the optimizer state that is not
+    a moment tree (step counts, empty states) replicates.
+
+    ``opt_state`` may be real state or ``jax.eval_shape(tx.init, params)``
+    output; only the pytree structure and ScaleByAdamState nodes are used.
+    """
+    rep = NamedSharding(mesh, P())
+    pshard = param_shardings(mesh, params)
+    moments = jax.tree.map(
+        lambda rule, p: _extend_dp(mesh, rule, p), pshard, params
+    )
+
+    def map_node(node):
+        if isinstance(node, optax.ScaleByAdamState):
+            return optax.ScaleByAdamState(count=rep, mu=moments, nu=moments)
+        return jax.tree.map(lambda _: rep, node)
+
+    return jax.tree.map(
+        map_node,
+        opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+    )
+
+
 def _loss_fn(
     params: Params,
     cfg: ModelConfig,
@@ -148,18 +201,31 @@ def make_train_step(
     cfg: ModelConfig,
     learning_rate: float = 1e-4,
     remat: bool = False,
+    zero1: bool = False,
 ):
     """Build (init_state, train_step) with dp-sharded batches and tp-sharded
     params/optimizer state. train_step: (state, batch) -> (state, loss).
 
     ``remat=True`` gradient-checkpoints each decoder block (activation HBM
-    becomes O(1) blocks instead of O(layers); see forward_train)."""
+    becomes O(1) blocks instead of O(layers); see forward_train).
+    ``zero1=True`` partitions the Adam moments over the 'dp' axis
+    (zero1_opt_shardings): optimizer HBM drops to 1/dp per device and the
+    update step runs on 1/dp of the elements per rank, at the cost of the
+    GSPMD-inserted reduce-scatter/all-gather pair. Numerics are identical
+    to the replicated step (same update math, different placement)."""
     tx = optax.adamw(learning_rate)
     batch_sharding = NamedSharding(mesh, P("dp", None))
+    opt_shardings_cell: dict = {}  # filled by init_state when zero1
 
     def init_state(params: Params) -> TrainState:
         params = shard_params(mesh, params)
-        opt_state = jax.jit(tx.init)(params)  # inherits param shardings
+        if zero1:
+            shapes = jax.eval_shape(tx.init, params)
+            shardings = zero1_opt_shardings(mesh, params, shapes)
+            opt_shardings_cell["s"] = shardings
+            opt_state = jax.jit(tx.init, out_shardings=shardings)(params)
+        else:
+            opt_state = jax.jit(tx.init)(params)  # inherits param shardings
         return {"params": params, "opt_state": opt_state}
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -171,6 +237,13 @@ def make_train_step(
         updates, opt_state = tx.update(
             grads, state["opt_state"], state["params"]
         )
+        if zero1:
+            # pin the dp partitioning so GSPMD keeps the moments sharded
+            # (reduce-scatter grads in, all-gather the delta out) instead
+            # of ever materializing a replicated moment tree
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, opt_shardings_cell["s"]
+            )
         params = optax.apply_updates(state["params"], updates)
         return {"params": params, "opt_state": opt_state}, loss
 

@@ -40,6 +40,52 @@ def test_train_step_runs_and_descends():
     assert losses[-1] < losses[0]
 
 
+def test_zero1_matches_replicated_and_shards_moments():
+    """ZeRO-1: dp-partitioned Adam moments produce the SAME training
+    trajectory as the replicated optimizer (identical math, different
+    placement), the moment arrays really are sharded over 'dp' (per-device
+    shard bytes = total/dp), and the step count replicates."""
+    mesh = make_mesh(("dp", "tp"), shape=(4, 2))
+    cfg = _cfg()
+    batch = jnp.asarray(
+        np.random.default_rng(3).integers(0, cfg.vocab_size, (4, 16)),
+        jnp.int32,
+    )
+
+    results = {}
+    for zero1 in (False, True):
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        init_state, train_step = make_train_step(
+            mesh, cfg, learning_rate=1e-2, zero1=zero1
+        )
+        state = init_state(params)
+        losses = []
+        for _ in range(3):
+            state, loss = train_step(state, batch)
+            losses.append(float(loss))
+        results[zero1] = (losses, state)
+
+    np.testing.assert_allclose(
+        results[True][0], results[False][0], rtol=1e-5
+    )
+    ref_embed = np.asarray(results[False][1]["params"]["embed_tokens"])
+    z1_embed = np.asarray(results[True][1]["params"]["embed_tokens"])
+    np.testing.assert_allclose(z1_embed, ref_embed, rtol=1e-4, atol=1e-6)
+
+    # the moments are genuinely dp-partitioned
+    adam = results[True][1]["opt_state"][0]  # ScaleByAdamState
+    mu_leaf = adam.mu["layers"][0]["q_proj"]
+    spec = mu_leaf.sharding.spec
+    assert "dp" in spec, spec
+    shard_bytes = mu_leaf.addressable_shards[0].data.nbytes
+    assert shard_bytes * mesh.devices.size == mu_leaf.nbytes  # 1/(dp*tp) each
+    # replicated baseline holds dp full copies of the same leaf
+    rep_leaf = results[False][1]["opt_state"][0].mu["layers"][0]["q_proj"]
+    rep_bytes = rep_leaf.addressable_shards[0].data.nbytes
+    assert rep_bytes == shard_bytes * mesh.shape["dp"]
+    assert int(adam.count) == 3
+
+
 def test_train_step_new_family_layer_keys():
     """param_shardings replicates keys without a Megatron rule (sinks,
     router bias, fused gpt-oss experts, q/k norms) instead of KeyError-ing;
