@@ -129,44 +129,54 @@ def shard_params(mesh: Mesh, params: Params) -> Params:
     )
 
 
-def _extend_dp(mesh: Mesh, rule: NamedSharding, leaf) -> NamedSharding:
-    """Add 'dp' to the first free, divisible dim of a param's sharding.
+def _extend_axes(mesh: Mesh, rule: NamedSharding, leaf, axes) -> NamedSharding:
+    """Add the data axes to the first free, divisible dim of a param's
+    sharding.
 
     ZeRO-1 leaf rule: the optimizer moment for a (out, in) tensor keeps
     the param's 'tp' placement and additionally partitions one unsharded
-    dim over 'dp' — e.g. column-parallel P('tp', None) → P('tp', 'dp'),
-    replicated norms P() → P('dp'). Leaves with no dim divisible by the
-    dp size stay dp-replicated (tiny: norms on odd sizes, scalars)."""
-    dp = mesh.shape["dp"]
+    dim over the data axes — e.g. column-parallel P('tp', None) →
+    P('tp', 'dp'), replicated norms P() → P('dp'), and over a dp×cp mesh
+    the tuple ('dp', 'cp') shares one dim. Leaves with no dim divisible
+    by the combined axis size stay replicated there (tiny: norms on odd
+    sizes, scalars)."""
+    total = 1
+    for a in axes:
+        total *= mesh.shape[a]
     ndim = getattr(leaf, "ndim", 0)
     spec = list(rule.spec) + [None] * (ndim - len(rule.spec))
     for i in range(ndim):
-        if spec[i] is None and leaf.shape[i] % dp == 0:
-            spec[i] = "dp"
+        if spec[i] is None and leaf.shape[i] % total == 0:
+            spec[i] = axes[0] if len(axes) == 1 else tuple(axes)
             break
     return NamedSharding(mesh, P(*spec))
 
 
-def zero1_opt_shardings(mesh: Mesh, params: Params, opt_state):
+def zero1_opt_shardings(
+    mesh: Mesh, params: Params, opt_state, pshard=None, axes=("dp",)
+):
     """Sharding pytree for ZeRO-1 optimizer-state partitioning.
 
     Adam's first/second moments mirror the param tree, so their shardings
-    are the param shardings extended onto the 'dp' axis (_extend_dp):
-    each dp rank holds 1/dp of every moment instead of a full replica.
-    Under jit, GSPMD then derives the ZeRO-1 communication pattern from
-    the annotations alone: gradients reduce-scatter into the moment
-    shards, the update computes on 1/dp of the elements per rank, and the
-    parameter delta all-gathers back to the params' own placement — no
-    hand-written collectives. Anything in the optimizer state that is not
-    a moment tree (step counts, empty states) replicates.
+    are the param shardings extended onto the data axes (_extend_axes):
+    each data-parallel rank holds 1/prod(axes) of every moment instead of
+    a full replica. Under jit, GSPMD then derives the ZeRO-1
+    communication pattern from the annotations alone: gradients
+    reduce-scatter into the moment shards, the update computes on a
+    1/prod(axes) slice per rank, and the parameter delta all-gathers back
+    to the params' own placement — no hand-written collectives. Anything
+    in the optimizer state that is not a moment tree (step counts, empty
+    states) replicates.
 
     ``opt_state`` may be real state or ``jax.eval_shape(tx.init, params)``
-    output; only the pytree structure and ScaleByAdamState nodes are used.
-    """
+    output; only the pytree structure and ScaleByAdamState nodes are
+    used. ``pshard`` overrides the param sharding tree (defaults to
+    param_shardings — pass the cp spec tree for the cp step)."""
     rep = NamedSharding(mesh, P())
-    pshard = param_shardings(mesh, params)
+    if pshard is None:
+        pshard = param_shardings(mesh, params)
     moments = jax.tree.map(
-        lambda rule, p: _extend_dp(mesh, rule, p), pshard, params
+        lambda rule, p: _extend_axes(mesh, rule, p, axes), pshard, params
     )
 
     def map_node(node):
@@ -400,18 +410,23 @@ def make_cp_train_step(
     params_template: Params,
     learning_rate: float = 1e-4,
     remat: bool = False,
+    zero1: bool = False,
 ):
     """(init_state, train_step) over a ('dp','cp'[, 'tp']) mesh: batches
     shard (batch, sequence) over (dp, cp), blocks run ring attention over
     'cp' (and Megatron psums over 'tp'), adamw states shard like params.
     Same contract as make_train_step; ``params_template`` fixes the param
     pytree structure (pass the params init_state will receive). See
-    make_cp_loss for the kernel."""
+    make_cp_loss for the kernel. ``zero1=True`` partitions the Adam
+    moments over every data axis present (dp AND cp — both replicate
+    weights, so both can hold moment shards)."""
     tx = optax.adamw(learning_rate)
     dp = "dp" in mesh.axis_names
     batch_sharding = NamedSharding(mesh, P("dp", "cp") if dp else P(None, "cp"))
     specs = _cp_layer_specs(params_template, "tp" in mesh.axis_names)
     loss_fn = make_cp_loss(mesh, cfg, params_template, remat=remat)
+    data_axes = tuple(a for a in ("dp", "cp") if a in mesh.axis_names)
+    opt_shardings_cell: dict = {}
 
     def init_state(params: Params) -> TrainState:
         params = jax.tree.map(
@@ -419,7 +434,18 @@ def make_cp_train_step(
             params,
             specs,
         )
-        opt_state = jax.jit(tx.init)(params)
+        if zero1:
+            pshard = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), specs
+            )
+            shapes = jax.eval_shape(tx.init, params)
+            shardings = zero1_opt_shardings(
+                mesh, params, shapes, pshard=pshard, axes=data_axes
+            )
+            opt_shardings_cell["s"] = shardings
+            opt_state = jax.jit(tx.init, out_shardings=shardings)(params)
+        else:
+            opt_state = jax.jit(tx.init)(params)
         return {"params": params, "opt_state": opt_state}
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -429,6 +455,10 @@ def make_cp_train_step(
         updates, opt_state = tx.update(
             grads, state["opt_state"], state["params"]
         )
+        if zero1:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, opt_shardings_cell["s"]
+            )
         params = optax.apply_updates(state["params"], updates)
         return {"params": params, "opt_state": opt_state}, loss
 

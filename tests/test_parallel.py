@@ -1585,6 +1585,23 @@ def test_train_with_context_parallel(axes, shape):
     for leaf in jax.tree.leaves(state2["params"]):
         assert np.all(np.isfinite(np.asarray(leaf)))
 
+    # ZeRO-1 composes: moments shard over every data axis present, the
+    # first-step loss is unchanged. Fresh params: the donated train step
+    # above consumed the originals (device_put aliases on matching
+    # placement — CLAUDE.md gotcha)
+    z1_params = init_params(cfg, jax.random.PRNGKey(80), dtype=jnp.float32)
+    z1_init, z1_step = make_cp_train_step(mesh, cfg, z1_params, zero1=True)
+    z1_state, z1_loss = z1_step(z1_init(z1_params), batch)
+    np.testing.assert_allclose(float(z1_loss), float(loss0), rtol=1e-5)
+    mu_leaf = z1_state["opt_state"][0].mu["layers"][0]["q_proj"]
+    flat_axes = set()
+    for entry in mu_leaf.sharding.spec:
+        if entry is None:
+            continue
+        flat_axes.update(entry if isinstance(entry, tuple) else (entry,))
+    expected = {a for a in ("dp", "cp") if a in mesh.axis_names}
+    assert expected <= flat_axes, (mu_leaf.sharding.spec, expected)
+
 
 def test_cp_loss_rejects_incompatible_attention():
     """Ring attention composes only with plain causal attention; the cp
