@@ -86,6 +86,75 @@ def test_zero1_matches_replicated_and_shards_moments():
     assert int(adam.count) == 3
 
 
+def test_checkpoint_roundtrip_mesh_migration_and_zero1_resume(tmp_path):
+    """Train-state checkpointing: a snapshot taken mid-training resumes
+    with the exact same loss trajectory — on the same mesh, on a
+    DIFFERENT mesh layout (dp/tp transposed), and into a ZeRO-1 state
+    (replicated moments re-placed as dp shards at restore). Mismatched
+    configurations fail loudly."""
+    import pytest
+
+    from shardmerge_tpu.parallel.checkpoint import (
+        restore_train_state,
+        save_train_state,
+    )
+
+    cfg = _cfg()
+    batch = jnp.asarray(
+        np.random.default_rng(7).integers(0, cfg.vocab_size, (4, 16)),
+        jnp.int32,
+    )
+    mesh = make_mesh(("dp", "tp"), shape=(2, 4))
+    init_state, train_step = make_train_step(mesh, cfg, learning_rate=1e-2)
+    state = init_state(init_params(cfg, jax.random.PRNGKey(0), jnp.float32))
+    for _ in range(2):
+        state, _ = train_step(state, batch)
+    save_train_state(tmp_path, state, step=2)
+
+    ref_losses = []
+    for _ in range(2):
+        state, loss = train_step(state, batch)
+        ref_losses.append(float(loss))
+
+    # restore onto a transposed mesh; template VALUES are irrelevant
+    # (different seed) — only structure + placement are taken from it
+    mesh2 = make_mesh(("dp", "tp"), shape=(4, 2))
+    init2, step2 = make_train_step(mesh2, cfg, learning_rate=1e-2)
+    template = init2(init_params(cfg, jax.random.PRNGKey(9), jnp.float32))
+    restored, step = restore_train_state(tmp_path, template)
+    assert step == 2
+    losses2 = []
+    for _ in range(2):
+        restored, loss = step2(restored, batch)
+        losses2.append(float(loss))
+    np.testing.assert_allclose(losses2, ref_losses, rtol=1e-5)
+
+    # replicated checkpoint -> ZeRO-1 resume: same trajectory, moments
+    # land dp-sharded
+    z1_init, z1_step = make_train_step(
+        mesh2, cfg, learning_rate=1e-2, zero1=True
+    )
+    z1_template = z1_init(
+        init_params(cfg, jax.random.PRNGKey(11), jnp.float32)
+    )
+    z1_state, _ = restore_train_state(tmp_path, z1_template)
+    mu = z1_state["opt_state"][0].mu["layers"][0]["q_proj"]
+    assert "dp" in mu.sharding.spec
+    z1_state, z1_loss = z1_step(z1_state, batch)
+    np.testing.assert_allclose(float(z1_loss), ref_losses[0], rtol=1e-5)
+
+    # a different architecture cannot restore silently
+    import dataclasses
+
+    wrong = dataclasses.replace(cfg, num_hidden_layers=1)
+    w_init, _ = make_train_step(mesh2, wrong)
+    w_template = w_init(
+        init_params(wrong, jax.random.PRNGKey(1), jnp.float32)
+    )
+    with pytest.raises(ValueError, match="leaves|shape"):
+        restore_train_state(tmp_path, w_template)
+
+
 def test_train_step_new_family_layer_keys():
     """param_shardings replicates keys without a Megatron rule (sinks,
     router bias, fused gpt-oss experts, q/k norms) instead of KeyError-ing;
