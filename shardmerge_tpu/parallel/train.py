@@ -212,6 +212,7 @@ def make_train_step(
     learning_rate: float = 1e-4,
     remat: bool = False,
     zero1: bool = False,
+    master_fp32: bool = False,
 ):
     """Build (init_state, train_step) with dp-sharded batches and tp-sharded
     params/optimizer state. train_step: (state, batch) -> (state, loss).
@@ -222,21 +223,52 @@ def make_train_step(
     (zero1_opt_shardings): optimizer HBM drops to 1/dp per device and the
     update step runs on 1/dp of the elements per rank, at the cost of the
     GSPMD-inserted reduce-scatter/all-gather pair. Numerics are identical
-    to the replicated step (same update math, different placement)."""
+    to the replicated step (same update math, different placement).
+    ``master_fp32=True`` is the standard bf16-training recipe: the
+    forward/backward runs on the bf16 params, but the optimizer holds an
+    fp32 master copy (plus fp32 moments) and each step re-casts master →
+    bf16 — updates smaller than one bf16 ulp ACCUMULATE in the master
+    instead of vanishing in the cast. Composes with zero1: the fp32
+    master and moments all shard over 'dp' (per-device optimizer HBM =
+    12 bytes/param / dp on top of the 2-byte bf16 replica)."""
     tx = optax.adamw(learning_rate)
     batch_sharding = NamedSharding(mesh, P("dp", None))
-    opt_shardings_cell: dict = {}  # filled by init_state when zero1
+    cells: dict = {}  # sharding trees, filled by init_state
 
     def init_state(params: Params) -> TrainState:
         params = shard_params(mesh, params)
+        pshard = param_shardings(mesh, params)
+        cells["params"] = pshard
+        state: TrainState = {"params": params}
+        if master_fp32:
+            m_shard = (
+                jax.tree.map(
+                    lambda r, p: _extend_axes(mesh, r, p, ("dp",)),
+                    pshard,
+                    params,
+                )
+                if zero1
+                else pshard
+            )
+            cells["master"] = m_shard
+            state["master"] = jax.jit(
+                lambda p: jax.tree.map(
+                    lambda x: x.astype(jnp.float32), p
+                ),
+                out_shardings=m_shard,
+            )(params)
+        opt_target = state.get("master", params)
         if zero1:
-            shapes = jax.eval_shape(tx.init, params)
-            shardings = zero1_opt_shardings(mesh, params, shapes)
-            opt_shardings_cell["s"] = shardings
-            opt_state = jax.jit(tx.init, out_shardings=shardings)(params)
+            shapes = jax.eval_shape(tx.init, opt_target)
+            shardings = zero1_opt_shardings(mesh, opt_target, shapes)
+            cells["opt"] = shardings
+            state["opt_state"] = jax.jit(
+                tx.init, out_shardings=shardings
+            )(opt_target)
         else:
-            opt_state = jax.jit(tx.init)(params)  # inherits param shardings
-        return {"params": params, "opt_state": opt_state}
+            # inherits the target's shardings
+            state["opt_state"] = jax.jit(tx.init)(opt_target)
+        return state
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: jnp.ndarray):
@@ -244,18 +276,42 @@ def make_train_step(
         loss, grads = jax.value_and_grad(_loss_fn)(
             state["params"], cfg, batch, remat
         )
-        updates, opt_state = tx.update(
-            grads, state["opt_state"], state["params"]
-        )
-        if zero1:
-            # pin the dp partitioning so GSPMD keeps the moments sharded
-            # (reduce-scatter grads in, all-gather the delta out) instead
-            # of ever materializing a replicated moment tree
-            opt_state = jax.lax.with_sharding_constraint(
-                opt_state, opt_shardings_cell["s"]
+        if master_fp32:
+            grads = jax.tree.map(
+                lambda g: g.astype(jnp.float32), grads
             )
-        params = optax.apply_updates(state["params"], updates)
-        return {"params": params, "opt_state": opt_state}, loss
+            ref = state["master"]
+        else:
+            ref = state["params"]
+        updates, opt_state = tx.update(grads, state["opt_state"], ref)
+        new_ref = optax.apply_updates(ref, updates)
+        if zero1:
+            # pin the dp partitioning so GSPMD keeps the moments (and
+            # master) sharded — reduce-scatter grads in, all-gather the
+            # bf16 delta out — instead of ever materializing a replicated
+            # fp32 tree
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, cells["opt"]
+            )
+            if master_fp32:
+                new_ref = jax.lax.with_sharding_constraint(
+                    new_ref, cells["master"]
+                )
+        if master_fp32:
+            params = jax.tree.map(
+                lambda m, p: m.astype(p.dtype), new_ref, state["params"]
+            )
+            params = jax.lax.with_sharding_constraint(
+                params, cells["params"]
+            )
+            out = {
+                "params": params,
+                "opt_state": opt_state,
+                "master": new_ref,
+            }
+        else:
+            out = {"params": new_ref, "opt_state": opt_state}
+        return out, loss
 
     return init_state, train_step
 

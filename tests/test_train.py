@@ -86,6 +86,60 @@ def test_zero1_matches_replicated_and_shards_moments():
     assert int(adam.count) == 3
 
 
+def test_master_fp32_accumulates_sub_ulp_updates():
+    """bf16 training with fp32 master weights: updates smaller than one
+    bf16 ulp accumulate in the master instead of vanishing in the cast.
+    With lr=1e-3 the adam step (~lr) is under half an ulp of the norm
+    weights (1.0, ulp 0.0078), so plain-bf16 training leaves them frozen
+    at init while the master version moves them. Composes with zero1:
+    same trajectory, master sharded over dp."""
+    mesh = make_mesh(("dp", "tp"), shape=(2, 4))
+    cfg = _cfg()
+    batch = jnp.asarray(
+        np.random.default_rng(5).integers(0, cfg.vocab_size, (4, 16)),
+        jnp.int32,
+    )
+
+    def run(master_fp32, zero1=False, steps=5):
+        params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+        init_state, train_step = make_train_step(
+            mesh, cfg, learning_rate=1e-3,
+            master_fp32=master_fp32, zero1=zero1,
+        )
+        state = init_state(params)
+        losses = []
+        for _ in range(steps):
+            state, loss = train_step(state, batch)
+            losses.append(float(loss))
+        return losses, state
+
+    _, plain = run(False)
+    m_losses, m_state = run(True)
+
+    norm_plain = np.asarray(
+        plain["params"]["layers"][0]["input_layernorm"], np.float32
+    )
+    norm_master = np.asarray(
+        m_state["params"]["layers"][0]["input_layernorm"], np.float32
+    )
+    assert np.all(norm_plain == 1.0), "sub-ulp updates should vanish in bf16"
+    assert np.any(norm_master != 1.0), "master must accumulate sub-ulp steps"
+    assert m_state["params"]["norm"].dtype == jnp.bfloat16
+    assert m_state["master"]["norm"].dtype == jnp.float32
+
+    # zero1 composes: identical trajectory, fp32 master is dp-sharded
+    z_losses, z_state = run(True, zero1=True)
+    np.testing.assert_allclose(z_losses, m_losses, rtol=1e-5)
+    master_leaf = z_state["master"]["layers"][0]["q_proj"]
+    flat_axes = set()
+    for entry in master_leaf.sharding.spec:
+        if entry is not None:
+            flat_axes.update(
+                entry if isinstance(entry, tuple) else (entry,)
+            )
+    assert "dp" in flat_axes, master_leaf.sharding.spec
+
+
 def test_checkpoint_roundtrip_mesh_migration_and_zero1_resume(tmp_path):
     """Train-state checkpointing: a snapshot taken mid-training resumes
     with the exact same loss trajectory — on the same mesh, on a
