@@ -399,6 +399,14 @@ def copy_model_command(config_file: Path, revision: str, verbose: bool):
     is_flag=True,
     help="Tensor-parallelize the model over all visible devices",
 )
+@click.option(
+    "--decode-chunk",
+    type=click.IntRange(1, 64),
+    default=1,
+    help="Decode steps per device call (throughput mode: identical "
+    "tokens, ~1/S the per-token dispatch latency, S-token emission "
+    "granularity)",
+)
 def generate_command(
     model_path: Path,
     prompt: str,
@@ -415,6 +423,7 @@ def generate_command(
     draft_model: Optional[Path],
     speculation_k: int,
     shard: bool,
+    decode_chunk: int,
 ):
     """Generate text from a merged model with the JAX inference engine."""
     try:
@@ -437,6 +446,7 @@ def generate_command(
             repetition_penalty=repetition_penalty,
             greedy=greedy,
             seed=seed,
+            decode_chunk=decode_chunk,
         ):
             print(chunk, end="", flush=True)
         print()

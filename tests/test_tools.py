@@ -278,6 +278,8 @@ def test_cli_generate_command(monkeypatch, tmp_path):
             "0.5",
             "-4",
             "--greedy",
+            "--decode-chunk",
+            "8",
         ],
     )
     assert result.exit_code == 0, result.output
@@ -286,6 +288,7 @@ def test_cli_generate_command(monkeypatch, tmp_path):
     assert calls["gen"]["max_new_tokens"] == 7
     assert calls["gen"]["temperature"] == 0.5
     assert calls["gen"]["greedy"] is True
+    assert calls["gen"]["decode_chunk"] == 8
 
 
 def test_cli_copy_model(monkeypatch, tmp_path, tiny_model_factory):
