@@ -213,9 +213,17 @@ def make_train_step(
     remat: bool = False,
     zero1: bool = False,
     master_fp32: bool = False,
+    grad_accum: int = 1,
 ):
     """Build (init_state, train_step) with dp-sharded batches and tp-sharded
     params/optimizer state. train_step: (state, batch) -> (state, loss).
+
+    ``grad_accum=K`` splits the batch's leading dim into K microbatches
+    scanned inside the SAME jit — activation memory holds one microbatch
+    (composes with remat for the classic large-batch recipe), gradients
+    accumulate in fp32, and one optimizer step applies their mean. With
+    equal microbatch sizes the loss and update equal the unaccumulated
+    step exactly (mean-of-means; gradient linearity).
 
     ``remat=True`` gradient-checkpoints each decoder block (activation HBM
     becomes O(1) blocks instead of O(layers); see forward_train).
@@ -272,10 +280,47 @@ def make_train_step(
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: jnp.ndarray):
-        batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
-        loss, grads = jax.value_and_grad(_loss_fn)(
-            state["params"], cfg, batch, remat
-        )
+        if grad_accum > 1:
+            B = batch.shape[0]
+            if B % grad_accum != 0:
+                raise ValueError(
+                    f"batch dim {B} not divisible by grad_accum={grad_accum}"
+                )
+            micro = batch.reshape(grad_accum, B // grad_accum, -1)
+            micro = jax.lax.with_sharding_constraint(
+                micro, NamedSharding(mesh, P(None, "dp", None))
+            )
+
+            def acc(carry, mb):
+                loss_sum, grad_sum = carry
+                loss, grads = jax.value_and_grad(_loss_fn)(
+                    state["params"], cfg, mb, remat
+                )
+                grad_sum = jax.tree.map(
+                    lambda a, g: a + g.astype(jnp.float32),
+                    grad_sum,
+                    grads,
+                )
+                return (loss_sum + loss, grad_sum), None
+
+            zeros = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state["params"]
+            )
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                acc, (jnp.float32(0.0), zeros), micro
+            )
+            loss = loss_sum / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grad_sum)
+            if not master_fp32:
+                # the unaccumulated path hands tx grads in param dtype
+                grads = jax.tree.map(
+                    lambda g, p: g.astype(p.dtype), grads, state["params"]
+                )
+        else:
+            batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
+            loss, grads = jax.value_and_grad(_loss_fn)(
+                state["params"], cfg, batch, remat
+            )
         if master_fp32:
             grads = jax.tree.map(
                 lambda g: g.astype(jnp.float32), grads

@@ -86,6 +86,51 @@ def test_zero1_matches_replicated_and_shards_moments():
     assert int(adam.count) == 3
 
 
+def test_grad_accum_matches_full_batch():
+    """grad_accum=K (K microbatches scanned in one jit, fp32 gradient
+    accumulation, one optimizer step on the mean) reproduces the
+    unaccumulated step: same loss, same updated params."""
+    mesh = make_mesh(("dp", "tp"), shape=(2, 4))
+    cfg = _cfg()
+    batch = jnp.asarray(
+        np.random.default_rng(9).integers(0, cfg.vocab_size, (8, 16)),
+        jnp.int32,
+    )
+
+    def run(accum):
+        params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+        init_state, train_step = make_train_step(
+            mesh, cfg, learning_rate=1e-2, grad_accum=accum
+        )
+        state = init_state(params)
+        state, loss = train_step(state, batch)
+        return float(loss), state
+
+    loss1, state1 = run(1)
+    loss4, state4 = run(4)
+    np.testing.assert_allclose(loss4, loss1, rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            # atol floor: grad reduction order differs (K partial sums vs
+            # one), and adam's eps region amplifies ~1e-7 grad noise into
+            # ~5e-6 update noise on near-zero-variance coordinates
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=5e-6
+        ),
+        state4["params"],
+        state1["params"],
+    )
+
+    # composes with master_fp32 + zero1 (bf16 params, fp32 sharded state)
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.bfloat16)
+    init_state, train_step = make_train_step(
+        mesh, cfg, learning_rate=1e-3,
+        grad_accum=2, master_fp32=True, zero1=True,
+    )
+    state = init_state(params)
+    state, loss = train_step(state, batch)
+    assert np.isfinite(float(loss))
+
+
 def test_master_fp32_accumulates_sub_ulp_updates():
     """bf16 training with fp32 master weights: updates smaller than one
     bf16 ulp accumulate in the master instead of vanishing in the cast.
