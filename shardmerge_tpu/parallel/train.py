@@ -37,6 +37,7 @@ __all__ = [
     "make_train_step",
     "make_cp_loss",
     "make_cp_train_step",
+    "make_pp_train_step",
     "TrainState",
 ]
 
@@ -357,6 +358,65 @@ def make_train_step(
         else:
             out = {"params": new_ref, "opt_state": opt_state}
         return out, loss
+
+    return init_state, train_step
+
+
+def make_pp_train_step(
+    mesh: Mesh,
+    cfg: ModelConfig,
+    n_microbatches: int,
+    learning_rate: float = 1e-4,
+    remat: bool = False,
+    zero1: bool = False,
+):
+    """(init_state, train_step) for pipeline-parallel training.
+
+    ``init_state`` takes ALREADY-STACKED pipeline params
+    (pipeline.stack_stages output — the caller controls tp/prefix
+    options); the adamw state inherits each stage leaf's placement, so
+    moments live stage-local over 'pp' (and Megatron-sharded over 'tp'
+    when stacked that way) without any extra rules. ``zero1=True``
+    additionally partitions the moments over a 'dp' mesh axis (requires
+    one — dp×pp / dp×pp×tp layouts), deriving the extension from each
+    leaf's OWN sharding, so it composes with any stacking layout."""
+    from .pipeline import make_pp_loss
+
+    if zero1 and "dp" not in mesh.axis_names:
+        raise ValueError("zero1 needs a 'dp' axis in the pipeline mesh")
+    tx = optax.adamw(learning_rate)
+    loss_fn = make_pp_loss(mesh, cfg, n_microbatches, remat=remat)
+    cells: dict = {}
+
+    def init_state(pp_params: Params) -> TrainState:
+        if zero1:
+            # derive from each leaf's OWN placement (works for any
+            # stacking layout); zero1_opt_shardings extends it onto 'dp'
+            pshard = jax.tree.map(lambda x: x.sharding, pp_params)
+            shapes = jax.eval_shape(tx.init, pp_params)
+            shardings = zero1_opt_shardings(
+                mesh, pp_params, shapes, pshard=pshard, axes=("dp",)
+            )
+            cells["opt"] = shardings
+            opt_state = jax.jit(tx.init, out_shardings=shardings)(
+                pp_params
+            )
+        else:
+            opt_state = jax.jit(tx.init)(pp_params)
+        return {"params": pp_params, "opt_state": opt_state}
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: jnp.ndarray):
+        loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch)
+        updates, opt_state = tx.update(
+            grads, state["opt_state"], state["params"]
+        )
+        if zero1:
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, cells["opt"]
+            )
+        params = optax.apply_updates(state["params"], updates)
+        return {"params": params, "opt_state": opt_state}, loss
 
     return init_state, train_step
 

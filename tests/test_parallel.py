@@ -1016,6 +1016,70 @@ def test_pipeline_moe_with_tensor_parallel():
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
 
 
+def test_pp_train_step_descends_and_zero1_shards_moments():
+    """The full pipeline-parallel train step: adamw over stage-stacked
+    params (moments inherit the 'pp' placement), first-step loss equals
+    the unpipelined loss, repeated steps descend; with a dp axis and
+    zero1=True the moments additionally shard over 'dp'."""
+    from shardmerge_tpu.models.llama import init_params
+    from shardmerge_tpu.parallel.pipeline import stack_stages
+    from shardmerge_tpu.parallel.train import (
+        _loss_fn,
+        make_pp_train_step,
+    )
+
+    cfg = _pp_cfg(layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(50), dtype=jnp.float32)
+    batch = jax.random.randint(
+        jax.random.PRNGKey(51), (4, 10), 0, cfg.vocab_size
+    )
+    ref_loss = float(_loss_fn(params, cfg, batch))
+
+    mesh = make_mesh(("pp",), devices=jax.devices()[:4], shape=(4,))
+    pp_params = stack_stages(mesh, params, 4)
+    init_state, train_step = make_pp_train_step(
+        mesh, cfg, n_microbatches=2, learning_rate=1e-2
+    )
+    state = init_state(pp_params)
+    losses = []
+    for _ in range(4):
+        state, loss = train_step(state, batch)
+        losses.append(float(loss))
+    np.testing.assert_allclose(losses[0], ref_loss, rtol=1e-5)
+    assert losses[-1] < losses[0]
+    # moments inherit the stage placement: some leaf carries 'pp'
+    mu_tree = state["opt_state"][0].mu
+    specs = [
+        leaf.sharding.spec
+        for leaf in jax.tree.leaves(mu_tree)
+        if hasattr(leaf, "sharding")
+    ]
+    assert any(
+        "pp" in [a for e in spec if e for a in (e if isinstance(e, tuple) else (e,))]
+        for spec in specs
+    ), specs[:4]
+
+    # dp x pp + zero1: moments pick up 'dp' on top of 'pp'
+    mesh2 = make_mesh(
+        ("dp", "pp"), devices=jax.devices()[:4], shape=(2, 2)
+    )
+    params2 = init_params(cfg, jax.random.PRNGKey(50), dtype=jnp.float32)
+    pp_params2 = stack_stages(mesh2, params2, 2)
+    z_init, z_step = make_pp_train_step(
+        mesh2, cfg, n_microbatches=2, learning_rate=1e-2, zero1=True
+    )
+    z_state = z_init(pp_params2)
+    z_state, z_loss = z_step(z_state, batch)
+    np.testing.assert_allclose(float(z_loss), ref_loss, rtol=1e-5)
+    flat = set()
+    for leaf in jax.tree.leaves(z_state["opt_state"][0].mu):
+        if hasattr(leaf, "sharding") and leaf.ndim >= 2:
+            for e in leaf.sharding.spec:
+                if e is not None:
+                    flat.update(e if isinstance(e, tuple) else (e,))
+    assert "dp" in flat and "pp" in flat, flat
+
+
 @pytest.mark.parametrize(
     "axes,shape,moe",
     [
