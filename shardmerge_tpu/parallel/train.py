@@ -207,6 +207,111 @@ def _loss_fn(
     return jnp.mean(nll)
 
 
+class _OptimKit:
+    """Shared optimizer machinery for every train-step builder.
+
+    Owns adamw plus the two orthogonal state-placement options:
+    ``master_fp32`` (fp32 master copy + fp32 moments, bf16 re-cast per
+    step — sub-ulp updates accumulate instead of vanishing) and ``zero1``
+    (master and moments partitioned over the data axes;
+    zero1_opt_shardings). ``init`` builds the state dict for
+    already-placed params given their sharding tree; ``apply`` is the
+    jit-traceable update: grads → tx.update on the master-or-params →
+    re-cast/pin → next state dict. The dp×tp, dp×cp×tp and pp builders
+    all delegate here so the option matrix exists once."""
+
+    def __init__(
+        self,
+        mesh: Mesh,
+        learning_rate: float,
+        zero1: bool,
+        master_fp32: bool,
+        data_axes=("dp",),
+    ):
+        self.tx = optax.adamw(learning_rate)
+        self.mesh = mesh
+        self.zero1 = zero1
+        self.master_fp32 = master_fp32
+        self.data_axes = tuple(data_axes)
+        self.cells: dict = {}  # sharding trees, filled by init
+
+    def init(self, params: Params, pshard) -> TrainState:
+        """``params`` already placed; ``pshard`` their NamedSharding tree."""
+        self.cells["params"] = pshard
+        state: TrainState = {"params": params}
+        if self.master_fp32:
+            m_shard = (
+                jax.tree.map(
+                    lambda r, p: _extend_axes(
+                        self.mesh, r, p, self.data_axes
+                    ),
+                    pshard,
+                    params,
+                )
+                if self.zero1
+                else pshard
+            )
+            self.cells["master"] = m_shard
+            state["master"] = jax.jit(
+                lambda p: jax.tree.map(
+                    lambda x: x.astype(jnp.float32), p
+                ),
+                out_shardings=m_shard,
+            )(params)
+        target = state.get("master", params)
+        if self.zero1:
+            shapes = jax.eval_shape(self.tx.init, target)
+            shardings = zero1_opt_shardings(
+                self.mesh, target, shapes, pshard=pshard,
+                axes=self.data_axes,
+            )
+            self.cells["opt"] = shardings
+            state["opt_state"] = jax.jit(
+                self.tx.init, out_shardings=shardings
+            )(target)
+        else:
+            # inherits the target's shardings
+            state["opt_state"] = jax.jit(self.tx.init)(target)
+        return state
+
+    def apply(self, state: TrainState, grads) -> TrainState:
+        """One optimizer step (traced inside the caller's jit)."""
+        if self.master_fp32:
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            ref = state["master"]
+        else:
+            ref = state["params"]
+        updates, opt_state = self.tx.update(
+            grads, state["opt_state"], ref
+        )
+        new_ref = optax.apply_updates(ref, updates)
+        if self.zero1:
+            # pin the data-axis partitioning so GSPMD keeps the moments
+            # (and master) sharded — reduce-scatter grads in, all-gather
+            # the delta out — instead of ever materializing a replicated
+            # tree
+            opt_state = jax.lax.with_sharding_constraint(
+                opt_state, self.cells["opt"]
+            )
+            if self.master_fp32:
+                new_ref = jax.lax.with_sharding_constraint(
+                    new_ref, self.cells["master"]
+                )
+        if self.master_fp32:
+            params = jax.tree.map(
+                lambda m, p: m.astype(p.dtype), new_ref, state["params"]
+            )
+            params = jax.lax.with_sharding_constraint(
+                params, self.cells["params"]
+            )
+            return {
+                "params": params,
+                "opt_state": opt_state,
+                "master": new_ref,
+            }
+        return {"params": new_ref, "opt_state": opt_state}
+
+
 def make_train_step(
     mesh: Mesh,
     cfg: ModelConfig,
@@ -240,44 +345,12 @@ def make_train_step(
     instead of vanishing in the cast. Composes with zero1: the fp32
     master and moments all shard over 'dp' (per-device optimizer HBM =
     12 bytes/param / dp on top of the 2-byte bf16 replica)."""
-    tx = optax.adamw(learning_rate)
+    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32)
     batch_sharding = NamedSharding(mesh, P("dp", None))
-    cells: dict = {}  # sharding trees, filled by init_state
 
     def init_state(params: Params) -> TrainState:
         params = shard_params(mesh, params)
-        pshard = param_shardings(mesh, params)
-        cells["params"] = pshard
-        state: TrainState = {"params": params}
-        if master_fp32:
-            m_shard = (
-                jax.tree.map(
-                    lambda r, p: _extend_axes(mesh, r, p, ("dp",)),
-                    pshard,
-                    params,
-                )
-                if zero1
-                else pshard
-            )
-            cells["master"] = m_shard
-            state["master"] = jax.jit(
-                lambda p: jax.tree.map(
-                    lambda x: x.astype(jnp.float32), p
-                ),
-                out_shardings=m_shard,
-            )(params)
-        opt_target = state.get("master", params)
-        if zero1:
-            shapes = jax.eval_shape(tx.init, opt_target)
-            shardings = zero1_opt_shardings(mesh, opt_target, shapes)
-            cells["opt"] = shardings
-            state["opt_state"] = jax.jit(
-                tx.init, out_shardings=shardings
-            )(opt_target)
-        else:
-            # inherits the target's shardings
-            state["opt_state"] = jax.jit(tx.init)(opt_target)
-        return state
+        return kit.init(params, param_shardings(mesh, params))
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: jnp.ndarray):
@@ -322,42 +395,7 @@ def make_train_step(
             loss, grads = jax.value_and_grad(_loss_fn)(
                 state["params"], cfg, batch, remat
             )
-        if master_fp32:
-            grads = jax.tree.map(
-                lambda g: g.astype(jnp.float32), grads
-            )
-            ref = state["master"]
-        else:
-            ref = state["params"]
-        updates, opt_state = tx.update(grads, state["opt_state"], ref)
-        new_ref = optax.apply_updates(ref, updates)
-        if zero1:
-            # pin the dp partitioning so GSPMD keeps the moments (and
-            # master) sharded — reduce-scatter grads in, all-gather the
-            # bf16 delta out — instead of ever materializing a replicated
-            # fp32 tree
-            opt_state = jax.lax.with_sharding_constraint(
-                opt_state, cells["opt"]
-            )
-            if master_fp32:
-                new_ref = jax.lax.with_sharding_constraint(
-                    new_ref, cells["master"]
-                )
-        if master_fp32:
-            params = jax.tree.map(
-                lambda m, p: m.astype(p.dtype), new_ref, state["params"]
-            )
-            params = jax.lax.with_sharding_constraint(
-                params, cells["params"]
-            )
-            out = {
-                "params": params,
-                "opt_state": opt_state,
-                "master": new_ref,
-            }
-        else:
-            out = {"params": new_ref, "opt_state": opt_state}
-        return out, loss
+        return kit.apply(state, grads), loss
 
     return init_state, train_step
 
@@ -369,6 +407,7 @@ def make_pp_train_step(
     learning_rate: float = 1e-4,
     remat: bool = False,
     zero1: bool = False,
+    master_fp32: bool = False,
 ):
     """(init_state, train_step) for pipeline-parallel training.
 
@@ -379,44 +418,25 @@ def make_pp_train_step(
     when stacked that way) without any extra rules. ``zero1=True``
     additionally partitions the moments over a 'dp' mesh axis (requires
     one — dp×pp / dp×pp×tp layouts), deriving the extension from each
-    leaf's OWN sharding, so it composes with any stacking layout."""
+    leaf's OWN sharding, so it composes with any stacking layout.
+    ``master_fp32`` as in make_train_step (_OptimKit)."""
     from .pipeline import make_pp_loss
 
     if zero1 and "dp" not in mesh.axis_names:
         raise ValueError("zero1 needs a 'dp' axis in the pipeline mesh")
-    tx = optax.adamw(learning_rate)
     loss_fn = make_pp_loss(mesh, cfg, n_microbatches, remat=remat)
-    cells: dict = {}
+    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32)
 
     def init_state(pp_params: Params) -> TrainState:
-        if zero1:
-            # derive from each leaf's OWN placement (works for any
-            # stacking layout); zero1_opt_shardings extends it onto 'dp'
-            pshard = jax.tree.map(lambda x: x.sharding, pp_params)
-            shapes = jax.eval_shape(tx.init, pp_params)
-            shardings = zero1_opt_shardings(
-                mesh, pp_params, shapes, pshard=pshard, axes=("dp",)
-            )
-            cells["opt"] = shardings
-            opt_state = jax.jit(tx.init, out_shardings=shardings)(
-                pp_params
-            )
-        else:
-            opt_state = jax.jit(tx.init)(pp_params)
-        return {"params": pp_params, "opt_state": opt_state}
+        # derive the sharding tree from each leaf's OWN placement (works
+        # for any stacking layout — tp, dense prefix, MoE stage stacks)
+        pshard = jax.tree.map(lambda x: x.sharding, pp_params)
+        return kit.init(pp_params, pshard)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: jnp.ndarray):
         loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch)
-        updates, opt_state = tx.update(
-            grads, state["opt_state"], state["params"]
-        )
-        if zero1:
-            opt_state = jax.lax.with_sharding_constraint(
-                opt_state, cells["opt"]
-            )
-        params = optax.apply_updates(state["params"], updates)
-        return {"params": params, "opt_state": opt_state}, loss
+        return kit.apply(state, grads), loss
 
     return init_state, train_step
 
@@ -572,6 +592,7 @@ def make_cp_train_step(
     learning_rate: float = 1e-4,
     remat: bool = False,
     zero1: bool = False,
+    master_fp32: bool = False,
 ):
     """(init_state, train_step) over a ('dp','cp'[, 'tp']) mesh: batches
     shard (batch, sequence) over (dp, cp), blocks run ring attention over
@@ -580,14 +601,14 @@ def make_cp_train_step(
     pytree structure (pass the params init_state will receive). See
     make_cp_loss for the kernel. ``zero1=True`` partitions the Adam
     moments over every data axis present (dp AND cp — both replicate
-    weights, so both can hold moment shards)."""
-    tx = optax.adamw(learning_rate)
+    weights, so both can hold moment shards); ``master_fp32`` as in
+    make_train_step (_OptimKit)."""
     dp = "dp" in mesh.axis_names
     batch_sharding = NamedSharding(mesh, P("dp", "cp") if dp else P(None, "cp"))
     specs = _cp_layer_specs(params_template, "tp" in mesh.axis_names)
     loss_fn = make_cp_loss(mesh, cfg, params_template, remat=remat)
     data_axes = tuple(a for a in ("dp", "cp") if a in mesh.axis_names)
-    opt_shardings_cell: dict = {}
+    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32, data_axes)
 
     def init_state(params: Params) -> TrainState:
         params = jax.tree.map(
@@ -595,32 +616,13 @@ def make_cp_train_step(
             params,
             specs,
         )
-        if zero1:
-            pshard = jax.tree.map(
-                lambda s: NamedSharding(mesh, s), specs
-            )
-            shapes = jax.eval_shape(tx.init, params)
-            shardings = zero1_opt_shardings(
-                mesh, params, shapes, pshard=pshard, axes=data_axes
-            )
-            opt_shardings_cell["s"] = shardings
-            opt_state = jax.jit(tx.init, out_shardings=shardings)(params)
-        else:
-            opt_state = jax.jit(tx.init)(params)
-        return {"params": params, "opt_state": opt_state}
+        pshard = jax.tree.map(lambda s: NamedSharding(mesh, s), specs)
+        return kit.init(params, pshard)
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: jnp.ndarray):
         batch = jax.lax.with_sharding_constraint(batch, batch_sharding)
         loss, grads = jax.value_and_grad(loss_fn)(state["params"], batch)
-        updates, opt_state = tx.update(
-            grads, state["opt_state"], state["params"]
-        )
-        if zero1:
-            opt_state = jax.lax.with_sharding_constraint(
-                opt_state, opt_shardings_cell["s"]
-            )
-        params = optax.apply_updates(state["params"], updates)
-        return {"params": params, "opt_state": opt_state}, loss
+        return kit.apply(state, grads), loss
 
     return init_state, train_step

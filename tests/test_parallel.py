@@ -1079,6 +1079,26 @@ def test_pp_train_step_descends_and_zero1_shards_moments():
                     flat.update(e if isinstance(e, tuple) else (e,))
     assert "dp" in flat and "pp" in flat, flat
 
+    # master_fp32 composes on the pp path (bf16 stage weights, fp32
+    # master+moments, zero1-sharded)
+    params3 = init_params(cfg, jax.random.PRNGKey(50), dtype=jnp.bfloat16)
+    pp3 = stack_stages(mesh2, params3, 2)
+    m_init, m_step = make_pp_train_step(
+        mesh2, cfg, n_microbatches=2, learning_rate=1e-3,
+        zero1=True, master_fp32=True,
+    )
+    m_state = m_init(pp3)
+    m_state, m_loss = m_step(m_state, batch)
+    assert np.isfinite(float(m_loss))
+    assert all(
+        leaf.dtype == jnp.float32
+        for leaf in jax.tree.leaves(m_state["master"])
+    )
+    assert all(
+        leaf.dtype == jnp.bfloat16
+        for leaf in jax.tree.leaves(m_state["params"])
+    )
+
 
 @pytest.mark.parametrize(
     "axes,shape,moe",
