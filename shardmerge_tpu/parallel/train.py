@@ -227,8 +227,13 @@ class _OptimKit:
         zero1: bool,
         master_fp32: bool,
         data_axes=("dp",),
+        tx=None,
     ):
-        self.tx = optax.adamw(learning_rate)
+        # tx: any optax GradientTransformation (schedules, clipping,
+        # chains). zero1 placement keys on ScaleByAdamState nodes; other
+        # state nodes (clip/schedule counters) replicate — still correct,
+        # just not partitioned.
+        self.tx = tx if tx is not None else optax.adamw(learning_rate)
         self.mesh = mesh
         self.zero1 = zero1
         self.master_fp32 = master_fp32
@@ -320,6 +325,7 @@ def make_train_step(
     zero1: bool = False,
     master_fp32: bool = False,
     grad_accum: int = 1,
+    tx=None,
 ):
     """Build (init_state, train_step) with dp-sharded batches and tp-sharded
     params/optimizer state. train_step: (state, batch) -> (state, loss).
@@ -345,7 +351,7 @@ def make_train_step(
     instead of vanishing in the cast. Composes with zero1: the fp32
     master and moments all shard over 'dp' (per-device optimizer HBM =
     12 bytes/param / dp on top of the 2-byte bf16 replica)."""
-    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32)
+    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32, tx=tx)
     batch_sharding = NamedSharding(mesh, P("dp", None))
 
     def init_state(params: Params) -> TrainState:
@@ -408,6 +414,7 @@ def make_pp_train_step(
     remat: bool = False,
     zero1: bool = False,
     master_fp32: bool = False,
+    tx=None,
 ):
     """(init_state, train_step) for pipeline-parallel training.
 
@@ -425,7 +432,7 @@ def make_pp_train_step(
     if zero1 and "dp" not in mesh.axis_names:
         raise ValueError("zero1 needs a 'dp' axis in the pipeline mesh")
     loss_fn = make_pp_loss(mesh, cfg, n_microbatches, remat=remat)
-    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32)
+    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32, tx=tx)
 
     def init_state(pp_params: Params) -> TrainState:
         # derive the sharding tree from each leaf's OWN placement (works
@@ -593,6 +600,7 @@ def make_cp_train_step(
     remat: bool = False,
     zero1: bool = False,
     master_fp32: bool = False,
+    tx=None,
 ):
     """(init_state, train_step) over a ('dp','cp'[, 'tp']) mesh: batches
     shard (batch, sequence) over (dp, cp), blocks run ring attention over
@@ -608,7 +616,7 @@ def make_cp_train_step(
     specs = _cp_layer_specs(params_template, "tp" in mesh.axis_names)
     loss_fn = make_cp_loss(mesh, cfg, params_template, remat=remat)
     data_axes = tuple(a for a in ("dp", "cp") if a in mesh.axis_names)
-    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32, data_axes)
+    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32, data_axes, tx=tx)
 
     def init_state(params: Params) -> TrainState:
         params = jax.tree.map(

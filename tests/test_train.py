@@ -86,6 +86,45 @@ def test_zero1_matches_replicated_and_shards_moments():
     assert int(adam.count) == 3
 
 
+def test_custom_optimizer_passthrough():
+    """tx= accepts any optax transformation (clipping + schedule chain);
+    zero1 still finds and shards the adam moments inside the chain while
+    the chain's own counters replicate."""
+    import optax
+
+    mesh = make_mesh(("dp", "tp"), shape=(4, 2))
+    cfg = _cfg()
+    batch = jnp.asarray(
+        np.random.default_rng(2).integers(0, cfg.vocab_size, (4, 16)),
+        jnp.int32,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(optax.cosine_decay_schedule(1e-2, 100)),
+    )
+    params = init_params(cfg, jax.random.PRNGKey(0), jnp.float32)
+    init_state, train_step = make_train_step(
+        mesh, cfg, zero1=True, tx=tx
+    )
+    state = init_state(params)
+    losses = []
+    for _ in range(3):
+        state, loss = train_step(state, batch)
+        losses.append(float(loss))
+    assert all(np.isfinite(losses)) and losses[-1] < losses[0]
+    adam_states = [
+        s
+        for s in jax.tree.leaves(
+            state["opt_state"],
+            is_leaf=lambda n: isinstance(n, optax.ScaleByAdamState),
+        )
+        if isinstance(s, optax.ScaleByAdamState)
+    ]
+    assert adam_states, "chain must contain the adam state"
+    mu_leaf = adam_states[0].mu["layers"][0]["q_proj"]
+    assert "dp" in mu_leaf.sharding.spec, mu_leaf.sharding.spec
+
+
 def test_grad_accum_matches_full_batch():
     """grad_accum=K (K microbatches scanned in one jit, fp32 gradient
     accumulation, one optimizer step on the mean) reproduces the
