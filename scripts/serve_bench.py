@@ -113,8 +113,12 @@ class DispatchCounter:
         return counted
 
     def attach(self, engine):
-        engine._decode_step = self.wrap("target", engine._decode_step)
-        engine._fused_decode = self.wrap("target", engine._fused_decode)
+        # after the spec-round fusion, _decode_step serves ONLY prefill;
+        # the decode loop is _fused_decode and speculative rounds are
+        # _spec_round — keyed separately so per-token decode counts don't
+        # absorb the one prefill dispatch
+        engine._decode_step = self.wrap("prefill", engine._decode_step)
+        engine._fused_decode = self.wrap("decode", engine._fused_decode)
         if engine.draft_cfg is not None:
             engine._draft_decode = self.wrap("draft", engine._draft_decode)
             engine._spec_round = self.wrap("spec_round", engine._spec_round)
@@ -341,13 +345,14 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
     ms_tok, t1, t2 = decode_slope_ms(engine)
     counter.reset()
     timed_generate(engine, N1, greedy=True)
-    per_tok = counter.snapshot().get("target", 0) / N1
+    snap = counter.snapshot()
     report["decode"] = {
         "wall_ms_per_token": round(ms_tok, 3),
         "tokens_per_s_wall": round(1e3 / ms_tok, 2) if ms_tok > 0 else None,
         f"wall_s_{N1}tok": round(t1, 3),
         f"wall_s_{N2}tok": round(t2, 3),
-        "target_dispatches_per_token": round(per_tok, 2),
+        "decode_dispatches_per_token": round(snap.get("decode", 0) / N1, 2),
+        "prefill_dispatches": snap.get("prefill", 0),
     }
 
     floor, t_k, t_1 = device_floor_ms(engine)
@@ -393,9 +398,8 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
             report["speculative"][label] = {
                 "wall_s": round(t, 3),
                 "ms_per_token": round(t / N2 * 1e3, 3),
-                # target prefill dispatches (catch-up+propose+verify are
-                # all inside the fused round)
-                "target_dispatches": counts.get("target", 0),
+                # catch-up+propose+verify are all inside the fused round
+                "prefill_dispatches": counts.get("prefill", 0),
                 "round_dispatches": counts.get("spec_round", 0),
                 "draft_prefill_dispatches": counts.get("draft", 0),
                 "tokens": N2,
@@ -405,10 +409,12 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
         runs = 2
         c.reset()
         t = min(timed_generate(engine, N2, greedy=True) for _ in range(runs))
+        plain_snap = c.snapshot()
         report["speculative"]["plain_greedy"] = {
             "wall_s": round(t, 3),
             "ms_per_token": round(t / N2 * 1e3, 3),
-            "target_dispatches": c.snapshot().get("target", 0) // runs,
+            "decode_dispatches": plain_snap.get("decode", 0) // runs,
+            "prefill_dispatches": plain_snap.get("prefill", 0) // runs,
             "tokens": N2,
         }
 

@@ -554,7 +554,9 @@ class InferenceEngine:
         speculative (see :meth:`_stream_speculative`): same output, fewer
         target dispatches. ``decode_chunk=S`` runs S decode steps per
         device call (throughput mode: ~1/S the per-token dispatch
-        latency, S-token emission granularity, identical tokens).
+        latency, S-token emission granularity, identical tokens); it does
+        not apply on the speculative path, which amortizes dispatches its
+        own way (one per round of up to k tokens).
         Pass a dict as ``meta`` to receive
         ``{"finish_reason": "stop"|"length"}`` after exhaustion."""
         cfg = self.cfg
@@ -572,7 +574,13 @@ class InferenceEngine:
             )
             return
 
-        total = prompt_len + max_new_tokens
+        # chunks always dispatch at FULL decode_chunk size (a ragged tail
+        # would compile a second program per distinct remainder — minutes
+        # per shape on a remote-compile TPU); the cache covers the
+        # rounded-up budget and surplus tokens are discarded on host
+        chunk_size = max(1, decode_chunk)
+        budget = -(-max_new_tokens // chunk_size) * chunk_size
+        total = prompt_len + budget
         cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
         rope = rope_tables(cfg, cache_len)
         kv = self._init_kv(1, cache_len)
@@ -599,9 +607,10 @@ class InferenceEngine:
         done = 0
         stopped = False
         while done < max_new_tokens and not stopped:
-            S = min(decode_chunk, max_new_tokens - done)
-            # ONE dispatch: sample S tokens AND run their forwards
-            toks, last, generated_mask, key, kv = self._chunk_step(S)(
+            # ONE dispatch: sample chunk_size tokens AND run their forwards
+            toks, last, generated_mask, key, kv = self._chunk_step(
+                chunk_size
+            )(
                 self.params,
                 last,
                 generated_mask,
@@ -617,8 +626,10 @@ class InferenceEngine:
                 top_k=top_k,
                 greedy=greedy,
             )
-            done += S
+            done += chunk_size
             for token_id in (int(v) for v in np.asarray(toks)[:, 0]):
+                if len(generated) >= max_new_tokens:
+                    break  # surplus from the rounded-up final chunk
                 generated.append(token_id)
 
                 # incremental decode: emit the text suffix (handles BPE
@@ -836,7 +847,9 @@ class InferenceEngine:
         B = len(seqs)
         max_len = max(len(s) for s in seqs)
         L = -(-max_len // _PROMPT_BUCKET) * _PROMPT_BUCKET
-        total = L + max_new_tokens
+        chunk_size = max(1, decode_chunk)
+        budget = -(-max_new_tokens // chunk_size) * chunk_size
+        total = L + budget
         cache_len = -(-total // _CACHE_BUCKET) * _CACHE_BUCKET
         rope = rope_tables(cfg, cache_len)
         kv = self._init_kv(B, cache_len)
@@ -872,10 +885,14 @@ class InferenceEngine:
         finished = [False] * B
 
         done = 0
+        emitted = 0
         while done < max_new_tokens and not all(finished):
-            S = min(decode_chunk, max_new_tokens - done)
-            # ONE dispatch: S lockstep rows of sampled tokens + forwards
-            toks, last, generated_mask, key, kv = self._chunk_step(S)(
+            # ONE dispatch of EXACTLY chunk_size lockstep steps (a ragged
+            # tail would compile a second program; surplus rows from the
+            # rounded-up final chunk are discarded below)
+            toks, last, generated_mask, key, kv = self._chunk_step(
+                chunk_size
+            )(
                 self.params,
                 last,
                 generated_mask,
@@ -891,8 +908,11 @@ class InferenceEngine:
                 top_k=top_k,
                 greedy=greedy,
             )
-            done += S
+            done += chunk_size
             for row in np.asarray(toks):  # (S, B) chunk-major
+                if emitted >= max_new_tokens:
+                    break
+                emitted += 1
                 for b in range(B):
                     if not finished[b]:
                         tid = int(row[b])

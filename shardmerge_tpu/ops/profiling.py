@@ -59,10 +59,13 @@ def device_memory_stats() -> Dict[str, int]:
     if not out.get("bytes_in_use"):
         try:
             dev = jax.devices()[0]
+            # per-shard accounting: a mesh-sharded array contributes only
+            # the bytes of ITS shards on this device, not its global size
             out["live_bytes_client"] = sum(
-                x.nbytes
+                shard.data.nbytes
                 for x in jax.live_arrays()
-                if dev in x.devices()
+                for shard in x.addressable_shards
+                if shard.device == dev
             )
         except Exception:
             pass
@@ -96,13 +99,17 @@ def phase_profiler(title: str = "phase", display: Optional[bool] = None):
         rss_delta = _rss_bytes() - rss_before
         dev_after = device_memory_stats()
         parts = [f"{title}: {elapsed*1000:.1f} ms", f"rss {rss_delta/2**20:+.1f} MB"]
-        if dev_after:
-            parts.append(f"hbm {dev_after.get('bytes_in_use', 0)/2**20:.1f} MB")
-            if dev_before:
-                delta = dev_after.get("bytes_in_use", 0) - dev_before.get(
-                    "bytes_in_use", 0
-                )
+        # only print an HBM figure the allocator actually reported — the
+        # client-side fallback key must not surface as a bogus "hbm 0.0"
+        if dev_after.get("bytes_in_use"):
+            parts.append(f"hbm {dev_after['bytes_in_use']/2**20:.1f} MB")
+            if dev_before.get("bytes_in_use"):
+                delta = dev_after["bytes_in_use"] - dev_before["bytes_in_use"]
                 parts.append(f"(hbm delta {delta/2**20:+.1f} MB)")
+        elif "live_bytes_client" in dev_after:
+            parts.append(
+                f"live(client) {dev_after['live_bytes_client']/2**20:.1f} MB"
+            )
         logger.info("[profile] %s", " | ".join(parts))
 
 

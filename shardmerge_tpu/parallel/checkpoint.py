@@ -48,12 +48,13 @@ _FILE = "train_state.safetensors"
 def save_train_state(
     path, state: Dict[str, Any], step: Optional[int] = None
 ) -> Path:
-    """Snapshot a (possibly sharded) train state into ``path``/%s.
+    """Snapshot a (possibly sharded) train state into
+    ``path``/train_state.safetensors.
 
     Gathers every leaf to host (np.asarray reassembles sharded arrays),
     writes atomically, and records ``step`` plus the leaf count in the
     metadata. Returns the file path.
-    """ % _FILE
+    """
     out_dir = Path(path)
     out_dir.mkdir(parents=True, exist_ok=True)
     leaves = jax.tree.leaves(state)
@@ -107,6 +108,14 @@ def restore_train_state(
                 raise ValueError(
                     f"checkpoint leaf {i} has shape {tuple(arr.shape)}; "
                     f"template expects {tuple(ref.shape)}"
+                )
+            if arr.dtype != ref.dtype:
+                # a dtype change (fp32 run restored onto a bf16 template)
+                # would silently retrace and retrain at the stored dtype
+                raise ValueError(
+                    f"checkpoint leaf {i} has dtype {arr.dtype}; template "
+                    f"expects {ref.dtype} — trained/saved under a "
+                    "different precision configuration"
                 )
             sharding = getattr(ref, "sharding", None)
             if isinstance(sharding, jax.sharding.NamedSharding):

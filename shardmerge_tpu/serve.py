@@ -12,7 +12,9 @@ weights per prompt:
   → ``{"choices": [{"index", "text", "finish_reason"}, ...]}`` with
   ``finish_reason`` "stop" (EOS) or "length" (max_tokens truncation).
   ``decode_chunk=S`` (default 1) runs S decode steps per device call —
-  identical tokens, ~1/S the per-token dispatch latency.
+  identical tokens, ~1/S the per-token dispatch latency. (No effect on
+  requests served speculatively — single greedy prompt with a draft
+  loaded — which amortize dispatches per round instead.)
   Every request — single or list prompt — runs the batched decode path
   (InferenceEngine.generate_batch): one jitted lockstep decode per batch.
   Batch size and prompt length are capped (_MAX_BATCH/_MAX_PROMPT_CHARS):
