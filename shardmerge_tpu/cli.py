@@ -482,6 +482,13 @@ def generate_command(
     help="Coalesce concurrent compatible requests arriving within this "
     "window into one lockstep decode (0 = off)",
 )
+@click.option(
+    "--prefix-cache",
+    type=click.IntRange(0, 64),
+    default=0,
+    help="Keep N prompt-prefix KV slabs on device: single-prompt "
+    "requests sharing a system prompt skip its prefill (0 = off)",
+)
 def serve_command(
     model_path: Path,
     host: str,
@@ -492,6 +499,7 @@ def serve_command(
     speculation_k: int,
     shard: bool,
     batch_window_ms: float,
+    prefix_cache: int,
 ):
     """Serve a merged model over HTTP (OpenAI-style /v1/completions).
 
@@ -512,6 +520,7 @@ def serve_command(
         speculation_k=speculation_k,
         shard=shard,
         batch_window_ms=batch_window_ms,
+        prefix_cache=prefix_cache,
     )
     click.echo(f"Serving {model_path} on http://{host}:{port} (Ctrl-C to stop)")
     try:

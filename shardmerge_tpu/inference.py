@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import logging
+from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
 from pathlib import Path
@@ -148,6 +149,35 @@ def _make_spec_round(cfg: ModelConfig, draft_cfg: ModelConfig, k: int):
     return jax.jit(spec_round, donate_argnums=(2, 3))
 
 
+# sequence axis per KV-cache leaf: GQA caches are (L, B, H, S, D); MLA's
+# compressed latents are (L, B, S, rank)
+_KV_SEQ_AXIS = {"k": 3, "v": 3, "ckv": 2, "kpe": 2}
+
+
+@partial(jax.jit, static_argnames=("length",))
+def _slice_kv(kv, length: int):
+    """Copy the first ``length`` sequence slots of every cache leaf."""
+    return {
+        k: jax.lax.slice_in_dim(v, 0, length, axis=_KV_SEQ_AXIS[k])
+        for k, v in kv.items()
+    }
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _implant_kv(fresh, slab):
+    """Write a cached prefix slab into the head of a fresh cache.
+
+    Valid for any fresh cache at least as long as the slab: the slots
+    beyond it are zeros either way, and causality guarantees the prefix
+    KV is identical no matter what follows it."""
+    return {
+        k: jax.lax.dynamic_update_slice_in_dim(
+            fresh[k], slab[k], 0, axis=_KV_SEQ_AXIS[k]
+        )
+        for k in fresh
+    }
+
+
 @jax.jit
 def _greedy_verify(logits, base_mask, fed, repetition_penalty):
     """Target-greedy tokens for every speculative position in one shot.
@@ -176,11 +206,18 @@ class InferenceEngine:
         draft: Optional[tuple] = None,  # (draft_cfg, draft_params)
         speculation_k: int = 4,
         mesh=None,  # 1-D ('tp',) Mesh: shard the model over chips
+        prefix_cache_slots: int = 0,
     ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.mesh = mesh
+        # exact prefix caching (stream path): keep the KV slab of up to N
+        # bucket-aligned prompt prefixes ON DEVICE; a request whose prompt
+        # starts with a cached prefix implants the slab and prefills only
+        # the remainder — the shared-system-prompt serving pattern
+        self.prefix_cache_slots = int(prefix_cache_slots)
+        self._prefix_cache: "OrderedDict" = OrderedDict()
         self._kv_head_sharding = None
         self._kv_init_fns: dict = {}
         if mesh is not None:
@@ -370,13 +407,17 @@ class InferenceEngine:
         draft_model: Optional[str] = None,
         speculation_k: int = 4,
         shard: bool = False,
+        prefix_cache_slots: int = 0,
     ) -> "InferenceEngine":
         """``draft_model``: optional path to a smaller same-vocab checkpoint
         enabling speculative decoding for greedy generations (exact: output
         is identical to plain greedy, only the dispatch count drops).
         ``shard=True`` tensor-parallelizes the model over every visible
         device (Megatron shardings + head-sharded KV cache) so checkpoints
-        larger than one chip's HBM can serve; no-op on a single device."""
+        larger than one chip's HBM can serve; no-op on a single device.
+        ``prefix_cache_slots=N`` keeps the KV of up to N bucket-aligned
+        prompt prefixes on device (LRU): requests sharing a system prompt
+        skip its prefill entirely (stream path)."""
         if load_in_4bit and load_in_8bit:
             raise ValueError("Cannot load model in both 4-bit and 8-bit precision")
         quant_bits = 4 if load_in_4bit else 8 if load_in_8bit else None
@@ -416,6 +457,7 @@ class InferenceEngine:
             draft=draft,
             speculation_k=speculation_k,
             mesh=mesh,
+            prefix_cache_slots=prefix_cache_slots,
         )
 
     # -- generation --------------------------------------------------------
@@ -489,6 +531,7 @@ class InferenceEngine:
         keep_pos: Optional[int] = None,  # row whose logits the caller needs
         mask_positions=None,  # (B, L) cache-slot indices (batched path)
         token_valid=None,
+        start: int = 0,  # first slot to prefill (earlier slots cached)
     ):
         """Prefill in chunks capped at ``self.prompt_chunk``.
 
@@ -504,8 +547,9 @@ class InferenceEngine:
         chunk = self.prompt_chunk
         if keep_pos is None:
             keep_pos = L - 1
+        assert keep_pos >= start, (keep_pos, start)
         kept = None
-        for c0 in range(0, L, chunk):
+        for c0 in range(start, L, chunk):
             c1 = min(c0 + chunk, L)
             kwargs = {}
             if mask_positions is not None:
@@ -525,6 +569,54 @@ class InferenceEngine:
             if c0 <= keep_pos < c1:
                 kept = logits[:, keep_pos - c0, :]
         return kept, kv
+
+    def _prefix_lookup(self, input_ids: List[int], prompt_len: int, kv):
+        """Longest bucket-aligned prefix SHARED with any cached slab,
+        implanted.
+
+        Cached keys carry their own request's tail tokens, so the match
+        is element-wise common-prefix length (rounded down to the bucket),
+        not exact key lookup — the shared-system-prompt case. The slab is
+        sliced to the common length before implanting so no stale tail
+        from the donor request ever enters this cache. At most
+        ``prompt_len - 1`` tokens come from the cache: the final prompt
+        token always prefills live (its logits seed decoding). Returns
+        (hit_len, kv)."""
+        max_pfx = (prompt_len - 1) // _PROMPT_BUCKET * _PROMPT_BUCKET
+        best_key, best = None, 0
+        for key in self._prefix_cache:
+            n = 0
+            for a, b in zip(key, input_ids):
+                if a != b:
+                    break
+                n += 1
+            n = min(n, max_pfx) // _PROMPT_BUCKET * _PROMPT_BUCKET
+            if n > best:
+                best, best_key = n, key
+        if best == 0:
+            return 0, kv
+        self._prefix_cache.move_to_end(best_key)
+        slab = self._prefix_cache[best_key]
+        if len(best_key) > best:
+            slab = _slice_kv(slab, length=best)
+        return best, _implant_kv(kv, slab)
+
+    def _prefix_store(self, input_ids: List[int], prompt_len: int, kv):
+        """Cache this prompt's longest bucket-aligned prefix slab (LRU).
+
+        Runs AFTER prefill: slots below the prefix length hold exactly the
+        prefix's KV (causal writes never touch earlier slots), so slicing
+        the live cache is free of recompute. Slabs live on device."""
+        plen = (prompt_len - 1) // _PROMPT_BUCKET * _PROMPT_BUCKET
+        if plen < _PROMPT_BUCKET:
+            return
+        key = tuple(input_ids[:plen])
+        if key in self._prefix_cache:
+            self._prefix_cache.move_to_end(key)
+            return
+        self._prefix_cache[key] = _slice_kv(kv, length=plen)
+        while len(self._prefix_cache) > self.prefix_cache_slots:
+            self._prefix_cache.popitem(last=False)
 
     def _eos_ids(self) -> set:
         eos = getattr(self.tokenizer, "eos_token_id", None)
@@ -586,6 +678,9 @@ class InferenceEngine:
         kv = self._init_kv(1, cache_len)
 
         ids, positions = self._pad_prompt(input_ids, cache_len)
+        hit_len = 0
+        if self.prefix_cache_slots > 0:
+            hit_len, kv = self._prefix_lookup(input_ids, prompt_len, kv)
         last, kv = self._chunked_prefill(
             self._decode_step,
             self.params,
@@ -595,7 +690,11 @@ class InferenceEngine:
             rope,
             prompt_len,
             keep_pos=prompt_len - 1,
+            start=hit_len,
         )
+        if self.prefix_cache_slots > 0:
+            self._prefix_store(input_ids, prompt_len, kv)
+        meta["prefix_cache_hit_tokens"] = hit_len
 
         key = jax.random.PRNGKey(seed)
         eos_ids = self._eos_ids()

@@ -246,13 +246,13 @@ class ModelServer:
         return prompts, kwargs
 
     def _generate(self, prompts, kwargs) -> dict:
-        if (
-            len(prompts) == 1
-            and kwargs.get("greedy")
-            and self.engine.draft_cfg is not None
+        if len(prompts) == 1 and (
+            (kwargs.get("greedy") and self.engine.draft_cfg is not None)
+            or getattr(self.engine, "prefix_cache_slots", 0) > 0
         ):
-            # single greedy prompt + loaded draft: speculative decoding
-            # (generate_batch has no speculative path)
+            # single prompt on the stream path: speculative decoding
+            # (greedy + loaded draft) and/or prompt-prefix KV caching —
+            # neither exists on generate_batch
             meta: dict = {}
             with self._device_lock:
                 text = "".join(
@@ -367,12 +367,15 @@ def serve(
     speculation_k: int = 4,
     shard: bool = False,
     batch_window_ms: float = 0.0,
+    prefix_cache: int = 0,
 ) -> ModelServer:
     """Load a model and start the HTTP server (CLI entry). ``draft_model``
     enables speculative decoding for greedy single-prompt requests;
     ``shard`` tensor-parallelizes the model over all visible devices;
     ``batch_window_ms`` > 0 coalesces concurrent compatible requests into
-    one lockstep decode (DynamicBatcher)."""
+    one lockstep decode (DynamicBatcher); ``prefix_cache`` > 0 keeps that
+    many prompt-prefix KV slabs on device so single-prompt requests
+    sharing a system prompt skip its prefill."""
     from .inference import InferenceEngine
 
     engine = InferenceEngine.from_pretrained(
@@ -382,6 +385,7 @@ def serve(
         draft_model=draft_model,
         speculation_k=speculation_k,
         shard=shard,
+        prefix_cache_slots=prefix_cache,
     )
     server = ModelServer(
         engine, model_id=str(model_path), batch_window_ms=batch_window_ms

@@ -454,6 +454,120 @@ def test_inference_engine_stream(tmp_path):
         assert calls["n"] <= 3  # ceil(8/3): chunks of 3, 3, 2
 
 
+def test_prefix_cache_skips_shared_system_prompt(tmp_path):
+    """Exact prefix caching: the second request sharing a long system
+    prompt implants the cached KV slab and prefills only the remainder —
+    same output as a cold engine, fewer prefill dispatches, and the LRU
+    respects its slot budget."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    torch.manual_seed(21)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=1,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    LlamaForCausalLM(config).eval().save_pretrained(
+        str(tmp_path / "m"), safe_serialization=True
+    )
+    from shardmerge_tpu.inference import InferenceEngine
+
+    system = "You are a helpful assistant. " * 4  # 116 chars -> 116 tokens
+    prompts = [system + "first question", system + "second question?"]
+
+    def gen(engine, prompt, meta=None):
+        return "".join(
+            engine.stream_generation(
+                prompt, max_new_tokens=6, greedy=True, use_template=False,
+                meta=meta,
+            )
+        )
+
+    cold = InferenceEngine.from_pretrained(
+        str(tmp_path / "m"), tokenizer=StubTokenizer()
+    )
+    cold.prompt_chunk = 64  # several prefill chunks at this prompt size
+    want = [gen(cold, p) for p in prompts]
+
+    warm = InferenceEngine.from_pretrained(
+        str(tmp_path / "m"), tokenizer=StubTokenizer(),
+        prefix_cache_slots=2,
+    )
+    warm.prompt_chunk = 64
+    prefill_calls = {"n": 0}
+    orig = warm._decode_step
+
+    def counting(*a, **k):
+        prefill_calls["n"] += 1
+        return orig(*a, **k)
+
+    warm._decode_step = counting
+    meta0, meta1 = {}, {}
+    got0 = gen(warm, prompts[0], meta0)
+    first_request_prefills = prefill_calls["n"]
+    got1 = gen(warm, prompts[1], meta1)
+    second_request_prefills = prefill_calls["n"] - first_request_prefills
+    warm._decode_step = orig
+
+    assert [got0, got1] == want  # byte-identical to the cold engine
+    assert meta0["prefix_cache_hit_tokens"] == 0
+    # prompt is ~130 tokens; the shared prefix covers the first 64/128
+    # bucket(s), so the second request prefills strictly less
+    assert meta1["prefix_cache_hit_tokens"] >= 64
+    assert second_request_prefills < first_request_prefills
+
+    # LRU budget: a third distinct prefix evicts the oldest
+    gen(warm, "Completely different system prompt. " * 4 + "hi")
+    gen(warm, "Yet another unrelated preamble here. " * 4 + "hi")
+    assert len(warm._prefix_cache) <= 2
+
+
+def test_serve_single_prompt_uses_prefix_cache():
+    """ModelServer routes single-prompt requests through the stream path
+    when the engine has prefix caching, and the cache populates."""
+    import json as _json
+    import urllib.request
+
+    from shardmerge_tpu.inference import InferenceEngine
+    from shardmerge_tpu.models.llama import ModelConfig, init_params
+    from shardmerge_tpu.serve import ModelServer
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    engine = InferenceEngine(
+        cfg, params, StubTokenizer(), prefix_cache_slots=2
+    )
+    server = ModelServer(engine, model_id="pfx")
+    port = server.start(port=0)
+    system = "the shared system preamble goes here. " * 3
+
+    def post(prompt):
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/v1/completions",
+            data=_json.dumps(
+                {"prompt": prompt, "max_tokens": 4, "greedy": True}
+            ).encode(),
+        )
+        with urllib.request.urlopen(req) as resp:
+            return _json.loads(resp.read())["choices"][0]["text"]
+
+    try:
+        t1 = post(system + "one")
+        assert len(engine._prefix_cache) == 1  # slab stored
+        t2 = post(system + "one")  # identical prompt: full-prefix hit
+        assert t2 == t1
+    finally:
+        server.stop()
+
+
 def test_generate_batch_chunked_matches_stepwise(tmp_path):
     import torch
     from transformers import LlamaConfig, LlamaForCausalLM
