@@ -17,6 +17,11 @@ weights per prompt:
   loaded — which amortize dispatches per round instead.)
   Every request — single or list prompt — runs the batched decode path
   (InferenceEngine.generate_batch): one jitted lockstep decode per batch.
+  Exceptions that use the single-sequence stream path instead: greedy
+  single prompts with a draft loaded (speculative) and, when
+  ``prefix_cache`` is on, ALL single prompts (prefix reuse lives there) —
+  so prefix caching takes single prompts out of the dynamic batcher;
+  enable the combination deliberately.
   Batch size and prompt length are capped (_MAX_BATCH/_MAX_PROMPT_CHARS):
   each new (batch, length) shape is a fresh XLA compile, so unbounded
   requests could stall the device lock for minutes.
