@@ -207,17 +207,21 @@ class InferenceEngine:
         speculation_k: int = 4,
         mesh=None,  # 1-D ('tp',) Mesh: shard the model over chips
         prefix_cache_slots: int = 0,
+        prefix_cache_bytes: int = 2**30,  # 1 GiB device budget for slabs
     ):
         self.cfg = cfg
         self.params = params
         self.tokenizer = tokenizer
         self.mesh = mesh
         # exact prefix caching (stream path): keep the KV slab of up to N
-        # bucket-aligned prompt prefixes ON DEVICE; a request whose prompt
-        # starts with a cached prefix implants the slab and prefills only
-        # the remainder — the shared-system-prompt serving pattern
+        # bucket-aligned prompt prefixes ON DEVICE (within a byte budget);
+        # a request whose prompt starts with a cached prefix implants the
+        # slab and prefills only the remainder — the shared-system-prompt
+        # serving pattern
         self.prefix_cache_slots = int(prefix_cache_slots)
+        self.prefix_cache_bytes = int(prefix_cache_bytes)
         self._prefix_cache: "OrderedDict" = OrderedDict()
+        self._prefix_cache_used = 0
         self._kv_head_sharding = None
         self._kv_init_fns: dict = {}
         if mesh is not None:
@@ -408,6 +412,7 @@ class InferenceEngine:
         speculation_k: int = 4,
         shard: bool = False,
         prefix_cache_slots: int = 0,
+        prefix_cache_bytes: int = 2**30,
     ) -> "InferenceEngine":
         """``draft_model``: optional path to a smaller same-vocab checkpoint
         enabling speculative decoding for greedy generations (exact: output
@@ -458,6 +463,7 @@ class InferenceEngine:
             speculation_k=speculation_k,
             mesh=mesh,
             prefix_cache_slots=prefix_cache_slots,
+            prefix_cache_bytes=prefix_cache_bytes,
         )
 
     # -- generation --------------------------------------------------------
@@ -570,7 +576,9 @@ class InferenceEngine:
                 kept = logits[:, keep_pos - c0, :]
         return kept, kv
 
-    def _prefix_lookup(self, input_ids: List[int], prompt_len: int, kv):
+    def _prefix_lookup(
+        self, input_ids: List[int], prompt_len: int, kv, kind: str = "t"
+    ):
         """Longest bucket-aligned prefix SHARED with any cached slab,
         implanted.
 
@@ -580,43 +588,71 @@ class InferenceEngine:
         sliced to the common length before implanting so no stale tail
         from the donor request ever enters this cache. At most
         ``prompt_len - 1`` tokens come from the cache: the final prompt
-        token always prefills live (its logits seed decoding). Returns
-        (hit_len, kv)."""
+        token always prefills live (its logits seed decoding). ``kind``
+        namespaces slabs per model ("t" target / "d" draft — their cache
+        geometries differ). Returns (hit_len, kv).
+
+        First hit per new (slab_len, cache_len) shape pair compiles the
+        slice/implant programs (lengths quantize to the prompt/cache
+        buckets, so the family stays small; persistent-cache hosts
+        amortize it across runs)."""
         max_pfx = (prompt_len - 1) // _PROMPT_BUCKET * _PROMPT_BUCKET
+        if max_pfx <= 0:
+            return 0, kv
+        target = tuple(input_ids[:max_pfx])
         best_key, best = None, 0
         for key in self._prefix_cache:
+            k_kind, ktoks = key
+            if k_kind != kind:
+                continue
             n = 0
-            for a, b in zip(key, input_ids):
+            for a, b in zip(ktoks[:max_pfx], target):
                 if a != b:
                     break
                 n += 1
-            n = min(n, max_pfx) // _PROMPT_BUCKET * _PROMPT_BUCKET
+            n = n // _PROMPT_BUCKET * _PROMPT_BUCKET
             if n > best:
                 best, best_key = n, key
+                if best == max_pfx:
+                    break  # cannot do better
         if best == 0:
             return 0, kv
         self._prefix_cache.move_to_end(best_key)
-        slab = self._prefix_cache[best_key]
-        if len(best_key) > best:
+        slab, _ = self._prefix_cache[best_key]
+        if len(best_key[1]) > best:
             slab = _slice_kv(slab, length=best)
         return best, _implant_kv(kv, slab)
 
-    def _prefix_store(self, input_ids: List[int], prompt_len: int, kv):
-        """Cache this prompt's longest bucket-aligned prefix slab (LRU).
+    def _prefix_store(
+        self, input_ids: List[int], prompt_len: int, kv, kind: str = "t"
+    ):
+        """Cache this prompt's longest bucket-aligned prefix slab.
 
         Runs AFTER prefill: slots below the prefix length hold exactly the
         prefix's KV (causal writes never touch earlier slots), so slicing
-        the live cache is free of recompute. Slabs live on device."""
+        the live cache is free of recompute. Slabs live ON DEVICE, so
+        eviction is LRU over BOTH a slot count (prefix_cache_slots) and a
+        byte budget (prefix_cache_bytes) — slot count alone would let a
+        few long-prompt slabs exhaust HBM."""
         plen = (prompt_len - 1) // _PROMPT_BUCKET * _PROMPT_BUCKET
         if plen < _PROMPT_BUCKET:
             return
-        key = tuple(input_ids[:plen])
+        key = (kind, tuple(input_ids[:plen]))
         if key in self._prefix_cache:
             self._prefix_cache.move_to_end(key)
             return
-        self._prefix_cache[key] = _slice_kv(kv, length=plen)
-        while len(self._prefix_cache) > self.prefix_cache_slots:
-            self._prefix_cache.popitem(last=False)
+        slab = _slice_kv(kv, length=plen)
+        nbytes = sum(v.nbytes for v in slab.values())
+        if nbytes > self.prefix_cache_bytes:
+            return  # a single over-budget slab would evict everything
+        self._prefix_cache[key] = (slab, nbytes)
+        self._prefix_cache_used += nbytes
+        while (
+            len(self._prefix_cache) > self.prefix_cache_slots
+            or self._prefix_cache_used > self.prefix_cache_bytes
+        ):
+            _, (_, freed) = self._prefix_cache.popitem(last=False)
+            self._prefix_cache_used -= freed
 
     def _eos_ids(self) -> set:
         eos = getattr(self.tokenizer, "eos_token_id", None)
@@ -799,6 +835,14 @@ class InferenceEngine:
         d_kv = init_kv_cache(self.draft_cfg, 1, cache_len, d_dtype)
 
         ids, positions = self._pad_prompt(input_ids, cache_len)
+        t_hit = d_hit = 0
+        if self.prefix_cache_slots > 0:
+            # target and draft slabs cache under separate kinds (their
+            # cache geometries differ)
+            t_hit, kv = self._prefix_lookup(input_ids, prompt_len, kv, "t")
+            d_hit, d_kv = self._prefix_lookup(
+                input_ids, prompt_len, d_kv, "d"
+            )
         prompt_last, kv = self._chunked_prefill(
             self._decode_step,
             self.params,
@@ -808,6 +852,7 @@ class InferenceEngine:
             rope,
             prompt_len,
             keep_pos=prompt_len - 1,
+            start=t_hit,
         )
         _, d_kv = self._chunked_prefill(
             self._draft_decode,
@@ -817,7 +862,12 @@ class InferenceEngine:
             d_kv,
             d_rope,
             prompt_len,
+            start=d_hit,
         )
+        if self.prefix_cache_slots > 0:
+            self._prefix_store(input_ids, prompt_len, kv, "t")
+            self._prefix_store(input_ids, prompt_len, d_kv, "d")
+        meta["prefix_cache_hit_tokens"] = t_hit
 
         eos_ids = self._eos_ids()
         # the emitted-token penalty mask lives on HOST (numpy) and rides

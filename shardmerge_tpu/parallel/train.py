@@ -344,6 +344,9 @@ def make_train_step(
     update step runs on 1/dp of the elements per rank, at the cost of the
     GSPMD-inserted reduce-scatter/all-gather pair. Numerics are identical
     to the replicated step (same update math, different placement).
+    ``tx=`` substitutes any optax GradientTransformation (schedules,
+    clipping, chains) for the built-in adamw — ``learning_rate`` is then
+    ignored (the transformation carries its own).
     ``master_fp32=True`` is the standard bf16-training recipe: the
     forward/backward runs on the bf16 params, but the optimizer holds an
     fp32 master copy (plus fp32 moments) and each step re-casts master →

@@ -451,7 +451,8 @@ def test_inference_engine_stream(tmp_path):
         engine._build_chunk_decode = orig_build
         engine._decode_chunks.clear()
         assert chunked == ref
-        assert calls["n"] <= 3  # ceil(8/3): chunks of 3, 3, 2
+        assert calls["n"] <= 3  # ceil(8/3) full-size chunks of 3 each
+        # (the last chunk's surplus token is discarded on host)
 
 
 def test_prefix_cache_skips_shared_system_prompt(tmp_path):
@@ -525,6 +526,29 @@ def test_prefix_cache_skips_shared_system_prompt(tmp_path):
     gen(warm, "Completely different system prompt. " * 4 + "hi")
     gen(warm, "Yet another unrelated preamble here. " * 4 + "hi")
     assert len(warm._prefix_cache) <= 2
+
+    # byte budget: slabs that cannot fit the device budget are rejected
+    tight = InferenceEngine.from_pretrained(
+        str(tmp_path / "m"), tokenizer=StubTokenizer(),
+        prefix_cache_slots=4, prefix_cache_bytes=64,
+    )
+    gen(tight, prompts[0])
+    assert len(tight._prefix_cache) == 0
+    assert tight._prefix_cache_used == 0
+
+    # the speculative path uses the cache too (target AND draft slabs)
+    spec = InferenceEngine.from_pretrained(
+        str(tmp_path / "m"), tokenizer=StubTokenizer(),
+        draft_model=str(tmp_path / "m"), prefix_cache_slots=4,
+    )
+    spec_meta0, spec_meta1 = {}, {}
+    s0 = gen(spec, prompts[0], spec_meta0)
+    s1 = gen(spec, prompts[1], spec_meta1)
+    assert [s0, s1] == want  # speculative == plain greedy, warm or cold
+    assert spec_meta0["prefix_cache_hit_tokens"] == 0
+    assert spec_meta1["prefix_cache_hit_tokens"] >= 64
+    kinds = {k for (k, _) in spec._prefix_cache}
+    assert kinds == {"t", "d"}
 
 
 def test_serve_single_prompt_uses_prefix_cache():
