@@ -1,0 +1,477 @@
+"""Continuous batching: requests join and leave a running decode pool.
+
+Parity surface: none — the reference serves one request at a time
+(shard/inference.py:121-200). This is the TPU-native scale-out of the
+serving path: a FIXED pool of B cache rows driven by the engine's fused
+decode step (one dispatch advances every row by one token, or by S with
+``decode_chunk``), where new requests join at chunk boundaries and
+finished rows free their slot immediately. Unlike
+:class:`serve.DynamicBatcher` (which windows compatible requests into
+lockstep batches), a long completion never blocks the short ones batched
+with it, and a new arrival never waits for the pool to drain.
+
+Design (all shapes static — nothing ever recompiles after warmup):
+
+- One global frontier ``t``: every dispatch writes all B rows at cache
+  slots [t, t+S). Rows are independent streams; per-row attention masks
+  carve each row's live history out of the shared slot axis.
+- A request joining at frontier ``t`` prefills its prompt OFF-POOL in a
+  batch-1 cache (reusing the engine's chunked prefill and, when enabled,
+  its exact-prefix cache), then IMPLANTS the slab at slots [0, Lp) of a
+  free row. The dead span [Lp, t) is masked out by ``token_valid``; RoPE
+  positions stay contiguous because decode positions are slot − pad with
+  pad = t − Lp. Sliding-window layers stay exact across the gap via the
+  per-slot ``key_positions`` map (see models/llama.forward).
+- When a prompt is longer than the current frontier, the frontier jumps
+  forward to Lp; other rows absorb the jump as one more masked gap (their
+  pads grow by the jump, so their positions remain contiguous).
+- When the frontier nears the cache end, the pool COMPACTS: one gather
+  per cache leaf drops every dead slot, rebasing the frontier to the
+  longest live row. A row's live length is bounded by its prompt + budget
+  (enforced at submit), so compaction always makes progress.
+
+Sampling is per-request for temperature / top_p / repetition_penalty
+(they ride as (B, 1) arrays straight into the fused step's sample body);
+``top_k`` and ``greedy`` are compiled static, so they are pool-level
+settings. Greedy decoding is exactly the solo stream path's output
+token-for-token; sampled decoding draws from the pool's shared PRNG
+stream, so a sampled completion depends on scheduling (as in any shared
+sampler) — pin ``greedy=True`` to make outputs co-tenant-independent.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .inference import (
+    _CACHE_BUCKET,
+    _KV_SEQ_AXIS,
+    InferenceEngine,
+)
+from .models.llama import rope_tables
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["ContinuousEngine", "Completion"]
+
+
+@dataclass
+class Completion:
+    """Handle for a submitted request; resolves when the request finishes."""
+
+    prompt: str
+    max_new_tokens: int
+    temperature: float
+    top_p: float
+    repetition_penalty: float
+    _done: threading.Event = field(default_factory=threading.Event)
+    token_ids: List[int] = field(default_factory=list)
+    text: Optional[str] = None
+    finish_reason: Optional[str] = None
+    error: Optional[Exception] = None
+
+    def result(self, timeout: Optional[float] = None) -> str:
+        if not self._done.wait(timeout):
+            raise TimeoutError("completion still decoding")
+        if self.error is not None:
+            raise self.error
+        return self.text
+
+    def done(self) -> bool:
+        return self._done.is_set()
+
+
+def _seq_index(idx, leaf_key, ndim):
+    """Broadcast a (B, S) gather index to a cache leaf's rank."""
+    shape = [1] * ndim
+    shape[1] = idx.shape[0]
+    shape[_KV_SEQ_AXIS[leaf_key]] = idx.shape[1]
+    return idx.reshape(shape)
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def _compact_pool(kv, idx):
+    """Gather every row's live slots to the front of the slot axis.
+
+    idx: (B, S) int32 — per-row source slot for each destination slot, in
+    temporal order. Entries past a row's live length may point anywhere
+    (their destinations are masked invalid by the caller)."""
+    return {
+        k: jnp.take_along_axis(
+            v, _seq_index(idx, k, v.ndim), axis=_KV_SEQ_AXIS[k]
+        )
+        for k, v in kv.items()
+    }
+
+
+@partial(jax.jit, donate_argnums=(0, 2, 4))
+def _implant_row(kv, slab, last, row_logits, gen_mask, b):
+    """Install a prefilled request into pool row ``b``.
+
+    Writes the batch-1 prefill cache at slots [0, slab_len) of row b,
+    seeds the row's next-token logits, and clears its repetition-penalty
+    history. One compile per slab length (lengths are bucket-rounded)."""
+    out = {}
+    for k, v in kv.items():
+        start = [0] * v.ndim
+        start[1] = b
+        out[k] = jax.lax.dynamic_update_slice(v, slab[k], tuple(start))
+    last = jax.lax.dynamic_update_slice(last, row_logits, (b, 0))
+    zeros = jnp.zeros((1, gen_mask.shape[1]), gen_mask.dtype)
+    gen_mask = jax.lax.dynamic_update_slice(gen_mask, zeros, (b, 0))
+    return out, last, gen_mask
+
+
+class ContinuousEngine:
+    """A continuously-batched decode pool over an :class:`InferenceEngine`.
+
+    Synchronous use (tests, scripts)::
+
+        pool = ContinuousEngine(engine, slots=4, cache_len=1024)
+        h1 = pool.submit("prompt A", max_new_tokens=32)
+        h2 = pool.submit("prompt B", max_new_tokens=8)
+        pool.run_until_idle()
+        print(h1.result(), h2.result())
+
+    Serving use: :meth:`start` spins the same loop on a daemon thread;
+    ``submit`` is then safe from any thread and handles resolve as rows
+    finish. ``serve.ModelServer(..., continuous=True)`` wires this under
+    the HTTP endpoint.
+    """
+
+    def __init__(
+        self,
+        engine: InferenceEngine,
+        slots: int = 4,
+        cache_len: int = 2048,
+        top_k: int = 40,
+        greedy: bool = False,
+        decode_chunk: int = 1,
+        use_template: bool = True,
+        system_prompt: Optional[str] = None,
+        seed: int = 0,
+    ):
+        if slots < 1:
+            raise ValueError("continuous batching needs at least one slot")
+        if engine.draft_cfg is not None:
+            raise ValueError(
+                "speculative decoding drives its own dispatch cadence; "
+                "use it on the stream path, not the continuous pool"
+            )
+        self.engine = engine
+        self.cfg = engine.cfg
+        self.B = int(slots)
+        self.S = max(1, int(decode_chunk))
+        self.cache_len = -(-int(cache_len) // _CACHE_BUCKET) * _CACHE_BUCKET
+        self.top_k = int(top_k)
+        self.greedy = bool(greedy)
+        self.use_template = use_template
+        self.system_prompt = system_prompt
+
+        self._rope = rope_tables(self.cfg, self.cache_len)
+        self._kv = engine._init_kv(self.B, self.cache_len)
+        V = self.cfg.vocab_size
+        self._last = jnp.zeros((self.B, V), jnp.float32)
+        self._gen_mask = jnp.zeros((self.B, V), bool)
+        self._prng = jax.random.PRNGKey(seed)
+        self._eos = engine._eos_ids()
+
+        # host-side pool state (uploaded per dispatch; tiny)
+        self._t = 0  # global frontier: next slot every row writes
+        self._valid = np.zeros((self.B, self.cache_len), bool)
+        self._key_pos = np.zeros((self.B, self.cache_len), np.int32)
+        self._pad = np.zeros(self.B, np.int32)
+        self._temp = np.full(self.B, 1.0, np.float32)
+        self._top_p = np.ones(self.B, np.float32)
+        self._rep = np.ones(self.B, np.float32)
+        self._rows: List[Optional[Completion]] = [None] * self.B
+        self._pos_next = np.zeros(self.B, np.int64)  # next seq position
+        self._budget_left = np.zeros(self.B, np.int64)
+
+        self._queue: deque = deque()
+        self._lock = threading.Condition()
+        self._thread: Optional[threading.Thread] = None
+        self._stopping = False
+        # observability: dispatch/compaction counters for benches and tests
+        self.stats = {
+            "decode_dispatches": 0,
+            "compactions": 0,
+            "frontier_jumps": 0,
+            "joins": 0,
+            "tokens_out": 0,
+        }
+
+    # -- submission ---------------------------------------------------------
+
+    def submit(
+        self,
+        prompt: str,
+        max_new_tokens: int = 128,
+        temperature: float = 0.7,
+        top_p: float = 0.95,
+        repetition_penalty: float = 1.1,
+        use_template: Optional[bool] = None,
+    ) -> Completion:
+        ids = self.engine._encode(
+            prompt,
+            self.use_template if use_template is None else use_template,
+            self.system_prompt,
+            None,
+        )
+        if not ids:
+            raise ValueError("empty prompt after encoding")
+        budget = -(-max_new_tokens // self.S) * self.S
+        if len(ids) + budget > self.cache_len:
+            raise ValueError(
+                f"prompt ({len(ids)} tokens) + budget ({budget}) exceeds the "
+                f"pool cache ({self.cache_len}); raise cache_len or shorten"
+            )
+        handle = Completion(
+            prompt=prompt,
+            max_new_tokens=max_new_tokens,
+            temperature=temperature,
+            top_p=top_p,
+            repetition_penalty=repetition_penalty,
+        )
+        handle._input_ids = ids  # type: ignore[attr-defined]
+        with self._lock:
+            self._queue.append(handle)
+            self._lock.notify()
+        return handle
+
+    # -- scheduling ---------------------------------------------------------
+
+    def _free_slot(self) -> Optional[int]:
+        for b, row in enumerate(self._rows):
+            if row is None:
+                return b
+        return None
+
+    def _live_slots(self, b: int) -> np.ndarray:
+        return np.nonzero(self._valid[b, : self._t])[0]
+
+    def _compact(self):
+        """Drop dead slots from every row; rebase the frontier."""
+        idx = np.zeros((self.B, self.cache_len), np.int32)
+        new_valid = np.zeros_like(self._valid)
+        new_kp = np.zeros_like(self._key_pos)
+        new_t = 0
+        for b in range(self.B):
+            if self._rows[b] is None:
+                continue
+            live = self._live_slots(b)
+            n = len(live)
+            idx[b, :n] = live
+            new_valid[b, :n] = True
+            new_kp[b, :n] = self._key_pos[b][live]
+            new_t = max(new_t, n)
+        self._kv = _compact_pool(self._kv, jnp.asarray(idx))
+        self._t = new_t
+        for b in range(self.B):
+            if self._rows[b] is None:
+                continue
+            # the row's next token continues its sequence at the new frontier
+            self._pad[b] = new_t - self._pos_next[b]
+            n = int(new_valid[b].sum())
+            new_valid[b, new_t:] = True  # future decode slots
+            new_valid[b, n:new_t] = False
+        self._valid = new_valid
+        self._key_pos = new_kp
+        self.stats["compactions"] += 1
+
+    def _jump_frontier(self, to: int):
+        """Advance the global frontier; other rows mask the skipped span."""
+        jump = to - self._t
+        assert jump > 0
+        for b in range(self.B):
+            if self._rows[b] is not None:
+                self._valid[b, self._t : to] = False
+                self._pad[b] += jump
+        self._t = to
+        self.stats["frontier_jumps"] += 1
+
+    def _try_admit(self, handle: Completion) -> bool:
+        b = self._free_slot()
+        if b is None:
+            return False
+        ids = handle._input_ids  # type: ignore[attr-defined]
+        Lp = len(ids)
+        budget = -(-handle.max_new_tokens // self.S) * self.S
+        t_join = max(self._t, Lp)
+        if t_join + budget > self.cache_len:
+            self._compact()
+            t_join = max(self._t, Lp)
+            if t_join + budget > self.cache_len:
+                return False  # genuinely full: wait for a row to finish
+        if t_join > self._t:
+            self._jump_frontier(t_join)
+
+        engine = self.engine
+        pcache = min(
+            -(-Lp // _CACHE_BUCKET) * _CACHE_BUCKET, self.cache_len
+        )
+        pids, ppos = engine._pad_prompt(ids, pcache)
+        kv1 = engine._init_kv(1, pcache)
+        hit = 0
+        if engine.prefix_cache_slots > 0:
+            hit, kv1 = engine._prefix_lookup(ids, Lp, kv1)
+        row_logits, kv1 = engine._chunked_prefill(
+            engine._decode_step,
+            engine.params,
+            pids,
+            ppos,
+            kv1,
+            self._rope,
+            Lp,
+            keep_pos=Lp - 1,
+            start=hit,
+        )
+        if engine.prefix_cache_slots > 0:
+            engine._prefix_store(ids, Lp, kv1)
+
+        self._kv, self._last, self._gen_mask = _implant_row(
+            self._kv,
+            kv1,
+            self._last,
+            row_logits,
+            self._gen_mask,
+            jnp.int32(b),
+        )
+        self._rows[b] = handle
+        self._valid[b, :] = True
+        self._valid[b, Lp : self._t] = False  # the join gap
+        self._key_pos[b, :Lp] = np.arange(Lp, dtype=np.int32)
+        self._pad[b] = self._t - Lp
+        self._pos_next[b] = Lp
+        self._budget_left[b] = budget
+        self._temp[b] = handle.temperature
+        self._top_p[b] = handle.top_p
+        self._rep[b] = handle.repetition_penalty
+        handle.token_ids = []
+        self.stats["joins"] += 1
+        return True
+
+    def _finish(self, b: int, reason: str):
+        handle = self._rows[b]
+        self._rows[b] = None
+        self._valid[b, :] = False
+        handle.finish_reason = reason
+        handle.text = self.engine.tokenizer.decode(
+            handle.token_ids, skip_special_tokens=True
+        )
+        self.stats["tokens_out"] += len(handle.token_ids)
+        handle._done.set()
+
+    # -- decode -------------------------------------------------------------
+
+    def _step(self):
+        """One fused dispatch: every row advances S slots."""
+        t, S = self._t, self.S
+        if t + S > self.cache_len:
+            self._compact()
+            t = self._t
+            if t + S > self.cache_len:  # cannot happen within budgets
+                raise RuntimeError("pool cache exhausted beyond compaction")
+        cols = np.arange(t, t + S, dtype=np.int32)
+        self._key_pos[:, t : t + S] = cols[None, :] - self._pad[:, None]
+
+        toks, self._last, self._gen_mask, self._prng, self._kv = (
+            self.engine._chunk_step(S)(
+                self.engine.params,
+                self._last,
+                self._gen_mask,
+                self._prng,
+                self._kv,
+                self._rope,
+                t,
+                jnp.asarray(self._pad[:, None]),
+                jnp.asarray(self._temp[:, None]),
+                jnp.asarray(self._top_p[:, None]),
+                jnp.asarray(self._rep[:, None]),
+                jnp.asarray(self._valid),
+                jnp.asarray(self._key_pos),
+                top_k=self.top_k,
+                greedy=self.greedy,
+            )
+        )
+        self._t = t + S
+        self.stats["decode_dispatches"] += 1
+        toks = np.asarray(toks)  # (S, B)
+        active = [b for b in range(self.B) if self._rows[b] is not None]
+        self._pos_next[active] += S
+        self._budget_left[active] -= S
+        for b in active:
+            handle = self._rows[b]
+            for s in range(S):
+                if len(handle.token_ids) >= handle.max_new_tokens:
+                    break
+                tid = int(toks[s, b])
+                if tid in self._eos:
+                    self._finish(b, "stop")
+                    break
+                handle.token_ids.append(tid)
+            if self._rows[b] is not None and (
+                len(handle.token_ids) >= handle.max_new_tokens
+                or self._budget_left[b] <= 0
+            ):
+                self._finish(b, "length")
+
+    # -- driving ------------------------------------------------------------
+
+    def _admit_pending(self):
+        while self._queue:
+            handle = self._queue[0]
+            try:
+                if not self._try_admit(handle):
+                    break
+            except Exception as exc:  # surface prefill errors to the caller
+                handle.error = exc
+                handle._done.set()
+            self._queue.popleft()
+
+    def run_until_idle(self):
+        """Drive the pool synchronously until queue and rows are empty."""
+        with self._lock:
+            while True:
+                self._admit_pending()
+                if not any(r is not None for r in self._rows):
+                    if not self._queue:
+                        return
+                    # queued but unadmittable with no active rows: the
+                    # request alone exceeds capacity (submit() prevents it)
+                    raise RuntimeError("queued request cannot be admitted")
+                self._step()
+
+    def _serve_loop(self):
+        with self._lock:
+            while not self._stopping:
+                self._admit_pending()
+                if any(r is not None for r in self._rows):
+                    self._step()
+                elif not self._queue:
+                    self._lock.wait(timeout=0.1)
+
+    def start(self):
+        if self._thread is not None:
+            return
+        self._stopping = False
+        self._thread = threading.Thread(target=self._serve_loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        if self._thread is None:
+            return
+        with self._lock:
+            self._stopping = True
+            self._lock.notify()
+        self._thread.join(timeout=60)
+        self._thread = None

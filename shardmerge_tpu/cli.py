@@ -489,6 +489,21 @@ def generate_command(
     help="Keep N prompt-prefix KV slabs on device: single-prompt "
     "requests sharing a system prompt skip its prefill (0 = off)",
 )
+@click.option(
+    "--continuous",
+    type=click.IntRange(0, 64),
+    default=0,
+    help="Serve greedy requests from a continuously-batched pool of N "
+    "slots: requests join the running decode mid-flight and free their "
+    "slot as they finish (0 = off)",
+)
+@click.option(
+    "--continuous-cache-len",
+    type=click.IntRange(256, 131072),
+    default=2048,
+    help="KV cache length of the continuous pool (prompt + budget of a "
+    "request must fit)",
+)
 def serve_command(
     model_path: Path,
     host: str,
@@ -500,6 +515,8 @@ def serve_command(
     shard: bool,
     batch_window_ms: float,
     prefix_cache: int,
+    continuous: int,
+    continuous_cache_len: int,
 ):
     """Serve a merged model over HTTP (OpenAI-style /v1/completions).
 
@@ -521,6 +538,8 @@ def serve_command(
         shard=shard,
         batch_window_ms=batch_window_ms,
         prefix_cache=prefix_cache,
+        continuous=continuous,
+        continuous_cache_len=continuous_cache_len,
     )
     click.echo(f"Serving {model_path} on http://{host}:{port} (Ctrl-C to stop)")
     try:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import logging
+import threading
 from collections import OrderedDict
 from dataclasses import dataclass
 from functools import partial
@@ -222,6 +223,10 @@ class InferenceEngine:
         self.prefix_cache_bytes = int(prefix_cache_bytes)
         self._prefix_cache: "OrderedDict" = OrderedDict()
         self._prefix_cache_used = 0
+        # the continuous-batching pool admits requests from its own thread
+        # while the stream path serves others: the match-loop + LRU
+        # move/evict sequences must not interleave
+        self._prefix_lock = threading.Lock()
         self._kv_head_sharding = None
         self._kv_init_fns: dict = {}
         if mesh is not None:
@@ -340,6 +345,7 @@ class InferenceEngine:
             top_p,
             repetition_penalty,
             token_valid,  # None (single) | (B, S) bool (batched)
+            key_positions,  # None | (B, S) true positions (gapped rows)
             *,
             top_k: int,
             greedy: bool,
@@ -377,6 +383,7 @@ class InferenceEngine:
                     attn_len=pos + 1,
                     mask_positions=mask_positions,
                     token_valid=token_valid,
+                    key_positions=key_positions,
                 )
                 return (logits[:, -1, :], mask, key, kv), tok
 
@@ -600,25 +607,26 @@ class InferenceEngine:
         if max_pfx <= 0:
             return 0, kv
         target = tuple(input_ids[:max_pfx])
-        best_key, best = None, 0
-        for key in self._prefix_cache:
-            k_kind, ktoks = key
-            if k_kind != kind:
-                continue
-            n = 0
-            for a, b in zip(ktoks[:max_pfx], target):
-                if a != b:
-                    break
-                n += 1
-            n = n // _PROMPT_BUCKET * _PROMPT_BUCKET
-            if n > best:
-                best, best_key = n, key
-                if best == max_pfx:
-                    break  # cannot do better
-        if best == 0:
-            return 0, kv
-        self._prefix_cache.move_to_end(best_key)
-        slab, _ = self._prefix_cache[best_key]
+        with self._prefix_lock:
+            best_key, best = None, 0
+            for key in self._prefix_cache:
+                k_kind, ktoks = key
+                if k_kind != kind:
+                    continue
+                n = 0
+                for a, b in zip(ktoks[:max_pfx], target):
+                    if a != b:
+                        break
+                    n += 1
+                n = n // _PROMPT_BUCKET * _PROMPT_BUCKET
+                if n > best:
+                    best, best_key = n, key
+                    if best == max_pfx:
+                        break  # cannot do better
+            if best == 0:
+                return 0, kv
+            self._prefix_cache.move_to_end(best_key)
+            slab, _ = self._prefix_cache[best_key]
         if len(best_key[1]) > best:
             slab = _slice_kv(slab, length=best)
         return best, _implant_kv(kv, slab)
@@ -638,21 +646,23 @@ class InferenceEngine:
         if plen < _PROMPT_BUCKET:
             return
         key = (kind, tuple(input_ids[:plen]))
-        if key in self._prefix_cache:
-            self._prefix_cache.move_to_end(key)
-            return
+        with self._prefix_lock:
+            if key in self._prefix_cache:
+                self._prefix_cache.move_to_end(key)
+                return
         slab = _slice_kv(kv, length=plen)
         nbytes = sum(v.nbytes for v in slab.values())
         if nbytes > self.prefix_cache_bytes:
             return  # a single over-budget slab would evict everything
-        self._prefix_cache[key] = (slab, nbytes)
-        self._prefix_cache_used += nbytes
-        while (
-            len(self._prefix_cache) > self.prefix_cache_slots
-            or self._prefix_cache_used > self.prefix_cache_bytes
-        ):
-            _, (_, freed) = self._prefix_cache.popitem(last=False)
-            self._prefix_cache_used -= freed
+        with self._prefix_lock:
+            self._prefix_cache[key] = (slab, nbytes)
+            self._prefix_cache_used += nbytes
+            while (
+                len(self._prefix_cache) > self.prefix_cache_slots
+                or self._prefix_cache_used > self.prefix_cache_bytes
+            ):
+                _, (_, freed) = self._prefix_cache.popitem(last=False)
+                self._prefix_cache_used -= freed
 
     def _eos_ids(self) -> set:
         eos = getattr(self.tokenizer, "eos_token_id", None)
@@ -757,6 +767,7 @@ class InferenceEngine:
                 jnp.float32(temperature),
                 jnp.float32(top_p),
                 jnp.float32(repetition_penalty),
+                None,
                 None,
                 top_k=top_k,
                 greedy=greedy,
@@ -1054,6 +1065,7 @@ class InferenceEngine:
                 jnp.float32(top_p),
                 jnp.float32(repetition_penalty),
                 token_valid,
+                None,
                 top_k=top_k,
                 greedy=greedy,
             )

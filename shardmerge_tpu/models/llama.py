@@ -1241,6 +1241,7 @@ def forward(
     attn_len,  # scalar: number of valid cache slots after this call
     mask_positions: Optional[jnp.ndarray] = None,  # (B, T) slot indices
     token_valid: Optional[jnp.ndarray] = None,  # (B, S) bool
+    key_positions: Optional[jnp.ndarray] = None,  # (B, S) true positions
 ):
     """One forward pass (prefill when T>1, decode when T==1).
 
@@ -1253,6 +1254,17 @@ def forward(
     row's pad count shifts its query and key slots equally, so
     ``slot > pos - window`` reduces to the same true-position inequality as
     the unpadded case, and ``token_valid`` removes the pad slots.
+
+    ``key_positions`` covers caches where slot minus position is NOT one
+    constant per row — the continuous-batching pool, whose rows carry a
+    dead gap between an implanted prompt and the slots decoded after
+    joining (batching.ContinuousEngine). It maps every cache slot to the
+    TRUE sequence position of the token stored there, and the sliding
+    window then compares positions on both sides (query ``positions`` vs
+    ``key_positions``) instead of slot distance, which would count the
+    gap as elapsed tokens. Causality stays slot-ordered (slots are filled
+    in temporal order per row) and gap slots are excluded by
+    ``token_valid``, so their ``key_positions`` entries are never read.
 
     Returns (logits fp32 (B, T, V), new kv_cache).
     """
@@ -1284,7 +1296,16 @@ def forward(
     mask = jnp.where(valid, 0.0, jnp.float32(-1e9))
     mask_sliding = None
     if cfg.sliding_window is not None:
-        valid_sl = valid & (slot > pos - cfg.sliding_window)
+        if key_positions is None:
+            recent = slot > pos - cfg.sliding_window
+        else:
+            # position-space window: exact when cache slots are not
+            # contiguous in sequence position (gapped continuous-batch rows)
+            recent = (
+                key_positions[:, None, :]
+                > positions[:, :, None] - cfg.sliding_window
+            )
+        valid_sl = valid & recent
         mask_sliding = jnp.where(valid_sl, 0.0, jnp.float32(-1e9))
 
     mla = cfg.is_mla

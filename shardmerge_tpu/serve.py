@@ -183,6 +183,9 @@ class ModelServer:
         engine,
         model_id: str = "shardmerge-tpu",
         batch_window_ms: float = 0.0,
+        continuous_slots: int = 0,
+        continuous_cache_len: int = 2048,
+        continuous_decode_chunk: int = 1,
     ):
         self.engine = engine
         self.model_id = model_id
@@ -196,6 +199,24 @@ class ModelServer:
             if batch_window_ms > 0
             else None
         )
+        # continuous_slots > 0: GREEDY requests decode in a continuously
+        # batched pool (batching.ContinuousEngine) — requests join a running
+        # decode and leave as they finish, so a long completion never blocks
+        # short ones and a new arrival never waits for the pool to drain.
+        # Greedy-only because the pool's sampler state is shared: a sampled
+        # request's tokens would depend on its co-tenants despite its seed.
+        self.pool = None
+        if continuous_slots > 0:
+            from .batching import ContinuousEngine
+
+            self.pool = ContinuousEngine(
+                engine,
+                slots=continuous_slots,
+                cache_len=continuous_cache_len,
+                greedy=True,
+                decode_chunk=continuous_decode_chunk,
+            )
+            self.pool.start()
 
     def _run_batch(self, prompts, kwargs):
         with self._device_lock:
@@ -251,6 +272,29 @@ class ModelServer:
         return prompts, kwargs
 
     def _generate(self, prompts, kwargs) -> dict:
+        if self.pool is not None and kwargs.get("greedy"):
+            # continuous batching: each prompt is its own pool request —
+            # they join the running decode independently and finish
+            # independently. The pool fixes decode_chunk at construction;
+            # temperature/top_p/top_k/seed are inert under greedy.
+            try:
+                handles = [
+                    self.pool.submit(
+                        p,
+                        max_new_tokens=kwargs["max_new_tokens"],
+                        repetition_penalty=kwargs["repetition_penalty"],
+                        use_template=kwargs.get("use_template", False),
+                    )
+                    for p in prompts
+                ]
+                texts = [h.result(timeout=600) for h in handles]
+                return self._choices(
+                    texts, [h.finish_reason for h in handles]
+                )
+            except ValueError:
+                # over pool capacity (prompt + budget vs cache_len): fall
+                # through to the lockstep paths, which size their own cache
+                pass
         if len(prompts) == 1 and (
             (kwargs.get("greedy") and self.engine.draft_cfg is not None)
             or getattr(self.engine, "prefix_cache_slots", 0) > 0
@@ -360,6 +404,8 @@ class ModelServer:
             self._httpd = None
         if self.batcher is not None:
             self.batcher.stop()
+        if self.pool is not None:
+            self.pool.stop()
 
 
 def serve(
@@ -373,6 +419,9 @@ def serve(
     shard: bool = False,
     batch_window_ms: float = 0.0,
     prefix_cache: int = 0,
+    continuous: int = 0,
+    continuous_cache_len: int = 2048,
+    continuous_decode_chunk: int = 1,
 ) -> ModelServer:
     """Load a model and start the HTTP server (CLI entry). ``draft_model``
     enables speculative decoding for greedy single-prompt requests;
@@ -380,7 +429,10 @@ def serve(
     ``batch_window_ms`` > 0 coalesces concurrent compatible requests into
     one lockstep decode (DynamicBatcher); ``prefix_cache`` > 0 keeps that
     many prompt-prefix KV slabs on device so single-prompt requests
-    sharing a system prompt skip its prefill."""
+    sharing a system prompt skip its prefill; ``continuous`` > 0 serves
+    greedy requests from a continuously-batched pool of that many slots
+    (requests join the running decode mid-flight and free their slot the
+    moment they finish — see batching.ContinuousEngine)."""
     from .inference import InferenceEngine
 
     engine = InferenceEngine.from_pretrained(
@@ -393,7 +445,12 @@ def serve(
         prefix_cache_slots=prefix_cache,
     )
     server = ModelServer(
-        engine, model_id=str(model_path), batch_window_ms=batch_window_ms
+        engine,
+        model_id=str(model_path),
+        batch_window_ms=batch_window_ms,
+        continuous_slots=continuous,
+        continuous_cache_len=continuous_cache_len,
+        continuous_decode_chunk=continuous_decode_chunk,
     )
     server.start(host, port)
     return server

@@ -1,0 +1,246 @@
+"""Continuous batching: staggered joins, frontier jumps, compaction,
+sliding-window exactness over gapped rows, slot reuse under threading.
+
+The exactness bar: a request decoded greedily in the pool — whatever
+co-tenants join or leave around it — must produce token-for-token the
+same text as the solo stream path. (The reference has no batched serving
+at all; see shard/inference.py:121-200.)
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from shardmerge_tpu.batching import ContinuousEngine
+from shardmerge_tpu.inference import InferenceEngine
+from shardmerge_tpu.models.llama import ModelConfig, init_params
+
+from .test_models import StubTokenizer
+
+
+class _NoEosTokenizer(StubTokenizer):
+    """Rows must exhaust their budget for the compaction test to exercise
+    the frontier wrap — an EOS would free them early."""
+
+    eos_token_id = None
+
+
+def _tiny_engine(seed=0, tokenizer=None, **cfg_kw):
+    defaults = dict(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=2048,
+    )
+    defaults.update(cfg_kw)
+    cfg = ModelConfig(**defaults)
+    params = init_params(cfg, jax.random.PRNGKey(seed), jnp.float32)
+    return InferenceEngine(cfg, params, tokenizer or StubTokenizer())
+
+
+def _solo(engine, prompt, n):
+    return "".join(
+        engine.stream_generation(
+            prompt, max_new_tokens=n, greedy=True, use_template=False
+        )
+    )
+
+
+def _drive(pool, steps):
+    """Admit anything pending, then run exactly ``steps`` decode chunks."""
+    with pool._lock:
+        pool._admit_pending()
+        for _ in range(steps):
+            pool._step()
+
+
+def test_continuous_matches_solo_greedy_staggered_join():
+    engine = _tiny_engine()
+    pool = ContinuousEngine(
+        engine, slots=3, cache_len=512, greedy=True, use_template=False
+    )
+    pa, pb, pc = "hello there", "x", "a much longer prompt than the others"
+    ha = pool.submit(pa, max_new_tokens=24)
+    _drive(pool, 5)  # A decodes alone for 5 tokens
+    hb = pool.submit(pb, max_new_tokens=12)
+    _drive(pool, 3)  # B joins A mid-flight
+    hc = pool.submit(pc, max_new_tokens=6)
+    pool.run_until_idle()
+
+    assert ha.result(0) == _solo(engine, pa, 24)
+    assert hb.result(0) == _solo(engine, pb, 12)
+    assert hc.result(0) == _solo(engine, pc, 6)
+    assert pool.stats["joins"] == 3
+    # C's prompt is longer than the frontier B joined at? not necessarily —
+    # the jump assertion lives in its own test; here we only require joins
+    # mid-decode didn't perturb A (the exactness asserts above)
+
+
+def test_continuous_frontier_jump_exact():
+    engine = _tiny_engine(seed=3)
+    pool = ContinuousEngine(
+        engine, slots=2, cache_len=512, greedy=True, use_template=False
+    )
+    short, long = "ab", "q" * 40  # 40 tokens >> frontier at its join
+    hs = pool.submit(short, max_new_tokens=16)
+    _drive(pool, 4)  # frontier is now ~2+4, far below 40
+    hl = pool.submit(long, max_new_tokens=8)
+    pool.run_until_idle()
+
+    assert pool.stats["frontier_jumps"] >= 1
+    assert hs.result(0) == _solo(engine, short, 16)
+    assert hl.result(0) == _solo(engine, long, 8)
+
+
+def test_continuous_compaction_exact():
+    engine = _tiny_engine(seed=5, tokenizer=_NoEosTokenizer())
+    # cache bucket floor is 256; budgets keep each row under it while the
+    # staggered joins push the shared frontier past it, forcing compaction
+    pool = ContinuousEngine(
+        engine, slots=2, cache_len=256, greedy=True, use_template=False
+    )
+    handles = []
+    prompts = []
+    for i in range(5):
+        p = f"prompt number {i}"
+        prompts.append(p)
+        handles.append(pool.submit(p, max_new_tokens=100))
+        _drive(pool, 30)
+    pool.run_until_idle()
+
+    assert pool.stats["compactions"] >= 1
+    for p, h in zip(prompts, handles):
+        assert h.result(0) == _solo(engine, p, 100)
+
+
+def test_continuous_sliding_window_gap_exact():
+    """The join gap must not count against the sliding window: the pool
+    uses position-space windows (key_positions) while the solo path uses
+    slot-space — identical outputs prove the gap is invisible."""
+    engine = _tiny_engine(seed=7, sliding_window=6, model_type="mistral")
+    assert engine.cfg.layer_is_sliding(0)
+    pool = ContinuousEngine(
+        engine, slots=2, cache_len=512, greedy=True, use_template=False
+    )
+    pa, pb = "sliding window row", "late joiner"
+    ha = pool.submit(pa, max_new_tokens=20)
+    _drive(pool, 9)  # B joins with a 9-slot gap behind its prompt
+    hb = pool.submit(pb, max_new_tokens=20)
+    pool.run_until_idle()
+
+    assert ha.result(0) == _solo(engine, pa, 20)
+    assert hb.result(0) == _solo(engine, pb, 20)
+
+
+def test_continuous_decode_chunk_and_slot_reuse_threaded():
+    engine = _tiny_engine(seed=11)
+    pool = ContinuousEngine(
+        engine,
+        slots=2,
+        cache_len=512,
+        greedy=True,
+        use_template=False,
+        decode_chunk=4,
+    )
+    pool.start()
+    try:
+        prompts = [f"request {i}" for i in range(5)]  # > slots: reuse
+        handles = [pool.submit(p, max_new_tokens=10) for p in prompts]
+        for p, h in zip(prompts, handles):
+            assert h.result(timeout=300) == _solo(engine, p, 10)
+    finally:
+        pool.stop()
+    assert pool.stats["joins"] == 5
+    # chunked pool decode: every dispatch advances ALL rows 4 slots
+    assert pool.stats["decode_dispatches"] <= 5 * 4  # far under 5*10 solo
+
+
+def test_continuous_per_request_sampling_params():
+    engine = _tiny_engine(seed=13)
+    pool = ContinuousEngine(
+        engine, slots=2, cache_len=256, greedy=False, use_template=False
+    )
+    h1 = pool.submit("one", max_new_tokens=8, temperature=0.3, top_p=0.8)
+    h2 = pool.submit(
+        "two", max_new_tokens=8, temperature=1.5, repetition_penalty=1.3
+    )
+    pool.run_until_idle()
+    for h in (h1, h2):
+        assert h.done() and h.finish_reason in ("stop", "length")
+        assert isinstance(h.result(0), str)
+
+
+def test_model_server_continuous_pool():
+    """HTTP requests with greedy=True ride the continuous pool (and match
+    the solo stream path); sampled requests bypass it; over-capacity
+    requests fall back to the lockstep paths instead of erroring."""
+    import json as _json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from shardmerge_tpu.serve import ModelServer
+
+    engine = _tiny_engine(seed=19)
+    server = ModelServer(
+        engine, model_id="cont", continuous_slots=2, continuous_cache_len=256
+    )
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}/v1/completions"
+
+    def call(payload):
+        req = urllib.request.Request(
+            base,
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return _json.loads(r.read())
+
+    try:
+        prompts = ["alpha", "beta prompt", "gamma"]
+        with ThreadPoolExecutor(3) as ex:
+            results = list(
+                ex.map(
+                    lambda p: call(
+                        {"prompt": p, "greedy": True, "max_tokens": 12}
+                    ),
+                    prompts,
+                )
+            )
+        for p, res in zip(prompts, results):
+            assert res["choices"][0]["text"] == _solo(engine, p, 12)
+            assert res["choices"][0]["finish_reason"] in ("stop", "length")
+        assert server.pool.stats["joins"] == 3
+
+        # a list prompt fans out into independent pool requests
+        res = call({"prompt": prompts, "greedy": True, "max_tokens": 6})
+        assert [c["text"] for c in res["choices"]] == [
+            _solo(engine, p, 6) for p in prompts
+        ]
+        assert server.pool.stats["joins"] == 6
+
+        # sampled requests never touch the pool
+        joins = server.pool.stats["joins"]
+        call({"prompt": "sampled", "greedy": False, "max_tokens": 4})
+        assert server.pool.stats["joins"] == joins
+
+        # over pool capacity: falls back to the lockstep path, still greedy
+        res = call({"prompt": "long", "greedy": True, "max_tokens": 512})
+        assert res["choices"][0]["finish_reason"] in ("stop", "length")
+        assert server.pool.stats["joins"] == joins
+    finally:
+        server.stop()
+
+
+def test_continuous_rejects_oversized_request():
+    engine = _tiny_engine(seed=17)
+    pool = ContinuousEngine(
+        engine, slots=1, cache_len=256, greedy=True, use_template=False
+    )
+    with pytest.raises(ValueError, match="exceeds the pool cache"):
+        pool.submit("p" * 200, max_new_tokens=100)
+    with pytest.raises(ValueError, match="at least one slot"):
+        ContinuousEngine(engine, slots=0)
