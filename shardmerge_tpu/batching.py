@@ -21,7 +21,9 @@ Design (all shapes static — nothing ever recompiles after warmup):
   free row. The dead span [Lp, t) is masked out by ``token_valid``; RoPE
   positions stay contiguous because decode positions are slot − pad with
   pad = t − Lp. Sliding-window layers stay exact across the gap via the
-  per-slot ``key_positions`` map (see models/llama.forward).
+  per-slot ``key_positions`` map (see models/llama.forward) — a DEVICE
+  array the fused step advances in-jit, so steady-state host→device
+  traffic per dispatch is O(B) scalars, independent of cache length.
 - When a prompt is longer than the current frontier, the frontier jumps
   forward to Lp; other rows absorb the jump as one more masked gap (their
   pads grow by the jump, so their positions remain contiguous).
@@ -37,10 +39,19 @@ settings. Greedy decoding is exactly the solo stream path's output
 token-for-token; sampled decoding draws from the pool's shared PRNG
 stream, so a sampled completion depends on scheduling (as in any shared
 sampler) — pin ``greedy=True`` to make outputs co-tenant-independent.
+
+Threading: ``submit`` is safe from any thread and never waits on device
+work — the pool lock guards only the queue. Pool state (caches, masks,
+slots) is owned by whichever single thread drives it: the daemon started
+by :meth:`start` (serving) or the caller of :meth:`run_until_idle`
+(scripts/tests) — never both at once. An optional ``device_lock`` (the
+server's) serializes the pool's dispatches against other decode paths
+sharing the device.
 """
 
 from __future__ import annotations
 
+import contextlib
 import logging
 import threading
 from collections import deque
@@ -98,37 +109,46 @@ def _seq_index(idx, leaf_key, ndim):
     return idx.reshape(shape)
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def _compact_pool(kv, idx):
+@partial(jax.jit, donate_argnums=(0, 1))
+def _compact_pool(kv, key_pos, idx):
     """Gather every row's live slots to the front of the slot axis.
 
     idx: (B, S) int32 — per-row source slot for each destination slot, in
     temporal order. Entries past a row's live length may point anywhere
-    (their destinations are masked invalid by the caller)."""
-    return {
+    (their destinations are masked invalid by the caller). ``key_pos``
+    rides the same gather so slot→position bookkeeping survives the move.
+    """
+    out = {
         k: jnp.take_along_axis(
             v, _seq_index(idx, k, v.ndim), axis=_KV_SEQ_AXIS[k]
         )
         for k, v in kv.items()
     }
+    return out, jnp.take_along_axis(key_pos, idx, axis=1)
 
 
-@partial(jax.jit, donate_argnums=(0, 2, 4))
-def _implant_row(kv, slab, last, row_logits, gen_mask, b):
+@partial(jax.jit, donate_argnums=(0, 2, 4, 5))
+def _implant_row(kv, slab, last, row_logits, gen_mask, key_pos, b):
     """Install a prefilled request into pool row ``b``.
 
     Writes the batch-1 prefill cache at slots [0, slab_len) of row b,
-    seeds the row's next-token logits, and clears its repetition-penalty
-    history. One compile per slab length (lengths are bucket-rounded)."""
+    seeds the row's next-token logits, clears its repetition-penalty
+    history, and stamps the prompt's positions (0..slab_len) into the
+    slot→position map. One compile per slab length (bucket-rounded)."""
     out = {}
+    slab_len = None
     for k, v in kv.items():
         start = [0] * v.ndim
         start[1] = b
         out[k] = jax.lax.dynamic_update_slice(v, slab[k], tuple(start))
+        slab_len = slab[k].shape[_KV_SEQ_AXIS[k]]
     last = jax.lax.dynamic_update_slice(last, row_logits, (b, 0))
     zeros = jnp.zeros((1, gen_mask.shape[1]), gen_mask.dtype)
     gen_mask = jax.lax.dynamic_update_slice(gen_mask, zeros, (b, 0))
-    return out, last, gen_mask
+    key_pos = jax.lax.dynamic_update_slice(
+        key_pos, jnp.arange(slab_len, dtype=jnp.int32)[None, :], (b, 0)
+    )
+    return out, last, gen_mask, key_pos
 
 
 class ContinuousEngine:
@@ -142,10 +162,12 @@ class ContinuousEngine:
         pool.run_until_idle()
         print(h1.result(), h2.result())
 
-    Serving use: :meth:`start` spins the same loop on a daemon thread;
+    Serving use: :meth:`start` spins the decode loop on a daemon thread;
     ``submit`` is then safe from any thread and handles resolve as rows
-    finish. ``serve.ModelServer(..., continuous=True)`` wires this under
-    the HTTP endpoint.
+    finish. If the loop dies (device failure), every in-flight and queued
+    handle resolves with the error and later submits raise.
+    ``serve.ModelServer(..., continuous_slots=N)`` wires this under the
+    HTTP endpoint.
     """
 
     def __init__(
@@ -159,6 +181,7 @@ class ContinuousEngine:
         use_template: bool = True,
         system_prompt: Optional[str] = None,
         seed: int = 0,
+        device_lock: Optional[threading.Lock] = None,
     ):
         if slots < 1:
             raise ValueError("continuous batching needs at least one slot")
@@ -176,19 +199,23 @@ class ContinuousEngine:
         self.greedy = bool(greedy)
         self.use_template = use_template
         self.system_prompt = system_prompt
+        self._device_lock = device_lock
 
         self._rope = rope_tables(self.cfg, self.cache_len)
         self._kv = engine._init_kv(self.B, self.cache_len)
         V = self.cfg.vocab_size
         self._last = jnp.zeros((self.B, V), jnp.float32)
         self._gen_mask = jnp.zeros((self.B, V), bool)
+        self._kp = jnp.zeros((self.B, self.cache_len), jnp.int32)
         self._prng = jax.random.PRNGKey(seed)
         self._eos = engine._eos_ids()
 
-        # host-side pool state (uploaded per dispatch; tiny)
+        # host-side pool state; `_valid` uploads only when it changed
+        # (admit / jump / compact / finish), not per dispatch
         self._t = 0  # global frontier: next slot every row writes
         self._valid = np.zeros((self.B, self.cache_len), bool)
-        self._key_pos = np.zeros((self.B, self.cache_len), np.int32)
+        self._valid_dev = jnp.asarray(self._valid)
+        self._valid_dirty = False
         self._pad = np.zeros(self.B, np.int32)
         self._temp = np.full(self.B, 1.0, np.float32)
         self._top_p = np.ones(self.B, np.float32)
@@ -197,10 +224,13 @@ class ContinuousEngine:
         self._pos_next = np.zeros(self.B, np.int64)  # next seq position
         self._budget_left = np.zeros(self.B, np.int64)
 
+        # the lock guards ONLY the queue and lifecycle flags; pool/device
+        # state belongs to the single driving thread
         self._queue: deque = deque()
         self._lock = threading.Condition()
         self._thread: Optional[threading.Thread] = None
         self._stopping = False
+        self._dead: Optional[Exception] = None
         # observability: dispatch/compaction counters for benches and tests
         self.stats = {
             "decode_dispatches": 0,
@@ -210,7 +240,35 @@ class ContinuousEngine:
             "tokens_out": 0,
         }
 
+    def _dev(self):
+        return self._device_lock or contextlib.nullcontext()
+
     # -- submission ---------------------------------------------------------
+
+    def _encode(self, prompt: str, use_template: Optional[bool]) -> List[int]:
+        return self.engine._encode(
+            prompt,
+            self.use_template if use_template is None else use_template,
+            self.system_prompt,
+            None,
+        )
+
+    def _budget(self, max_new_tokens: int) -> int:
+        return -(-max_new_tokens // self.S) * self.S
+
+    def fits(
+        self,
+        prompt: str,
+        max_new_tokens: int,
+        use_template: Optional[bool] = None,
+    ) -> bool:
+        """Host-side capacity precheck: would :meth:`submit` accept this?
+
+        Callers batching several prompts should check ALL of them before
+        submitting ANY — a mid-batch rejection would otherwise strand the
+        already-submitted ones decoding results nobody reads."""
+        ids = self._encode(prompt, use_template)
+        return 0 < len(ids) + self._budget(max_new_tokens) <= self.cache_len
 
     def submit(
         self,
@@ -221,19 +279,13 @@ class ContinuousEngine:
         repetition_penalty: float = 1.1,
         use_template: Optional[bool] = None,
     ) -> Completion:
-        ids = self.engine._encode(
-            prompt,
-            self.use_template if use_template is None else use_template,
-            self.system_prompt,
-            None,
-        )
+        ids = self._encode(prompt, use_template)
         if not ids:
             raise ValueError("empty prompt after encoding")
-        budget = -(-max_new_tokens // self.S) * self.S
-        if len(ids) + budget > self.cache_len:
+        if len(ids) + self._budget(max_new_tokens) > self.cache_len:
             raise ValueError(
-                f"prompt ({len(ids)} tokens) + budget ({budget}) exceeds the "
-                f"pool cache ({self.cache_len}); raise cache_len or shorten"
+                f"prompt ({len(ids)} tokens) + budget exceeds the pool "
+                f"cache ({self.cache_len}); raise cache_len or shorten"
             )
         handle = Completion(
             prompt=prompt,
@@ -244,6 +296,12 @@ class ContinuousEngine:
         )
         handle._input_ids = ids  # type: ignore[attr-defined]
         with self._lock:
+            if self._dead is not None:
+                raise RuntimeError(
+                    "continuous pool is dead"
+                ) from self._dead
+            if self._stopping:
+                raise RuntimeError("continuous pool is stopped")
             self._queue.append(handle)
             self._lock.notify()
         return handle
@@ -256,36 +314,32 @@ class ContinuousEngine:
                 return b
         return None
 
-    def _live_slots(self, b: int) -> np.ndarray:
-        return np.nonzero(self._valid[b, : self._t])[0]
-
     def _compact(self):
         """Drop dead slots from every row; rebase the frontier."""
         idx = np.zeros((self.B, self.cache_len), np.int32)
-        new_valid = np.zeros_like(self._valid)
-        new_kp = np.zeros_like(self._key_pos)
+        live_len = np.zeros(self.B, np.int64)
         new_t = 0
         for b in range(self.B):
             if self._rows[b] is None:
                 continue
-            live = self._live_slots(b)
-            n = len(live)
-            idx[b, :n] = live
-            new_valid[b, :n] = True
-            new_kp[b, :n] = self._key_pos[b][live]
-            new_t = max(new_t, n)
-        self._kv = _compact_pool(self._kv, jnp.asarray(idx))
+            live = np.nonzero(self._valid[b, : self._t])[0]
+            idx[b, : len(live)] = live
+            live_len[b] = len(live)
+            new_t = max(new_t, len(live))
+        self._kv, self._kp = _compact_pool(
+            self._kv, self._kp, jnp.asarray(idx)
+        )
         self._t = new_t
+        self._valid[:] = False
         for b in range(self.B):
             if self._rows[b] is None:
                 continue
+            n = int(live_len[b])
+            self._valid[b, :n] = True
+            self._valid[b, new_t :] = True  # future decode slots
             # the row's next token continues its sequence at the new frontier
             self._pad[b] = new_t - self._pos_next[b]
-            n = int(new_valid[b].sum())
-            new_valid[b, new_t:] = True  # future decode slots
-            new_valid[b, n:new_t] = False
-        self._valid = new_valid
-        self._key_pos = new_kp
+        self._valid_dirty = True
         self.stats["compactions"] += 1
 
     def _jump_frontier(self, to: int):
@@ -297,6 +351,7 @@ class ContinuousEngine:
                 self._valid[b, self._t : to] = False
                 self._pad[b] += jump
         self._t = to
+        self._valid_dirty = True
         self.stats["frontier_jumps"] += 1
 
     def _try_admit(self, handle: Completion) -> bool:
@@ -305,10 +360,11 @@ class ContinuousEngine:
             return False
         ids = handle._input_ids  # type: ignore[attr-defined]
         Lp = len(ids)
-        budget = -(-handle.max_new_tokens // self.S) * self.S
+        budget = self._budget(handle.max_new_tokens)
         t_join = max(self._t, Lp)
         if t_join + budget > self.cache_len:
-            self._compact()
+            with self._dev():
+                self._compact()
             t_join = max(self._t, Lp)
             if t_join + budget > self.cache_len:
                 return False  # genuinely full: wait for a row to finish
@@ -320,36 +376,38 @@ class ContinuousEngine:
             -(-Lp // _CACHE_BUCKET) * _CACHE_BUCKET, self.cache_len
         )
         pids, ppos = engine._pad_prompt(ids, pcache)
-        kv1 = engine._init_kv(1, pcache)
-        hit = 0
-        if engine.prefix_cache_slots > 0:
-            hit, kv1 = engine._prefix_lookup(ids, Lp, kv1)
-        row_logits, kv1 = engine._chunked_prefill(
-            engine._decode_step,
-            engine.params,
-            pids,
-            ppos,
-            kv1,
-            self._rope,
-            Lp,
-            keep_pos=Lp - 1,
-            start=hit,
-        )
-        if engine.prefix_cache_slots > 0:
-            engine._prefix_store(ids, Lp, kv1)
+        with self._dev():
+            kv1 = engine._init_kv(1, pcache)
+            hit = 0
+            if engine.prefix_cache_slots > 0:
+                hit, kv1 = engine._prefix_lookup(ids, Lp, kv1)
+            row_logits, kv1 = engine._chunked_prefill(
+                engine._decode_step,
+                engine.params,
+                pids,
+                ppos,
+                kv1,
+                self._rope,
+                Lp,
+                keep_pos=Lp - 1,
+                start=hit,
+            )
+            if engine.prefix_cache_slots > 0:
+                engine._prefix_store(ids, Lp, kv1)
 
-        self._kv, self._last, self._gen_mask = _implant_row(
-            self._kv,
-            kv1,
-            self._last,
-            row_logits,
-            self._gen_mask,
-            jnp.int32(b),
-        )
+            self._kv, self._last, self._gen_mask, self._kp = _implant_row(
+                self._kv,
+                kv1,
+                self._last,
+                row_logits,
+                self._gen_mask,
+                self._kp,
+                jnp.int32(b),
+            )
         self._rows[b] = handle
         self._valid[b, :] = True
         self._valid[b, Lp : self._t] = False  # the join gap
-        self._key_pos[b, :Lp] = np.arange(Lp, dtype=np.int32)
+        self._valid_dirty = True
         self._pad[b] = self._t - Lp
         self._pos_next[b] = Lp
         self._budget_left[b] = budget
@@ -364,6 +422,7 @@ class ContinuousEngine:
         handle = self._rows[b]
         self._rows[b] = None
         self._valid[b, :] = False
+        self._valid_dirty = True
         handle.finish_reason = reason
         handle.text = self.engine.tokenizer.decode(
             handle.token_ids, skip_special_tokens=True
@@ -377,15 +436,24 @@ class ContinuousEngine:
         """One fused dispatch: every row advances S slots."""
         t, S = self._t, self.S
         if t + S > self.cache_len:
-            self._compact()
+            with self._dev():
+                self._compact()
             t = self._t
             if t + S > self.cache_len:  # cannot happen within budgets
                 raise RuntimeError("pool cache exhausted beyond compaction")
-        cols = np.arange(t, t + S, dtype=np.int32)
-        self._key_pos[:, t : t + S] = cols[None, :] - self._pad[:, None]
+        if self._valid_dirty:
+            self._valid_dev = jnp.asarray(self._valid)
+            self._valid_dirty = False
 
-        toks, self._last, self._gen_mask, self._prng, self._kv = (
-            self.engine._chunk_step(S)(
+        with self._dev():
+            (
+                toks,
+                self._last,
+                self._gen_mask,
+                self._prng,
+                self._kv,
+                self._kp,
+            ) = self.engine._chunk_step(S)(
                 self.engine.params,
                 self._last,
                 self._gen_mask,
@@ -397,15 +465,14 @@ class ContinuousEngine:
                 jnp.asarray(self._temp[:, None]),
                 jnp.asarray(self._top_p[:, None]),
                 jnp.asarray(self._rep[:, None]),
-                jnp.asarray(self._valid),
-                jnp.asarray(self._key_pos),
+                self._valid_dev,
+                self._kp,
                 top_k=self.top_k,
                 greedy=self.greedy,
             )
-        )
+            toks = np.asarray(toks)  # (S, B) — the per-dispatch fetch
         self._t = t + S
         self.stats["decode_dispatches"] += 1
-        toks = np.asarray(toks)  # (S, B)
         active = [b for b in range(self.B) if self._rows[b] is not None]
         self._pos_next[active] += S
         self._budget_left[active] -= S
@@ -427,38 +494,78 @@ class ContinuousEngine:
 
     # -- driving ------------------------------------------------------------
 
+    def _active(self) -> bool:
+        return any(r is not None for r in self._rows)
+
     def _admit_pending(self):
-        while self._queue:
-            handle = self._queue[0]
+        """Admit queued requests until a capacity/slot wall or empty queue.
+
+        Queue peeks/pops are the only locked operations; prefill/implant
+        device work runs unlocked (pool state is driver-thread-owned)."""
+        while True:
+            with self._lock:
+                if not self._queue:
+                    return
+                handle = self._queue[0]
             try:
                 if not self._try_admit(handle):
-                    break
+                    return
             except Exception as exc:  # surface prefill errors to the caller
                 handle.error = exc
                 handle._done.set()
-            self._queue.popleft()
+            with self._lock:
+                self._queue.popleft()  # only the driver thread pops
 
     def run_until_idle(self):
-        """Drive the pool synchronously until queue and rows are empty."""
-        with self._lock:
-            while True:
-                self._admit_pending()
-                if not any(r is not None for r in self._rows):
+        """Drive the pool synchronously until queue and rows are empty.
+
+        For single-threaded use; do not mix with :meth:`start`."""
+        while True:
+            self._admit_pending()
+            if not self._active():
+                with self._lock:
                     if not self._queue:
                         return
-                    # queued but unadmittable with no active rows: the
-                    # request alone exceeds capacity (submit() prevents it)
-                    raise RuntimeError("queued request cannot be admitted")
-                self._step()
+                # a queued request that cannot be admitted with every slot
+                # free would mean submit()'s capacity check is broken
+                raise RuntimeError("queued request cannot be admitted")
+            self._step()
+
+    def _fail_all(self, exc: Exception):
+        with self._lock:
+            pending = list(self._queue)
+            self._queue.clear()
+        for b in range(self.B):
+            if self._rows[b] is not None:
+                handle = self._rows[b]
+                self._rows[b] = None
+                self._valid[b, :] = False
+                handle.error = exc
+                handle._done.set()
+        self._valid_dirty = True
+        for handle in pending:
+            handle.error = exc
+            handle._done.set()
 
     def _serve_loop(self):
-        with self._lock:
-            while not self._stopping:
+        try:
+            while True:
+                with self._lock:
+                    if self._stopping:
+                        break
+                    if not self._queue and not self._active():
+                        self._lock.wait(timeout=0.1)
+                        continue
                 self._admit_pending()
-                if any(r is not None for r in self._rows):
+                if self._active():
                     self._step()
-                elif not self._queue:
-                    self._lock.wait(timeout=0.1)
+        except Exception as exc:
+            # a dying decode loop must not strand waiters on their timeout:
+            # resolve every handle with the error and poison future submits
+            logger.exception("continuous pool decode loop died")
+            with self._lock:
+                self._dead = exc
+            self._fail_all(exc)
 
     def start(self):
         if self._thread is not None:
@@ -473,5 +580,8 @@ class ContinuousEngine:
         with self._lock:
             self._stopping = True
             self._lock.notify()
-        self._thread.join(timeout=60)
+        self._thread.join(timeout=120)
         self._thread = None
+        # whatever the loop did not finish resolves as an error, matching
+        # DynamicBatcher's drain semantics — never leave a waiter hanging
+        self._fail_all(RuntimeError("continuous pool stopped"))

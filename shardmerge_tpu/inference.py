@@ -324,13 +324,19 @@ class InferenceEngine:
         column so RoPE positions stay slot − pad. The budget-final
         token's forward is computed and discarded — one wasted (B, 1)
         step buys the sample+forward fusion for every other token.
+
+        ``key_positions`` (the continuous pool's per-slot position map)
+        rides as a DONATED device array and is advanced in-jit: each
+        scanned step stamps its own position into its slot before the
+        forward, so the pool never re-uploads the (B, S_cache) map —
+        per-dispatch host traffic stays O(B) regardless of cache length.
         """
         cfg = self.cfg
 
         @partial(
             jax.jit,
             static_argnames=("top_k", "greedy"),
-            donate_argnames=("kv_cache", "generated_mask"),
+            donate_argnames=("kv_cache", "generated_mask", "key_positions"),
         )
         def chunk_decode(
             params,
@@ -353,7 +359,7 @@ class InferenceEngine:
             B = last.shape[0]
 
             def step(carry, i):
-                last, mask, key, kv = carry
+                last, mask, key, kv, kp = carry
                 pos = pos0 + i
                 key, sample_key = jax.random.split(key)
                 tok = sample_token.__wrapped__(
@@ -372,6 +378,12 @@ class InferenceEngine:
                     if token_valid is None
                     else jnp.full((B, 1), pos, jnp.int32)
                 )
+                if kp is not None:
+                    # this slot's key is this step's token: its position
+                    # is the row's own decode position (slot − pad)
+                    kp = jax.lax.dynamic_update_slice(
+                        kp, (pos - pad).astype(jnp.int32), (0, pos)
+                    )
                 logits, kv = forward(
                     params,
                     cfg,
@@ -383,17 +395,19 @@ class InferenceEngine:
                     attn_len=pos + 1,
                     mask_positions=mask_positions,
                     token_valid=token_valid,
-                    key_positions=key_positions,
+                    key_positions=kp,
                 )
-                return (logits[:, -1, :], mask, key, kv), tok
+                return (logits[:, -1, :], mask, key, kv, kp), tok
 
-            (last, generated_mask, key, kv_cache), toks = jax.lax.scan(
-                step,
-                (last, generated_mask, key, kv_cache),
-                jnp.arange(S, dtype=jnp.int32),
+            (last, generated_mask, key, kv_cache, key_positions), toks = (
+                jax.lax.scan(
+                    step,
+                    (last, generated_mask, key, kv_cache, key_positions),
+                    jnp.arange(S, dtype=jnp.int32),
+                )
             )
             # toks: (S, B)
-            return toks, last, generated_mask, key, kv_cache
+            return toks, last, generated_mask, key, kv_cache, key_positions
 
         return chunk_decode
 
@@ -646,15 +660,18 @@ class InferenceEngine:
         if plen < _PROMPT_BUCKET:
             return
         key = (kind, tuple(input_ids[:plen]))
-        with self._prefix_lock:
-            if key in self._prefix_cache:
-                self._prefix_cache.move_to_end(key)
-                return
+        # the slab is sliced before taking the lock (device work); the
+        # membership check lives INSIDE the same critical section as the
+        # insert — a check-then-insert split across two lock regions would
+        # let two threads storing the same key double-count the byte budget
         slab = _slice_kv(kv, length=plen)
         nbytes = sum(v.nbytes for v in slab.values())
         if nbytes > self.prefix_cache_bytes:
             return  # a single over-budget slab would evict everything
         with self._prefix_lock:
+            if key in self._prefix_cache:
+                self._prefix_cache.move_to_end(key)
+                return
             self._prefix_cache[key] = (slab, nbytes)
             self._prefix_cache_used += nbytes
             while (
@@ -753,7 +770,7 @@ class InferenceEngine:
         stopped = False
         while done < max_new_tokens and not stopped:
             # ONE dispatch: sample chunk_size tokens AND run their forwards
-            toks, last, generated_mask, key, kv = self._chunk_step(
+            toks, last, generated_mask, key, kv, _ = self._chunk_step(
                 chunk_size
             )(
                 self.params,
@@ -1050,7 +1067,7 @@ class InferenceEngine:
             # ONE dispatch of EXACTLY chunk_size lockstep steps (a ragged
             # tail would compile a second program; surplus rows from the
             # rounded-up final chunk are discarded below)
-            toks, last, generated_mask, key, kv = self._chunk_step(
+            toks, last, generated_mask, key, kv, _ = self._chunk_step(
                 chunk_size
             )(
                 self.params,

@@ -215,6 +215,11 @@ class ModelServer:
                 cache_len=continuous_cache_len,
                 greedy=True,
                 decode_chunk=continuous_decode_chunk,
+                # the pool's daemon thread dispatches device work; sharing
+                # the server's lock keeps it serialized against the
+                # lockstep/stream paths (one decode program on the device
+                # at a time — the jitted decode already saturates it)
+                device_lock=self._device_lock,
             )
             self.pool.start()
 
@@ -277,13 +282,21 @@ class ModelServer:
             # they join the running decode independently and finish
             # independently. The pool fixes decode_chunk at construction;
             # temperature/top_p/top_k/seed are inert under greedy.
-            try:
+            # Capacity is prechecked for EVERY prompt before ANY submits:
+            # a mid-batch rejection would strand the already-submitted
+            # ones decoding results nobody reads while the lockstep
+            # fallback regenerates them.
+            use_tpl = kwargs.get("use_template", False)
+            if all(
+                self.pool.fits(p, kwargs["max_new_tokens"], use_tpl)
+                for p in prompts
+            ):
                 handles = [
                     self.pool.submit(
                         p,
                         max_new_tokens=kwargs["max_new_tokens"],
                         repetition_penalty=kwargs["repetition_penalty"],
-                        use_template=kwargs.get("use_template", False),
+                        use_template=use_tpl,
                     )
                     for p in prompts
                 ]
@@ -291,10 +304,8 @@ class ModelServer:
                 return self._choices(
                     texts, [h.finish_reason for h in handles]
                 )
-            except ValueError:
-                # over pool capacity (prompt + budget vs cache_len): fall
-                # through to the lockstep paths, which size their own cache
-                pass
+            # over pool capacity (prompt + budget vs cache_len): fall
+            # through to the lockstep paths, which size their own cache
         if len(prompts) == 1 and (
             (kwargs.get("greedy") and self.engine.draft_cfg is not None)
             or getattr(self.engine, "prefix_cache_slots", 0) > 0

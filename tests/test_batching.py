@@ -51,10 +51,9 @@ def _solo(engine, prompt, n):
 
 def _drive(pool, steps):
     """Admit anything pending, then run exactly ``steps`` decode chunks."""
-    with pool._lock:
-        pool._admit_pending()
-        for _ in range(steps):
-            pool._step()
+    pool._admit_pending()
+    for _ in range(steps):
+        pool._step()
 
 
 def test_continuous_matches_solo_greedy_staggered_join():
@@ -233,6 +232,59 @@ def test_model_server_continuous_pool():
         assert server.pool.stats["joins"] == joins
     finally:
         server.stop()
+
+
+def test_continuous_submit_never_blocks_on_decode():
+    """A short request submitted while a long one decodes must finish
+    FIRST — the decode loop cannot hold the pool lock across device work
+    (that would serialize requests and defeat continuous batching)."""
+    engine = _tiny_engine(seed=23, tokenizer=_NoEosTokenizer())
+    pool = ContinuousEngine(
+        engine, slots=2, cache_len=512, greedy=True, use_template=False
+    )
+    # record completion order synchronously on the driver thread — a
+    # wall-clock "is the long one still running?" check would race the
+    # GIL-hot decode loop
+    order = []
+    orig_finish = pool._finish
+
+    def recording_finish(b, reason):
+        order.append(pool._rows[b])
+        orig_finish(b, reason)
+
+    pool._finish = recording_finish
+    pool.start()
+    try:
+        long = pool.submit("the long one", max_new_tokens=300)
+        import time
+
+        deadline = time.monotonic() + 120
+        while not pool.stats["joins"] and time.monotonic() < deadline:
+            time.sleep(0.01)  # wait until the long request is decoding
+        short = pool.submit("quick", max_new_tokens=4)
+        assert short.result(timeout=120) == _solo(engine, "quick", 4)
+        assert long.result(timeout=300) == _solo(engine, "the long one", 300)
+    finally:
+        pool.stop()
+    assert order.index(short) < order.index(long)  # short never waited
+
+
+def test_continuous_stop_resolves_inflight_handles():
+    engine = _tiny_engine(seed=29, tokenizer=_NoEosTokenizer())
+    pool = ContinuousEngine(
+        engine, slots=1, cache_len=512, greedy=True, use_template=False
+    )
+    pool.start()
+    running = pool.submit("busy row", max_new_tokens=400)
+    queued = pool.submit("waiting", max_new_tokens=4)
+    pool.stop()
+    # neither waiter hangs: both resolve with the stop error
+    for h in (running, queued):
+        assert h.done()
+        with pytest.raises(RuntimeError, match="stopped"):
+            h.result(0)
+    with pytest.raises(RuntimeError, match="stopped"):
+        pool.submit("after stop", max_new_tokens=4)
 
 
 def test_continuous_rejects_oversized_request():
