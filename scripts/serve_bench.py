@@ -302,6 +302,99 @@ def device_floor_ms(engine):
     return max(t_k - t_1, 0.0) / (SCAN_K - 1) * 1e3, t_k, t_1
 
 
+def continuous_ab(engine, n_requests=8, long_budget=96, short_budget=8):
+    """Ragged-workload A/B: serial stream vs lockstep batch vs the
+    continuous pool (batching.ContinuousEngine).
+
+    The workload is one long completion plus N−1 short ones, all greedy
+    (deterministic) and EOS-less (full budgets). The lockstep batch runs
+    every row to the LONGEST budget — its mean per-request latency equals
+    its makespan — while the pool frees short rows the moment they finish
+    (mean latency ≈ short_budget steps) at the same or better makespan.
+    Dispatch counts are link-independent; wall numbers carry whatever
+    link the run used."""
+    from shardmerge_tpu.batching import ContinuousEngine
+
+    budgets = [long_budget] + [short_budget] * (n_requests - 1)
+    prompts = [f"request {i}: {PROMPT}" for i in range(n_requests)]
+    out = {
+        "workload": {
+            "requests": n_requests,
+            "budgets": budgets,
+            "prompt_tokens": len(engine.tokenizer.encode(prompts[0])),
+        }
+    }
+
+    def stream_one(p, n):
+        return sum(
+            len(c)
+            for c in engine.stream_generation(
+                p, max_new_tokens=n, greedy=True, use_template=False
+            )
+        )
+
+    # warm every shape each contender uses
+    stream_one(prompts[0], long_budget)
+    stream_one(prompts[1], short_budget)
+    engine.generate_batch(
+        prompts, max_new_tokens=short_budget, greedy=True, use_template=False
+    )
+
+    # --- serial stream (what one-at-a-time serving degenerates to)
+    t0 = time.perf_counter()
+    lat = []
+    for p, n in zip(prompts, budgets):
+        stream_one(p, n)
+        lat.append(time.perf_counter() - t0)
+    out["serial_stream"] = {
+        "makespan_s": round(lat[-1], 3),
+        "mean_latency_s": round(sum(lat) / len(lat), 3),
+    }
+
+    # --- lockstep batch (DynamicBatcher's best case: all arrive together)
+    t0 = time.perf_counter()
+    engine.generate_batch(
+        prompts, max_new_tokens=long_budget, greedy=True, use_template=False
+    )
+    mk = time.perf_counter() - t0
+    out["lockstep_batch"] = {
+        "makespan_s": round(mk, 3),
+        # every request resolves when the whole batch does
+        "mean_latency_s": round(mk, 3),
+    }
+
+    # --- continuous pool
+    pool = ContinuousEngine(
+        engine,
+        slots=4,
+        cache_len=512,
+        greedy=True,
+        use_template=False,
+    )
+    # warm the pool's compile family (B=4 chunk step, implant, prefill)
+    pool.submit(prompts[0], max_new_tokens=short_budget)
+    pool.run_until_idle()
+    for k in pool.stats:
+        pool.stats[k] = 0
+    t0 = time.perf_counter()
+    handles = [
+        pool.submit(p, max_new_tokens=n) for p, n in zip(prompts, budgets)
+    ]
+    pool.run_until_idle()
+    lat = [h.finished_at - t0 for h in handles]
+    out["continuous_pool"] = {
+        "slots": pool.B,
+        "makespan_s": round(max(lat), 3),
+        "mean_latency_s": round(sum(lat) / len(lat), 3),
+        "decode_dispatches": pool.stats["decode_dispatches"],
+        "joins": pool.stats["joins"],
+        "compactions": pool.stats["compactions"],
+        "frontier_jumps": pool.stats["frontier_jumps"],
+        "tokens_out": pool.stats["tokens_out"],
+    }
+    return out
+
+
 def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
     import jax
 
@@ -418,6 +511,9 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
             "tokens": N2,
         }
 
+    if spec_ab:  # the tiny config also carries the scheduling A/B
+        report["continuous_ab"] = continuous_ab(engine)
+
     if report["dtype"] == "bf16":  # quant A/Bs only when bf16 fit
         for bits in (8, 4):
             try:
@@ -467,6 +563,14 @@ def main():
         "device": str(jax.devices()[0]),
         "relay_note": "wall numbers include the ~24 ms/dispatch loopback "
         "relay this host serves through; device_floor strips it",
+        **(
+            {
+                "platform": "CPU BACKEND (wall numbers are NOT chip "
+                "numbers — dispatch counts are link-independent)"
+            }
+            if args.cpu
+            else {}
+        ),
         "method": "two-point decode slope N1=%d N2=%d; scan K=%d floor" % (
             N1, N2, SCAN_K),
     }

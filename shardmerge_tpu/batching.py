@@ -54,6 +54,7 @@ from __future__ import annotations
 import contextlib
 import logging
 import threading
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from functools import partial
@@ -89,6 +90,10 @@ class Completion:
     text: Optional[str] = None
     finish_reason: Optional[str] = None
     error: Optional[Exception] = None
+    # serving metrics (time.monotonic): set at submit / join / finish
+    submitted_at: Optional[float] = None
+    joined_at: Optional[float] = None
+    finished_at: Optional[float] = None
 
     def result(self, timeout: Optional[float] = None) -> str:
         if not self._done.wait(timeout):
@@ -295,6 +300,7 @@ class ContinuousEngine:
             repetition_penalty=repetition_penalty,
         )
         handle._input_ids = ids  # type: ignore[attr-defined]
+        handle.submitted_at = time.monotonic()
         with self._lock:
             if self._dead is not None:
                 raise RuntimeError(
@@ -415,6 +421,7 @@ class ContinuousEngine:
         self._top_p[b] = handle.top_p
         self._rep[b] = handle.repetition_penalty
         handle.token_ids = []
+        handle.joined_at = time.monotonic()
         self.stats["joins"] += 1
         return True
 
@@ -428,6 +435,7 @@ class ContinuousEngine:
             handle.token_ids, skip_special_tokens=True
         )
         self.stats["tokens_out"] += len(handle.token_ids)
+        handle.finished_at = time.monotonic()
         handle._done.set()
 
     # -- decode -------------------------------------------------------------
