@@ -32,10 +32,14 @@ MoE decoder stacks ARE supported: per-expert weight lists stack into
 GPT-OSS blocks pipeline like dense ones, with the exact dense-and-mask
 dispatch), and under pp x tp the expert matrices slice Megatron-style on
 their intermediate dim — the same two per-block psums assemble the
-routed-and-weighted partial sums. Remaining restrictions: homogeneous
-float stacks (no quantized leaves; no gpt-oss experts under tp — their
-down_bias precedes the row-parallel psum), layers divisible by the stage
-count.
+routed-and-weighted partial sums.
+
+Quantized DENSE stacks (int8/int4 {'q','scale'} projections, the serving
+representation) pipeline pp-only: the q/scale arrays stage-stack like any
+leaf and dequantize transparently in the stage body. Remaining
+restrictions: quantized leaves under 'tp' (per-channel scales and int4
+packing do not Megatron-slice), quantized EXPERT lists, and layer counts
+divisible by the stage count (up to the replicated dense prefix).
 """
 
 from __future__ import annotations
@@ -139,9 +143,15 @@ def _normalize_block(layer, tp: bool):
     stackable non-expert tree. Per-expert weight lists are removed here and
     stage-stacked separately, straight into one buffer (_stack_experts) —
     stacking them per layer first would hold a full extra copy of every
-    expert matrix alive during the stage-major stack. Quantized leaves
-    cannot stack (the {'q','scale'} pairs would shard meaninglessly); they
-    raise."""
+    expert matrix alive during the stage-major stack.
+
+    Quantized DENSE projections ({'q','scale'} dicts) DO stack — the q and
+    scale arrays stage-stack like any other leaf and ``matmul`` dequantizes
+    transparently inside the scanned stage body — but only pp-only:
+    Megatron-slicing a quantized matrix would also have to slice its
+    per-output-channel scales (and int4 packs two values per byte on the
+    input dim), so ``tp=True`` still raises. Quantized EXPERT lists raise
+    either way (the stacked-expert buffers assume raw matrices)."""
     from ..models.llama import experts_quantized
 
     out = dict(layer)
@@ -161,12 +171,22 @@ def _normalize_block(layer, tp: bool):
     for k, v in out.items():
         if k == "gptoss_experts":
             continue
-        if not hasattr(v, "ndim"):
-            raise NotImplementedError(
-                f"pipeline stages require array block weights; layer leaf "
-                f"{k!r} is {type(v).__name__} (quantized params cannot be "
-                "stage-stacked)"
-            )
+        if hasattr(v, "ndim"):
+            continue
+        if isinstance(v, dict) and all(
+            hasattr(w, "ndim") for w in v.values()
+        ):
+            if tp:
+                raise NotImplementedError(
+                    f"quantized leaf {k!r} cannot be Megatron-sliced under "
+                    "pp x tp (per-channel scales and int4 packing do not "
+                    "slice); use pp-only stages or raw weights"
+                )
+            continue
+        raise NotImplementedError(
+            f"pipeline stages require array (or quantized-dict) block "
+            f"weights; layer leaf {k!r} is {type(v).__name__}"
+        )
     return out
 
 
@@ -500,6 +520,10 @@ def pipeline_forward_train(
         )
 
     embed = pp_params["embed_tokens"]
+    if isinstance(embed, dict):  # quantized embeddings dequantize to bf16
+        from ..models.quant import dequant
+
+        embed = dequant(embed)
     x = embed[input_ids]
     if cfg.is_gemma:
         x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)

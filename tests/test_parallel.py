@@ -788,11 +788,12 @@ def test_pipeline_rejects_bad_configs():
     with pytest.raises(NotImplementedError, match="quantized experts"):
         stack_stages(mesh4, moe_params, 4)
 
-    # same for non-array (e.g. quantized {'q','scale'}) block leaves
+    # quantized {'q','scale'} dicts stack pp-only; a dict leaf holding a
+    # NON-array still refuses (nothing stackable inside it)
     broken = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
     for layer in broken["layers"]:
         layer["q_proj"] = {"q": layer["q_proj"], "scale": 1.0}
-    with pytest.raises(NotImplementedError, match="array block weights"):
+    with pytest.raises(NotImplementedError, match="quantized-dict"):
         stack_stages(mesh4, broken, 4)
 
 
@@ -1707,3 +1708,55 @@ def test_cp_loss_rejects_incompatible_attention():
     capped = dataclasses.replace(cfg, attn_logit_softcapping=30.0)
     with pytest.raises(NotImplementedError, match="softcapping"):
         make_cp_loss(mesh, capped, params)
+
+
+def test_pipeline_quantized_dense_stack_pp_only():
+    """int8/int4 serving-representation weights pipeline pp-only: the
+    {'q','scale'} dicts stage-stack like raw leaves and dequantize inside
+    the scanned stage body — logits equal forward_train on the SAME
+    quantized params. Under pp x tp they refuse loudly (scales and int4
+    packing do not Megatron-slice)."""
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.models.quant import quantize
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = _pp_cfg(layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
+    proj = ("q_proj", "k_proj", "v_proj", "o_proj",
+            "gate_proj", "up_proj", "down_proj")
+    for bits in (8, 4):
+        qparams = {
+            "embed_tokens": quantize(params["embed_tokens"], bits),
+            "norm": params["norm"],
+            "lm_head": params["lm_head"],
+            "layers": [
+                {
+                    k: (quantize(v, bits) if k in proj else v)
+                    for k, v in layer.items()
+                }
+                for layer in params["layers"]
+            ],
+        }
+        ids = jax.random.randint(
+            jax.random.PRNGKey(6), (4, 7), 0, cfg.vocab_size
+        )
+        want = np.asarray(forward_train(qparams, cfg, ids))
+
+        mesh = make_mesh(("pp",), devices=jax.devices()[:2])
+        pp_params = stack_stages(mesh, qparams, 2)
+        got = np.asarray(
+            pipeline_forward_train(mesh, cfg, pp_params, ids, 2)
+        )
+        # dequantized weights are bf16, so activations carry bf16 ulps and
+        # the scanned stage body reassociates differently from the
+        # unrolled loop — tolerance is bf16-scale, not fp32-scale
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=4e-3)
+
+        mesh2 = make_mesh(
+            ("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2)
+        )
+        with pytest.raises(NotImplementedError, match="Megatron-sliced"):
+            stack_stages(mesh2, qparams, 2, tp=True)
