@@ -287,6 +287,69 @@ def test_continuous_stop_resolves_inflight_handles():
         pool.submit("after stop", max_new_tokens=4)
 
 
+def test_continuous_mla_rows_implant_and_match_solo():
+    """DeepSeek MLA caches ((L,B,S,rank) ckv/kpe leaves, not per-head K/V)
+    ride the same implant/compact/decode machinery — staggered joins match
+    the solo stream path token-for-token."""
+    engine = _tiny_engine(
+        seed=31,
+        hidden_size=64,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        q_lora_rank=24,
+        kv_lora_rank=32,
+        qk_nope_head_dim=16,
+        qk_rope_head_dim=8,
+        v_head_dim=16,
+        model_type="deepseek_v2",
+    )
+    assert engine.cfg.is_mla
+    pool = ContinuousEngine(
+        engine, slots=2, cache_len=512, greedy=True, use_template=False
+    )
+    pa, pb = "mla pool row", "late mla joiner"
+    ha = pool.submit(pa, max_new_tokens=12)
+    _drive(pool, 5)
+    hb = pool.submit(pb, max_new_tokens=12)
+    pool.run_until_idle()
+    assert ha.result(0) == _solo(engine, pa, 12)
+    assert hb.result(0) == _solo(engine, pb, 12)
+
+
+def test_continuous_pool_hits_prefix_cache():
+    """Pool admissions ride the engine's exact-prefix cache: the second
+    request sharing a long system prefix prefills only the remainder
+    (fewer prefill dispatches), with identical output."""
+    engine = _tiny_engine(seed=37)
+    engine.prefix_cache_slots = 2
+    engine.prompt_chunk = 64  # one dispatch per bucket, so counts resolve
+    shared = "s" * 130  # two full 64-token buckets of shared prefix
+    pa, pb = shared + " first", shared + " second"
+
+    calls = {"prefill": 0}
+    orig_step = engine._decode_step
+
+    def counting_step(*a, **k):
+        calls["prefill"] += 1
+        return orig_step(*a, **k)
+
+    engine._decode_step = counting_step
+    pool = ContinuousEngine(
+        engine, slots=2, cache_len=512, greedy=True, use_template=False
+    )
+    pool.submit(pa, max_new_tokens=6)
+    pool.run_until_idle()
+    cold = calls["prefill"]
+    calls["prefill"] = 0
+    hb = pool.submit(pb, max_new_tokens=6)
+    pool.run_until_idle()
+    assert calls["prefill"] < cold  # the shared buckets came from the cache
+    engine._decode_step = orig_step
+    # exactness: same output as a cold engine decoding solo
+    cold_engine = _tiny_engine(seed=37)
+    assert hb.result(0) == _solo(cold_engine, pb, 6)
+
+
 def test_continuous_rejects_oversized_request():
     engine = _tiny_engine(seed=17)
     pool = ContinuousEngine(
