@@ -8,7 +8,7 @@ weights per prompt:
 
 - ``POST /v1/completions`` — ``{"prompt": str | [str, ...], "max_tokens",
   "temperature", "top_p", "top_k", "repetition_penalty", "greedy", "seed",
-  "decode_chunk"}``
+  "decode_chunk", "stream"}``
   → ``{"choices": [{"index", "text", "finish_reason"}, ...]}`` with
   ``finish_reason`` "stop" (EOS) or "length" (max_tokens truncation).
   ``decode_chunk=S`` (default 1) runs S decode steps per device call —
@@ -22,6 +22,11 @@ weights per prompt:
   ``prefix_cache`` is on, ALL single prompts (prefix reuse lives there) —
   so prefix caching takes single prompts out of the dynamic batcher;
   enable the combination deliberately.
+  ``stream: true`` (single prompt only) switches the response to
+  Server-Sent Events: one ``data:`` JSON event per emitted text delta, a
+  final event carrying ``finish_reason``, then ``data: [DONE]`` — the
+  OpenAI streaming shape — served from the engine's stream path
+  (speculative decoding applies when loaded).
   Batch size and prompt length are capped (_MAX_BATCH/_MAX_PROMPT_CHARS):
   each new (batch, length) shape is a fresh XLA compile, so unbounded
   requests could stall the device lock for minutes.
@@ -248,6 +253,9 @@ class ModelServer:
         if any(len(p) > _MAX_PROMPT_CHARS for p in prompts):
             raise ValueError(f"prompts are capped at {_MAX_PROMPT_CHARS} chars")
 
+        stream = bool(payload.get("stream", False))
+        if stream and len(prompts) != 1:
+            raise ValueError("'stream': true supports exactly one prompt")
         try:
             kwargs = dict(
                 max_new_tokens=int(payload.get("max_tokens", 128)),
@@ -262,6 +270,7 @@ class ModelServer:
             )
         except (TypeError, ValueError):
             raise ValueError("sampling parameters must be numeric")
+        kwargs["stream"] = stream
         if kwargs["max_new_tokens"] < 1 or kwargs["max_new_tokens"] > 4096:
             raise ValueError("max_tokens must be in [1, 4096]")
         if not 1 <= kwargs["decode_chunk"] <= 64:
@@ -335,6 +344,39 @@ class ModelServer:
             texts, reasons = self._run_batch(prompts, kwargs)
         return self._choices(texts, reasons)
 
+    def stream_events(self, prompt: str, kwargs):
+        """Yield SSE payload dicts for one streamed completion: a text
+        delta per emitted chunk, then a final empty-text event carrying
+        the finish_reason. Rides the engine's stream path (speculative
+        decoding included when it applies); the device lock is held for
+        the generation like any other single-prompt stream request."""
+        meta: dict = {}
+        base = {"object": "text_completion", "model": self.model_id}
+        with self._device_lock:
+            for chunk in self.engine.stream_generation(
+                prompt,
+                system_prompt=None,
+                previous_messages=None,
+                meta=meta,
+                **kwargs,
+            ):
+                yield {
+                    **base,
+                    "choices": [
+                        {"index": 0, "text": chunk, "finish_reason": None}
+                    ],
+                }
+        yield {
+            **base,
+            "choices": [
+                {
+                    "index": 0,
+                    "text": "",
+                    "finish_reason": meta.get("finish_reason", "length"),
+                }
+            ],
+        }
+
     def _choices(self, texts, reasons) -> dict:
         return {
             "object": "text_completion",
@@ -394,6 +436,36 @@ class ModelServer:
                     prompts, kwargs = server._validate(payload)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send(400, {"error": str(e)})
+                    return
+                if kwargs.pop("stream"):
+                    # Server-Sent Events: one `data:` line per text delta,
+                    # a finish_reason event, then the [DONE] sentinel
+                    # (OpenAI streaming shape). HTTP/1.0 close-delimited.
+                    try:
+                        self.send_response(200)
+                        self.send_header(
+                            "Content-Type", "text/event-stream"
+                        )
+                        self.send_header("Cache-Control", "no-cache")
+                        self.end_headers()
+                        for event in server.stream_events(
+                            prompts[0], kwargs
+                        ):
+                            self.wfile.write(
+                                b"data: " + json.dumps(event).encode() + b"\n\n"
+                            )
+                            self.wfile.flush()
+                        self.wfile.write(b"data: [DONE]\n\n")
+                    except Exception as e:  # mid-stream: error event, close
+                        logger.exception("streamed completion failed")
+                        try:
+                            self.wfile.write(
+                                b"data: "
+                                + json.dumps({"error": str(e)}).encode()
+                                + b"\n\n"
+                            )
+                        except OSError:
+                            pass  # client went away
                     return
                 try:
                     self._send(200, server._generate(prompts, kwargs))

@@ -2190,3 +2190,68 @@ def test_model_server_endpoints(tmp_path):
         assert status == 404
     finally:
         server.stop()
+
+
+def test_model_server_sse_streaming():
+    """`stream: true` returns Server-Sent Events whose joined deltas equal
+    the non-streamed completion, ending with a finish_reason event and the
+    [DONE] sentinel; list prompts with stream are a 400."""
+    import json as _json
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from shardmerge_tpu.inference import InferenceEngine
+    from shardmerge_tpu.models.llama import ModelConfig, init_params
+    from shardmerge_tpu.serve import ModelServer
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(3), jnp.float32)
+    engine = InferenceEngine(cfg, params, StubTokenizer())
+    server = ModelServer(engine, model_id="sse-test")
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}/v1/completions"
+
+    def post(payload):
+        return urllib.request.urlopen(
+            urllib.request.Request(
+                base,
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=120,
+        )
+
+    try:
+        plain = _json.loads(
+            post({"prompt": "hi", "greedy": True, "max_tokens": 8}).read()
+        )["choices"][0]
+
+        with post(
+            {"prompt": "hi", "greedy": True, "max_tokens": 8, "stream": True}
+        ) as resp:
+            assert resp.headers["Content-Type"] == "text/event-stream"
+            lines = [
+                l[len("data: "):]
+                for l in resp.read().decode().splitlines()
+                if l.startswith("data: ")
+            ]
+        assert lines[-1] == "[DONE]"
+        events = [_json.loads(l) for l in lines[:-1]]
+        text = "".join(e["choices"][0]["text"] for e in events)
+        assert text == plain["text"]
+        assert events[-1]["choices"][0]["finish_reason"] == plain["finish_reason"]
+        assert all(
+            e["choices"][0]["finish_reason"] is None for e in events[:-1]
+        )
+
+        try:
+            post({"prompt": ["a", "b"], "stream": True, "max_tokens": 4})
+            assert False, "expected 400"
+        except HTTPError as e:
+            assert e.code == 400
+            assert "stream" in _json.loads(e.read())["error"]
+    finally:
+        server.stop()
