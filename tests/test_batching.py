@@ -359,3 +359,33 @@ def test_continuous_rejects_oversized_request():
         pool.submit("p" * 200, max_new_tokens=100)
     with pytest.raises(ValueError, match="at least one slot"):
         ContinuousEngine(engine, slots=0)
+
+
+def test_continuous_pool_over_tensor_parallel_engine():
+    """The pool composes with tensor-parallel serving: pool KV rows carry
+    the engine's head sharding over the 8-device mesh, implant/compact run
+    under GSPMD, and greedy output equals the UNSHARDED solo stream."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    cfg_kw = dict(num_attention_heads=8, num_key_value_heads=8)
+    plain = _tiny_engine(seed=41, **cfg_kw)
+    solo = _solo(plain, "tensor parallel pool", 10)
+
+    from shardmerge_tpu.models.llama import ModelConfig, init_params
+
+    cfg = plain.cfg
+    params = init_params(cfg, jax.random.PRNGKey(41), jnp.float32)
+    mesh = Mesh(np.asarray(jax.devices()), ("tp",))
+    sharded = InferenceEngine(cfg, params, plain.tokenizer, mesh=mesh)
+    assert sharded._kv_head_sharding is not None
+
+    pool = ContinuousEngine(
+        sharded, slots=2, cache_len=512, greedy=True, use_template=False
+    )
+    ha = pool.submit("tensor parallel pool", max_new_tokens=10)
+    _drive(pool, 3)
+    hb = pool.submit("joiner", max_new_tokens=6)
+    pool.run_until_idle()
+    assert ha.result(0) == solo
+    assert hb.result(0) == _solo(plain, "joiner", 6)
