@@ -172,13 +172,19 @@ def zero1_opt_shardings(
     ``opt_state`` may be real state or ``jax.eval_shape(tx.init, params)``
     output; only the pytree structure and ScaleByAdamState nodes are
     used. ``pshard`` overrides the param sharding tree (defaults to
-    param_shardings — pass the cp spec tree for the cp step)."""
+    param_shardings — pass the cp spec tree for the cp step).
+    ``axes=()`` skips the extension: moments MIRROR the param shardings —
+    the FSDP case, where the params themselves already carry the data
+    axes."""
     rep = NamedSharding(mesh, P())
     if pshard is None:
         pshard = param_shardings(mesh, params)
-    moments = jax.tree.map(
-        lambda rule, p: _extend_axes(mesh, rule, p, axes), pshard, params
-    )
+    if axes:
+        moments = jax.tree.map(
+            lambda rule, p: _extend_axes(mesh, rule, p, axes), pshard, params
+        )
+    else:
+        moments = pshard
 
     def map_node(node):
         if isinstance(node, optax.ScaleByAdamState):
@@ -228,16 +234,21 @@ class _OptimKit:
         master_fp32: bool,
         data_axes=("dp",),
         tx=None,
+        fsdp: bool = False,
     ):
         # tx: any optax GradientTransformation (schedules, clipping,
         # chains). zero1 placement keys on ScaleByAdamState nodes; other
         # state nodes (clip/schedule counters) replicate — still correct,
         # just not partitioned.
+        # fsdp: the caller's pshard already carries the data axes on the
+        # PARAMS — moments/master mirror it (zero1_opt_shardings axes=())
+        # instead of extending it onto a second dim.
         self.tx = tx if tx is not None else optax.adamw(learning_rate)
         self.mesh = mesh
         self.zero1 = zero1
         self.master_fp32 = master_fp32
         self.data_axes = tuple(data_axes)
+        self.fsdp = fsdp
         self.cells: dict = {}  # sharding trees, filled by init
 
     def init(self, params: Params, pshard) -> TrainState:
@@ -254,7 +265,7 @@ class _OptimKit:
                     params,
                 )
                 if self.zero1
-                else pshard
+                else pshard  # fsdp: pshard already carries the data axes
             )
             self.cells["master"] = m_shard
             state["master"] = jax.jit(
@@ -264,11 +275,11 @@ class _OptimKit:
                 out_shardings=m_shard,
             )(params)
         target = state.get("master", params)
-        if self.zero1:
+        if self.zero1 or self.fsdp:
             shapes = jax.eval_shape(self.tx.init, target)
             shardings = zero1_opt_shardings(
                 self.mesh, target, shapes, pshard=pshard,
-                axes=self.data_axes,
+                axes=self.data_axes if self.zero1 else (),
             )
             self.cells["opt"] = shardings
             state["opt_state"] = jax.jit(
@@ -290,11 +301,11 @@ class _OptimKit:
             grads, state["opt_state"], ref
         )
         new_ref = optax.apply_updates(ref, updates)
-        if self.zero1:
+        if self.zero1 or self.fsdp:
             # pin the data-axis partitioning so GSPMD keeps the moments
             # (and master) sharded — reduce-scatter grads in, all-gather
-            # the delta out — instead of ever materializing a replicated
-            # tree
+            # the delta out (zero1) / at each use site (fsdp) — instead
+            # of ever materializing a replicated tree
             opt_state = jax.lax.with_sharding_constraint(
                 opt_state, self.cells["opt"]
             )
@@ -302,6 +313,10 @@ class _OptimKit:
                 new_ref = jax.lax.with_sharding_constraint(
                     new_ref, self.cells["master"]
                 )
+        if self.fsdp and not self.master_fp32:
+            new_ref = jax.lax.with_sharding_constraint(
+                new_ref, self.cells["params"]
+            )
         if self.master_fp32:
             params = jax.tree.map(
                 lambda m, p: m.astype(p.dtype), new_ref, state["params"]
@@ -326,6 +341,7 @@ def make_train_step(
     master_fp32: bool = False,
     grad_accum: int = 1,
     tx=None,
+    fsdp: bool = False,
 ):
     """Build (init_state, train_step) with dp-sharded batches and tp-sharded
     params/optimizer state. train_step: (state, batch) -> (state, loss).
@@ -353,11 +369,31 @@ def make_train_step(
     bf16 — updates smaller than one bf16 ulp ACCUMULATE in the master
     instead of vanishing in the cast. Composes with zero1: the fp32
     master and moments all shard over 'dp' (per-device optimizer HBM =
-    12 bytes/param / dp on top of the 2-byte bf16 replica)."""
-    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32, tx=tx)
+    12 bytes/param / dp on top of the 2-byte bf16 replica).
+    ``fsdp=True`` goes one step further (the ZeRO-3 / fully-sharded-data-
+    parallel recipe): the PARAMETERS themselves also partition over 'dp'
+    (each leaf's first free divisible dim, on top of any 'tp' placement)
+    and the moments/master mirror them — per-device weight HBM drops to
+    1/(dp·tp), with GSPMD all-gathering each weight at its use sites in
+    the forward/backward (re-gathered after remat) and reduce-scattering
+    its gradient. Subsumes zero1 (passing both raises). Numerics are
+    identical to the replicated step."""
+    if fsdp and zero1:
+        raise ValueError(
+            "fsdp already shards the optimizer state over 'dp'; "
+            "zero1 is subsumed"
+        )
+    kit = _OptimKit(mesh, learning_rate, zero1, master_fp32, tx=tx, fsdp=fsdp)
     batch_sharding = NamedSharding(mesh, P("dp", None))
 
     def init_state(params: Params) -> TrainState:
+        if fsdp:
+            base = param_shardings(mesh, params)
+            pshard = jax.tree.map(
+                lambda r, p: _extend_axes(mesh, r, p, ("dp",)), base, params
+            )
+            params = jax.tree.map(jax.device_put, params, pshard)
+            return kit.init(params, pshard)
         params = shard_params(mesh, params)
         return kit.init(params, param_shardings(mesh, params))
 

@@ -412,3 +412,67 @@ def test_graft_dryrun_multichip_hostile_env():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "dryrun_multichip OK: 8 devices" in proc.stdout
+
+
+def test_fsdp_matches_replicated_and_shards_params():
+    """FSDP (zero3-style): the params themselves partition over 'dp' on
+    top of their 'tp' placement, moments/master mirror them, and the
+    training trajectory equals the replicated step's. Per-device weight
+    bytes drop to 1/(dp*tp)."""
+    mesh = make_mesh(("dp", "tp"), shape=(4, 2))
+    cfg = _cfg()
+    batch = jnp.asarray(
+        np.random.default_rng(7).integers(0, cfg.vocab_size, (4, 16)),
+        jnp.int32,
+    )
+
+    results = {}
+    for fsdp in (False, True):
+        params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+        init_state, train_step = make_train_step(
+            mesh, cfg, learning_rate=1e-2, fsdp=fsdp
+        )
+        state = init_state(params)
+        losses = []
+        for _ in range(3):
+            state, loss = train_step(state, batch)
+            losses.append(float(loss))
+        results[fsdp] = (losses, state)
+
+    np.testing.assert_allclose(results[True][0], results[False][0], rtol=1e-5)
+    ref = np.asarray(results[False][1]["params"]["embed_tokens"])
+    got = np.asarray(results[True][1]["params"]["embed_tokens"])
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+    import pytest
+
+    # weights genuinely dp x tp partitioned: 1/(dp*tp) bytes per device
+    q = results[True][1]["params"]["layers"][0]["q_proj"]
+    flat_spec = [a for e in q.sharding.spec if e for a in
+                 (e if isinstance(e, tuple) else (e,))]
+    assert "dp" in flat_spec and "tp" in flat_spec, q.sharding.spec
+    assert (
+        q.addressable_shards[0].data.nbytes * mesh.devices.size == q.nbytes
+    )
+    # moments MIRROR the param placement (no second-dim extension)
+    adam = results[True][1]["opt_state"][0]
+    mu = adam.mu["layers"][0]["q_proj"]
+    assert mu.sharding == q.sharding
+    assert int(adam.count) == 3
+
+    with pytest.raises(ValueError, match="subsumed"):
+        make_train_step(mesh, cfg, zero1=True, fsdp=True)
+
+    # composes with master_fp32 + remat + grad_accum
+    params = init_params(cfg, jax.random.PRNGKey(0), dtype=jnp.float32)
+    init_state, train_step = make_train_step(
+        mesh, cfg, learning_rate=1e-2, fsdp=True, master_fp32=True,
+        remat=True, grad_accum=2,
+    )
+    state = init_state(params)
+    state, loss = train_step(state, batch)
+    np.testing.assert_allclose(
+        float(loss), results[False][0][0], rtol=1e-5
+    )
+    m = state["master"]["layers"][0]["q_proj"]  # fp32 master: fsdp-sharded
+    assert m.addressable_shards[0].data.nbytes * mesh.devices.size == m.nbytes
