@@ -123,6 +123,23 @@ def main():
         "| params dtype:", restored["params"]["norm"].dtype,
     )
 
+    # the same snapshot also restores onto an FSDP recipe (ZeRO-3: the
+    # params themselves shard over dp; moments/master mirror them)
+    fs_recipe = dict(recipe, zero1=False, fsdp=True)
+    fs_init, fs_step = make_train_step(mesh2, cfg, **fs_recipe)
+    fs_template = fs_init(
+        init_params(cfg, jax.random.PRNGKey(2), jnp.bfloat16)
+    )
+    fs_state, _ = restore_train_state(ckpt_dir, fs_template)
+    fs_state, fs_loss = fs_step(fs_state, batch(at_step + 1))
+    q = fs_state["params"]["layers"][0]["q_proj"]
+    print(
+        f"fsdp resume: loss {float(fs_loss):.4f} | param sharding",
+        q.sharding.spec,
+        f"| per-device bytes {q.addressable_shards[0].data.nbytes}",
+        f"of {q.nbytes}",
+    )
+
 
 if __name__ == "__main__":
     _reexec_on_cpu()

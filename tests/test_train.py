@@ -281,6 +281,21 @@ def test_checkpoint_roundtrip_mesh_migration_and_zero1_resume(tmp_path):
     z1_state, z1_loss = z1_step(z1_state, batch)
     np.testing.assert_allclose(float(z1_loss), ref_losses[0], rtol=1e-5)
 
+    # replicated checkpoint -> FSDP resume: params land dp-sharded too
+    fs_init, fs_step = make_train_step(
+        mesh2, cfg, learning_rate=1e-2, fsdp=True
+    )
+    fs_template = fs_init(
+        init_params(cfg, jax.random.PRNGKey(13), jnp.float32)
+    )
+    fs_state, _ = restore_train_state(tmp_path, fs_template)
+    q = fs_state["params"]["layers"][0]["q_proj"]
+    assert (
+        q.addressable_shards[0].data.nbytes * mesh2.devices.size == q.nbytes
+    )
+    fs_state, fs_loss = fs_step(fs_state, batch)
+    np.testing.assert_allclose(float(fs_loss), ref_losses[0], rtol=1e-5)
+
     # a different architecture cannot restore silently
     import dataclasses
 
