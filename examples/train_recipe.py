@@ -124,18 +124,22 @@ def main():
     )
 
     # the same snapshot also restores onto an FSDP recipe (ZeRO-3: the
-    # params themselves shard over dp; moments/master mirror them)
+    # params themselves shard over dp; moments/master mirror them).
+    # Replay the SAME batch stream so the printed loss is directly
+    # comparable to "resumed step 3" above.
     fs_recipe = dict(recipe, zero1=False, fsdp=True)
     fs_init, fs_step = make_train_step(mesh2, cfg, **fs_recipe)
     fs_template = fs_init(
         init_params(cfg, jax.random.PRNGKey(2), jnp.bfloat16)
     )
     fs_state, _ = restore_train_state(ckpt_dir, fs_template)
-    fs_state, fs_loss = fs_step(fs_state, batch(at_step + 1))
+    rng = np.random.default_rng(0)
+    fs_batches = [batch(i) for i in range(at_step + 2)]
+    fs_state, fs_loss = fs_step(fs_state, fs_batches[at_step + 1])
     q = fs_state["params"]["layers"][0]["q_proj"]
     print(
-        f"fsdp resume: loss {float(fs_loss):.4f} | param sharding",
-        q.sharding.spec,
+        f"fsdp resume (same step-3 batch): loss {float(fs_loss):.4f} "
+        f"| param sharding", q.sharding.spec,
         f"| per-device bytes {q.addressable_shards[0].data.nbytes}",
         f"of {q.nbytes}",
     )

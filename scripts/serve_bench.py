@@ -376,11 +376,15 @@ def continuous_ab(engine, n_requests=8, long_budget=96, short_budget=8):
     pool.run_until_idle()
     for k in pool.stats:
         pool.stats[k] = 0
-    t0 = time.perf_counter()
+    # Completion timestamps are time.monotonic(); t0 must share the clock
+    t0 = time.monotonic()
     handles = [
         pool.submit(p, max_new_tokens=n) for p, n in zip(prompts, budgets)
     ]
     pool.run_until_idle()
+    failed = [h for h in handles if h.error is not None]
+    if failed:
+        raise RuntimeError(f"{len(failed)} pool requests failed: {failed[0].error}")
     lat = [h.finished_at - t0 for h in handles]
     out["continuous_pool"] = {
         "slots": pool.B,

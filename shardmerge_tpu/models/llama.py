@@ -476,6 +476,19 @@ def apply_rope_cfg(cfg: ModelConfig, q, k, cos, sin, positions):
     )
 
 
+def embed_matrix(params: Params) -> jnp.ndarray:
+    """The embedding table as a raw matrix, dequantizing {'q','scale'}
+    leaves. One definition for every forward entry (forward,
+    forward_train, pipeline_forward_train) so embedding-dequant semantics
+    cannot silently diverge between them."""
+    embed = params["embed_tokens"]
+    if isinstance(embed, dict):
+        from .quant import dequant
+
+        embed = dequant(embed)
+    return embed
+
+
 def matmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """x @ W.T with transparent dequantization.
 
@@ -1269,12 +1282,7 @@ def forward(
     Returns (logits fp32 (B, T, V), new kv_cache).
     """
     cos, sin = rope
-    embed = params["embed_tokens"]
-    if isinstance(embed, dict):
-        from .quant import dequant
-
-        embed = dequant(embed)
-    x = embed[input_ids]
+    x = embed_matrix(params)[input_ids]
     po = cfg.is_gemma  # (1+w) norms
     if cfg.is_gemma:
         # HF Gemma scales embeddings by sqrt(hidden), normalizer cast to dtype
@@ -1574,12 +1582,7 @@ def forward_train(
     """
     B, T = input_ids.shape
 
-    embed = params["embed_tokens"]
-    if isinstance(embed, dict):
-        from .quant import dequant
-
-        embed = dequant(embed)
-    x = embed[input_ids]
+    x = embed_matrix(params)[input_ids]
     po = cfg.is_gemma
     if cfg.is_gemma:
         x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)

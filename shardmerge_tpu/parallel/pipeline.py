@@ -519,12 +519,9 @@ def pipeline_forward_train(
             f"(batch {B} / {n_microbatches} microbatches)"
         )
 
-    embed = pp_params["embed_tokens"]
-    if isinstance(embed, dict):  # quantized embeddings dequantize to bf16
-        from ..models.quant import dequant
+    from ..models.llama import embed_matrix
 
-        embed = dequant(embed)
-    x = embed[input_ids]
+    x = embed_matrix(pp_params)[input_ids]
     if cfg.is_gemma:
         x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
 

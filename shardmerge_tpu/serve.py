@@ -441,6 +441,32 @@ class ModelServer:
                     # Server-Sent Events: one `data:` line per text delta,
                     # a finish_reason event, then the [DONE] sentinel
                     # (OpenAI streaming shape). HTTP/1.0 close-delimited.
+                    #
+                    # The generation (which holds the device lock) runs on
+                    # a producer thread feeding a queue; THIS thread only
+                    # drains the queue into the socket. A client that
+                    # stops reading therefore stalls only its own handler
+                    # — the producer finishes its bounded max_tokens of
+                    # work and releases the lock, never blocking the
+                    # lockstep/batcher/pool paths behind a dead socket.
+                    import queue as _queue
+
+                    q: "_queue.Queue" = _queue.Queue()
+                    done = object()
+
+                    def produce():
+                        try:
+                            for ev in server.stream_events(
+                                prompts[0], kwargs
+                            ):
+                                q.put(ev)
+                            q.put(done)
+                        except Exception as exc:
+                            logger.exception("streamed completion failed")
+                            q.put(exc)
+
+                    threading.Thread(target=produce, daemon=True).start()
+                    self.connection.settimeout(600)  # free dead clients
                     try:
                         self.send_response(200)
                         self.send_header(
@@ -448,24 +474,26 @@ class ModelServer:
                         )
                         self.send_header("Cache-Control", "no-cache")
                         self.end_headers()
-                        for event in server.stream_events(
-                            prompts[0], kwargs
-                        ):
+                        while True:
+                            item = q.get()
+                            if item is done:
+                                self.wfile.write(b"data: [DONE]\n\n")
+                                break
+                            if isinstance(item, Exception):
+                                self.wfile.write(
+                                    b"data: "
+                                    + json.dumps(
+                                        {"error": str(item)}
+                                    ).encode()
+                                    + b"\n\n"
+                                )
+                                break
                             self.wfile.write(
-                                b"data: " + json.dumps(event).encode() + b"\n\n"
+                                b"data: " + json.dumps(item).encode() + b"\n\n"
                             )
                             self.wfile.flush()
-                        self.wfile.write(b"data: [DONE]\n\n")
-                    except Exception as e:  # mid-stream: error event, close
-                        logger.exception("streamed completion failed")
-                        try:
-                            self.wfile.write(
-                                b"data: "
-                                + json.dumps({"error": str(e)}).encode()
-                                + b"\n\n"
-                            )
-                        except OSError:
-                            pass  # client went away
+                    except OSError:
+                        pass  # client went away; producer drains on its own
                     return
                 try:
                     self._send(200, server._generate(prompts, kwargs))
