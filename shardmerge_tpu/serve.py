@@ -30,6 +30,12 @@ weights per prompt:
   Batch size and prompt length are capped (_MAX_BATCH/_MAX_PROMPT_CHARS):
   each new (batch, length) shape is a fresh XLA compile, so unbounded
   requests could stall the device lock for minutes.
+- ``POST /v1/chat/completions`` — ``{"messages": [{"role", "content"},
+  ...], ...same sampling keys...}`` → the chat-completion shape (an
+  assistant ``message`` per choice; ``stream`` yields ``delta`` chunks).
+  The conversation renders through the tokenizer's chat template when it
+  has one; otherwise as a plain role-tagged transcript (history is never
+  silently dropped).
 - ``GET /v1/models`` / ``GET /health`` — model id + readiness.
 
 Design notes (TPU-first): requests are served strictly one at a time
@@ -256,6 +262,11 @@ class ModelServer:
         stream = bool(payload.get("stream", False))
         if stream and len(prompts) != 1:
             raise ValueError("'stream': true supports exactly one prompt")
+        kwargs = self._sampling_kwargs(payload)
+        kwargs["stream"] = stream
+        return prompts, kwargs
+
+    def _sampling_kwargs(self, payload: dict) -> dict:
         try:
             kwargs = dict(
                 max_new_tokens=int(payload.get("max_tokens", 128)),
@@ -270,7 +281,6 @@ class ModelServer:
             )
         except (TypeError, ValueError):
             raise ValueError("sampling parameters must be numeric")
-        kwargs["stream"] = stream
         if kwargs["max_new_tokens"] < 1 or kwargs["max_new_tokens"] > 4096:
             raise ValueError("max_tokens must be in [1, 4096]")
         if not 1 <= kwargs["decode_chunk"] <= 64:
@@ -283,7 +293,58 @@ class ModelServer:
         # lax.top_k rejects k > vocab; clamping matches the 'consider
         # everything' intent of a huge top_k
         kwargs["top_k"] = min(kwargs["top_k"], self.engine.cfg.vocab_size)
-        return prompts, kwargs
+        return kwargs
+
+    def _validate_chat(self, payload: dict):
+        """Parse + validate a chat-completions payload. Returns
+        (prompt, kwargs, system_prompt, previous_messages) ready for the
+        engine's stream path. Without a tokenizer chat template, the
+        conversation renders as a plain role-tagged transcript so history
+        is never silently dropped."""
+        from .inference import ChatMessage
+
+        messages = payload.get("messages")
+        if not isinstance(messages, list) or not messages:
+            raise ValueError("missing 'messages'")
+        for m in messages:
+            if (
+                not isinstance(m, dict)
+                or m.get("role") not in ("system", "user", "assistant")
+                or not isinstance(m.get("content"), str)
+                or not m["content"]
+            ):
+                raise ValueError(
+                    "each message needs a role in "
+                    "(system/user/assistant) and non-empty string content"
+                )
+        if messages[-1]["role"] == "assistant":
+            raise ValueError("the final message must await the assistant")
+        if sum(len(m["content"]) for m in messages) > _MAX_PROMPT_CHARS:
+            raise ValueError(
+                f"conversation is capped at {_MAX_PROMPT_CHARS} chars"
+            )
+        kwargs = self._sampling_kwargs(payload)
+        kwargs["stream"] = bool(payload.get("stream", False))
+
+        system = None
+        rest = messages
+        if messages[0]["role"] == "system":
+            system, rest = messages[0]["content"], messages[1:]
+            if not rest:
+                raise ValueError("a system message alone is not a prompt")
+        if getattr(self.engine.tokenizer, "chat_template", None):
+            kwargs["use_template"] = True
+            prompt = rest[-1]["content"]
+            previous = [
+                ChatMessage(m["role"], m["content"]) for m in rest[:-1]
+            ]
+            return prompt, kwargs, system, previous
+        # templateless tokenizer: render the whole conversation
+        kwargs["use_template"] = False
+        lines = [f"system: {system}"] if system else []
+        lines += [f"{m['role']}: {m['content']}" for m in rest]
+        lines.append("assistant:")
+        return "\n".join(lines), kwargs, None, None
 
     def _generate(self, prompts, kwargs) -> dict:
         if self.pool is not None and kwargs.get("greedy"):
@@ -344,34 +405,68 @@ class ModelServer:
             texts, reasons = self._run_batch(prompts, kwargs)
         return self._choices(texts, reasons)
 
-    def stream_events(self, prompt: str, kwargs):
+    def stream_events(
+        self,
+        prompt: str,
+        kwargs,
+        system_prompt=None,
+        previous_messages=None,
+        chat: bool = False,
+    ):
         """Yield SSE payload dicts for one streamed completion: a text
         delta per emitted chunk, then a final empty-text event carrying
         the finish_reason. Rides the engine's stream path (speculative
         decoding included when it applies); the device lock is held for
-        the generation like any other single-prompt stream request."""
+        the generation like any other single-prompt stream request.
+        ``chat=True`` emits the chat-completion delta shape instead of
+        the text-completion shape."""
         meta: dict = {}
-        base = {"object": "text_completion", "model": self.model_id}
+        base = {
+            "object": "chat.completion.chunk" if chat else "text_completion",
+            "model": self.model_id,
+        }
+
+        def choice(text, reason):
+            if chat:
+                delta = {"content": text} if text else {}
+                return {"index": 0, "delta": delta, "finish_reason": reason}
+            return {"index": 0, "text": text, "finish_reason": reason}
+
         with self._device_lock:
             for chunk in self.engine.stream_generation(
                 prompt,
-                system_prompt=None,
-                previous_messages=None,
+                system_prompt=system_prompt,
+                previous_messages=previous_messages,
                 meta=meta,
                 **kwargs,
             ):
-                yield {
-                    **base,
-                    "choices": [
-                        {"index": 0, "text": chunk, "finish_reason": None}
-                    ],
-                }
+                yield {**base, "choices": [choice(chunk, None)]}
         yield {
             **base,
             "choices": [
+                choice("", meta.get("finish_reason", "length"))
+            ],
+        }
+
+    def _generate_chat(self, prompt, kwargs, system, previous) -> dict:
+        meta: dict = {}
+        with self._device_lock:
+            text = "".join(
+                self.engine.stream_generation(
+                    prompt,
+                    system_prompt=system,
+                    previous_messages=previous,
+                    meta=meta,
+                    **kwargs,
+                )
+            )
+        return {
+            "object": "chat.completion",
+            "model": self.model_id,
+            "choices": [
                 {
                     "index": 0,
-                    "text": "",
+                    "message": {"role": "assistant", "content": text},
                     "finish_reason": meta.get("finish_reason", "length"),
                 }
             ],
@@ -422,9 +517,17 @@ class ModelServer:
                     self._send(404, {"error": "not found"})
 
             def do_POST(self):
-                if self.path not in ("/v1/completions", "/completions"):
+                chat = self.path in (
+                    "/v1/chat/completions",
+                    "/chat/completions",
+                )
+                if not chat and self.path not in (
+                    "/v1/completions",
+                    "/completions",
+                ):
                     self._send(404, {"error": "not found"})
                     return
+                system = previous = None
                 try:
                     length = int(self.headers.get("Content-Length", 0))
                     if length > _MAX_BODY:
@@ -433,7 +536,13 @@ class ModelServer:
                     payload = json.loads(self.rfile.read(length) or b"{}")
                     if not isinstance(payload, dict):
                         raise ValueError("body must be a JSON object")
-                    prompts, kwargs = server._validate(payload)
+                    if chat:
+                        prompt, kwargs, system, previous = (
+                            server._validate_chat(payload)
+                        )
+                        prompts = [prompt]
+                    else:
+                        prompts, kwargs = server._validate(payload)
                 except (ValueError, json.JSONDecodeError) as e:
                     self._send(400, {"error": str(e)})
                     return
@@ -457,7 +566,11 @@ class ModelServer:
                     def produce():
                         try:
                             for ev in server.stream_events(
-                                prompts[0], kwargs
+                                prompts[0],
+                                kwargs,
+                                system_prompt=system,
+                                previous_messages=previous,
+                                chat=chat,
                             ):
                                 q.put(ev)
                             q.put(done)
@@ -496,7 +609,15 @@ class ModelServer:
                         pass  # client went away; producer drains on its own
                     return
                 try:
-                    self._send(200, server._generate(prompts, kwargs))
+                    if chat:
+                        self._send(
+                            200,
+                            server._generate_chat(
+                                prompts[0], kwargs, system, previous
+                            ),
+                        )
+                    else:
+                        self._send(200, server._generate(prompts, kwargs))
                 except Exception as e:  # device/engine failure: loud 500
                     logger.exception("completion failed")
                     self._send(500, {"error": str(e)})

@@ -2255,3 +2255,98 @@ def test_model_server_sse_streaming():
             assert "stream" in _json.loads(e.read())["error"]
     finally:
         server.stop()
+
+
+def test_model_server_chat_completions():
+    """/v1/chat/completions: templateless tokenizers render a role-tagged
+    transcript (history preserved), the response carries an assistant
+    message, streaming emits delta chunks, and malformed conversations
+    400."""
+    import json as _json
+    import urllib.request
+    from urllib.error import HTTPError
+
+    from shardmerge_tpu.inference import InferenceEngine
+    from shardmerge_tpu.models.llama import ModelConfig, init_params
+    from shardmerge_tpu.serve import ModelServer
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=1024,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(5), jnp.float32)
+    engine = InferenceEngine(cfg, params, StubTokenizer())
+    server = ModelServer(engine, model_id="chat-test")
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}/v1/chat/completions"
+
+    def post(payload):
+        return urllib.request.urlopen(
+            urllib.request.Request(
+                base,
+                data=_json.dumps(payload).encode(),
+                headers={"Content-Type": "application/json"},
+            ),
+            timeout=120,
+        )
+
+    msgs = [
+        {"role": "system", "content": "be brief"},
+        {"role": "user", "content": "hello"},
+        {"role": "assistant", "content": "hi"},
+        {"role": "user", "content": "again"},
+    ]
+    try:
+        res = _json.loads(
+            post({"messages": msgs, "greedy": True, "max_tokens": 8}).read()
+        )
+        assert res["object"] == "chat.completion"
+        choice = res["choices"][0]
+        assert choice["message"]["role"] == "assistant"
+        assert choice["finish_reason"] in ("stop", "length")
+        # templateless fallback: the engine saw the full transcript
+        expected_prompt = (
+            "system: be brief\nuser: hello\nassistant: hi\nuser: again"
+            "\nassistant:"
+        )
+        expected = "".join(
+            engine.stream_generation(
+                expected_prompt, max_new_tokens=8, greedy=True,
+                use_template=False,
+            )
+        )
+        assert choice["message"]["content"] == expected
+
+        # streaming: delta chunks joined == the non-streamed message
+        with post(
+            {"messages": msgs, "greedy": True, "max_tokens": 8,
+             "stream": True}
+        ) as resp:
+            lines = [
+                l[len("data: "):]
+                for l in resp.read().decode().splitlines()
+                if l.startswith("data: ")
+            ]
+        assert lines[-1] == "[DONE]"
+        events = [_json.loads(l) for l in lines[:-1]]
+        assert events[0]["object"] == "chat.completion.chunk"
+        text = "".join(
+            e["choices"][0]["delta"].get("content", "") for e in events
+        )
+        assert text == expected
+
+        for bad in (
+            {"messages": []},
+            {"messages": [{"role": "robot", "content": "x"}]},
+            {"messages": [{"role": "user", "content": ""}]},
+            {"messages": [{"role": "assistant", "content": "x"}]},
+            {"messages": [{"role": "system", "content": "only sys"}]},
+        ):
+            try:
+                post(bad)
+                assert False, f"expected 400 for {bad}"
+            except HTTPError as e:
+                assert e.code == 400
+    finally:
+        server.stop()
