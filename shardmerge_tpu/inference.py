@@ -811,6 +811,8 @@ class InferenceEngine:
                     stopped = True
                     break
 
+        meta["prompt_tokens"] = prompt_len
+        meta["completion_tokens"] = len(generated)
         # final flush: the incremental decoder withholds text ending in
         # U+FFFD (incomplete multi-byte character); emit whatever decoded
         # text remains so callers that join the stream get the full output
@@ -978,6 +980,8 @@ class InferenceEngine:
                 break
             x1 = int(y[m])
 
+        meta["prompt_tokens"] = prompt_len
+        meta["completion_tokens"] = len(generated)
         text = self.tokenizer.decode(generated, skip_special_tokens=True)
         if len(text) > len(state["text"]):
             yield text[len(state["text"]) :]
@@ -996,6 +1000,7 @@ class InferenceEngine:
         seed: int = 0,
         return_meta: bool = False,
         decode_chunk: int = 1,
+        meta: Optional[dict] = None,
     ):
         """Generate completions for a whole batch in lockstep (serving path).
 
@@ -1104,6 +1109,12 @@ class InferenceEngine:
         texts = [
             self.tokenizer.decode(t, skip_special_tokens=True) for t in tokens
         ]
+        if meta is not None:
+            # per-row token accounting (true encoded lengths, not padded)
+            meta["usage"] = [
+                {"prompt_tokens": len(s), "completion_tokens": len(t)}
+                for s, t in zip(seqs, tokens)
+            ]
         if return_meta:
             reasons = ["stop" if f else "length" for f in finished]
             return texts, reasons

@@ -64,6 +64,30 @@ _MAX_BATCH = 64  # one compile per batch shape; cap what a request can cost
 _MAX_PROMPT_CHARS = 256 * 1024  # bounds prompt length and so the KV cache
 
 
+def _meta_usage(meta: dict):
+    """Per-request usage dict from a stream-path meta, if counted."""
+    if "prompt_tokens" not in meta:
+        return None
+    return {
+        "prompt_tokens": meta["prompt_tokens"],
+        "completion_tokens": meta["completion_tokens"],
+    }
+
+
+def _totals(per_request):
+    """Request-level usage totals (the OpenAI ``usage`` object), or None
+    when any row went uncounted."""
+    if not per_request or any(u is None for u in per_request):
+        return None
+    pt = sum(u["prompt_tokens"] for u in per_request)
+    ct = sum(u["completion_tokens"] for u in per_request)
+    return {
+        "prompt_tokens": pt,
+        "completion_tokens": ct,
+        "total_tokens": pt + ct,
+    }
+
+
 class _Pending:
     __slots__ = ("prompts", "kwargs", "event", "result", "error")
 
@@ -171,12 +195,21 @@ class DynamicBatcher:
             bucket = min(bucket, self.max_batch)
             padded = prompts + [prompts[-1]] * (bucket - len(prompts))
             try:
-                texts, reasons = self._run_batch(padded, first.kwargs)
-                texts, reasons = texts[: len(prompts)], reasons[: len(prompts)]
+                texts, reasons, usage = self._run_batch(padded, first.kwargs)
+                n_real = len(prompts)
+                texts, reasons, usage = (
+                    texts[:n_real],
+                    reasons[:n_real],
+                    usage[:n_real],
+                )
                 i = 0
                 for it in group:
                     n = len(it.prompts)
-                    it.result = (texts[i : i + n], reasons[i : i + n])
+                    it.result = (
+                        texts[i : i + n],
+                        reasons[i : i + n],
+                        usage[i : i + n],
+                    )
                     i += n
             except Exception as e:  # engine failure: every caller sees it
                 for it in group:
@@ -235,10 +268,12 @@ class ModelServer:
             self.pool.start()
 
     def _run_batch(self, prompts, kwargs):
+        meta: dict = {}
         with self._device_lock:
-            return self.engine.generate_batch(
-                prompts, return_meta=True, **kwargs
+            texts, reasons = self.engine.generate_batch(
+                prompts, return_meta=True, meta=meta, **kwargs
             )
+        return texts, reasons, meta.get("usage", [None] * len(texts))
 
     # -- request handling ---------------------------------------------------
 
@@ -372,7 +407,15 @@ class ModelServer:
                 ]
                 texts = [h.result(timeout=600) for h in handles]
                 return self._choices(
-                    texts, [h.finish_reason for h in handles]
+                    texts,
+                    [h.finish_reason for h in handles],
+                    [
+                        {
+                            "prompt_tokens": len(h._input_ids),
+                            "completion_tokens": len(h.token_ids),
+                        }
+                        for h in handles
+                    ],
                 )
             # over pool capacity (prompt + budget vs cache_len): fall
             # through to the lockstep paths, which size their own cache
@@ -394,16 +437,18 @@ class ModelServer:
                         **kwargs,
                     )
                 )
-            return self._choices([text], [meta["finish_reason"]])
+            return self._choices(
+                [text], [meta["finish_reason"]], [_meta_usage(meta)]
+            )
         # only GREEDY requests coalesce: the lockstep sampler draws one key
         # per step over the whole (B, V) batch, so a sampled request's
         # output would depend on who it happened to share a batch with
         # (and on padding) despite its explicit seed
         if self.batcher is not None and kwargs.get("greedy"):
-            texts, reasons = self.batcher.submit(prompts, kwargs)
+            texts, reasons, usage = self.batcher.submit(prompts, kwargs)
         else:
-            texts, reasons = self._run_batch(prompts, kwargs)
-        return self._choices(texts, reasons)
+            texts, reasons, usage = self._run_batch(prompts, kwargs)
+        return self._choices(texts, reasons, usage)
 
     def stream_events(
         self,
@@ -446,6 +491,7 @@ class ModelServer:
             "choices": [
                 choice("", meta.get("finish_reason", "length"))
             ],
+            "usage": _totals([_meta_usage(meta)]),
         }
 
     def _generate_chat(self, prompt, kwargs, system, previous) -> dict:
@@ -470,10 +516,11 @@ class ModelServer:
                     "finish_reason": meta.get("finish_reason", "length"),
                 }
             ],
+            "usage": _totals([_meta_usage(meta)]),
         }
 
-    def _choices(self, texts, reasons) -> dict:
-        return {
+    def _choices(self, texts, reasons, usage=None) -> dict:
+        out = {
             "object": "text_completion",
             "model": self.model_id,
             "choices": [
@@ -481,6 +528,10 @@ class ModelServer:
                 for i, (t, r) in enumerate(zip(texts, reasons))
             ],
         }
+        totals = _totals(usage or [])
+        if totals is not None:
+            out["usage"] = totals
+        return out
 
     # -- server lifecycle ---------------------------------------------------
 

@@ -220,6 +220,13 @@ def test_model_server_continuous_pool():
             _solo(engine, p, 6) for p in prompts
         ]
         assert server.pool.stats["joins"] == 6
+        # usage totals cover every fanned-out request
+        assert res["usage"]["prompt_tokens"] == sum(
+            len(p) for p in prompts  # stub tokenizer: 1 token per char
+        )
+        assert res["usage"]["total_tokens"] == (
+            res["usage"]["prompt_tokens"] + res["usage"]["completion_tokens"]
+        )
 
         # sampled requests never touch the pool
         joins = server.pool.stats["joins"]

@@ -2246,6 +2246,13 @@ def test_model_server_sse_streaming():
         assert all(
             e["choices"][0]["finish_reason"] is None for e in events[:-1]
         )
+        # token accounting rides the final stream event
+        usage = events[-1]["usage"]
+        assert usage["prompt_tokens"] == 2  # "hi" = 2 stub tokens
+        assert (
+            usage["total_tokens"]
+            == usage["prompt_tokens"] + usage["completion_tokens"]
+        )
 
         try:
             post({"prompt": ["a", "b"], "stream": True, "max_tokens": 4})
