@@ -504,6 +504,13 @@ def generate_command(
     help="KV cache length of the continuous pool (prompt + budget of a "
     "request must fit)",
 )
+@click.option(
+    "--warmup",
+    is_flag=True,
+    help="Compile the serving hot path (prefill + fused decode, batcher "
+    "and pool shapes) BEFORE the port opens — on TPU hosts with slow "
+    "first compiles the first request otherwise pays the wall",
+)
 def serve_command(
     model_path: Path,
     host: str,
@@ -517,6 +524,7 @@ def serve_command(
     prefix_cache: int,
     continuous: int,
     continuous_cache_len: int,
+    warmup: bool,
 ):
     """Serve a merged model over HTTP (OpenAI-style /v1/completions).
 
@@ -540,6 +548,7 @@ def serve_command(
         prefix_cache=prefix_cache,
         continuous=continuous,
         continuous_cache_len=continuous_cache_len,
+        warmup=warmup,
     )
     click.echo(f"Serving {model_path} on http://{host}:{port} (Ctrl-C to stop)")
     try:

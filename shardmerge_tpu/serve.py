@@ -235,6 +235,10 @@ class ModelServer:
         self.model_id = model_id
         self.port: Optional[int] = None  # bound port once start()ed
         self._device_lock = threading.Lock()
+        self._started = time.monotonic()
+        self._stats_lock = threading.Lock()
+        self._request_counts: dict = {}
+        self._token_counts: dict = {}
         self._httpd: Optional[ThreadingHTTPServer] = None
         # batch_window_ms > 0: concurrent compatible requests coalesce into
         # one lockstep decode (DynamicBatcher)
@@ -533,6 +537,66 @@ class ModelServer:
             out["usage"] = totals
         return out
 
+    def stats(self) -> dict:
+        """Operational counters (GET /v1/stats): uptime, request tallies,
+        tokens served, and — when continuous batching is on — the pool's
+        join/dispatch/compaction counters."""
+        out = {
+            "model": self.model_id,
+            "uptime_s": round(time.monotonic() - self._started, 1),
+            "requests": dict(self._request_counts),
+            "tokens": dict(self._token_counts),
+        }
+        if self.pool is not None:
+            out["continuous_pool"] = {
+                "slots": self.pool.B,
+                "cache_len": self.pool.cache_len,
+                **self.pool.stats,
+            }
+        if getattr(self.engine, "prefix_cache_slots", 0) > 0:
+            out["prefix_cache"] = {
+                "slots": self.engine.prefix_cache_slots,
+                "entries": len(self.engine._prefix_cache),
+                "bytes": self.engine._prefix_cache_used,
+            }
+        return out
+
+    def _count(self, kind: str, usage=None):
+        with self._stats_lock:
+            self._request_counts[kind] = self._request_counts.get(kind, 0) + 1
+            if usage:
+                for k in ("prompt_tokens", "completion_tokens"):
+                    self._token_counts[k] = (
+                        self._token_counts.get(k, 0) + usage[k]
+                    )
+
+    def warmup(self, decode_chunks=(1,)) -> float:
+        """Pre-compile the serving hot path: one short greedy generation
+        per configured decode_chunk (covering the prompt-bucket prefill
+        and the fused decode step), plus a 2-prompt lockstep batch when a
+        batcher is configured. On TPU hosts with a remote/slow compiler
+        the FIRST request otherwise pays the full compile wall; run this
+        at startup so it lands before the port opens. Returns seconds
+        spent."""
+        t0 = time.monotonic()
+        with self._device_lock:
+            for s in decode_chunks:
+                for _ in self.engine.stream_generation(
+                    "warmup", max_new_tokens=max(2, int(s)),
+                    greedy=True, use_template=False, decode_chunk=int(s),
+                ):
+                    pass
+        if self.batcher is not None:
+            self._run_batch(
+                ["warmup", "warmup"],
+                dict(max_new_tokens=2, greedy=True, use_template=False),
+            )
+        # pool warmup: one tiny request through submit->implant->decode
+        if self.pool is not None:
+            h = self.pool.submit("warmup", max_new_tokens=2)
+            h.result(timeout=600)
+        return time.monotonic() - t0
+
     # -- server lifecycle ---------------------------------------------------
 
     def start(self, host: str = "127.0.0.1", port: int = 0) -> int:
@@ -564,6 +628,8 @@ class ModelServer:
                             ],
                         },
                     )
+                elif self.path == "/v1/stats":
+                    self._send(200, server.stats())
                 else:
                     self._send(404, {"error": "not found"})
 
@@ -638,11 +704,18 @@ class ModelServer:
                         )
                         self.send_header("Cache-Control", "no-cache")
                         self.end_headers()
+                        last_usage = None
                         while True:
                             item = q.get()
                             if item is done:
                                 self.wfile.write(b"data: [DONE]\n\n")
+                                server._count(
+                                    "chat_stream" if chat else "stream",
+                                    last_usage,
+                                )
                                 break
+                            if isinstance(item, dict):
+                                last_usage = item.get("usage", last_usage)
                             if isinstance(item, Exception):
                                 self.wfile.write(
                                     b"data: "
@@ -661,14 +734,16 @@ class ModelServer:
                     return
                 try:
                     if chat:
-                        self._send(
-                            200,
-                            server._generate_chat(
-                                prompts[0], kwargs, system, previous
-                            ),
+                        body = server._generate_chat(
+                            prompts[0], kwargs, system, previous
                         )
                     else:
-                        self._send(200, server._generate(prompts, kwargs))
+                        body = server._generate(prompts, kwargs)
+                    server._count(
+                        "chat" if chat else "completions",
+                        body.get("usage"),
+                    )
+                    self._send(200, body)
                 except Exception as e:  # device/engine failure: loud 500
                     logger.exception("completion failed")
                     self._send(500, {"error": str(e)})
@@ -705,6 +780,7 @@ def serve(
     continuous: int = 0,
     continuous_cache_len: int = 2048,
     continuous_decode_chunk: int = 1,
+    warmup: bool = False,
 ) -> ModelServer:
     """Load a model and start the HTTP server (CLI entry). ``draft_model``
     enables speculative decoding for greedy single-prompt requests;
@@ -735,5 +811,11 @@ def serve(
         continuous_cache_len=continuous_cache_len,
         continuous_decode_chunk=continuous_decode_chunk,
     )
+    if warmup:
+        # compile the hot path BEFORE the port opens: on TPU hosts with a
+        # remote/slow compiler the first request otherwise pays the wall
+        chunks = sorted({1, max(1, int(continuous_decode_chunk))})
+        spent = server.warmup(decode_chunks=chunks)
+        logger.info("warmup compiled the serving hot path in %.1f s", spent)
     server.start(host, port)
     return server

@@ -2357,3 +2357,62 @@ def test_model_server_chat_completions():
                 assert e.code == 400
     finally:
         server.stop()
+
+
+def test_model_server_stats_and_warmup():
+    """/v1/stats reports uptime, per-kind request counts, token tallies,
+    and pool/prefix-cache counters; warmup() compiles the hot path before
+    any request arrives."""
+    import json as _json
+    import urllib.request
+
+    from shardmerge_tpu.inference import InferenceEngine
+    from shardmerge_tpu.models.llama import ModelConfig, init_params
+    from shardmerge_tpu.serve import ModelServer
+
+    cfg = ModelConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=2,
+        max_position_embeddings=1024,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(7), jnp.float32)
+    engine = InferenceEngine(
+        cfg, params, StubTokenizer(), prefix_cache_slots=2
+    )
+    server = ModelServer(
+        engine, model_id="stats", continuous_slots=2,
+        continuous_cache_len=256,
+    )
+    spent = server.warmup()
+    assert spent > 0
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}"
+
+    def call(path, payload=None):
+        if payload is None:
+            return _json.load(urllib.request.urlopen(base + path, timeout=60))
+        req = urllib.request.Request(
+            base + path,
+            data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        return _json.load(urllib.request.urlopen(req, timeout=120))
+
+    try:
+        call("/v1/completions", {"prompt": "hi", "max_tokens": 4,
+                                 "greedy": True})
+        call("/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "hey"}],
+            "max_tokens": 4,
+        })
+        stats = call("/v1/stats")
+        assert stats["model"] == "stats"
+        assert stats["uptime_s"] >= 0
+        assert stats["requests"].get("completions") == 1
+        assert stats["requests"].get("chat") == 1
+        assert stats["tokens"]["completion_tokens"] >= 1
+        pool = stats["continuous_pool"]
+        assert pool["slots"] == 2 and pool["joins"] >= 2  # warmup + request
+        assert "prefix_cache" in stats
+    finally:
+        server.stop()
