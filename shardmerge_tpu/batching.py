@@ -250,12 +250,18 @@ class ContinuousEngine:
 
     # -- submission ---------------------------------------------------------
 
-    def _encode(self, prompt: str, use_template: Optional[bool]) -> List[int]:
+    def _encode(
+        self,
+        prompt: str,
+        use_template: Optional[bool],
+        system_prompt=None,
+        previous_messages=None,
+    ) -> List[int]:
         return self.engine._encode(
             prompt,
             self.use_template if use_template is None else use_template,
-            self.system_prompt,
-            None,
+            system_prompt if system_prompt is not None else self.system_prompt,
+            previous_messages,
         )
 
     def _budget(self, max_new_tokens: int) -> int:
@@ -266,13 +272,17 @@ class ContinuousEngine:
         prompt: str,
         max_new_tokens: int,
         use_template: Optional[bool] = None,
+        system_prompt=None,
+        previous_messages=None,
     ) -> bool:
         """Host-side capacity precheck: would :meth:`submit` accept this?
 
         Callers batching several prompts should check ALL of them before
         submitting ANY — a mid-batch rejection would otherwise strand the
         already-submitted ones decoding results nobody reads."""
-        ids = self._encode(prompt, use_template)
+        ids = self._encode(
+            prompt, use_template, system_prompt, previous_messages
+        )
         return 0 < len(ids) + self._budget(max_new_tokens) <= self.cache_len
 
     def submit(
@@ -283,8 +293,12 @@ class ContinuousEngine:
         top_p: float = 0.95,
         repetition_penalty: float = 1.1,
         use_template: Optional[bool] = None,
+        system_prompt=None,
+        previous_messages=None,
     ) -> Completion:
-        ids = self._encode(prompt, use_template)
+        ids = self._encode(
+            prompt, use_template, system_prompt, previous_messages
+        )
         if not ids:
             raise ValueError("empty prompt after encoding")
         if len(ids) + self._budget(max_new_tokens) > self.cache_len:

@@ -812,7 +812,12 @@ class InferenceEngine:
                     break
 
         meta["prompt_tokens"] = prompt_len
-        meta["completion_tokens"] = len(generated)
+        # EOS is appended to `generated` before the stop check; exclude it
+        # so completion_tokens matches the batch/pool paths (which never
+        # record the stop token)
+        meta["completion_tokens"] = len(generated) - (
+            1 if meta["finish_reason"] == "stop" else 0
+        )
         # final flush: the incremental decoder withholds text ending in
         # U+FFFD (incomplete multi-byte character); emit whatever decoded
         # text remains so callers that join the stream get the full output
@@ -981,7 +986,10 @@ class InferenceEngine:
             x1 = int(y[m])
 
         meta["prompt_tokens"] = prompt_len
-        meta["completion_tokens"] = len(generated)
+        # as in stream_generation: the emitted EOS is not a completion token
+        meta["completion_tokens"] = len(generated) - (
+            1 if meta["finish_reason"] == "stop" else 0
+        )
         text = self.tokenizer.decode(generated, skip_special_tokens=True)
         if len(text) > len(state["text"]):
             yield text[len(state["text"]) :]

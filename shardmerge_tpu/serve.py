@@ -356,8 +356,11 @@ class ModelServer:
                     "each message needs a role in "
                     "(system/user/assistant) and non-empty string content"
                 )
-        if messages[-1]["role"] == "assistant":
-            raise ValueError("the final message must await the assistant")
+        if messages[-1]["role"] != "user":
+            # a trailing system message would otherwise render as a USER
+            # turn on the template path (engine._encode wraps the prompt
+            # as the user message) — reject instead of misattributing
+            raise ValueError("the final message must be from the user")
         if sum(len(m["content"]) for m in messages) > _MAX_PROMPT_CHARS:
             raise ValueError(
                 f"conversation is capped at {_MAX_PROMPT_CHARS} chars"
@@ -369,8 +372,6 @@ class ModelServer:
         rest = messages
         if messages[0]["role"] == "system":
             system, rest = messages[0]["content"], messages[1:]
-            if not rest:
-                raise ValueError("a system message alone is not a prompt")
         if getattr(self.engine.tokenizer, "chat_template", None):
             kwargs["use_template"] = True
             prompt = rest[-1]["content"]
@@ -430,17 +431,7 @@ class ModelServer:
             # single prompt on the stream path: speculative decoding
             # (greedy + loaded draft) and/or prompt-prefix KV caching —
             # neither exists on generate_batch
-            meta: dict = {}
-            with self._device_lock:
-                text = "".join(
-                    self.engine.stream_generation(
-                        prompts[0],
-                        system_prompt=None,
-                        previous_messages=None,
-                        meta=meta,
-                        **kwargs,
-                    )
-                )
+            text, meta = self._stream_to_text(prompts[0], kwargs)
             return self._choices(
                 [text], [meta["finish_reason"]], [_meta_usage(meta)]
             )
@@ -481,6 +472,19 @@ class ModelServer:
                 return {"index": 0, "delta": delta, "finish_reason": reason}
             return {"index": 0, "text": text, "finish_reason": reason}
 
+        if chat:
+            # OpenAI chat streams open with a role-only delta; clients
+            # commonly seed the assembled message's role from it
+            yield {
+                **base,
+                "choices": [
+                    {
+                        "index": 0,
+                        "delta": {"role": "assistant"},
+                        "finish_reason": None,
+                    }
+                ],
+            }
         with self._device_lock:
             for chunk in self.engine.stream_generation(
                 prompt,
@@ -498,7 +502,8 @@ class ModelServer:
             "usage": _totals([_meta_usage(meta)]),
         }
 
-    def _generate_chat(self, prompt, kwargs, system, previous) -> dict:
+    def _stream_to_text(self, prompt, kwargs, system=None, previous=None):
+        """One solo generation on the stream path; returns (text, meta)."""
         meta: dict = {}
         with self._device_lock:
             text = "".join(
@@ -510,6 +515,43 @@ class ModelServer:
                     **kwargs,
                 )
             )
+        return text, meta
+
+    def _generate_chat(self, prompt, kwargs, system, previous) -> dict:
+        # greedy chat rides the continuous pool exactly like greedy
+        # completions (same capacity precheck and fallback) — the endpoint
+        # must not silently lose the throughput machinery
+        if (
+            self.pool is not None
+            and kwargs.get("greedy")
+            and self.pool.fits(
+                prompt,
+                kwargs["max_new_tokens"],
+                kwargs.get("use_template", False),
+                system,
+                previous,
+            )
+        ):
+            h = self.pool.submit(
+                prompt,
+                max_new_tokens=kwargs["max_new_tokens"],
+                repetition_penalty=kwargs["repetition_penalty"],
+                use_template=kwargs.get("use_template", False),
+                system_prompt=system,
+                previous_messages=previous,
+            )
+            text = h.result(timeout=600)
+            reason = h.finish_reason
+            usage = [
+                {
+                    "prompt_tokens": len(h._input_ids),
+                    "completion_tokens": len(h.token_ids),
+                }
+            ]
+        else:
+            text, meta = self._stream_to_text(prompt, kwargs, system, previous)
+            reason = meta.get("finish_reason", "length")
+            usage = [_meta_usage(meta)]
         return {
             "object": "chat.completion",
             "model": self.model_id,
@@ -517,10 +559,10 @@ class ModelServer:
                 {
                     "index": 0,
                     "message": {"role": "assistant", "content": text},
-                    "finish_reason": meta.get("finish_reason", "length"),
+                    "finish_reason": reason,
                 }
             ],
-            "usage": _totals([_meta_usage(meta)]),
+            **({"usage": _totals(usage)} if _totals(usage) else {}),
         }
 
     def _choices(self, texts, reasons, usage=None) -> dict:
@@ -579,22 +621,28 @@ class ModelServer:
         at startup so it lands before the port opens. Returns seconds
         spent."""
         t0 = time.monotonic()
-        with self._device_lock:
-            for s in decode_chunks:
-                for _ in self.engine.stream_generation(
-                    "warmup", max_new_tokens=max(2, int(s)),
-                    greedy=True, use_template=False, decode_chunk=int(s),
-                ):
-                    pass
-        if self.batcher is not None:
-            self._run_batch(
-                ["warmup", "warmup"],
-                dict(max_new_tokens=2, greedy=True, use_template=False),
-            )
-        # pool warmup: one tiny request through submit->implant->decode
-        if self.pool is not None:
-            h = self.pool.submit("warmup", max_new_tokens=2)
-            h.result(timeout=600)
+        # the junk "warmup" prompt must not occupy a prefix-cache slot
+        saved_pfx = getattr(self.engine, "prefix_cache_slots", 0)
+        self.engine.prefix_cache_slots = 0
+        try:
+            with self._device_lock:
+                for s in decode_chunks:
+                    for _ in self.engine.stream_generation(
+                        "warmup", max_new_tokens=max(2, int(s)),
+                        greedy=True, use_template=False, decode_chunk=int(s),
+                    ):
+                        pass
+            if self.batcher is not None:
+                self._run_batch(
+                    ["warmup", "warmup"],
+                    dict(max_new_tokens=2, greedy=True, use_template=False),
+                )
+            # pool warmup: one tiny request through submit->implant->decode
+            if self.pool is not None:
+                h = self.pool.submit("warmup", max_new_tokens=2)
+                h.result(timeout=600)
+        finally:
+            self.engine.prefix_cache_slots = saved_pfx
         return time.monotonic() - t0
 
     # -- server lifecycle ---------------------------------------------------
@@ -709,10 +757,6 @@ class ModelServer:
                             item = q.get()
                             if item is done:
                                 self.wfile.write(b"data: [DONE]\n\n")
-                                server._count(
-                                    "chat_stream" if chat else "stream",
-                                    last_usage,
-                                )
                                 break
                             if isinstance(item, dict):
                                 last_usage = item.get("usage", last_usage)
@@ -731,6 +775,13 @@ class ModelServer:
                             self.wfile.flush()
                     except OSError:
                         pass  # client went away; producer drains on its own
+                    finally:
+                        # count even disconnected/failed streams — the
+                        # device did the work whether or not the client
+                        # read it (usage may be None mid-generation)
+                        server._count(
+                            "chat_stream" if chat else "stream", last_usage
+                        )
                     return
                 try:
                     if chat:

@@ -396,3 +396,52 @@ def test_continuous_pool_over_tensor_parallel_engine():
     pool.run_until_idle()
     assert ha.result(0) == solo
     assert hb.result(0) == _solo(plain, "joiner", 6)
+
+
+def test_chat_requests_ride_the_pool():
+    """Greedy /v1/chat/completions requests join the continuous pool (the
+    endpoint must not silently lose the configured throughput machinery),
+    and their usage counts match the stream path's EOS-exclusive
+    convention."""
+    import json as _json
+    import urllib.request
+
+    from shardmerge_tpu.serve import ModelServer
+
+    engine = _tiny_engine(seed=43)
+    server = ModelServer(
+        engine, model_id="chatpool", continuous_slots=2,
+        continuous_cache_len=256,
+    )
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}/v1/chat/completions"
+    try:
+        req = urllib.request.Request(
+            base,
+            data=_json.dumps(
+                {
+                    "messages": [
+                        {"role": "system", "content": "be nice"},
+                        {"role": "user", "content": "hello there"},
+                    ],
+                    "greedy": True,
+                    "max_tokens": 8,
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        res = _json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert server.pool.stats["joins"] == 1
+        expected = "".join(
+            engine.stream_generation(
+                "system: be nice\nuser: hello there\nassistant:",
+                max_new_tokens=8, greedy=True, use_template=False,
+            )
+        )
+        assert res["choices"][0]["message"]["content"] == expected
+        usage = res["usage"]
+        if res["choices"][0]["finish_reason"] == "stop":
+            # EOS is not a completion token on any path
+            assert usage["completion_tokens"] < 8
+    finally:
+        server.stop()
