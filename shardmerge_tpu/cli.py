@@ -571,6 +571,33 @@ def verify_command(model_dir: Path, index_path: Optional[Path], repair: bool):
         raise click.exceptions.Exit(1)
 
 
+@cli.command("fuse-lora")
+@click.argument("base_dir", type=click.Path(exists=True, path_type=Path))
+@click.argument("adapter_dir", type=click.Path(exists=True, path_type=Path))
+@click.argument("output_dir", type=click.Path(path_type=Path))
+@click.option(
+    "--scale",
+    type=float,
+    default=None,
+    help="Override the adapter's own lora_alpha/r scaling",
+)
+def fuse_lora_command(
+    base_dir: Path, adapter_dir: Path, output_dir: Path, scale: Optional[float]
+):
+    """Fuse a PEFT LoRA adapter into a full checkpoint (W + s*B@A).
+
+    The result keeps the base's shard layout/index and is an ordinary
+    checkpoint: merge it, serve it, or hand it to HF tooling."""
+    from .tools.fuse_lora import fuse_lora
+
+    summary = fuse_lora(base_dir, adapter_dir, output_dir, scale=scale)
+    click.echo(
+        f"Fused {summary['fused_tensors']} tensors at scale "
+        f"{summary['scale']:g} across {summary['shards']} shard(s) "
+        f"-> {output_dir}"
+    )
+
+
 @cli.command("rewrite-reorder")
 @click.argument("input_dir", type=click.Path(exists=True, path_type=Path))
 @click.argument("output_dir", type=click.Path(path_type=Path))

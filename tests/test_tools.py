@@ -475,3 +475,144 @@ storage_dir: "{tmp_path}/storage"
     # a dry run must leave NO trace in the output location: a stale index
     # written here would be loaded instead of the base index on the real run
     assert not out_dir.exists()
+
+
+def test_fuse_lora_matches_oracle(tmp_path):
+    """fuse-lora: targeted tensors gain exactly scale*(B@A), untargeted
+    tensors stream through byte-identical, the shard layout/index is
+    preserved, and malformed adapters fail loudly."""
+    import numpy as np
+
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader, save_file
+    from shardmerge_tpu.tools.fuse_lora import LoraFormatError, fuse_lora
+
+    from .conftest import make_tiny_model
+
+    base = tmp_path / "base"
+    tensors = make_tiny_model(base, seed=5)
+
+    # synthetic PEFT adapter: rank-2 pairs on both layers' q_proj + layer-0
+    # down_proj, standard alpha/r scaling
+    r, alpha = 2, 8
+    gen = np.random.default_rng(9)
+    targets = [
+        "model.layers.0.self_attn.q_proj.weight",
+        "model.layers.1.self_attn.q_proj.weight",
+        "model.layers.0.mlp.down_proj.weight",
+    ]
+    adapter = tmp_path / "adapter"
+    adapter.mkdir()
+    aw = {}
+    for t in targets:
+        out_dim, in_dim = tensors[t].shape
+        mod = t[: -len(".weight")]
+        aw[f"base_model.model.{mod}.lora_A.weight"] = gen.standard_normal(
+            (r, in_dim)
+        ).astype(np.float32)
+        aw[f"base_model.model.{mod}.lora_B.weight"] = gen.standard_normal(
+            (out_dim, r)
+        ).astype(np.float32)
+    save_file(aw, adapter / "adapter_model.safetensors")
+    (adapter / "adapter_config.json").write_text(
+        json.dumps({"r": r, "lora_alpha": alpha, "peft_type": "LORA"})
+    )
+
+    out = tmp_path / "fused"
+    summary = fuse_lora(base, adapter, out)
+    assert summary["fused_tensors"] == 3
+    assert summary["scale"] == alpha / r
+
+    index = json.loads((out / "model.safetensors.index.json").read_text())
+    assert index["weight_map"] == json.loads(
+        (base / "model.safetensors.index.json").read_text()
+    )["weight_map"]
+
+    for shard in sorted(set(index["weight_map"].values())):
+        with SafeTensorsReader(out / shard) as reader:
+            for key in reader.keys():
+                got = np.asarray(reader.get_tensor(key))
+                if key in targets:
+                    mod = key[: -len(".weight")]
+                    a = aw[f"base_model.model.{mod}.lora_A.weight"]
+                    b = aw[f"base_model.model.{mod}.lora_B.weight"]
+                    want = tensors[key] + (alpha / r) * (b @ a)
+                    np.testing.assert_allclose(got, want, rtol=1e-6)
+                else:
+                    np.testing.assert_array_equal(got, tensors[key])
+
+    # --scale override
+    out2 = tmp_path / "fused2"
+    s2 = fuse_lora(base, adapter, out2, scale=0.0)
+    assert s2["scale"] == 0.0
+    with SafeTensorsReader(
+        out2 / index["weight_map"][targets[0]]
+    ) as reader:
+        np.testing.assert_array_equal(
+            np.asarray(reader.get_tensor(targets[0])), tensors[targets[0]]
+        )
+
+    # failure modes: dangling target, incomplete pair, bad rank
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    save_file(
+        {
+            "base_model.model.model.layers.9.self_attn.q_proj.lora_A.weight":
+                np.zeros((r, 16), np.float32),
+            "base_model.model.model.layers.9.self_attn.q_proj.lora_B.weight":
+                np.zeros((16, r), np.float32),
+        },
+        bad / "adapter_model.safetensors",
+    )
+    (bad / "adapter_config.json").write_text(json.dumps({"r": r, "lora_alpha": 4}))
+    with pytest.raises(LoraFormatError, match="absent from the base"):
+        fuse_lora(base, bad, tmp_path / "nope")
+
+    half = tmp_path / "half"
+    half.mkdir()
+    save_file(
+        {
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
+                np.zeros((r, 16), np.float32),
+        },
+        half / "adapter_model.safetensors",
+    )
+    (half / "adapter_config.json").write_text(json.dumps({"r": r, "lora_alpha": 4}))
+    with pytest.raises(LoraFormatError, match="incomplete"):
+        fuse_lora(base, half, tmp_path / "nope2")
+
+
+def test_cli_fuse_lora_command(tmp_path):
+    import numpy as np
+
+    from shardmerge_tpu.io.safetensors_io import save_file
+
+    from .conftest import make_tiny_model
+
+    base = tmp_path / "b"
+    tensors = make_tiny_model(base, seed=6)
+    adapter = tmp_path / "a"
+    adapter.mkdir()
+    t = "model.layers.0.self_attn.q_proj.weight"
+    out_dim, in_dim = tensors[t].shape
+    save_file(
+        {
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_A.weight":
+                np.ones((1, in_dim), np.float32),
+            "base_model.model.model.layers.0.self_attn.q_proj.lora_B.weight":
+                np.ones((out_dim, 1), np.float32),
+        },
+        adapter / "adapter_model.safetensors",
+    )
+    (adapter / "adapter_config.json").write_text(
+        json.dumps({"r": 1, "lora_alpha": 1})
+    )
+    from click.testing import CliRunner
+
+    from shardmerge_tpu.cli import cli as cli_root
+
+    result = CliRunner().invoke(
+        cli_root,
+        ["fuse-lora", str(base), str(adapter), str(tmp_path / "o")],
+    )
+    assert result.exit_code == 0, result.output
+    assert "Fused 1 tensors" in result.output
