@@ -107,6 +107,13 @@ async def run_merge(
             f"Unknown merge_method {config.merge_method!r}; "
             f"choose from {sorted(MERGE_METHODS)}"
         )
+    unknown_opts = set(config.method_options) - set(merge_cls.OPTIONS)
+    if unknown_opts:
+        raise ConfigError(
+            f"method_options keys {sorted(unknown_opts)} are not accepted by "
+            f"merge_method {config.merge_method!r} "
+            f"(accepted: {sorted(merge_cls.OPTIONS) or 'none'})"
+        )
 
     download_manager = None
     if _all_local(config):
@@ -166,6 +173,7 @@ async def run_merge(
             if config.hbm_budget_gb is not None
             else None
         ),
+        **config.method_options,
         **kwargs,
     )
     if dry_run:

@@ -94,7 +94,13 @@ class MergeConfig:
     storage_dir: str = "storage"
     # TPU-native extensions (absent fields keep reference-config files valid):
     write_through: bool = False  # per-tensor shard rewrite (reference behavior)
-    merge_method: str = "fourier"  # fourier | fourier-legacy | addition | task-addition
+    merge_method: str = "fourier"  # fourier | fourier-legacy | addition |
+    # task-addition | ties | dare
+    # Engine-specific knobs (e.g. ties: {density, lam}; dare: {drop_rate,
+    # combine, seed}). Keys are validated against the chosen engine's OPTIONS
+    # set at run time — a typo fails loudly instead of silently merging with
+    # defaults.
+    method_options: dict = field(default_factory=dict)
     # Row-shard huge tensors over all devices. None = auto: when more than
     # one device is visible, a mesh is created and tensors >= shard_min_bytes
     # (or >= the huge-tensor working-set bound) merge sharded instead of
@@ -189,6 +195,11 @@ class MergeConfig:
             ]
         except TypeError as e:
             raise ConfigError(f"Invalid finetune_merge entry: {e}") from e
+
+        if "method_options" in config and not isinstance(
+            config["method_options"], dict
+        ):
+            raise ConfigError("method_options must be a mapping")
 
         try:
             cfg = cls(**config)

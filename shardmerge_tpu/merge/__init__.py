@@ -3,10 +3,14 @@ from .fourier import FourierMerge  # noqa: F401
 from .fourier_legacy import LegacyFourierMerge  # noqa: F401
 from .addition import AdditionMerge  # noqa: F401
 from .taskaddition import TaskAdditionMerge  # noqa: F401
+from .ties import TiesMerge  # noqa: F401
+from .dare import DareMerge  # noqa: F401
 
 MERGE_METHODS = {
     "fourier": FourierMerge,
     "fourier-legacy": LegacyFourierMerge,
     "addition": AdditionMerge,
     "task-addition": TaskAdditionMerge,
+    "ties": TiesMerge,
+    "dare": DareMerge,
 }

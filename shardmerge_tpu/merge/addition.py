@@ -40,6 +40,8 @@ def _sum_deltas(base, fts):
 class AdditionMerge(MergeTensorsBase):
     """out = sum(ft - base)."""
 
+    OPTIONS = frozenset({"add_base"})
+
     def __init__(self, *args, add_base: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.add_base = add_base

@@ -46,6 +46,10 @@ def _scale(x, alpha):
 class MergeTensorsBase(ABC):
     """Merges multiple finetuned models by computing and combining deltas."""
 
+    # YAML ``method_options`` keys this engine accepts (validated by the CLI
+    # so a typo'd knob fails loudly instead of merging with defaults).
+    OPTIONS: frozenset = frozenset()
+
     def __init__(
         self,
         config: MergeConfig,
@@ -197,6 +201,29 @@ class MergeTensorsBase(ABC):
         """Base-model tensor in fp32 (reference base.py:117-119)."""
         t = await self._fetch(self.config.output_base_model, shard_layer.layer_name)
         return t.astype(jnp.float32)
+
+    async def _passthrough(self, shard_layer: ShardLayer, which: str) -> np.ndarray:
+        """Input/output layer passthrough with base-model fallback
+        (reference fast_fourier.py:104-130); shared by every engine that
+        honors the is_input/is_output flags."""
+        flag = "is_input" if which == "input" else "is_output"
+        chosen = next(
+            (m for m in self.config.finetune_merge if getattr(m, flag)), None
+        )
+        if chosen is None:
+            chosen = MergeModel(
+                model=self.config.output_base_model,
+                base=self.config.output_base_model,
+            )
+        logger.info(
+            "Passthrough - %s is an %s layer, using %s",
+            shard_layer.layer_name,
+            which,
+            chosen.model,
+        )
+        return await self.index_manager.get_tensor(
+            chosen.model, shard_layer.layer_name
+        ).get()
 
     async def get_delta_for_models(
         self,

@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import MergeConfig, MergeModel
+from ..config import MergeConfig
 from ..constants import INPUT_LAYER, OUTPUT_LAYER
 from ..io.writer import ShardLayer
 from ..ops import blend
@@ -540,27 +540,8 @@ Models merged:
 {models}
 """
 
-    async def _passthrough(self, shard_layer: ShardLayer, which: str) -> np.ndarray:
-        """Input/output layer passthrough with base-model fallback
-        (fast_fourier.py:104-130)."""
-        flag = "is_input" if which == "input" else "is_output"
-        chosen = next(
-            (m for m in self.config.finetune_merge if getattr(m, flag)), None
-        )
-        if chosen is None:
-            chosen = MergeModel(
-                model=self.config.output_base_model,
-                base=self.config.output_base_model,
-            )
-        logger.info(
-            "Passthrough - %s is an %s layer, using %s",
-            shard_layer.layer_name,
-            which,
-            chosen.model,
-        )
-        return await self.index_manager.get_tensor(
-            chosen.model, shard_layer.layer_name
-        ).get()
+    # input/output passthrough (fast_fourier.py:104-130) is inherited from
+    # MergeTensorsBase._passthrough
 
     async def _merge_layer(self, shard_layer: ShardLayer) -> np.ndarray:
         if shard_layer.layer_number == INPUT_LAYER:

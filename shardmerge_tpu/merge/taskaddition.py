@@ -36,6 +36,8 @@ def _ties_sum(base, fts):
 class TaskAdditionMerge(MergeTensorsBase):
     """Addition merge with majority sign agreement."""
 
+    OPTIONS = frozenset({"add_base"})
+
     def __init__(self, *args, add_base: bool = False, **kwargs):
         super().__init__(*args, **kwargs)
         self.add_base = add_base

@@ -1207,3 +1207,255 @@ def test_prefetch_targets_per_layer_kind(tmp_path, tiny_model_factory):
         str(base_path), str(ft1_path), str(ft2_path)
     ], got
     assert all(n == "model.layers.0.self_attn.q_proj.weight" for _, n in got)
+
+
+# ---------------------------------------------------------------------------
+# TIES / DARE engines (post-reference methods; merge/ties.py, merge/dare.py)
+# ---------------------------------------------------------------------------
+
+
+def _np_ties(base, deltas, density, lam):
+    """Independent numpy realization of trim/elect/disjoint-mean."""
+    trimmed = []
+    for d in deltas:
+        flat = np.abs(d).ravel()
+        n = flat.size
+        k_keep = max(1, min(n, int(round(density * n))))
+        thr = np.sort(flat)[n - k_keep] if k_keep < n else -1.0
+        trimmed.append(np.where(np.abs(d) >= thr, d, 0.0))
+    stack = np.stack(trimmed)
+    gamma = np.sign(stack.sum(axis=0))
+    agree = (np.sign(stack) == gamma[None]) & (stack != 0.0)
+    total = np.where(agree, stack, 0.0).sum(axis=0)
+    count = agree.sum(axis=0)
+    merged = np.where(count > 0, total / np.maximum(count, 1), 0.0)
+    return base + lam * merged
+
+
+def test_ties_merge_semantics(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import TiesMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=170)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=171)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=172)
+    ft3_path, ft3_t = tiny_model_factory("ft3", seed=173)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path), "alpha": 1.0},
+        {"model": str(ft2_path), "base": str(base_path), "alpha": 2.0},
+        {"model": str(ft3_path), "base": str(base_path), "alpha": 0.5},
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = TiesMerge(
+        config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path, ft3_path),
+        density=0.5,
+        lam=0.7,
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    for name in (
+        "model.layers.0.mlp.up_proj.weight",  # 2-D
+        "model.layers.1.input_layernorm.weight",  # 1-D
+    ):
+        deltas = [
+            1.0 * (ft1_t[name] - base_t[name]),
+            2.0 * (ft2_t[name] - base_t[name]),
+            0.5 * (ft3_t[name] - base_t[name]),
+        ]
+        expect = _np_ties(base_t[name], deltas, density=0.5, lam=0.7)
+        np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_ties_trim_keeps_threshold_ties():
+    """trim_stack's threshold is the exact order statistic and is inclusive:
+    entries equal to it all survive, even past k_keep."""
+    from shardmerge_tpu.merge.ties import keep_count, trim_stack
+
+    # six entries, top-2 requested, but three share the |.|=3.0 threshold
+    row = np.array([[3.0, -3.0, 3.0, 1.0, -0.5, 0.25]], np.float32)
+    k = keep_count(row.size, 2 / 6)
+    assert k == 2
+    got = np.asarray(trim_stack(row, k))
+    np.testing.assert_array_equal(
+        got, np.array([[3.0, -3.0, 3.0, 0.0, 0.0, 0.0]], np.float32)
+    )
+
+
+def test_ties_full_density_keeps_everything():
+    from shardmerge_tpu.merge.ties import keep_count, trim_stack
+
+    row = np.array([[0.0, -1.0, 2.0]], np.float32)
+    got = np.asarray(trim_stack(row, keep_count(row.size, 1.0)))
+    np.testing.assert_array_equal(got, row)
+
+
+def test_dare_merge_deterministic_and_elementwise(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import DareMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=180)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=181)
+    entries = [{"model": str(ft1_path), "base": str(base_path)}]
+
+    def run(outdir, seed):
+        config = _make_config(
+            tmp_path, base_path, entries, output_dtype="float32"
+        )
+        config.output_dir = str(tmp_path / outdir)
+        merger = DareMerge(
+            config,
+            index_manager=_offline_index(base_path, ft1_path),
+            drop_rate=0.5,
+            seed=seed,
+        )
+        _run_merge(merger)
+        return _read_output(tmp_path / outdir)
+
+    out1 = run("m1", seed=3)
+    name = "model.layers.0.self_attn.q_proj.weight"
+    delta = out1[name] - base_t[name]
+    scaled = (ft1_t[name] - base_t[name]) / 0.5
+    # every element is either dropped (0) or the rescaled delta
+    dropped = np.isclose(delta, 0.0, atol=1e-7)
+    kept = np.isclose(delta, scaled, rtol=1e-5, atol=1e-7)
+    assert np.all(dropped | kept)
+    keep_frac = kept.mean()
+    assert 0.3 < keep_frac < 0.7, keep_frac
+
+    # same seed, fresh engine -> bit-identical output (resume contract)
+    out2 = run("m2", seed=3)
+    for k in out1:
+        np.testing.assert_array_equal(
+            out1[k].view(np.uint32), out2[k].view(np.uint32)
+        )
+
+    # different seed -> different masks
+    out3 = run("m3", seed=4)
+    assert any(not np.array_equal(out1[k], out3[k]) for k in out1)
+
+
+def test_dare_ties_combine_matches_mask_replay(tmp_path, tiny_model_factory):
+    """combine='ties' equals an independent recomputation that replays the
+    documented key-derivation contract (fold_in(fold_in(key(seed),
+    crc32(name)), m))."""
+    import zlib
+
+    import jax
+
+    from shardmerge_tpu.merge import DareMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=190)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=191)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=192)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path)},
+        {"model": str(ft2_path), "base": str(base_path)},
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = DareMerge(
+        config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        drop_rate=0.4,
+        combine="ties",
+        seed=11,
+        lam=1.5,
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    name = "model.layers.1.mlp.down_proj.weight"
+    root = jax.random.key(11)
+    named = jax.random.fold_in(root, zlib.crc32(name.encode()) & 0x7FFFFFFF)
+    kept_rows = []
+    for m, ft_t in enumerate((ft1_t, ft2_t)):
+        mask = np.asarray(
+            jax.random.bernoulli(
+                jax.random.fold_in(named, m), p=0.6, shape=ft_t[name].shape
+            )
+        )
+        d = ft_t[name] - base_t[name]
+        kept_rows.append(np.where(mask, d / np.float32(0.6), 0.0))
+    stack = np.stack(kept_rows)
+    gamma = np.sign(stack.sum(axis=0))
+    agree = (np.sign(stack) == gamma[None]) & (stack != 0.0)
+    total = np.where(agree, stack, 0.0).sum(axis=0)
+    count = agree.sum(axis=0)
+    merged = np.where(count > 0, total / np.maximum(count, 1), 0.0)
+    expect = base_t[name] + 1.5 * merged
+    np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_ties_passthrough_and_gating(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import TiesMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=200)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=201)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=202)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path), "is_input": True,
+         "is_output": True},
+        # gated to layer 1 only
+        {"model": str(ft2_path), "base": str(base_path), "start_layer": 1},
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = TiesMerge(
+        config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        density=1.0,
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    # sentinel layers pass the flagged model through verbatim
+    np.testing.assert_allclose(
+        out["model.embed_tokens.weight"], ft1_t["model.embed_tokens.weight"],
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(
+        out["model.norm.weight"], ft1_t["model.norm.weight"], rtol=1e-6
+    )
+    # layer 0: only ft1 contributes (ft2 gated out)
+    name0 = "model.layers.0.mlp.gate_proj.weight"
+    d0 = [ft1_t[name0] - base_t[name0]]
+    np.testing.assert_allclose(
+        out[name0], _np_ties(base_t[name0], d0, 1.0, 1.0),
+        rtol=1e-5, atol=1e-6,
+    )
+    # layer 1: both contribute
+    name1 = "model.layers.1.mlp.gate_proj.weight"
+    d1 = [ft1_t[name1] - base_t[name1], ft2_t[name1] - base_t[name1]]
+    np.testing.assert_allclose(
+        out[name1], _np_ties(base_t[name1], d1, 1.0, 1.0),
+        rtol=1e-5, atol=1e-6,
+    )
+
+
+def test_method_options_validation(tmp_path, tiny_model_factory):
+    import asyncio as _asyncio
+
+    from shardmerge_tpu.cli import run_merge
+    from shardmerge_tpu.config import ConfigError
+
+    base_path, base_t = tiny_model_factory("base", seed=210)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=211)
+    entries = [{"model": str(ft1_path), "base": str(base_path)}]
+
+    # a typo'd knob fails loudly before any weight is read
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    config.merge_method = "ties"
+    config.method_options = {"densty": 0.5}
+    with pytest.raises(ConfigError, match="densty"):
+        _asyncio.run(run_merge(config))
+
+    # valid knobs flow through run_merge to the engine
+    config2 = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    config2.merge_method = "ties"
+    config2.method_options = {"density": 1.0, "lam": 2.0}
+    config2.shard_tensors = False
+    _asyncio.run(run_merge(config2))
+    out = _read_output(tmp_path / "merged")
+    name = "model.layers.0.self_attn.v_proj.weight"
+    expect = _np_ties(
+        base_t[name], [ft1_t[name] - base_t[name]], density=1.0, lam=2.0
+    )
+    np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-6)
