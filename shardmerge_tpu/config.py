@@ -95,7 +95,7 @@ class MergeConfig:
     # TPU-native extensions (absent fields keep reference-config files valid):
     write_through: bool = False  # per-tensor shard rewrite (reference behavior)
     merge_method: str = "fourier"  # fourier | fourier-legacy | addition |
-    # task-addition | ties | dare
+    # task-addition | ties | dare | linear | slerp
     # Engine-specific knobs (e.g. ties: {density, lam}; dare: {drop_rate,
     # combine, seed}). Keys are validated against the chosen engine's OPTIONS
     # set at run time — a typo fails loudly instead of silently merging with

@@ -5,6 +5,8 @@ from .addition import AdditionMerge  # noqa: F401
 from .taskaddition import TaskAdditionMerge  # noqa: F401
 from .ties import TiesMerge  # noqa: F401
 from .dare import DareMerge  # noqa: F401
+from .linear import LinearMerge  # noqa: F401
+from .slerp import SlerpMerge  # noqa: F401
 
 MERGE_METHODS = {
     "fourier": FourierMerge,
@@ -13,4 +15,6 @@ MERGE_METHODS = {
     "task-addition": TaskAdditionMerge,
     "ties": TiesMerge,
     "dare": DareMerge,
+    "linear": LinearMerge,
+    "slerp": SlerpMerge,
 }

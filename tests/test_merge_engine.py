@@ -1459,3 +1459,126 @@ def test_method_options_validation(tmp_path, tiny_model_factory):
         base_t[name], [ft1_t[name] - base_t[name]], density=1.0, lam=2.0
     )
     np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_linear_merge_weighted_mean(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import LinearMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=220)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=221)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=222)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path), "alpha": 3.0},
+        {"model": str(ft2_path), "base": str(base_path), "alpha": 1.0},
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = LinearMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    name = "model.layers.0.self_attn.o_proj.weight"
+    d1 = ft1_t[name] - base_t[name]
+    d2 = ft2_t[name] - base_t[name]
+    expect = base_t[name] + (3.0 * d1 + 1.0 * d2) / 4.0
+    np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-6)
+
+    # normalize=False -> raw alpha-scaled task arithmetic on top of base
+    config2 = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    config2.output_dir = str(tmp_path / "merged_raw")
+    merger2 = LinearMerge(
+        config2,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        normalize=False,
+    )
+    _run_merge(merger2)
+    out2 = _read_output(tmp_path / "merged_raw")
+    expect2 = base_t[name] + 3.0 * d1 + 1.0 * d2
+    np.testing.assert_allclose(out2[name], expect2, rtol=1e-5, atol=1e-6)
+
+
+def _np_slerp(v0, v1, t):
+    v0 = v0.astype(np.float64).ravel()
+    v1 = v1.astype(np.float64).ravel()
+    n0, n1 = np.linalg.norm(v0), np.linalg.norm(v1)
+    dot = np.clip(v0 @ v1 / max(n0 * n1, 1e-24), -1.0, 1.0)
+    if abs(dot) > 0.9995 or n0 == 0.0 or n1 == 0.0:
+        return (1 - t) * v0 + t * v1
+    theta = np.arccos(dot)
+    out_dir = (
+        np.sin((1 - t) * theta) * v0 / n0 + np.sin(t * theta) * v1 / n1
+    ) / np.sin(theta)
+    return out_dir * ((1 - t) * n0 + t * n1)
+
+
+def test_slerp_merge_two_models(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import SlerpMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=230)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=231)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=232)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path)},
+        {"model": str(ft2_path), "base": str(base_path)},
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = SlerpMerge(
+        config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        t=0.3,
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    name = "model.layers.1.self_attn.q_proj.weight"
+    expect = _np_slerp(ft1_t[name], ft2_t[name], 0.3).reshape(out[name].shape)
+    np.testing.assert_allclose(out[name], expect, rtol=1e-4, atol=1e-6)
+    # endpoint sanity: t respects direction (closer to ft1 at t=0.3)
+    a = np.linalg.norm(out[name] - ft1_t[name])
+    b = np.linalg.norm(out[name] - ft2_t[name])
+    assert a < b
+
+
+def test_slerp_merge_base_to_single_ft_and_colinear(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import SlerpMerge
+    from shardmerge_tpu.merge.slerp import _slerp_pair
+
+    base_path, base_t = tiny_model_factory("base", seed=240)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=241)
+    entries = [{"model": str(ft1_path), "base": str(base_path)}]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = SlerpMerge(
+        config, index_manager=_offline_index(base_path, ft1_path), t=0.5
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+    name = "model.layers.0.mlp.down_proj.weight"
+    expect = _np_slerp(base_t[name], ft1_t[name], 0.5).reshape(out[name].shape)
+    np.testing.assert_allclose(out[name], expect, rtol=1e-4, atol=1e-6)
+
+    # colinear endpoints take the lerp branch exactly
+    v = np.arange(1, 9, dtype=np.float32)
+    got = np.asarray(_slerp_pair(v, 2.0 * v, np.float32(0.25)))
+    np.testing.assert_allclose(got, 1.25 * v, rtol=1e-6)
+    # identical endpoints come back unchanged
+    got = np.asarray(_slerp_pair(v, v, np.float32(0.7)))
+    np.testing.assert_allclose(got, v, rtol=1e-6)
+    # zero endpoint -> lerp
+    z = np.zeros_like(v)
+    got = np.asarray(_slerp_pair(z, v, np.float32(0.5)))
+    np.testing.assert_allclose(got, 0.5 * v, rtol=1e-6)
+
+
+def test_slerp_rejects_wrong_model_count(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import SlerpMerge
+
+    base_path, _ = tiny_model_factory("base", seed=250)
+    ft1_path, _ = tiny_model_factory("ft1", seed=251)
+    ft2_path, _ = tiny_model_factory("ft2", seed=252)
+    ft3_path, _ = tiny_model_factory("ft3", seed=253)
+    entries = [
+        {"model": str(p), "base": str(base_path)}
+        for p in (ft1_path, ft2_path, ft3_path)
+    ]
+    config = _make_config(tmp_path, base_path, entries)
+    with pytest.raises(ValueError, match="exactly two"):
+        SlerpMerge(config, index_manager=_offline_index(base_path))
