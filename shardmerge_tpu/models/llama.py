@@ -120,6 +120,15 @@ class ModelConfig:
     # smollm3: per-layer rope gate (HF's no_rope_layers — 1 means the
     # layer DOES rope, 0 is a NoPE layer); None = rope everywhere
     no_rope_layers: Optional[tuple] = None
+    # llama4: interleaved dense/MoE stacks (explicit MoE layer indices),
+    # chunk-aligned local attention on rope layers, temperature-scaled
+    # queries on NoPE layers, weightless L2 q/k norm after rope
+    moe_layers: Optional[tuple] = None
+    attention_chunk_size: Optional[int] = None
+    attn_temperature_tuning: bool = False
+    floor_scale: float = 8192.0
+    attn_scale: float = 0.1
+    qk_norm_l2: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -187,11 +196,55 @@ class ModelConfig:
             return True
         return bool(self.no_rope_layers[layer_idx])
 
+    def layer_is_chunked(self, layer_idx: int) -> bool:
+        """llama4 rope layers attend within chunk-aligned windows
+        ("chunked_attention" in layer_types); NoPE layers attend globally."""
+        return bool(
+            self.attention_chunk_size
+            and self.layer_types is not None
+            and self.layer_types[layer_idx] == "chunked_attention"
+        )
+
+    def layer_is_moe(self, layer_idx: int) -> bool:
+        """Per-layer MoE table (llama4 interleaves dense and MoE layers);
+        None means every layer follows the global num_local_experts."""
+        if self.moe_layers is None:
+            return self.num_local_experts > 0
+        return layer_idx in self.moe_layers
+
     @classmethod
     def from_hf_config(cls, config: dict) -> "ModelConfig":
         model_type = config.get("model_type", "llama")
+        if model_type == "llama4" and isinstance(
+            config.get("text_config"), dict
+        ):
+            # multimodal wrapper config (Llama4ForConditionalGeneration):
+            # the decoder geometry lives in text_config
+            config = config["text_config"]
+            model_type = config.get("model_type", "llama4_text")
         no_rope = config.get("no_rope_layers")
         layer_types = config.get("layer_types")
+        moe_layers = config.get("moe_layers")
+        if model_type == "llama4_text":
+            # HF derives all three per-layer tables when config.json omits
+            # them (configuration_llama4.Llama4TextConfig.__init__): NoPE
+            # every no_rope_layer_interval-th layer, MoE every
+            # interleave_moe_layer_step-th, chunked attention exactly on
+            # the rope layers
+            n_layers = config["num_hidden_layers"]
+            if not no_rope:
+                interval = config.get("no_rope_layer_interval", 4)
+                no_rope = [
+                    int((i + 1) % interval != 0) for i in range(n_layers)
+                ]
+            if moe_layers is None:
+                step = config.get("interleave_moe_layer_step", 1)
+                moe_layers = list(range(step - 1, n_layers, step))
+            if layer_types is None:
+                layer_types = [
+                    "chunked_attention" if uses_rope else "full_attention"
+                    for uses_rope in no_rope
+                ]
         if model_type == "smollm3":
             # HF derives both fields when config.json omits them
             # (configuration_smollm3.py): NoPE every no_rope_layer_interval
@@ -279,7 +332,7 @@ class ModelConfig:
             qk_rope_head_dim=config.get("qk_rope_head_dim", 0),
             v_head_dim=config.get("v_head_dim"),
             rope_interleave=(
-                model_type in ("deepseek_v2", "glm4")
+                model_type in ("deepseek_v2", "glm4", "llama4_text")
                 or (
                     model_type == "deepseek_v3"
                     and config.get("rope_interleave", True)
@@ -298,6 +351,26 @@ class ModelConfig:
                 "noaux_tc"
                 if model_type == "deepseek_v3"
                 else config.get("topk_method", "greedy")
+            ),
+            moe_layers=(
+                tuple(moe_layers)
+                if model_type == "llama4_text" and moe_layers is not None
+                else None
+            ),
+            attention_chunk_size=(
+                config.get("attention_chunk_size", 8192)
+                if model_type == "llama4_text"
+                else None
+            ),
+            attn_temperature_tuning=(
+                model_type == "llama4_text"
+                and bool(config.get("attn_temperature_tuning", True))
+            ),
+            floor_scale=float(config.get("floor_scale", 8192)),
+            attn_scale=float(config.get("attn_scale", 0.1)),
+            qk_norm_l2=(
+                model_type == "llama4_text"
+                and bool(config.get("use_qk_norm", True))
             ),
         )
 
@@ -439,6 +512,13 @@ def rope_tables(cfg: ModelConfig, max_len: int) -> Tuple[jnp.ndarray, jnp.ndarra
         jnp.asarray(np.cos(emb) * attention_factor),
         jnp.asarray(np.sin(emb) * attention_factor),
     )
+
+
+def _l2_norm(x: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Weightless RMS normalization in fp32 (HF Llama4TextL2Norm)."""
+    x32 = x.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.mean(x32 * x32, axis=-1, keepdims=True) + eps)
+    return (x32 * scale).astype(x.dtype)
 
 
 def _rotate_half(x):
@@ -720,8 +800,28 @@ def _attention(
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
 
-    if use_rope:  # smollm3 NoPE layers skip rotary entirely
+    if use_rope:  # smollm3/llama4 NoPE layers skip rotary entirely
         q, k = apply_rope_cfg(cfg, q, k, cos, sin, positions)
+        if cfg.qk_norm_l2:
+            # llama4: weightless L2 q/k norm AFTER rope, rope layers only
+            # (HF Llama4TextAttention: qk_norm exists iff use_qk_norm and
+            # use_rope). Permutation-invariant, so it commutes with the
+            # un-interleaved rope layout.
+            q = _l2_norm(q, cfg.rms_norm_eps)
+            k = _l2_norm(k, cfg.rms_norm_eps)
+    elif cfg.attn_temperature_tuning:
+        # llama4 NoPE layers: temperature-scaled queries
+        # (HF Llama4TextAttention.forward, arXiv 2501.19399)
+        scales = (
+            jnp.log1p(
+                jnp.floor(
+                    (positions.astype(jnp.float32) + 1.0) / cfg.floor_scale
+                )
+            )
+            * jnp.float32(cfg.attn_scale)
+            + 1.0
+        )
+        q = (q.astype(jnp.float32) * scales[:, None, :, None]).astype(q.dtype)
 
     k_cache, v_cache = kv_slice
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
@@ -1105,6 +1205,51 @@ def _moe_gptoss(cfg: ModelConfig, layer, x):
     return out.astype(x.dtype)
 
 
+def _moe_llama4(cfg: ModelConfig, layer, x):
+    """Llama-4 MoE block (HF modeling_llama4.Llama4TextMoe.forward).
+
+    Router: linear logits -> top-k -> SIGMOID of the selected logits, zero
+    elsewhere. The score scales each expert's INPUT, not its output (HF
+    routed_in = hidden * router_scores before the expert bmm) — not
+    equivalent to output scaling through the nonlinearity, so reproduced
+    exactly. Experts run dense-and-mask: a zero-scaled input produces a
+    zero output through the bias-free SwiGLU, so unselected (expert, token)
+    pairs contribute exactly 0. An always-on shared MLP adds in.
+
+    Expert weights stay in HF's fused layout: gate_up (E, hidden, 2I) with
+    gate/up as contiguous HALVES (unlike gpt-oss's interleaved columns),
+    down (E, I, hidden).
+    """
+    e = layer["llama4_experts"]
+    k = cfg.num_experts_per_tok
+    n_exp = cfg.num_local_experts
+    B, T, Dh = x.shape
+    xf = x.reshape(B * T, Dh).astype(jnp.float32)
+
+    logits = xf @ layer["moe_gate"].astype(jnp.float32).T  # (N, E)
+    _, top_i = jax.lax.top_k(logits, k)
+    sel = jnp.sum(jax.nn.one_hot(top_i, n_exp, dtype=jnp.float32), axis=1)
+    scores = jax.nn.sigmoid(logits) * sel  # (N, E)
+
+    gate_up_w, down_w = e["gate_up"], e["down"]
+    if isinstance(gate_up_w, dict):  # int8/int4 stacked (models/quant.py)
+        from .quant import dequant_stacked
+
+        gate_up_w = dequant_stacked(gate_up_w, jnp.float32)
+        down_w = dequant_stacked(down_w, jnp.float32)
+
+    scaled = xf[None, :, :] * scores.T[:, :, None]  # (E, N, Dh)
+    gu = jnp.einsum("enh,ehi->eni", scaled, gate_up_w.astype(jnp.float32))
+    gate, up = jnp.split(gu, 2, axis=-1)
+    h = _act(gate, cfg.hidden_act) * up
+    routed = jnp.einsum("eni,eih->nh", h, down_w.astype(jnp.float32))
+    out = routed.reshape(B, T, Dh)
+    shared = _shared_experts_out(cfg, layer, x)
+    if shared is not None:
+        out = out + shared.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
 def capacity_tables_from_topk(topk_idx, topk_probs, n_exp: int, capacity: int):
     """Dispatch tables from per-token top-k choices: gather_idx (n_exp, C)
     of token ids per expert slot (S = padding row for empty/overflow slots)
@@ -1225,6 +1370,8 @@ def stack_expert_weights(params: Params) -> bool:
 def _ffn(cfg: ModelConfig, layer, x):
     if "gptoss_experts" in layer:
         return _moe_gptoss(cfg, layer, x)
+    if "llama4_experts" in layer:
+        return _moe_llama4(cfg, layer, x)
     has_experts = "experts" in layer or "experts_stacked" in layer
     if cfg.model_type.startswith("deepseek") and has_experts:
         return _moe_deepseek(cfg, layer, x)  # dense first_k layers: _mlp
@@ -1315,6 +1462,25 @@ def forward(
             )
         valid_sl = valid & recent
         mask_sliding = jnp.where(valid_sl, 0.0, jnp.float32(-1e9))
+    mask_chunked = None
+    if cfg.attention_chunk_size is not None:
+        # llama4 chunked attention: position j is visible to position i iff
+        # they share the attention_chunk_size-aligned chunk, i.e.
+        # j >= floor(i / C) * C (HF create_chunked_causal_mask). Compared in
+        # POSITION space: under left padding both slot indices shift by the
+        # row's pad count, which floor-division does not commute with, so
+        # key positions are recovered as slot - pad (pad = mask slot minus
+        # rope position, constant per row); gapped continuous-batch rows
+        # supply key_positions directly.
+        C = cfg.attention_chunk_size
+        if key_positions is None:
+            kpos = slot - (mpos - positions)[:, :, None]  # (B, T, S)
+        else:
+            kpos = key_positions[:, None, :]
+        chunk_start = (positions[:, :, None] // C) * C
+        mask_chunked = jnp.where(
+            valid & (kpos >= chunk_start), 0.0, jnp.float32(-1e9)
+        )
 
     mla = cfg.is_mla
     new_k = []
@@ -1333,6 +1499,12 @@ def forward(
             else (kv_cache["k"][i], kv_cache["v"][i])
         )
         attn_kwargs = {} if mla else {"use_rope": cfg.layer_uses_rope(i)}
+        if cfg.layer_is_chunked(i):
+            layer_mask = mask_chunked
+        elif cfg.layer_is_sliding(i):
+            layer_mask = mask_sliding
+        else:
+            layer_mask = mask
         attn_out, k_c, v_c = attn(
             cfg,
             layer,
@@ -1342,7 +1514,7 @@ def forward(
             positions,
             cache_slice,
             cache_pos,
-            mask_sliding if cfg.layer_is_sliding(i) else mask,
+            layer_mask,
             **attn_kwargs,
         )
         new_k.append(k_c)

@@ -57,6 +57,14 @@ _LAYER_WEIGHTS = {
     "mlp.shared_experts.up_proj.weight": "shared_up_proj",
     "mlp.shared_experts.down_proj.weight": "shared_down_proj",
     "mlp.gate.e_score_correction_bias": "gate_bias",
+    # llama4 names its FFN module feed_forward (dense layers + the MoE
+    # layers' always-on shared expert, stored in the deepseek shared slots)
+    "feed_forward.gate_proj.weight": "gate_proj",
+    "feed_forward.up_proj.weight": "up_proj",
+    "feed_forward.down_proj.weight": "down_proj",
+    "feed_forward.shared_expert.gate_proj.weight": "shared_gate_proj",
+    "feed_forward.shared_expert.up_proj.weight": "shared_up_proj",
+    "feed_forward.shared_expert.down_proj.weight": "shared_down_proj",
 }
 # qwen3-moe expert weights use HF mlp names; the pytree keeps mixtral's w1/w3/w2
 _EXPERT_WEIGHTS = {"gate_proj": "w1", "up_proj": "w3", "down_proj": "w2"}
@@ -73,6 +81,12 @@ _GPTOSS_EXPERT_WEIGHTS = {
     "mlp.experts.gate_up_proj_bias": "gate_up_bias",
     "mlp.experts.down_proj": "down",
     "mlp.experts.down_proj_bias": "down_bias",
+}
+# llama4 also ships fused expert stacks (gate/up as contiguous halves,
+# bias-free) plus a per-layer router
+_LLAMA4_EXPERT_WEIGHTS = {
+    "feed_forward.experts.gate_up_proj": "gate_up",
+    "feed_forward.experts.down_proj": "down",
 }
 _QUANTIZABLE = {
     "q_proj",
@@ -185,6 +199,11 @@ def load_params(
         with SafeTensorsReader(model_path / shard) as reader:
             for name in reader.keys():
                 arr = reader.get_tensor(name)
+                if name.startswith("language_model."):
+                    # llama4 multimodal checkpoints nest the decoder under
+                    # language_model.*; vision/projector tensors fall
+                    # through to the unknown-weight warning below
+                    name = name[len("language_model."):]
                 if name == "model.embed_tokens.weight":
                     params["embed_tokens"] = place(arr, top="embed_tokens")
                 elif name == "model.norm.weight":
@@ -208,6 +227,18 @@ def load_params(
                             else "moe_gate_bias"
                         )
                         layer[key] = place(arr, key=key)
+                        continue
+                    if suffix == "feed_forward.router.weight":
+                        # llama4 router (bias-free linear)
+                        layer["moe_gate"] = place(arr, key="moe_gate")
+                        continue
+                    if suffix in _LLAMA4_EXPERT_WEIGHTS:
+                        gk = _LLAMA4_EXPERT_WEIGHTS[suffix]
+                        if quant_bits:
+                            w = place_quant(arr, gk, stacked=True)
+                        else:
+                            w = place(arr, key=gk)
+                        layer.setdefault("llama4_experts", {})[gk] = w
                         continue
                     if suffix in _GPTOSS_EXPERT_WEIGHTS:
                         gk = _GPTOSS_EXPERT_WEIGHTS[suffix]

@@ -2416,3 +2416,131 @@ def test_model_server_stats_and_warmup():
         assert "prefix_cache" in stats
     finally:
         server.stop()
+
+
+def _tiny_llama4(tmp_path, seed=21):
+    import torch
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    torch.manual_seed(seed)
+    config = Llama4TextConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=48,
+        intermediate_size_mlp=96,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        interleave_moe_layer_step=2,
+        no_rope_layers=[1, 1, 1, 0],
+        attention_chunk_size=4,
+        attn_temperature_tuning=True,
+        floor_scale=2.0,
+        attn_scale=0.1,
+        use_qk_norm=True,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+        rms_norm_eps=1e-5,
+        rope_theta=10000.0,
+    )
+    model = Llama4ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "llama4"
+    model.save_pretrained(str(path), safe_serialization=True)
+    return model, path
+
+
+def test_llama4_matches_transformers(tmp_path):
+    """Llama-4: interleaved dense/MoE stacks, chunk-aligned local attention
+    on rope layers (attention_chunk_size=4 < seq len, so chunking bites),
+    temperature-scaled queries on the NoPE layer (floor_scale=2 so the
+    log1p term is nonzero at short positions), weightless L2 q/k norm after
+    the interleaved-pair rope, and the input-scaled sigmoid top-k MoE with
+    an always-on shared expert."""
+    import torch
+
+    from shardmerge_tpu.models.loader import load_params
+
+    model, path = _tiny_llama4(tmp_path)
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.model_type == "llama4_text"
+    assert cfg.moe_layers == (1, 3)
+    assert cfg.layer_types == (
+        "chunked_attention",
+        "chunked_attention",
+        "chunked_attention",
+        "full_attention",
+    )
+    assert cfg.layer_is_chunked(0) and not cfg.layer_is_chunked(3)
+    assert cfg.layer_is_moe(1) and not cfg.layer_is_moe(0)
+    assert not cfg.layer_uses_rope(3)
+    assert cfg.qk_norm_l2 and cfg.attn_temperature_tuning
+    assert cfg.rope_interleave
+
+    params = load_params(path, cfg, dtype=jnp.float32)
+    layer1 = params["layers"][1]
+    assert "llama4_experts" in layer1 and "shared_gate_proj" in layer1
+    assert layer1["llama4_experts"]["gate_up"].shape == (4, 64, 96)
+    assert "llama4_experts" not in params["layers"][0]  # dense layer
+
+    ids = np.array([[7, 61, 113, 28, 84, 3, 55, 19]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+
+def test_llama4_kv_cache_decode_matches_full(tmp_path):
+    """Prefill + one-token decode steps reproduce the full-sequence logits —
+    the chunked mask and NoPE temperature scaling must hold for T=1 queries
+    at arbitrary cache positions."""
+    from shardmerge_tpu.models.loader import load_params
+
+    _, path = _tiny_llama4(tmp_path, seed=22)
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+
+    ids = np.array([[5, 99, 14, 73, 21, 8, 120, 44]], np.int32)
+    full_logits, _ = _run_forward(cfg, params, jnp.asarray(ids), cache_len=16)
+
+    rope = rope_tables(cfg, 16)
+    kv = init_kv_cache(cfg, 1, 16, jnp.float32)
+    pre = 3
+    positions = jnp.arange(pre, dtype=jnp.int32)[None, :]
+    logits, kv = forward(
+        params, cfg, jnp.asarray(ids[:, :pre]), positions, kv,
+        cache_pos=0, rope=rope, attn_len=pre,
+    )
+    steps = [np.asarray(logits)[:, -1]]
+    for t in range(pre, ids.shape[1]):
+        positions = jnp.full((1, 1), t, jnp.int32)
+        logits, kv = forward(
+            params, cfg, jnp.asarray(ids[:, t : t + 1]), positions, kv,
+            cache_pos=t, rope=rope, attn_len=t + 1,
+        )
+        steps.append(np.asarray(logits)[:, -1])
+    for i, got in enumerate(steps):
+        np.testing.assert_allclose(
+            got, np.asarray(full_logits)[:, pre - 1 + i], rtol=2e-4, atol=2e-5
+        )
+
+
+def test_llama4_quantized_forward_close(tmp_path):
+    """int8 weight-only quantization covers the fused llama4 expert stacks."""
+    from shardmerge_tpu.models.loader import load_params
+
+    _, path = _tiny_llama4(tmp_path, seed=23)
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+    ids = jnp.asarray([[9, 31, 64, 120]], jnp.int32)
+    base_logits, _ = _run_forward(cfg, params, ids)
+
+    qparams = load_params(path, cfg, dtype=jnp.float32, quant_bits=8)
+    e1 = qparams["layers"][1]["llama4_experts"]
+    assert isinstance(e1["gate_up"], dict) and "q3" in e1["gate_up"]
+    q_logits, _ = _run_forward(cfg, qparams, ids)
+    np.testing.assert_allclose(
+        np.asarray(q_logits), np.asarray(base_logits), rtol=0.2, atol=0.2
+    )
