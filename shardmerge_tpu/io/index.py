@@ -73,12 +73,18 @@ class TensorPromise:
 
 
 def ordered_weights(weight_map: Dict[str, str]) -> List[str]:
-    """Canonical weight ordering: embed_tokens, per-layer components (layer
-    components discovered from layer 0, sorted alphabetically), model.norm,
-    lm_head, then everything else sorted.
+    """Canonical weight ordering: embed_tokens, per-layer components (sorted
+    alphabetically within each layer), model.norm, lm_head, then everything
+    else sorted.
 
     Parity: reference index.py:132-187 (and its verbatim duplicate
-    :349-404), including the completeness check.
+    :349-404), including the completeness check. Documented deviation:
+    the reference discovers the component set from layer 0 and projects it
+    onto every layer, which crashes its own completeness check on
+    heterogeneous stacks (Llama-4 interleaves dense and MoE layers, so
+    layer 1 has feed_forward.experts.* where layer 0 has
+    feed_forward.gate_proj.*); components are discovered PER LAYER here.
+    For homogeneous stacks the orderings are identical.
     """
     weights = list(weight_map.keys())
 
@@ -89,20 +95,13 @@ def ordered_weights(weight_map: Dict[str, str]) -> List[str]:
     special = set(embed_weights + layer_weights + norm_weights + lm_head_weights)
     other_weights = sorted(w for w in weights if w not in special)
 
-    layer_nums = sorted(
-        {int(w.split("layers.")[1].split(".")[0]) for w in layer_weights}
-    )
-    layer_0_prefix = "model.layers.0."
-    components = sorted(
-        w.replace(layer_0_prefix, "")
-        for w in layer_weights
-        if w.startswith(layer_0_prefix)
-    )
+    per_layer: Dict[int, List[str]] = {}
+    for w in layer_weights:
+        layer_num = int(w.split("layers.")[1].split(".")[0])
+        per_layer.setdefault(layer_num, []).append(w)
 
     sorted_layer_weights = [
-        f"model.layers.{layer_num}.{component}"
-        for layer_num in layer_nums
-        for component in components
+        w for layer_num in sorted(per_layer) for w in sorted(per_layer[layer_num])
     ]
 
     result = (

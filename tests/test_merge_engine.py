@@ -1582,3 +1582,72 @@ def test_slerp_rejects_wrong_model_count(tmp_path, tiny_model_factory):
     config = _make_config(tmp_path, base_path, entries)
     with pytest.raises(ValueError, match="exactly two"):
         SlerpMerge(config, index_manager=_offline_index(base_path))
+
+
+def test_fourier_merge_llama4_checkpoints(tmp_path):
+    """The merge pipeline end-to-end on real Llama-4-shaped HF checkpoints:
+    index discovery over feed_forward.* component names, the 3-D fused
+    expert stacks (E, hidden, 2I) through the 2-D FFT blend (reference
+    fft_transform fftn over the LAST TWO dims — leading dims are batch),
+    and the router/shared-expert tensors. The fused expert tensor is
+    oracle-checked against the torch realization of the full layer
+    algorithm."""
+    from .test_models import _tiny_llama4
+
+    # distinct leaf names: the offline index keys models by directory name
+    # (reference index.py:295 parity)
+    paths = []
+    for leaf, seed in (("l4base", 31), ("l4ft1", 32), ("l4ft2", 33)):
+        m, _ = _tiny_llama4(tmp_path / leaf, seed=seed)
+        p = tmp_path / leaf / leaf
+        (tmp_path / leaf / "llama4").rename(p)
+        # re-save sharded so the checkpoints carry an index (the index
+        # layer's contract, like the reference's)
+        m.save_pretrained(str(p), safe_serialization=True, max_shard_size="150KB")
+        paths.append(p)
+    base_path, ft1_path, ft2_path = paths
+
+    def read_all(d):
+        out = {}
+        idx = json.loads((d / "model.safetensors.index.json").read_text())
+        assert len(set(idx["weight_map"].values())) > 1  # really sharded
+        for shard in set(idx["weight_map"].values()):
+            with SafeTensorsReader(d / shard) as r:
+                for k in r.keys():
+                    out[k] = r.get_tensor(k, copy=True)
+        return out
+
+    base_t = read_all(base_path)
+    ft1_t = read_all(ft1_path)
+    ft2_t = read_all(ft2_path)
+
+    config = _make_config(
+        tmp_path,
+        base_path,
+        [
+            {"model": str(ft1_path), "base": str(base_path), "alpha": 0.8},
+            {"model": str(ft2_path), "base": str(base_path), "alpha": 0.4},
+        ],
+        output_dtype="float32",
+    )
+    merger = FourierMerge(
+        config, index_manager=_offline_index(base_path, ft1_path, ft2_path)
+    )
+    _run_merge(merger)
+    out = read_all(tmp_path / "merged")
+
+    assert set(out) == set(base_t)
+    for name, arr in out.items():
+        assert np.all(np.isfinite(arr)), name
+        assert arr.shape == base_t[name].shape, name
+
+    for name in (
+        "model.layers.1.feed_forward.experts.gate_up_proj",  # 3-D fused
+        "model.layers.0.feed_forward.gate_proj.weight",  # dense 2-D
+        "model.layers.1.feed_forward.router.weight",
+    ):
+        expect = _oracle_fourier_pair(
+            base_t[name], ft1_t[name], ft2_t[name], 0.8, 0.4
+        )
+        scale = max(np.abs(expect).max(), 1.0)
+        _mostly_close(out[name], expect, rtol=2e-2, atol=2e-2 * scale)
