@@ -72,6 +72,20 @@ class TensorPromise:
             self._future.set_exception(exc)
 
 
+def _synthesize_single_file_index(model_path: Path) -> dict:
+    """A one-shard index dict for a single-file `model.safetensors`
+    checkpoint, built from the safetensors header (keys + byte sizes only —
+    no tensor data is read)."""
+    shard = "model.safetensors"
+    with SafeTensorsReader(model_path / shard) as reader:
+        names = list(reader.keys())
+        total = sum(reader.nbytes(n) for n in names)
+    return {
+        "metadata": {"total_size": total},
+        "weight_map": {name: shard for name in names},
+    }
+
+
 def ordered_weights(weight_map: Dict[str, str]) -> List[str]:
     """Canonical weight ordering: embed_tokens, per-layer components (sorted
     alphabetically within each layer), model.norm, lm_head, then everything
@@ -285,6 +299,21 @@ class HFMultiModelIndex(_IndexBase):
             )
             async with aiohttp.ClientSession() as session:
                 async with session.get(index_url) as response:
+                    if response.status == 404:
+                        # Single-file checkpoint: models under the 5 GB
+                        # shard cutoff ship one model.safetensors and no
+                        # index (the reference 404s here, index.py:98). The
+                        # file is downloaded eagerly — every tensor of it
+                        # is needed for a merge anyway — and a one-shard
+                        # index is synthesized and persisted so re-runs
+                        # load it straight from storage.
+                        index = await self._fetch_single_file_index(
+                            model_uri, model_path, revision
+                        )
+                        with open(model_index_path, "w") as f:
+                            json.dump(index, f)
+                        self._register_index(model_uri, index)
+                        return
                     response.raise_for_status()
                     text = await response.text()
             with open(model_index_path, "w") as f:
@@ -294,6 +323,32 @@ class HFMultiModelIndex(_IndexBase):
 
         self._revisions[model_uri] = revision
         self._register_index(model_uri, index)
+
+    async def _fetch_single_file_index(
+        self, model_uri: str, model_path: Path, revision: str
+    ) -> dict:
+        self._revisions[model_uri] = revision
+        shard_url = self._shard_url(model_uri, "model.safetensors")
+        # no_claims=1 + claim=True (not the preload -1 sentinel): a
+        # clean_cache run must not see claims<=0 here and delete the file;
+        # _load_tensor later re-registers with the real per-tensor count
+        await self.download_manager.cache_file(model_uri, shard_url, no_claims=1)
+        task = self.download_manager.downloads[(model_uri, shard_url)]
+        async with task.lock:  # held until the transfer completes
+            path = await self.download_manager.get_file(
+                model_uri, shard_url, claim=True
+            )
+        if not path:
+            raise FileNotFoundError(
+                f"{model_uri}: neither model.safetensors.index.json nor "
+                "model.safetensors could be fetched"
+            )
+        logger.info(
+            "Synthesized single-file index for model %s", model_uri
+        )
+        return await asyncio.to_thread(
+            _synthesize_single_file_index, Path(path).parent
+        )
 
     def _shard_url(self, model_uri: str, shard_name: str) -> str:
         revision = self._revisions.get(model_uri, "main")
@@ -398,17 +453,28 @@ class OfflineMultiModelIndex(_IndexBase):
             return
 
         model_index_path = model_path / "model.safetensors.index.json"
-        if not model_index_path.exists():
+        if model_index_path.exists():
+            with open(model_index_path) as f:
+                try:
+                    index = json.load(f)
+                except json.JSONDecodeError as e:
+                    raise ValueError(
+                        f"Failed to parse index file {model_index_path}: {e}"
+                    ) from e
+        elif (model_path / "model.safetensors").exists():
+            # Single-file checkpoint (HF models under the 5 GB shard cutoff
+            # ship one model.safetensors and no index). The reference cannot
+            # resolve these (index.py:297-301 requires the index file);
+            # synthesize an equivalent one-shard index from the file header
+            # so they flow through the same machinery. The writer then
+            # mirrors this synthesized layout: a single output shard plus an
+            # index.json — valid HF layout, readable by every loader.
+            index = _synthesize_single_file_index(model_path)
+        else:
             raise FileNotFoundError(
-                f"Index file 'model.safetensors.index.json' not found in {model_path}"
+                "Neither 'model.safetensors.index.json' nor "
+                f"'model.safetensors' found in {model_path}"
             )
-        with open(model_index_path) as f:
-            try:
-                index = json.load(f)
-            except json.JSONDecodeError as e:
-                raise ValueError(
-                    f"Failed to parse index file {model_index_path}: {e}"
-                ) from e
 
         self.model_paths[model_id] = model_path
         try:

@@ -14,7 +14,7 @@ from shardmerge_tpu.io.index import (
     ordered_weights,
 )
 
-from .conftest import TINY_SHARD_MAP
+from .conftest import TINY_SHAPES, TINY_SHARD_MAP
 from .test_io_download import LocalServer
 
 
@@ -32,17 +32,27 @@ def test_ordered_weights_llama_shape():
     assert set(order) == set(TINY_SHARD_MAP)
 
 
-def test_ordered_weights_rejects_irregular_layers():
-    # a key that exists for layer 1 but not layer 0 breaks the discovered
-    # component pattern -> must raise, not silently drop (index.py:181-186)
+def test_ordered_weights_heterogeneous_layers():
+    # layers may carry different component sets (Llama-4 interleaves dense
+    # and MoE layers) — components are discovered per layer, nothing is
+    # dropped, layer order and within-layer alphabetical order hold. The
+    # reference projects layer 0's components onto every layer and crashes
+    # its own completeness check on this shape (index.py:181-186) —
+    # documented deviation.
     weight_map = {
         "model.embed_tokens.weight": "a",
         "model.layers.0.mlp.weight": "a",
         "model.layers.1.mlp.weight": "a",
         "model.layers.1.extra.weight": "a",
     }
-    with pytest.raises(ValueError, match="mismatch"):
-        ordered_weights(weight_map)
+    order = ordered_weights(weight_map)
+    assert set(order) == set(weight_map)
+    assert order == [
+        "model.embed_tokens.weight",
+        "model.layers.0.mlp.weight",
+        "model.layers.1.extra.weight",
+        "model.layers.1.mlp.weight",
+    ]
 
 
 def test_offline_index_roundtrip(tiny_model_factory):
@@ -271,5 +281,128 @@ def test_offline_load_failure_rejects_all_waiters(tiny_model_factory):
         index.model_paths["model-fail"] = path
         got = await index.get_tensor("model-fail", name).get()
         assert got is not None
+
+    asyncio.run(main())
+
+
+def _make_single_file_model(path, seed):
+    """A tiny SINGLE-FILE checkpoint: one model.safetensors, no index."""
+    from shardmerge_tpu.io import safetensors_io as stio
+
+    gen = np.random.default_rng(seed)
+    tensors = {
+        name: gen.standard_normal(shape).astype(np.float32)
+        for name, shape in TINY_SHAPES.items()
+    }
+    path.mkdir(parents=True, exist_ok=True)
+    stio.save_file(tensors, path / "model.safetensors", metadata={"format": "pt"})
+    return tensors
+
+
+def test_offline_single_file_checkpoint(tmp_path):
+    """Directories holding one model.safetensors and no index resolve via a
+    synthesized one-shard index (the reference requires the index file)."""
+    from shardmerge_tpu.io.index import OfflineMultiModelIndex
+
+    tensors = _make_single_file_model(tmp_path / "sf", seed=7)
+
+    async def main():
+        index = OfflineMultiModelIndex()
+        index.add_model(tmp_path / "sf")
+        assert index.get_model_keys("sf") == set(TINY_SHAPES)
+        order = index.get_layer_order("sf")
+        assert order[0] == "model.embed_tokens.weight"
+        name = "model.layers.1.mlp.down_proj.weight"
+        got = await index.get_tensor("sf", name).get()
+        np.testing.assert_array_equal(got, tensors[name])
+        # the synthesized index reports real sizes
+        doc = index.get_index("sf")
+        assert doc["metadata"]["total_size"] == sum(
+            t.nbytes for t in tensors.values()
+        )
+        assert set(doc["weight_map"].values()) == {"model.safetensors"}
+
+    asyncio.run(main())
+
+
+def test_offline_single_file_merge_end_to_end(tmp_path):
+    """A full merge over single-file checkpoints writes a mirrored
+    single-shard output (model.safetensors + a now-materialized index)."""
+    import json as _json
+
+    from shardmerge_tpu.config import MergeConfig, MergeModel
+    from shardmerge_tpu.io.index import OfflineMultiModelIndex
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader
+    from shardmerge_tpu.merge import AdditionMerge
+
+    base_t = _make_single_file_model(tmp_path / "base", seed=8)
+    ft_t = _make_single_file_model(tmp_path / "ft", seed=9)
+
+    index = OfflineMultiModelIndex()
+    index.add_model(tmp_path / "base")
+    index.add_model(tmp_path / "ft")
+    config = MergeConfig(
+        finetune_merge=[
+            MergeModel(model=str(tmp_path / "ft"), base=str(tmp_path / "base"))
+        ],
+        output_base_model=str(tmp_path / "base"),
+        output_dir=str(tmp_path / "merged"),
+        cache_dir=str(tmp_path / "cache"),
+        storage_dir=str(tmp_path / "storage"),
+        output_dtype="float32",
+    )
+    merger = AdditionMerge(config, index_manager=index, add_base=True)
+    asyncio.run(merger.merge())
+
+    out_dir = tmp_path / "merged"
+    idx = _json.loads((out_dir / "model.safetensors.index.json").read_text())
+    assert set(idx["weight_map"].values()) == {"model.safetensors"}
+    with SafeTensorsReader(out_dir / "model.safetensors") as r:
+        name = "model.layers.0.mlp.up_proj.weight"
+        got = r.get_tensor(name, copy=True)
+    np.testing.assert_allclose(
+        got, ft_t[name], rtol=1e-5, atol=1e-6
+    )  # base + (ft - base)
+
+
+def test_hf_single_file_checkpoint(tmp_path):
+    """Hub models without an index (single-file, under the shard cutoff):
+    the 404 on index.json falls back to downloading model.safetensors,
+    synthesizing the index, and persisting it for re-runs."""
+    blob_dir = tmp_path / "src"
+    tensors = _make_single_file_model(blob_dir, seed=11)
+
+    async def main():
+        async with LocalServer() as server:
+            # no index.json blob -> the server 404s it
+            server.blobs["/org/single/resolve/main/model.safetensors"] = (
+                blob_dir / "model.safetensors"
+            ).read_bytes()
+
+            storage = tmp_path / "storage"
+            manager = DownloadManager(storage_path=storage)
+            index = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "cache",
+                endpoint=server.base,
+            )
+            await index.add_model("org/single")
+            assert index.get_model_keys("org/single") == set(TINY_SHAPES)
+            name = "model.layers.0.self_attn.k_proj.weight"
+            got = await index.get_tensor("org/single", name).get()
+            np.testing.assert_array_equal(got, tensors[name])
+
+            # synthesized index persisted -> re-add from storage, offline
+            assert (
+                storage / "org/single/model.safetensors.index.json"
+            ).exists()
+            index2 = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "cache",
+                endpoint="http://127.0.0.1:1",  # unreachable: storage must hit
+            )
+            await index2.add_model("org/single")
+            got2 = await index2.get_tensor("org/single", name).get()
+            np.testing.assert_array_equal(got2, tensors[name])
 
     asyncio.run(main())
