@@ -494,7 +494,7 @@ class FourierMerge(MergeTensorsBase):
         self.batch_rounds = kwargs.get("batch_rounds", False)
 
     def _sharding_for(self, host):
-        if self.mesh is None or host.ndim != 2:
+        if self.mesh is None or host.ndim < 2:
             return None
         # Two triggers: the opt-in byte threshold, OR the huge-tensor
         # working-set bound (base._device_for) — a tensor too big to merge
@@ -504,6 +504,33 @@ class FourierMerge(MergeTensorsBase):
             and host.size < self.huge_tensor_numel
         ):
             return None
+        if host.ndim >= 3:
+            # ndim>=3 (fused MoE expert stacks — Llama-4's gate_up is
+            # (E, hidden, 2I), multi-GB at Scout scale): the FFT runs over
+            # the LAST TWO dims per leading slice (reference fftn
+            # dim=(-2,-1)), so sharding the LEADING dim makes every FFT
+            # device-local — no all-to-all at all; only the global
+            # reductions (norms, dots, order-statistic counts) become
+            # all-reduces, which GSPMD inserts from the sharding on the
+            # ordinary single-device kernels (_dispatch_pair's unsharded
+            # branch — the SPMD partitioner computes identical math).
+            # Leading dims that do not divide the mesh fall back: zero-pad
+            # slices would enter the GLOBAL percentile ranks, unlike the
+            # 2-D row pad whose rows are excluded spectrally.
+            if host.shape[0] % self.mesh.devices.size != 0:
+                logger.info(
+                    "3-D tensor leading dim %d does not divide the %d-device "
+                    "mesh; not sharding",
+                    host.shape[0],
+                    self.mesh.devices.size,
+                )
+                return None
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            return NamedSharding(
+                self.mesh,
+                PartitionSpec("x", *([None] * (host.ndim - 1))),
+            )
         # the all-to-all transpose splits the LAST dim over the mesh:
         # columns must divide it (rows may be zero-padded, see
         # _pad_rows_for) — otherwise fall back to a single device
@@ -518,6 +545,9 @@ class FourierMerge(MergeTensorsBase):
         # next multiple; the distributed-FFT kernels slice the padding off
         # after the all-to-all so every spectral op sees the true tensor
         # (parallel/fft2d.py), and _merge_layer slices the final rows.
+        # ndim>=3 tensors never pad (divisibility enforced in _sharding_for).
+        if host.ndim != 2:
+            return 0
         n_dev = self.mesh.devices.size
         rem = host.shape[0] % n_dev
         return n_dev - rem if rem else 0

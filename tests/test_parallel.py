@@ -1760,3 +1760,115 @@ def test_pipeline_quantized_dense_stack_pp_only():
         )
         with pytest.raises(NotImplementedError, match="Megatron-sliced"):
             stack_stages(mesh2, qparams, 2, tp=True)
+
+
+def test_engine_mesh_shards_3d_expert_stacks(tmp_path, mesh):
+    """ndim>=3 tensors (fused MoE expert stacks) shard over the LEADING dim:
+    every per-slice FFT is device-local (no all-to-all) and the global
+    reductions all-reduce via GSPMD on the ordinary kernels. Output equals
+    the single-device merge."""
+    import asyncio
+    import json
+
+    from shardmerge_tpu.config import MergeConfig, MergeModel
+    from shardmerge_tpu.io import safetensors_io as stio
+    from shardmerge_tpu.io.index import OfflineMultiModelIndex
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader
+    from shardmerge_tpu.merge import FourierMerge
+
+    shapes = {
+        "model.embed_tokens.weight": (16, 8),
+        "model.layers.0.self_attn.q_proj.weight": (16, 16),
+        "model.layers.0.feed_forward.experts.gate_up_proj": (8, 16, 24),
+        "model.layers.0.feed_forward.experts.down_proj": (8, 12, 16),
+        "model.layers.0.input_layernorm.weight": (16,),
+        "model.norm.weight": (16,),
+        "lm_head.weight": (16, 8),
+    }
+
+    def make(path, seed):
+        gen = np.random.default_rng(seed)
+        tensors = {
+            n: gen.standard_normal(s).astype(np.float32)
+            for n, s in shapes.items()
+        }
+        path.mkdir(parents=True)
+        stio.save_file(tensors, path / "model.safetensors")
+        index = {
+            "metadata": {},
+            "weight_map": {n: "model.safetensors" for n in shapes},
+        }
+        (path / "model.safetensors.index.json").write_text(json.dumps(index))
+        return tensors
+
+    make(tmp_path / "base", 300)
+    make(tmp_path / "f1", 301)
+    make(tmp_path / "f2", 302)
+
+    def run(out_name, use_mesh):
+        config = MergeConfig(
+            finetune_merge=[
+                MergeModel(
+                    model=str(tmp_path / "f1"), base=str(tmp_path / "base"),
+                    alpha=0.7,
+                ),
+                MergeModel(
+                    model=str(tmp_path / "f2"), base=str(tmp_path / "base"),
+                    alpha=0.3,
+                ),
+            ],
+            output_base_model=str(tmp_path / "base"),
+            output_dir=str(tmp_path / out_name),
+            cache_dir=str(tmp_path / "cache"),
+            storage_dir=str(tmp_path / "storage"),
+            output_dtype="float32",
+        )
+        index = OfflineMultiModelIndex()
+        for p in ("base", "f1", "f2"):
+            index.add_model(tmp_path / p)
+        merger = FourierMerge(
+            config,
+            index_manager=index,
+            mesh=mesh if use_mesh else None,
+            shard_min_bytes=0,
+        )
+        asyncio.run(merger.merge())
+        out = {}
+        with SafeTensorsReader(tmp_path / out_name / "model.safetensors") as r:
+            for k in r.keys():
+                out[k] = r.get_tensor(k, copy=True)
+        return out, merger
+
+    single, _ = run("merged_single", use_mesh=False)
+    sharded, merger = run("merged_mesh", use_mesh=True)
+
+    # the 3-D stacks (and 2-D tensors) were actually mesh-placed
+    assert merger.stats.tensors_sharded > 0
+    for name in shapes:
+        np.testing.assert_allclose(
+            sharded[name], single[name], rtol=2e-4, atol=2e-5, err_msg=name
+        )
+
+
+def test_sharding_for_3d_policy(mesh):
+    """Leading-dim sharding engages only when the leading dim divides the
+    mesh (zero-pad slices would corrupt the global percentile ranks)."""
+    from shardmerge_tpu.config import MergeConfig, MergeModel
+    from shardmerge_tpu.merge import FourierMerge
+
+    config = MergeConfig(
+        finetune_merge=[MergeModel(model="m", base="b")],
+        output_base_model="b",
+        output_dir="/tmp/none",
+    )
+    merger = FourierMerge(config, mesh=mesh, shard_min_bytes=0)
+
+    s3 = merger._sharding_for(np.zeros((8, 4, 6), np.float32))
+    assert s3 is not None and s3.spec == ("x", None, None)
+    # 7 % 8 != 0 -> no sharding (and no padding for 3-D)
+    assert merger._sharding_for(np.zeros((7, 4, 6), np.float32)) is None
+    # 4-D stacks shard on the leading dim too
+    s4 = merger._sharding_for(np.zeros((16, 2, 4, 6), np.float32))
+    assert s4 is not None and s4.spec == ("x", None, None, None)
+    # 1-D never shards
+    assert merger._sharding_for(np.zeros((64,), np.float32)) is None
