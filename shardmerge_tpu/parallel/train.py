@@ -70,6 +70,15 @@ def loader_shardings(mesh: Mesh):
         "w1": col,
         "w3": col,
         "w2": row,
+        # fused expert stacks (gpt-oss / llama4): shard the EXPERT dim —
+        # each device computes its experts end-to-end and the routed sum's
+        # contraction over e becomes one all-reduce (GSPMD). Slicing the
+        # gate/up columns instead would split gpt-oss's interleaved pairs
+        # and llama4's contiguous halves across shards.
+        "gate_up": NamedSharding(mesh, P("tp", None, None)),
+        "down": NamedSharding(mesh, P("tp", None, None)),
+        "gate_up_bias": NamedSharding(mesh, P("tp", None)),
+        "down_bias": NamedSharding(mesh, P("tp", None)),
     }
     top_rules = {"embed_tokens": col, "lm_head": col}
     return layer_rules, top_rules, rep
@@ -103,13 +112,36 @@ def param_shardings(mesh: Mesh, params: Params) -> Params:
                     {w: apply(r, e[w]) for w, r in expert_rules.items()}
                     for e in v
                 ]
+            elif k in ("gptoss_experts", "llama4_experts"):
+                # fused stacks shard the EXPERT dim (see loader_shardings);
+                # expert counts that do not divide the tp axis replicate
+                n_tp = mesh.shape["tp"]
+
+                def stack_rule(leaf):
+                    arr = leaf["q3"] if isinstance(leaf, dict) else leaf
+                    if arr.shape[0] % n_tp != 0:
+                        return jax.tree.map(lambda _: rep, leaf)
+                    rule = NamedSharding(
+                        mesh, P("tp", *([None] * (arr.ndim - 1)))
+                    )
+                    if isinstance(leaf, dict):  # stacked int8/int4 quant
+                        return {
+                            "q3": rule,
+                            "scale": NamedSharding(
+                                mesh,
+                                P("tp", *([None] * (leaf["scale"].ndim - 1))),
+                            ),
+                        }
+                    return rule
+
+                out[k] = {w: stack_rule(leaf) for w, leaf in v.items()}
             elif k in rules:
                 out[k] = apply(rules[k], v)
             else:
                 # anything without a Megatron rule replicates: routers,
                 # q/k norms, gemma post-norms, sinks, MLA projections,
-                # deepseek shared experts, gpt-oss fused expert stacks —
-                # correct (GSPMD keeps them whole) if not maximally sharded
+                # deepseek shared experts — correct (GSPMD keeps them
+                # whole) if not maximally sharded
                 out[k] = jax.tree.map(lambda _: rep, v)
         return out
 

@@ -2544,3 +2544,116 @@ def test_llama4_quantized_forward_close(tmp_path):
     np.testing.assert_allclose(
         np.asarray(q_logits), np.asarray(base_logits), rtol=0.2, atol=0.2
     )
+
+
+def test_llama4_sharded_serving_matches_single_device(tmp_path):
+    """Llama-4 tensor-parallel serving: the fused expert stacks shard over
+    the EXPERT dim (8 experts / 8 devices), the routed contraction
+    all-reduces via GSPMD, and greedy output equals the unsharded engine."""
+    import torch
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    torch.manual_seed(24)
+    config = Llama4TextConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=48,
+        intermediate_size_mlp=64,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        head_dim=8,
+        num_local_experts=8,  # divides the 8-device mesh
+        num_experts_per_tok=2,
+        interleave_moe_layer_step=2,
+        no_rope_layers=[1, 0],
+        attention_chunk_size=4,
+        attn_temperature_tuning=True,
+        floor_scale=2.0,
+        use_qk_norm=True,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    model = Llama4ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "l4tp"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.inference import InferenceEngine
+
+    def gen(engine):
+        return "".join(
+            engine.stream_generation(
+                "expert sharding", max_new_tokens=8, greedy=True,
+                use_template=False,
+            )
+        )
+
+    plain = gen(
+        InferenceEngine.from_pretrained(str(path), tokenizer=StubTokenizer())
+    )
+    sharded_engine = InferenceEngine.from_pretrained(
+        str(path), tokenizer=StubTokenizer(), shard=True
+    )
+    e1 = sharded_engine.params["layers"][1]["llama4_experts"]
+    assert not e1["gate_up"].sharding.is_fully_replicated
+    assert tuple(e1["gate_up"].sharding.spec) == ("tp", None, None)
+    assert gen(sharded_engine) == plain
+
+    # streaming load places the stacks straight onto the expert sharding
+    from jax.sharding import Mesh
+
+    from shardmerge_tpu.models.loader import load_params
+
+    direct = load_params(
+        path, mesh=Mesh(np.asarray(jax.devices()), ("tp",))
+    )
+    d1 = direct["layers"][1]["llama4_experts"]
+    assert not d1["gate_up"].sharding.is_fully_replicated
+    assert not d1["down"].sharding.is_fully_replicated
+
+
+def test_gptoss_expert_stacks_shard_over_experts(tmp_path):
+    """GPT-OSS fused stacks (previously replicated under tp) now shard the
+    expert dim; sharded greedy serving equals single-device."""
+    import torch
+    from transformers import GptOssConfig, GptOssForCausalLM
+
+    torch.manual_seed(25)
+    config = GptOssConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=8,
+        num_key_value_heads=8,
+        head_dim=8,
+        num_local_experts=8,
+        num_experts_per_tok=2,
+        sliding_window=3,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    model = GptOssForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "gotp"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.inference import InferenceEngine
+
+    def gen(engine):
+        return "".join(
+            engine.stream_generation(
+                "expert sharding", max_new_tokens=8, greedy=True,
+                use_template=False,
+            )
+        )
+
+    plain = gen(
+        InferenceEngine.from_pretrained(str(path), tokenizer=StubTokenizer())
+    )
+    sharded_engine = InferenceEngine.from_pretrained(
+        str(path), tokenizer=StubTokenizer(), shard=True
+    )
+    e0 = sharded_engine.params["layers"][0]["gptoss_experts"]
+    assert tuple(e0["gate_up"].sharding.spec) == ("tp", None, None)
+    assert tuple(e0["down_bias"].sharding.spec) == ("tp", None)
+    assert gen(sharded_engine) == plain
