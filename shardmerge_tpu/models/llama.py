@@ -521,6 +521,32 @@ def _l2_norm(x: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (x32 * scale).astype(x.dtype)
 
 
+def _l2_qk(cfg: ModelConfig, q, k):
+    """llama4: weightless L2 q/k norm AFTER rope, rope layers only (HF
+    Llama4TextAttention: the qk_norm module exists iff use_qk_norm and
+    use_rope). Permutation-invariant, so it commutes with the
+    un-interleaved rope layout. Shared by the serving and train blocks."""
+    if not cfg.qk_norm_l2:
+        return q, k
+    return _l2_norm(q, cfg.rms_norm_eps), _l2_norm(k, cfg.rms_norm_eps)
+
+
+def _nope_temp_q(cfg: ModelConfig, q, positions):
+    """llama4 NoPE layers: temperature-scaled queries (HF
+    Llama4TextAttention.forward, arXiv 2501.19399). ``q``: (B, H, T, D);
+    ``positions``: (B, T). Shared by the serving and train blocks."""
+    if not cfg.attn_temperature_tuning:
+        return q
+    scales = (
+        jnp.log1p(
+            jnp.floor((positions.astype(jnp.float32) + 1.0) / cfg.floor_scale)
+        )
+        * jnp.float32(cfg.attn_scale)
+        + 1.0
+    )
+    return (q.astype(jnp.float32) * scales[:, None, :, None]).astype(q.dtype)
+
+
 def _rotate_half(x):
     half = x.shape[-1] // 2
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
@@ -802,26 +828,9 @@ def _attention(
 
     if use_rope:  # smollm3/llama4 NoPE layers skip rotary entirely
         q, k = apply_rope_cfg(cfg, q, k, cos, sin, positions)
-        if cfg.qk_norm_l2:
-            # llama4: weightless L2 q/k norm AFTER rope, rope layers only
-            # (HF Llama4TextAttention: qk_norm exists iff use_qk_norm and
-            # use_rope). Permutation-invariant, so it commutes with the
-            # un-interleaved rope layout.
-            q = _l2_norm(q, cfg.rms_norm_eps)
-            k = _l2_norm(k, cfg.rms_norm_eps)
-    elif cfg.attn_temperature_tuning:
-        # llama4 NoPE layers: temperature-scaled queries
-        # (HF Llama4TextAttention.forward, arXiv 2501.19399)
-        scales = (
-            jnp.log1p(
-                jnp.floor(
-                    (positions.astype(jnp.float32) + 1.0) / cfg.floor_scale
-                )
-            )
-            * jnp.float32(cfg.attn_scale)
-            + 1.0
-        )
-        q = (q.astype(jnp.float32) * scales[:, None, :, None]).astype(q.dtype)
+        q, k = _l2_qk(cfg, q, k)
+    else:
+        q = _nope_temp_q(cfg, q, positions)
 
     k_cache, v_cache = kv_slice
     k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
@@ -1644,16 +1653,22 @@ def block_train(
         # qwen3: per-head RMSNorm before RoPE
         q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
         k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
-    # smollm3 NoPE layers skip rotary entirely. ``use_rope`` may be a traced
-    # scalar bool (the pipeline schedule scans layer-index-dependent flags
-    # through one compiled body, parallel/pipeline.py): rope is then always
-    # computed and selected — branchless, XLA-friendly.
+    # smollm3/llama4 NoPE layers skip rotary entirely. ``use_rope`` may be a
+    # traced scalar bool (the pipeline schedule scans layer-index-dependent
+    # flags through one compiled body, parallel/pipeline.py): rope is then
+    # always computed and selected — branchless, XLA-friendly. The llama4
+    # post-rope L2 norm (rope layers) and NoPE temperature scaling follow
+    # the same structure so train matches serving exactly.
     if isinstance(use_rope, bool):
         if use_rope:
             q, k = apply_rope_cfg(cfg, q, k, cos, sin, positions)
+            q, k = _l2_qk(cfg, q, k)
+        else:
+            q = _nope_temp_q(cfg, q, positions)
     else:
         qr, kr = apply_rope_cfg(cfg, q, k, cos, sin, positions)
-        q = jnp.where(use_rope, qr, q)
+        qr, kr = _l2_qk(cfg, qr, kr)
+        q = jnp.where(use_rope, qr, _nope_temp_q(cfg, q, positions))
         k = jnp.where(use_rope, kr, k)
 
     scale = jnp.sqrt(jnp.float32(cfg.query_pre_attn_scalar or D))
@@ -1769,6 +1784,14 @@ def forward_train(
         jj = jnp.arange(T)[None, :]
         sl = causal & (jj > ii - cfg.sliding_window)
         mask_sliding = jnp.where(sl, 0.0, jnp.float32(-1e9))
+    mask_chunked = None
+    if cfg.attention_chunk_size is not None:
+        # llama4 chunk-aligned local attention (see forward's mask_chunked)
+        C = cfg.attention_chunk_size
+        ii = jnp.arange(T)[:, None]
+        jj = jnp.arange(T)[None, :]
+        ch = causal & (jj >= (ii // C) * C)
+        mask_chunked = jnp.where(ch, 0.0, jnp.float32(-1e9))
 
     def blk(layer, x, mask, use_rope):
         return block_train(
@@ -1779,9 +1802,12 @@ def forward_train(
         blk = jax.checkpoint(blk, static_argnums=(3,))
 
     for li, layer in enumerate(params["layers"]):
-        mask = (
-            mask_sliding if cfg.layer_is_sliding(li) else mask_full
-        )
+        if cfg.layer_is_chunked(li):
+            mask = mask_chunked
+        elif cfg.layer_is_sliding(li):
+            mask = mask_sliding
+        else:
+            mask = mask_full
         x = blk(layer, x, mask, cfg.layer_uses_rope(li))
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, po)

@@ -2657,3 +2657,29 @@ def test_gptoss_expert_stacks_shard_over_experts(tmp_path):
     assert tuple(e0["gate_up"].sharding.spec) == ("tp", None, None)
     assert tuple(e0["down_bias"].sharding.spec) == ("tp", None)
     assert gen(sharded_engine) == plain
+
+
+def test_llama4_forward_train_matches_serving_prefill(tmp_path):
+    """forward_train reproduces the HF-validated serving prefill on Llama-4:
+    the chunked mask, post-rope L2 q/k norm, NoPE temperature scaling, and
+    the input-scaled MoE all hold on the cache-free train path (and under
+    remat)."""
+    from shardmerge_tpu.models.llama import forward_train
+    from shardmerge_tpu.models.loader import load_params
+
+    _, path = _tiny_llama4(tmp_path, seed=26)
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+
+    ids = np.array([[7, 61, 113, 28, 84, 3, 55, 19]], np.int32)
+    serve_logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    train_logits = forward_train(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(train_logits), np.asarray(serve_logits),
+        rtol=2e-4, atol=2e-5,
+    )
+    remat_logits = forward_train(params, cfg, jnp.asarray(ids), remat=True)
+    np.testing.assert_allclose(
+        np.asarray(remat_logits), np.asarray(train_logits),
+        rtol=1e-6, atol=1e-7,
+    )
