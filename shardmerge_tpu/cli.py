@@ -254,7 +254,8 @@ def cli():
     "--method",
     type=str,
     default=None,
-    help="Merge method: fourier | fourier-legacy | addition | task-addition",
+    help="Merge method: fourier | fourier-legacy | addition | task-addition "
+    "| ties | dare | linear | slerp",
 )
 @click.option(
     "--write-through",

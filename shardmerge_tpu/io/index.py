@@ -302,13 +302,15 @@ class HFMultiModelIndex(_IndexBase):
                     if response.status == 404:
                         # Single-file checkpoint: models under the 5 GB
                         # shard cutoff ship one model.safetensors and no
-                        # index (the reference 404s here, index.py:98). The
-                        # file is downloaded eagerly — every tensor of it
-                        # is needed for a merge anyway — and a one-shard
-                        # index is synthesized and persisted so re-runs
-                        # load it straight from storage.
+                        # index (the reference 404s here, index.py:98). A
+                        # one-shard index is synthesized from the
+                        # safetensors HEADER — streamed and aborted after
+                        # the header bytes, so --dry-run keeps its
+                        # no-weight-fetch contract — and persisted so
+                        # re-runs load it straight from storage. The file
+                        # itself downloads lazily via _load_tensor.
                         index = await self._fetch_single_file_index(
-                            model_uri, model_path, revision
+                            model_uri, revision, session
                         )
                         with open(model_index_path, "w") as f:
                             json.dump(index, f)
@@ -325,30 +327,54 @@ class HFMultiModelIndex(_IndexBase):
         self._register_index(model_uri, index)
 
     async def _fetch_single_file_index(
-        self, model_uri: str, model_path: Path, revision: str
+        self, model_uri: str, revision: str, session
     ) -> dict:
+        """One-shard index from the remote file's safetensors header.
+
+        Streams ``model.safetensors`` only until the 8-byte length prefix
+        plus the JSON header have arrived, then drops the connection — a
+        multi-GB checkpoint costs a few hundred KB here, and the weights
+        download lazily through the normal shard machinery."""
+        import struct
+
         self._revisions[model_uri] = revision
         shard_url = self._shard_url(model_uri, "model.safetensors")
-        # no_claims=1 + claim=True (not the preload -1 sentinel): a
-        # clean_cache run must not see claims<=0 here and delete the file;
-        # _load_tensor later re-registers with the real per-tensor count
-        await self.download_manager.cache_file(model_uri, shard_url, no_claims=1)
-        task = self.download_manager.downloads[(model_uri, shard_url)]
-        async with task.lock:  # held until the transfer completes
-            path = await self.download_manager.get_file(
-                model_uri, shard_url, claim=True
+        async with session.get(shard_url) as resp:
+            if resp.status == 404:
+                raise FileNotFoundError(
+                    f"{model_uri}: neither model.safetensors.index.json nor "
+                    f"model.safetensors exists at revision {revision!r}"
+                )
+            resp.raise_for_status()
+            buf = b""
+            need = None
+            async for chunk in resp.content.iter_chunked(1 << 16):
+                buf += chunk
+                if need is None and len(buf) >= 8:
+                    (hlen,) = struct.unpack("<Q", buf[:8])
+                    need = 8 + hlen
+                if need is not None and len(buf) >= need:
+                    break
+        if need is None or len(buf) < need:
+            raise ValueError(
+                f"{model_uri}: model.safetensors truncated before its header"
             )
-        if not path:
-            raise FileNotFoundError(
-                f"{model_uri}: neither model.safetensors.index.json nor "
-                "model.safetensors could be fetched"
-            )
+        header = json.loads(buf[8:need])
+        header.pop("__metadata__", None)
+        total = sum(
+            e["data_offsets"][1] - e["data_offsets"][0]
+            for e in header.values()
+        )
         logger.info(
-            "Synthesized single-file index for model %s", model_uri
+            "Synthesized single-file index for model %s from the remote "
+            "header (%d tensors)",
+            model_uri,
+            len(header),
         )
-        return await asyncio.to_thread(
-            _synthesize_single_file_index, Path(path).parent
-        )
+        return {
+            "metadata": {"total_size": total},
+            "weight_map": {name: "model.safetensors" for name in header},
+        }
 
     def _shard_url(self, model_uri: str, shard_name: str) -> str:
         revision = self._revisions.get(model_uri, "main")

@@ -225,6 +225,42 @@ class MergeTensorsBase(ABC):
             chosen.model, shard_layer.layer_name
         ).get()
 
+    async def _delta_engine_inputs(self, shard_layer: ShardLayer):
+        """The shared prologue of the delta-stack engines (ties / dare /
+        linear): input/output passthrough gates, per-layer model filtering
+        via use_layer_index, base fetch, and a concurrent shard warm-up.
+
+        Returns ``(models, base_fp32)`` for a real merge, or
+        ``(None, finished_tensor)`` when the layer resolves without one
+        (sentinel passthrough, or every model layer-gated out)."""
+        if shard_layer.layer_number == INPUT_LAYER:
+            self.stats.tensors_passthrough += 1
+            return None, await self._passthrough(shard_layer, "input")
+        if shard_layer.layer_number == OUTPUT_LAYER:
+            self.stats.tensors_passthrough += 1
+            return None, await self._passthrough(shard_layer, "output")
+
+        models = [
+            m
+            for m in self.config.finetune_merge
+            if m.use_layer_index(shard_layer.layer_number)
+        ]
+        base = await self.get_base_output_tensor(shard_layer)
+        if not models:
+            logger.warning(
+                "No models cover layer %s; passing base through",
+                shard_layer.layer_name,
+            )
+            return None, np.asarray(base)
+
+        await asyncio.gather(
+            *[
+                self.index_manager.preload_tensor(m.model, shard_layer.layer_name)
+                for m in models
+            ]
+        )
+        return models, base
+
     async def get_delta_for_models(
         self,
         models: List[MergeModel],

@@ -23,7 +23,6 @@ reproduce here.
 
 from __future__ import annotations
 
-import asyncio
 import logging
 import zlib
 from functools import partial
@@ -32,7 +31,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import INPUT_LAYER, OUTPUT_LAYER
 from ..io.writer import ShardLayer
 from .base import MergeTensorsBase
 from .ties import elect_disjoint_mean
@@ -40,8 +38,17 @@ from .ties import elect_disjoint_mean
 logger = logging.getLogger(__name__)
 
 
-@partial(jax.jit, static_argnums=(3,))
-def _dare_reduce(base, deltas, keys, combine_ties, keep_prob, lam, add_base):
+@partial(jax.jit, static_argnums=(4,))
+def _dare_reduce(base, deltas, seed, name_crc, combine_ties, keep_prob, lam,
+                 add_base):
+    # key derivation lives INSIDE the jit: eagerly it is ~N+3 device
+    # dispatches per tensor, and on the tunneled-TPU host every dispatch is
+    # a ~24 ms relay round-trip (CLAUDE.md); traced, it fuses into the one
+    # merge call. Same functional ops -> bit-identical masks.
+    named = jax.random.fold_in(jax.random.key(seed), name_crc)
+    keys = jnp.stack(
+        [jax.random.fold_in(named, m) for m in range(deltas.shape[0])]
+    )
     masks = jax.vmap(
         lambda k: jax.random.bernoulli(k, p=keep_prob, shape=deltas.shape[1:])
     )(keys)
@@ -97,47 +104,16 @@ delta's expectation, then combined via {self.combine}
 (lambda={self.lam}).
 """
 
-    def _mask_keys(self, tensor_name: str, n_models: int) -> jnp.ndarray:
-        root = jax.random.key(self.seed)
-        named = jax.random.fold_in(
-            root, zlib.crc32(tensor_name.encode()) & 0x7FFFFFFF
-        )
-        return jnp.stack(
-            [jax.random.fold_in(named, m) for m in range(n_models)]
-        )
-
     async def _merge_layer(self, shard_layer: ShardLayer) -> np.ndarray:
-        if shard_layer.layer_number == INPUT_LAYER:
-            self.stats.tensors_passthrough += 1
-            return await self._passthrough(shard_layer, "input")
-        if shard_layer.layer_number == OUTPUT_LAYER:
-            self.stats.tensors_passthrough += 1
-            return await self._passthrough(shard_layer, "output")
-
-        models = [
-            m
-            for m in self.config.finetune_merge
-            if m.use_layer_index(shard_layer.layer_number)
-        ]
-        base = await self.get_base_output_tensor(shard_layer)
-        if not models:
-            logger.warning(
-                "No models cover layer %s; passing base through",
-                shard_layer.layer_name,
-            )
-            return np.asarray(base)
-
-        await asyncio.gather(
-            *[
-                self.index_manager.preload_tensor(m.model, shard_layer.layer_name)
-                for m in models
-            ]
-        )
+        models, base = await self._delta_engine_inputs(shard_layer)
+        if models is None:
+            return base
         deltas = await self.get_delta_for_models(models, shard_layer)
         out = _dare_reduce(
             base,
             jnp.stack(deltas),
-            self._mask_keys(shard_layer.layer_name, len(models)),
+            jnp.uint32(self.seed),
+            jnp.uint32(zlib.crc32(shard_layer.layer_name.encode()) & 0x7FFFFFFF),
             self.combine == "ties",
             jnp.float32(1.0 - self.drop_rate),
             jnp.float32(self.lam),

@@ -15,14 +15,12 @@ no-alpha/no-base quirk, shard/merge/addition.py:70-82).
 
 from __future__ import annotations
 
-import asyncio
 import logging
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import INPUT_LAYER, OUTPUT_LAYER
 from ..io.writer import ShardLayer
 from .base import MergeTensorsBase
 
@@ -59,32 +57,9 @@ Merged linearly: the base model plus {how}.
 """
 
     async def _merge_layer(self, shard_layer: ShardLayer) -> np.ndarray:
-        if shard_layer.layer_number == INPUT_LAYER:
-            self.stats.tensors_passthrough += 1
-            return await self._passthrough(shard_layer, "input")
-        if shard_layer.layer_number == OUTPUT_LAYER:
-            self.stats.tensors_passthrough += 1
-            return await self._passthrough(shard_layer, "output")
-
-        models = [
-            m
-            for m in self.config.finetune_merge
-            if m.use_layer_index(shard_layer.layer_number)
-        ]
-        base = await self.get_base_output_tensor(shard_layer)
-        if not models:
-            logger.warning(
-                "No models cover layer %s; passing base through",
-                shard_layer.layer_name,
-            )
-            return np.asarray(base)
-
-        await asyncio.gather(
-            *[
-                self.index_manager.preload_tensor(m.model, shard_layer.layer_name)
-                for m in models
-            ]
-        )
+        models, base = await self._delta_engine_inputs(shard_layer)
+        if models is None:
+            return base
         deltas = await self.get_delta_for_models(models, shard_layer)
         z = sum(m.alpha for m in models) if self.normalize else 1.0
         if self.normalize and abs(z) < 1e-12:

@@ -23,6 +23,7 @@ zero.
 
 from __future__ import annotations
 
+import asyncio
 import logging
 
 import jax
@@ -113,8 +114,7 @@ Merged by per-tensor spherical interpolation (t={self.t}) along
             return np.asarray(await self.get_base_output_tensor(shard_layer))
 
         if len(self.config.finetune_merge) == 1:
-            v0 = await self._fetch(self.config.output_base_model, name)
-            v1 = await self._fetch(models[0].model, name)
+            uris = [self.config.output_base_model, models[0].model]
         else:
             # endpoints are the two configured finetunes, in order; a
             # layer-gated endpoint falls back to the base model so the arc
@@ -130,7 +130,13 @@ Merged by per-tensor spherical interpolation (t={self.t}) along
                         name,
                     )
                     uris.append(self.config.output_base_model)
-            v0 = await self._fetch(uris[0], name)
-            v1 = await self._fetch(uris[1], name)
+        # warm both endpoint shards, then fetch concurrently: per-layer wall
+        # is max() of the two downloads, not their sum
+        await asyncio.gather(
+            *[self.index_manager.preload_tensor(u, name) for u in uris]
+        )
+        v0, v1 = await asyncio.gather(
+            self._fetch(uris[0], name), self._fetch(uris[1], name)
+        )
         out = _slerp_pair(v0, v1, jnp.float32(self.t))
         return np.asarray(out)

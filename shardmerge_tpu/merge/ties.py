@@ -34,7 +34,6 @@ depends only on that tensor's inputs.
 
 from __future__ import annotations
 
-import asyncio
 import logging
 from functools import partial
 
@@ -42,7 +41,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..constants import INPUT_LAYER, OUTPUT_LAYER
 from ..io.writer import ShardLayer
 from ..ops.select import kth_smallest_nonneg
 from .base import MergeTensorsBase
@@ -124,32 +122,9 @@ by summed mass, and agreeing entries were averaged (lambda={self.lam}).
 """
 
     async def _merge_layer(self, shard_layer: ShardLayer) -> np.ndarray:
-        if shard_layer.layer_number == INPUT_LAYER:
-            self.stats.tensors_passthrough += 1
-            return await self._passthrough(shard_layer, "input")
-        if shard_layer.layer_number == OUTPUT_LAYER:
-            self.stats.tensors_passthrough += 1
-            return await self._passthrough(shard_layer, "output")
-
-        models = [
-            m
-            for m in self.config.finetune_merge
-            if m.use_layer_index(shard_layer.layer_number)
-        ]
-        base = await self.get_base_output_tensor(shard_layer)
-        if not models:
-            logger.warning(
-                "No models cover layer %s; passing base through",
-                shard_layer.layer_name,
-            )
-            return np.asarray(base)
-
-        await asyncio.gather(
-            *[
-                self.index_manager.preload_tensor(m.model, shard_layer.layer_name)
-                for m in models
-            ]
-        )
+        models, base = await self._delta_engine_inputs(shard_layer)
+        if models is None:
+            return base
         deltas = await self.get_delta_for_models(models, shard_layer)
         stack = jnp.stack(deltas)
         k_keep = keep_count(int(np.prod(stack.shape[1:])), self.density)

@@ -347,6 +347,23 @@ def load_params(
             f"Checkpoint at {model_path} is incomplete "
             f"(missing embed or layers {missing[:4]}...)"
         )
+    if cfg.moe_layers is not None:
+        # llama4 interleaved stacks: the per-layer MoE table derived from
+        # the config must match the tensors actually present — a missing
+        # expert stack would otherwise dispatch that layer as dense and
+        # fail later (or worse, a dense layer with stray expert tensors
+        # would silently route)
+        wrong = [
+            i
+            for i, layer in enumerate(params["layers"])
+            if ("llama4_experts" in layer) != cfg.layer_is_moe(i)
+        ]
+        if wrong:
+            raise ValueError(
+                f"Checkpoint at {model_path} disagrees with the config's "
+                f"moe_layers table at layers {wrong[:4]}: expert stacks "
+                "present where the config says dense (or vice versa)"
+            )
     return params
 
 

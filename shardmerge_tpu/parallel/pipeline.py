@@ -357,7 +357,7 @@ def stack_stages(
 
 def _schedule_body(
     blocks, xs, cos, sin, positions, masks, *, cfg, n_stages, tp=False,
-    n_tp=1, rope_flags=None, sliding_flags=None, remat=False,
+    n_tp=1, rope_flags=None, mask_ids=None, remat=False,
 ):
     """shard_map body: run the GPipe ticks for this device's stage.
 
@@ -365,11 +365,12 @@ def _schedule_body(
     ``tp`` the weight dims are additionally this device's Megatron slice and
     ``cfg`` is already scaled to the LOCAL head/ffn counts;
     xs: (n_micro, mb, T, E) embedded microbatches, replicated;
-    masks: (2, T, T) additive [full, sliding] (sliding == full when the
-    model has no window);
-    rope_flags / sliding_flags: static per-GLOBAL-layer bool tuples. When a
-    table is uniform the per-layer select compiles away (python branch);
-    otherwise the scanned body gathers its layer's entry by global index.
+    masks: (3, T, T) additive [full, sliding, chunked] (an absent kind
+    aliases full);
+    rope_flags: static per-GLOBAL-layer bool tuple; mask_ids: static
+    per-GLOBAL-layer int tuple indexing ``masks``. When a table is uniform
+    the per-layer select compiles away (python branch); otherwise the
+    scanned body gathers its layer's entry by global index.
     Returns (n_micro, mb, T, E) final-stage activations, replicated (psum).
     """
     blocks = jax.tree.map(lambda v: v[0], blocks)  # (per, ...)
@@ -384,18 +385,18 @@ def _schedule_body(
     )
 
     rope_uniform = len(set(rope_flags)) == 1
-    sliding_uniform = len(set(sliding_flags)) == 1
+    mask_uniform = len(set(mask_ids)) == 1
     rope_table = jnp.asarray(rope_flags)
-    sliding_table = jnp.asarray(sliding_flags, jnp.int32)
+    mask_table = jnp.asarray(mask_ids, jnp.int32)
 
     def stage_apply(x):
         def one_layer(h, inp):
             layer, li = inp
             g = rank * per + li  # global layer index of this scan step
-            if sliding_uniform:
-                mask = masks[1 if sliding_flags[0] else 0]
+            if mask_uniform:
+                mask = masks[mask_ids[0]]
             else:
-                mask = masks[sliding_table[g]]
+                mask = masks[mask_table[g]]
             if rope_uniform:
                 use_rope = rope_flags[0]
             else:
@@ -536,11 +537,23 @@ def pipeline_forward_train(
         mask_sliding = jnp.where(sl, 0.0, jnp.float32(-1e9))
     else:
         mask_sliding = mask_full
-    masks = jnp.stack([mask_full, mask_sliding])
+    if cfg.attention_chunk_size is not None:
+        # llama4 chunk-aligned local attention (models/llama.py forward)
+        C = cfg.attention_chunk_size
+        ii = jnp.arange(T)[:, None]
+        jj = jnp.arange(T)[None, :]
+        ch = causal & (jj >= (ii // C) * C)
+        mask_chunked = jnp.where(ch, 0.0, jnp.float32(-1e9))
+    else:
+        mask_chunked = mask_full
+    masks = jnp.stack([mask_full, mask_sliding, mask_chunked])
 
     n_layers = cfg.num_hidden_layers
     rope_flags = tuple(cfg.layer_uses_rope(i) for i in range(n_layers))
-    sliding_flags = tuple(cfg.layer_is_sliding(i) for i in range(n_layers))
+    mask_ids = tuple(
+        2 if cfg.layer_is_chunked(i) else 1 if cfg.layer_is_sliding(i) else 0
+        for i in range(n_layers)
+    )
 
     # heterogeneous stacks (DeepSeek first_k_dense_replace): the replicated
     # prefix layers run before the pipeline, full-batch, exactly like
@@ -553,11 +566,11 @@ def pipeline_forward_train(
         for i, layer in enumerate(prefix):
             x = block_train(
                 cfg, layer, x, cos, sin, pos_full,
-                masks[1 if sliding_flags[i] else 0],
+                masks[mask_ids[i]],
                 use_rope=rope_flags[i],
             )
         rope_flags = rope_flags[n_prefix:]
-        sliding_flags = sliding_flags[n_prefix:]
+        mask_ids = mask_ids[n_prefix:]
 
     xs = x.reshape(n_microbatches, mb, T, -1)
 
@@ -589,7 +602,7 @@ def pipeline_forward_train(
             tp=tp,
             n_tp=(n_tp if tp else 1),
             rope_flags=rope_flags,
-            sliding_flags=sliding_flags,
+            mask_ids=mask_ids,
             remat=remat,
         )
         import jax.tree_util as jtu

@@ -585,6 +585,13 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
         cfg.layer_is_sliding(i) for i in range(cfg.num_hidden_layers)
     ):
         raise NotImplementedError("sliding windows under cp")
+    if cfg.attention_chunk_size is not None and any(
+        cfg.layer_is_chunked(i) for i in range(cfg.num_hidden_layers)
+    ):
+        # llama4 chunk-aligned local attention: the ring schedule derives
+        # causality only — chunked layers would silently attend past their
+        # chunk boundary
+        raise NotImplementedError("chunked attention under cp")
 
     n_cp = mesh.shape["cp"]
     tp = "tp" in mesh.axis_names

@@ -849,13 +849,20 @@ def test_pipeline_tp_rejects_indivisible_heads():
 
 
 @pytest.mark.parametrize(
-    "kind", ["mistral_all_sliding", "gemma2_alternating", "smollm3_nope"]
+    "kind",
+    [
+        "mistral_all_sliding",
+        "gemma2_alternating",
+        "smollm3_nope",
+        "llama4_chunked",
+    ],
 )
 def test_pipeline_per_layer_schedules_match_single_device(kind):
     """Per-layer attention schedules through the pipeline (VERDICT r2 #5):
-    sliding windows (every layer / alternating) and mixed NoPE layers must
-    reproduce forward_train exactly — the scanned stage body selects each
-    layer's mask/rope gate by its global index."""
+    sliding windows (every layer / alternating), mixed NoPE layers, and
+    llama4 chunk-aligned local attention (+ post-rope L2 qk norm and NoPE
+    query temperature) must reproduce forward_train exactly — the scanned
+    stage body selects each layer's mask/rope gate by its global index."""
     import dataclasses
 
     from shardmerge_tpu.models.llama import forward_train, init_params
@@ -869,13 +876,37 @@ def test_pipeline_per_layer_schedules_match_single_device(kind):
         cfg = dataclasses.replace(cfg, model_type="mistral", sliding_window=3)
     elif kind == "gemma2_alternating":
         cfg = dataclasses.replace(cfg, model_type="gemma2", sliding_window=3)
+    elif kind == "llama4_chunked":
+        # dense llama4-shaped stack: chunked attention on rope layers,
+        # global attention + temperature scaling on the NoPE layer,
+        # weightless L2 qk norm after rope
+        cfg = dataclasses.replace(
+            cfg,
+            model_type="llama4_text",
+            no_rope_layers=(1, 1, 0, 1),
+            layer_types=(
+                "chunked_attention",
+                "chunked_attention",
+                "full_attention",
+                "chunked_attention",
+            ),
+            attention_chunk_size=4,
+            attn_temperature_tuning=True,
+            floor_scale=2.0,
+            qk_norm_l2=True,
+        )
     else:  # smollm3: NoPE (rope off) on layers 1 and 3
         cfg = dataclasses.replace(
             cfg, model_type="smollm3", no_rope_layers=(1, 0, 1, 0)
         )
     # the schedule must actually vary across layers for this test to bite
     flags = [
-        (cfg.layer_is_sliding(i), cfg.layer_uses_rope(i)) for i in range(4)
+        (
+            cfg.layer_is_sliding(i),
+            cfg.layer_is_chunked(i),
+            cfg.layer_uses_rope(i),
+        )
+        for i in range(4)
     ]
     if kind != "mistral_all_sliding":
         assert len(set(flags)) > 1, flags
