@@ -48,6 +48,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llama import ModelConfig, Params, block_train, matmul, rms_norm, rope_tables
@@ -161,15 +162,15 @@ def _normalize_block(layer, tp: bool):
             "quantized experts cannot be stage-stacked; pipeline "
             "stages need raw expert matrices"
         )
-    if "gptoss_experts" in out:
-        if any(
-            not hasattr(w, "ndim") for w in out["gptoss_experts"].values()
+    for fused in ("gptoss_experts", "llama4_experts"):
+        if fused in out and any(
+            not hasattr(w, "ndim") for w in out[fused].values()
         ):
             raise NotImplementedError(
-                "quantized gpt-oss experts cannot be stage-stacked"
+                f"quantized {fused} cannot be stage-stacked"
             )
     for k, v in out.items():
-        if k == "gptoss_experts":
+        if k in ("gptoss_experts", "llama4_experts"):
             continue
         if hasattr(v, "ndim"):
             continue
@@ -330,6 +331,36 @@ def stack_stages(
         ge = dict(stacked["gptoss_experts"])
         ge["down_bias"] = ge["down_bias"] / mesh.shape["tp"]
         stacked["gptoss_experts"] = ge
+    if tp and "llama4_experts" in stacked:
+        # llama4 gate_up stores gate/up as contiguous HALVES of the last
+        # dim — a plain 'tp' column slice would mix columns of both.
+        # Permute to per-device blocks [gate_r | up_r] so the P(..., 'tp')
+        # slice hands each device matched gate/up columns and the scanned
+        # body's split-in-half works on the LOCAL width; down row-shards
+        # its input dim to match and the FFN psum reassembles the output.
+        le = dict(stacked["llama4_experts"])
+        gu = le["gate_up"]  # (S, per, E, hidden, 2I)
+        n_tp = mesh.shape["tp"]
+        inter = gu.shape[-1] // 2
+        if inter % n_tp:
+            raise ValueError(
+                f"llama4 expert intermediate dim {inter} must divide "
+                f"tp={n_tp} for pp x tp stages"
+            )
+        blk = inter // n_tp
+        idx = np.concatenate(
+            [
+                np.concatenate(
+                    [
+                        np.arange(r * blk, (r + 1) * blk),
+                        inter + np.arange(r * blk, (r + 1) * blk),
+                    ]
+                )
+                for r in range(n_tp)
+            ]
+        )
+        le["gate_up"] = gu[..., idx]
+        stacked["llama4_experts"] = le
     pp_shard = jtu.tree_map_with_path(
         lambda path, v: jax.device_put(
             v,

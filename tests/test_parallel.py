@@ -1903,3 +1903,71 @@ def test_sharding_for_3d_policy(mesh):
     assert s4 is not None and s4.spec == ("x", None, None, None)
     # 1-D never shards
     assert merger._sharding_for(np.zeros((64,), np.float32)) is None
+
+
+def test_pipeline_llama4_moe_pp_and_pp_tp(tmp_path):
+    """Homogeneous (Scout-style, every layer MoE) Llama-4 stacks pipeline:
+    the fused llama4_experts dict stage-stacks, and under pp x tp the
+    gate/up halves are block-permuted so the Megatron column slice hands
+    each device matched gate/up columns (stack_stages) — logits equal
+    forward_train both ways. Interleaved dense/MoE stacks (step > 1)
+    remain a loud boundary."""
+    import torch
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    from shardmerge_tpu.models.llama import ModelConfig, forward_train
+    from shardmerge_tpu.models.loader import load_params
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    torch.manual_seed(27)
+    config = Llama4TextConfig(
+        vocab_size=96,
+        hidden_size=32,
+        intermediate_size=48,
+        intermediate_size_mlp=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=8,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        interleave_moe_layer_step=1,  # every layer MoE -> homogeneous
+        no_rope_layers=[1, 1, 0, 1],
+        attention_chunk_size=4,
+        attn_temperature_tuning=True,
+        floor_scale=2.0,
+        use_qk_norm=True,
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    model = Llama4ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "l4pp"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert all(cfg.layer_is_moe(i) for i in range(4))
+    params = load_params(path, cfg, dtype=jnp.float32)
+
+    B, T = 2, 9
+    ids = jax.random.randint(jax.random.PRNGKey(13), (B, T), 0, cfg.vocab_size)
+    want = np.asarray(forward_train(params, cfg, ids))
+
+    # pp-only over 4 stages
+    mesh_pp = make_mesh(("pp",), devices=jax.devices()[:4])
+    pp_params = stack_stages(mesh_pp, params, 4)
+    got = np.asarray(pipeline_forward_train(mesh_pp, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # pp x tp (2, 2)
+    mesh_2d = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
+    pp_tp_params = stack_stages(mesh_2d, params, 2, tp=True)
+    gu = pp_tp_params["blocks"]["llama4_experts"]["gate_up"]
+    # (S, per, E, hidden, 2I) sliced on the (permuted) last dim
+    assert gu.sharding.shard_shape(gu.shape) == (1, 2, 4, 32, 48)
+    got2 = np.asarray(
+        pipeline_forward_train(mesh_2d, cfg, pp_tp_params, ids, 2)
+    )
+    np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
