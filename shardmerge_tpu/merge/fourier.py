@@ -207,7 +207,7 @@ def _pair_slerp_rfft(
         use_cutoff=use_cutoff,
         use_cull=use_cull,
     )
-    merged = jnp.fft.irfftn(result, s=a.shape, axes=(-2, -1))
+    merged = jnp.fft.irfftn(result, s=a.shape[-2:], axes=(-2, -1))
     nan_count = jnp.sum(jnp.isnan(merged).astype(jnp.int32))
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jnp.any(jnp.isinf(merged))
@@ -219,7 +219,7 @@ def _pair_lowratio_rfft(a, b, norm_a, norm_b, t, target_norm):
     h = jnp.fft.rfftn(a / norm_a, axes=(-2, -1)) + t * jnp.fft.rfftn(
         b / norm_b, axes=(-2, -1)
     )
-    merged = jnp.fft.irfftn(h, s=a.shape, axes=(-2, -1))
+    merged = jnp.fft.irfftn(h, s=a.shape[-2:], axes=(-2, -1))
     nan_count = jnp.sum(jnp.isnan(merged).astype(jnp.int32))
     merged = jnp.where(jnp.isnan(merged), 0.0, merged)
     has_inf = jnp.any(jnp.isinf(merged))
@@ -235,7 +235,7 @@ def _pair_arith_rfft(a, b, norm_scale, weight_scale):
     # REF-QUIRK functions.py:282-284: disagreement lanes take v1
     res_real = jnp.where(sign_mask, r0 + r1, r1)  # t=1
     out = jax.lax.complex(res_real, h0.imag)
-    return jnp.fft.irfftn(out, s=a.shape, axes=(-2, -1))
+    return jnp.fft.irfftn(out, s=a.shape[-2:], axes=(-2, -1))
 
 
 @jax.jit

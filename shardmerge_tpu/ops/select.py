@@ -79,22 +79,25 @@ def kth_smallest_weighted(
     """
     k = jnp.asarray(k, jnp.int32)
     w = jnp.asarray(col_weights, jnp.int32)[None, :, None]  # (1, C, 1)
-    ux = jax.lax.bitcast_convert_type(x, jnp.uint32)[..., None]  # (M, C, 1)
+    ux = jax.lax.bitcast_convert_type(x, jnp.uint32)[..., None]  # (..., C, 1)
     uy = (
         jax.lax.bitcast_convert_type(y, jnp.uint32)[..., None]
         if y is not None
         else None
     )
+    # reduce every data axis, keeping only the trailing candidate axis —
+    # ndim>=3 inputs (fused expert stacks, (E, M, C)) count across E too
+    data_axes = tuple(range(ux.ndim - 1))
 
     def round_step(i, prefix):
         shift = 32 - _BITS_PER_ROUND * (i + 1)
         cands = prefix + (
             jnp.arange(1, 2**_BITS_PER_ROUND, dtype=jnp.uint32) << shift
         )[None, None, :]
-        counts = jnp.sum((ux < cands).astype(jnp.int32) * w, axis=(0, 1))
+        counts = jnp.sum((ux < cands).astype(jnp.int32) * w, axis=data_axes)
         if uy is not None:
             counts = counts + jnp.sum(
-                (uy < cands).astype(jnp.int32) * w, axis=(0, 1)
+                (uy < cands).astype(jnp.int32) * w, axis=data_axes
             )
         if axis_name is not None:
             counts = jax.lax.psum(counts, axis_name)

@@ -419,6 +419,84 @@ def test_rfft_kernel_matches_fast_full_spectrum(rng):
         )
 
 
+def test_rfft_kernels_on_3d_expert_stacks(rng):
+    """ndim>=3 fused expert stacks through the FAST-IMAG rfft kernels.
+
+    The engine's ndim>=3 sharded route (fourier._sharding_for) sends expert
+    stacks through the ordinary single-device kernels; the fast-imag gate
+    (_use_fast_imag) admits ndim>=3 once the stack crosses
+    _FAST_IMAG_MIN_NUMEL, so the rfft kernels MUST accept batch dims — a
+    regression here only fires on multi-GB production stacks (the irfftn
+    s=/axes= mismatch this test was written against crashed exactly there).
+
+    arith/lowratio have no cross-slice coupling, so the 3-D kernel must be
+    bit-identical to stacking per-slice 2-D calls. slerp ranks its order
+    statistics over the GLOBAL stack numel, so it is pinned against the
+    full-spectrum fast kernel on the same 3-D input instead.
+    """
+    from shardmerge_tpu.merge.fourier import (
+        _pair_arith_rfft,
+        _pair_lowratio_rfft,
+        _pair_slerp,
+        _pair_slerp_rfft,
+    )
+
+    E, M, N = 4, 16, 24
+    a = rng.standard_normal((E, M, N)).astype(np.float32)
+    b = rng.standard_normal((E, M, N)).astype(np.float32)
+
+    stacked = _pair_arith_rfft(
+        jnp.asarray(a), jnp.asarray(b), jnp.float32(1.3), jnp.float32(0.6)
+    )
+    per_slice = [
+        _pair_arith_rfft(
+            jnp.asarray(a[i]), jnp.asarray(b[i]),
+            jnp.float32(1.3), jnp.float32(0.6),
+        )
+        for i in range(E)
+    ]
+    np.testing.assert_array_equal(
+        np.asarray(stacked), np.stack([np.asarray(s) for s in per_slice])
+    )
+
+    lr_args = (
+        jnp.float32(np.linalg.norm(a)),
+        jnp.float32(np.linalg.norm(b)),
+        jnp.float32(0.4),
+        jnp.float32(1.7),
+    )
+    stacked, nans, _ = _pair_lowratio_rfft(jnp.asarray(a), jnp.asarray(b), *lr_args)
+    per_slice = [
+        _pair_lowratio_rfft(jnp.asarray(a[i]), jnp.asarray(b[i]), *lr_args)[0]
+        for i in range(E)
+    ]
+    np.testing.assert_array_equal(
+        np.asarray(stacked), np.stack([np.asarray(s) for s in per_slice])
+    )
+    assert int(nans) == 0
+
+    numel = a.size
+    slerp_args = (
+        jnp.asarray(a),
+        jnp.asarray(b),
+        jnp.float32(np.linalg.norm(a)),
+        jnp.float32(np.linalg.norm(b)),
+        jnp.float32(0.6),
+        jnp.int32(blend.cutoff_rank(numel, 0.08)),
+        jnp.int32(blend.cull_rank(numel, 0.2)),
+        jnp.int32(blend.cull_limit(numel, 0.2)),
+        jnp.float32(1.7),
+    )
+    full, _, _ = _pair_slerp(
+        *slerp_args, use_cutoff=True, use_cull=True, fast_imag=True
+    )
+    half, _, _ = _pair_slerp_rfft(*slerp_args, use_cutoff=True, use_cull=True)
+    scale = float(jnp.max(jnp.abs(full)))
+    np.testing.assert_allclose(
+        np.asarray(half), np.asarray(full), rtol=1e-4, atol=1e-5 * scale
+    )
+
+
 def test_large_shape_parity_at_fast_imag_activation():
     """The fast-imag/rfft default path vs the exact path vs the torch oracle
     at (1024, 1024) — exactly _FAST_IMAG_MIN_NUMEL, so this exercises the
