@@ -18,6 +18,7 @@ from typing import Optional
 
 import click
 
+from .backend import BackendError
 from .config import ConfigError, MergeConfig
 
 logger = logging.getLogger(__name__)
@@ -97,7 +98,15 @@ async def run_merge(
     ``dry_run`` resolves every model index, validates architectures, and
     prints the merge plan (shards, tensors, resume state, placement policy)
     without fetching weights or computing anything."""
+    from .backend import resolve_backend
     from .merge import MERGE_METHODS
+
+    # Honor --device/config device and fail FAST on a dead TPU runtime —
+    # even a dry run touches jax.devices() (mesh planning below); on a
+    # tunneled-TPU host with a dead relay that blocks forever with no
+    # diagnostic (backend.py). BackendError propagates to the CLI handler.
+    platform = resolve_backend(device)
+    logger.info("compute backend: %s", platform)
 
     _enable_compile_cache(config.cache_path)
 
@@ -248,7 +257,9 @@ def cli():
     "--device",
     type=str,
     default=None,
-    help="Accepted for config compatibility; placement is decided by JAX",
+    help="'cpu' forces the host CPU backend; anything else uses the "
+    "default JAX backend after a liveness probe (dead remote TPU "
+    "runtimes otherwise hang forever)",
 )
 @click.option(
     "--method",
@@ -337,6 +348,8 @@ def merge_command(
             )
     except ConfigError as e:
         raise click.BadParameter(str(e))
+    except BackendError as e:
+        raise click.ClickException(str(e))
     except Exception as e:
         logging.error("Error during merge: %s", e, exc_info=verbose)
         raise click.Abort()
@@ -392,7 +405,13 @@ def copy_model_command(config_file: Path, revision: str, verbose: bool):
 @click.option("-4", "--load-in-4bit", is_flag=True, help="int4 weight quantization")
 @click.option("-8", "--load-in-8bit", is_flag=True, help="int8 weight quantization")
 @click.option("--seed", type=int, default=0, help="Sampling PRNG seed")
-@click.option("--device", type=str, default=None, help="Ignored (JAX placement)")
+@click.option(
+    "--device",
+    type=str,
+    default=None,
+    help="'cpu' forces the host CPU backend; default probes the JAX "
+    "backend for liveness first",
+)
 @click.option(
     "--draft-model",
     type=click.Path(exists=True, path_type=Path),
@@ -436,6 +455,9 @@ def generate_command(
 ):
     """Generate text from a merged model with the JAX inference engine."""
     try:
+        from .backend import resolve_backend
+
+        resolve_backend(device)
         from .inference import InferenceEngine
 
         engine = InferenceEngine.from_pretrained(
@@ -459,6 +481,8 @@ def generate_command(
         ):
             print(chunk, end="", flush=True)
         print()
+    except BackendError as e:
+        raise click.ClickException(str(e))
     except Exception as e:
         logging.error("Error during text generation: %s", e)
         raise click.Abort()
@@ -520,6 +544,13 @@ def generate_command(
     "and pool shapes) BEFORE the port opens — on TPU hosts with slow "
     "first compiles the first request otherwise pays the wall",
 )
+@click.option(
+    "--device",
+    type=str,
+    default=None,
+    help="'cpu' forces the host CPU backend; default probes the JAX "
+    "backend for liveness first",
+)
 def serve_command(
     model_path: Path,
     host: str,
@@ -534,6 +565,7 @@ def serve_command(
     continuous: int,
     continuous_cache_len: int,
     warmup: bool,
+    device: Optional[str],
 ):
     """Serve a merged model over HTTP (OpenAI-style /v1/completions).
 
@@ -541,6 +573,13 @@ def serve_command(
     shardmerge_tpu/serve.py for the API shape.
     """
     import time
+
+    from .backend import resolve_backend
+
+    try:
+        resolve_backend(device)
+    except BackendError as e:
+        raise click.ClickException(str(e))
 
     from .serve import serve
 

@@ -5,9 +5,10 @@ MergeConfig fields/properties :42-101, from_yaml validation :103-126).
 Differences from the reference, by design:
 
 - dtypes are plain strings resolved to numpy/ml_dtypes dtypes (no torch).
-- ``device`` is kept for config-file compatibility but ignored: placement is
-  decided by JAX (TPU if present); a ``mesh`` block may describe multi-chip
-  sharding instead.
+- ``device`` keeps the reference's config-file slot but means less here:
+  per-tensor placement is decided by JAX (TPU if present). "cpu" forces the
+  host CPU backend for the whole run; any other value probes the default
+  backend for liveness at CLI startup (backend.py).
 """
 
 from __future__ import annotations
@@ -88,7 +89,7 @@ class MergeConfig:
     output_base_model: str
     output_dir: str
     output_dtype: str = "bfloat16"
-    device: str = "tpu"  # informational; JAX decides actual placement
+    device: str = "tpu"  # "cpu" forces host CPU; else JAX default (probed)
     clean_cache: bool = False
     cache_dir: str = "cache"
     storage_dir: str = "storage"
