@@ -34,6 +34,12 @@ dispatch), and under pp x tp the expert matrices slice Megatron-style on
 their intermediate dim — the same two per-block psums assemble the
 routed-and-weighted partial sums.
 
+Heterogeneous decoder stacks ARE supported in both real-world shapes:
+DeepSeek's dense ``first_k_dense_replace`` prefix replicates and runs
+before the pipeline, and PERIODIC kind patterns (Llama-4 Maverick's
+interleaved dense/MoE stack) stage-stack per kind slot with the schedule
+scanning over periods — see :func:`stack_stages`.
+
 Quantized DENSE stacks (int8/int4 {'q','scale'} projections, the serving
 representation) pipeline pp-only: the q/scale arrays stage-stack like any
 leaf and dequantize transparently in the stage body. Remaining
@@ -234,73 +240,37 @@ def _struct_of(layer):
     )
 
 
-def stack_stages(
-    mesh: Mesh,
-    params: Params,
-    n_stages: int,
-    tp: bool = False,
-    qk_norm_full: bool = False,
-    n_prefix_layers: int | None = None,
-) -> Params:
-    """Stack per-layer weights into (n_stages, layers_per_stage, ...) leaves
-    sharded over 'pp' (each device materializes only its own stage), and
-    replicate embed/norm/head.
+def _find_period(structs):
+    """Smallest proper period p of the layer-structure sequence
+    (structs[i] == structs[i % p] for all i), or None when no pattern
+    shorter than the sequence repeats. Uniform sequences have p == 1;
+    Llama-4 Maverick's alternating dense/MoE stack has p == 2."""
+    n = len(structs)
+    if n <= 1:
+        return 1
+    for p in range(1, n):
+        if n % p:
+            continue
+        if all(structs[i] == structs[i % p] for i in range(n)):
+            return p
+    return None
 
-    With ``tp=True`` the mesh is 2-D ('pp', 'tp') and each leaf additionally
-    shards Megatron-style over 'tp' (column-parallel q/k/v/gate/up, row-
-    parallel o/down) — each device then holds 1/(P*T) of the block weights.
-    ``qk_norm_full`` (olmo2): the full-vector q/k norm weights shard with
-    their columns (pass cfg.qk_norm_full when using tp); MoE expert stacks
-    shard their intermediate dim over 'tp' (routers replicate). GPT-OSS
-    fused experts shard too — their ``down_bias`` is pre-scaled by 1/n_tp
-    here so the row-parallel psum reassembles it exactly once.
 
-    Heterogeneous stacks with a leading run of structurally different
-    layers — DeepSeek's ``first_k_dense_replace`` dense prefix — ARE
-    supported: the prefix layers replicate over the mesh (like embed/norm/
-    head; they are a small fraction of weights) and run before the pipeline,
-    while the homogeneous remainder stage-stacks. The prefix is
-    auto-detected as everything before the longest structurally-uniform
-    suffix; pass ``n_prefix_layers`` to replicate MORE leading layers
-    (e.g. to make the pipelined remainder divide ``n_stages`` — DeepSeek-V2
-    has 1 dense + 59 MoE layers, and 59 is prime). Heterogeneity anywhere
-    else still raises.
-    """
+def _stack_run(mesh, run_layers, n_stages: int, tp: bool) -> dict:
+    """Stage-stack ONE structurally-uniform run of layers into
+    (n_stages, len(run)/n_stages, ...) host leaves — including the
+    per-expert list stacking and the gptoss/llama4 tp weight fixups.
+    Returns the tree BEFORE device placement (stack_stages shards it)."""
     import jax.tree_util as jtu
 
-    layers = params["layers"]
-    # auto-detect the replicated prefix: longest structurally-uniform suffix
-    tail_struct = _struct_of(layers[-1])
-    auto_prefix = len(layers) - 1
-    while auto_prefix > 0 and _struct_of(layers[auto_prefix - 1]) == tail_struct:
-        auto_prefix -= 1
-    if n_prefix_layers is None:
-        n_prefix_layers = auto_prefix
-    elif n_prefix_layers < auto_prefix:
-        raise ValueError(
-            f"n_prefix_layers={n_prefix_layers} < the {auto_prefix} "
-            "structurally-different leading layers; the pipelined remainder "
-            "would be heterogeneous"
-        )
-    prefix, layers = layers[:n_prefix_layers], layers[n_prefix_layers:]
-    if len(layers) % n_stages != 0:
-        hint = (
-            " (replicate more leading layers via n_prefix_layers)"
-            if n_prefix_layers or auto_prefix
-            else ""
-        )
-        raise ValueError(
-            f"{n_stages} pipeline stages do not evenly divide "
-            f"{len(layers)} pipelined layers{hint}"
-        )
-    per = len(layers) // n_stages
-    norm_layers = [_normalize_block(layer, tp) for layer in layers]
+    per = len(run_layers) // n_stages
+    norm_layers = [_normalize_block(layer, tp) for layer in run_layers]
     struct = jtu.tree_structure(norm_layers[0])
-    has_experts = "experts" in layers[0]
+    has_experts = "experts" in run_layers[0]
     for i, layer in enumerate(norm_layers[1:], 1):
         if (
             jtu.tree_structure(layer) != struct
-            or ("experts" in layers[i]) != has_experts
+            or ("experts" in run_layers[i]) != has_experts
         ):
             raise ValueError(
                 f"layer {i} structure differs from layer 0; pipeline stages "
@@ -324,7 +294,7 @@ def stack_stages(
         *norm_layers,
     )
     if has_experts:
-        stacked["experts_stacked"] = _stack_experts(layers, n_stages, per)
+        stacked["experts_stacked"] = _stack_experts(run_layers, n_stages, per)
     if tp and "gptoss_experts" in stacked:
         # the per-expert down_bias is added BEFORE the row-parallel psum;
         # replicate it scaled by 1/n_tp so the psum counts it exactly once
@@ -361,15 +331,125 @@ def stack_stages(
         )
         le["gate_up"] = gu[..., idx]
         stacked["llama4_experts"] = le
-    pp_shard = jtu.tree_map_with_path(
-        lambda path, v: jax.device_put(
-            v,
-            NamedSharding(
-                mesh, _block_spec(_leaf_name(path), v, tp, qk_norm_full)
-            ),
-        ),
-        stacked,
-    )
+    return stacked
+
+
+def stack_stages(
+    mesh: Mesh,
+    params: Params,
+    n_stages: int,
+    tp: bool = False,
+    qk_norm_full: bool = False,
+    n_prefix_layers: int | None = None,
+) -> Params:
+    """Stack per-layer weights into (n_stages, layers_per_stage, ...) leaves
+    sharded over 'pp' (each device materializes only its own stage), and
+    replicate embed/norm/head.
+
+    With ``tp=True`` the mesh is 2-D ('pp', 'tp') and each leaf additionally
+    shards Megatron-style over 'tp' (column-parallel q/k/v/gate/up, row-
+    parallel o/down) — each device then holds 1/(P*T) of the block weights.
+    ``qk_norm_full`` (olmo2): the full-vector q/k norm weights shard with
+    their columns (pass cfg.qk_norm_full when using tp); MoE expert stacks
+    shard their intermediate dim over 'tp' (routers replicate). GPT-OSS
+    fused experts shard too — their ``down_bias`` is pre-scaled by 1/n_tp
+    here so the row-parallel psum reassembles it exactly once.
+
+    Heterogeneous stacks ARE supported in two shapes:
+
+    - A leading run of structurally different layers — DeepSeek's
+      ``first_k_dense_replace`` dense prefix — replicates over the mesh
+      (like embed/norm/head; a small fraction of weights) and runs before
+      the pipeline, while the homogeneous remainder stage-stacks. The
+      prefix is auto-detected as everything before the longest
+      structurally-uniform suffix; pass ``n_prefix_layers`` to replicate
+      MORE leading layers (e.g. to make the pipelined remainder divide
+      ``n_stages`` — DeepSeek-V2 has 1 dense + 59 MoE layers, 59 prime).
+    - A PERIODIC kind pattern — Llama-4 Maverick's interleaved dense/MoE
+      stack (``interleave_moe_layer_step`` > 1) — stage-stacks per kind
+      slot: layers of slot s (global index ≡ s mod p) stack into their own
+      (n_stages, per/p, ...) leaves, and the schedule scans over periods,
+      applying the p slots in order (every stage sees the same pattern,
+      which requires layers_per_stage % p == 0). No replication, no
+      padding: each device still holds exactly its stage's weights.
+
+    Irregular heterogeneity (neither a uniform suffix nor a periodic
+    pattern) still raises.
+    """
+    import jax.tree_util as jtu
+
+    layers = params["layers"]
+    structs = [_struct_of(layer) for layer in layers]
+    if n_prefix_layers is None:
+        period = _find_period(structs)
+        if period is not None:
+            n_prefix_layers = 0
+        else:
+            # leading irregularity: replicate everything before the
+            # longest structurally-uniform suffix
+            auto = len(layers) - 1
+            while auto > 0 and structs[auto - 1] == structs[-1]:
+                auto -= 1
+            n_prefix_layers = auto
+            period = 1
+    else:
+        period = _find_period(structs[n_prefix_layers:])
+        if period is None:
+            raise ValueError(
+                f"the {len(layers) - n_prefix_layers} layers after "
+                f"n_prefix_layers={n_prefix_layers} are heterogeneous "
+                "(no uniform or periodic layer-kind pattern); replicate "
+                "more leading layers via n_prefix_layers"
+            )
+    prefix, layers = layers[:n_prefix_layers], layers[n_prefix_layers:]
+    if len(layers) % n_stages != 0:
+        hint = (
+            " (replicate more leading layers via n_prefix_layers)"
+            if n_prefix_layers or period > 1
+            else ""
+        )
+        raise ValueError(
+            f"{n_stages} pipeline stages do not evenly divide "
+            f"{len(layers)} pipelined layers{hint}"
+        )
+    per = len(layers) // n_stages
+    if per % period:
+        raise ValueError(
+            f"{n_stages} stages give {per} layers per stage, which does "
+            f"not divide the layer-kind period {period} — stages would be "
+            "structurally different (pick n_stages so layers_per_stage "
+            f"% {period} == 0)"
+        )
+
+    if period == 1:
+        stacked = _stack_run(mesh, layers, n_stages, tp)
+    else:
+        # slot s = global layers {i : i % p == s} (post-prefix); slicing
+        # layers[s::p] keeps stage-major order since per % p == 0 means
+        # stage r's slot-s entries are exactly slots r*(per/p)..(r+1)*(per/p)
+        stacked = {
+            "period_slots": [
+                _stack_run(mesh, layers[s::period], n_stages, tp)
+                for s in range(period)
+            ]
+        }
+
+    def _place(path, v):
+        spec = _block_spec(_leaf_name(path), v, tp, qk_norm_full)
+        if tp:
+            # validate the Megatron slice BEFORE device_put: cfg-level
+            # checks cannot see per-layer widths (llama4 dense layers use
+            # intermediate_size_mlp, absent from ModelConfig)
+            for ax, name in enumerate(spec):
+                if name == "tp" and v.shape[ax] % mesh.shape["tp"]:
+                    raise ValueError(
+                        f"block leaf {_leaf_name(path)!r} dim {ax} of size "
+                        f"{v.shape[ax]} does not divide tp="
+                        f"{mesh.shape['tp']}"
+                    )
+        return jax.device_put(v, NamedSharding(mesh, spec))
+
+    pp_shard = jtu.tree_map_with_path(_place, stacked)
     rep = NamedSharding(mesh, P())
     out: Params = {
         "embed_tokens": jax.device_put(params["embed_tokens"], rep),
@@ -407,7 +487,12 @@ def _schedule_body(
     blocks = jax.tree.map(lambda v: v[0], blocks)  # (per, ...)
     rank = jax.lax.axis_index(_AXIS)
     n_micro = xs.shape[0]
-    per = jax.tree.leaves(blocks)[0].shape[0]
+    slots = blocks.get("period_slots")
+    if slots is not None:
+        p = len(slots)
+        per = p * jax.tree.leaves(slots[0])[0].shape[0]
+    else:
+        per = jax.tree.leaves(blocks)[0].shape[0]
     reduce = (lambda y: jax.lax.psum(y, "tp")) if tp else None
     qk_stat_reduce = (
         (n_tp, lambda y: jax.lax.psum(y, "tp"))
@@ -420,36 +505,55 @@ def _schedule_body(
     rope_table = jnp.asarray(rope_flags)
     mask_table = jnp.asarray(mask_ids, jnp.int32)
 
-    def stage_apply(x):
+    def _mask_rope_for(g):
+        """Static-or-gathered (mask, use_rope) for global layer index g."""
+        mask = masks[mask_ids[0]] if mask_uniform else masks[mask_table[g]]
+        use_rope = rope_flags[0] if rope_uniform else rope_table[g]
+        return mask, use_rope
+
+    def _apply_block(layer, h, g):
+        mask, use_rope = _mask_rope_for(g)
+        return block_train(
+            cfg, layer, h, cos, sin, positions, mask,
+            reduce=reduce, use_rope=use_rope,
+            qk_stat_reduce=qk_stat_reduce,
+        )
+
+    # remat: recompute each block (periodic: each period of p blocks) in
+    # the backward instead of saving its intermediates across the whole
+    # tick schedule — with M + P - 1 ticks of scan-over-layers the
+    # saved-residual footprint is the dominant training HBM term
+    if slots is not None:
+        # periodic kind pattern (interleaved dense/MoE stacks): scan over
+        # PERIODS; the body applies the p kind slots in original layer
+        # order. Every stage sees the same pattern (stack_stages enforced
+        # per % p == 0), so the slot structure is static under SPMD.
+        def one_period(h, inp):
+            slot_layers, qi = inp
+            for s in range(p):
+                h = _apply_block(slot_layers[s], h, rank * per + qi * p + s)
+            return h, None
+
+        def stage_apply(x):
+            body = jax.checkpoint(one_period) if remat else one_period
+            h, _ = jax.lax.scan(
+                body,
+                x,
+                (tuple(slots), jnp.arange(per // p, dtype=jnp.int32)),
+            )
+            return h
+
+    else:
         def one_layer(h, inp):
             layer, li = inp
-            g = rank * per + li  # global layer index of this scan step
-            if mask_uniform:
-                mask = masks[mask_ids[0]]
-            else:
-                mask = masks[mask_table[g]]
-            if rope_uniform:
-                use_rope = rope_flags[0]
-            else:
-                use_rope = rope_table[g]
-            return (
-                block_train(
-                    cfg, layer, h, cos, sin, positions, mask,
-                    reduce=reduce, use_rope=use_rope,
-                    qk_stat_reduce=qk_stat_reduce,
-                ),
-                None,
-            )
+            return _apply_block(layer, h, rank * per + li), None
 
-        # remat: recompute each block in the backward instead of saving its
-        # intermediates across the whole tick schedule — with M + P - 1
-        # ticks of scan-over-layers the saved-residual footprint is the
-        # dominant training HBM term
-        body = jax.checkpoint(one_layer) if remat else one_layer
-        h, _ = jax.lax.scan(
-            body, x, (blocks, jnp.arange(per, dtype=jnp.int32))
-        )
-        return h
+        def stage_apply(x):
+            body = jax.checkpoint(one_layer) if remat else one_layer
+            h, _ = jax.lax.scan(
+                body, x, (blocks, jnp.arange(per, dtype=jnp.int32))
+            )
+            return h
 
     def tick(carry, t):
         out_buf, recv = carry
@@ -611,8 +715,15 @@ def pipeline_forward_train(
     # key on cfg field VALUES (all scalars), not id(cfg): a GC'd config's
     # address can be reused by a different one (same convention as
     # parallel/moe.py _FFN_CACHE)
+    import jax.tree_util as jtu
+
     cfg_fp = tuple(sorted(dataclasses.asdict(cfg).items()))
-    key = (id(mesh), cfg_fp, n_microbatches, mb, T, remat, n_prefix)
+    # the blocks STRUCTURE is part of the key: the same cfg can stack
+    # uniform or periodic (period_slots) trees, whose in_specs differ
+    key = (
+        id(mesh), cfg_fp, n_microbatches, mb, T, remat, n_prefix,
+        jtu.tree_structure(blocks),
+    )
     fn = _PP_CACHE.get(key)
     if fn is None:
         local_cfg = cfg
@@ -636,8 +747,6 @@ def pipeline_forward_train(
             mask_ids=mask_ids,
             remat=remat,
         )
-        import jax.tree_util as jtu
-
         block_specs = jtu.tree_map_with_path(
             lambda path, v: _block_spec(
                 _leaf_name(path), v, tp, cfg.qk_norm_full

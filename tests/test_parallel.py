@@ -1910,8 +1910,8 @@ def test_pipeline_llama4_moe_pp_and_pp_tp(tmp_path):
     the fused llama4_experts dict stage-stacks, and under pp x tp the
     gate/up halves are block-permuted so the Megatron column slice hands
     each device matched gate/up columns (stack_stages) — logits equal
-    forward_train both ways. Interleaved dense/MoE stacks (step > 1)
-    remain a loud boundary."""
+    forward_train both ways. Interleaved stacks (step > 1) are covered by
+    test_pipeline_llama4_interleaved_maverick."""
     import torch
     from transformers import Llama4ForCausalLM, Llama4TextConfig
 
@@ -1971,3 +1971,109 @@ def test_pipeline_llama4_moe_pp_and_pp_tp(tmp_path):
         pipeline_forward_train(mesh_2d, cfg, pp_tp_params, ids, 2)
     )
     np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_llama4_interleaved_maverick(tmp_path):
+    """Interleaved dense/MoE Llama-4 stacks (Maverick's
+    interleave_moe_layer_step=2) pipeline via PERIODIC kind slots: dense
+    and MoE layers stack into separate (S, per/p, ...) leaves and the
+    schedule scans over periods, applying the slots in original layer
+    order — pp and pp x tp logits equal forward_train, the pp loss/grads
+    match the unpipelined loss, and non-aligned stage counts or prefixes
+    that break the pattern fail loudly.
+
+    Reference has no pipeline at all (merge-only); this closes the round-4
+    boundary 'interleaved stacks (interleave step > 1) remain loud'.
+    HF reference semantics: configuration_llama4.Llama4TextConfig
+    (moe_layers = every interleave_moe_layer_step-th layer)."""
+    import torch
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    from shardmerge_tpu.models.llama import ModelConfig, forward_train
+    from shardmerge_tpu.models.loader import load_params
+    from shardmerge_tpu.parallel.pipeline import (
+        make_pp_loss,
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    torch.manual_seed(41)
+    config = Llama4TextConfig(
+        vocab_size=96,
+        hidden_size=32,
+        intermediate_size=48,
+        intermediate_size_mlp=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=8,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        interleave_moe_layer_step=2,  # layers 1, 3 MoE; 0, 2 dense
+        no_rope_layers=[1, 1, 0, 1],
+        attention_chunk_size=4,
+        attn_temperature_tuning=True,
+        floor_scale=2.0,
+        use_qk_norm=True,
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    model = Llama4ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "l4mav"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert [cfg.layer_is_moe(i) for i in range(4)] == [
+        False, True, False, True,
+    ]
+    params = load_params(path, cfg, dtype=jnp.float32)
+
+    B, T = 2, 9
+    ids = jax.random.randint(jax.random.PRNGKey(17), (B, T), 0, cfg.vocab_size)
+    want = np.asarray(forward_train(params, cfg, ids))
+
+    # pp-only over 2 stages: each stage holds one (dense, moe) period
+    mesh_pp = make_mesh(("pp",), devices=jax.devices()[:2])
+    pp_params = stack_stages(mesh_pp, params, 2)
+    slots = pp_params["blocks"]["period_slots"]
+    assert len(slots) == 2
+    assert "llama4_experts" in slots[1] and "llama4_experts" not in slots[0]
+    got = np.asarray(pipeline_forward_train(mesh_pp, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # the pp loss (and its grads) ride the periodic schedule too
+    batch = jax.random.randint(
+        jax.random.PRNGKey(18), (2, 10), 0, cfg.vocab_size
+    )
+    from shardmerge_tpu.parallel.train import _loss_fn
+
+    loss_fn = make_pp_loss(mesh_pp, cfg, n_microbatches=2)
+    pp_loss, pp_grads = jax.value_and_grad(loss_fn)(pp_params, batch)
+    ref_loss = _loss_fn(params, cfg, batch)
+    np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
+    for leaf in jax.tree.leaves(pp_grads["blocks"]):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # pp x tp: dense slots Megatron-slice their intermediate_size_mlp,
+    # MoE slots their (permuted) expert gate/up halves
+    mesh_2d = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
+    pp_tp_params = stack_stages(mesh_2d, params, 2, tp=True)
+    gu = pp_tp_params["blocks"]["period_slots"][1]["llama4_experts"]["gate_up"]
+    assert gu.sharding.shard_shape(gu.shape) == (1, 1, 4, 32, 48)
+    dense_gate = pp_tp_params["blocks"]["period_slots"][0]["gate_proj"]
+    assert dense_gate.sharding.shard_shape(dense_gate.shape) == (1, 1, 32, 32)
+    got2 = np.asarray(
+        pipeline_forward_train(mesh_2d, cfg, pp_tp_params, ids, 2)
+    )
+    np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
+
+    # 4 stages would put one layer per stage — stages would be
+    # structurally different; refused with the period in the message
+    mesh_4 = make_mesh(("pp",), devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="period"):
+        stack_stages(mesh_4, params, 4)
+
+    # a prefix that breaks the alternation leaves a heterogeneous,
+    # aperiodic remainder — refused
+    with pytest.raises(ValueError, match="heterogeneous"):
+        stack_stages(mesh_pp, params, 2, n_prefix_layers=1)
