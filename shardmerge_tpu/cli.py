@@ -266,7 +266,7 @@ def cli():
     type=str,
     default=None,
     help="Merge method: fourier | fourier-legacy | addition | task-addition "
-    "| ties | dare | linear | slerp",
+    "| ties | dare | della | breadcrumbs | linear | slerp | model-stock",
 )
 @click.option(
     "--write-through",

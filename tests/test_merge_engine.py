@@ -5,6 +5,7 @@ SURVEY.md §4)."""
 import asyncio
 import json
 
+import jax.numpy as jnp
 import ml_dtypes
 import numpy as np
 import pytest
@@ -1582,6 +1583,323 @@ def test_slerp_rejects_wrong_model_count(tmp_path, tiny_model_factory):
     config = _make_config(tmp_path, base_path, entries)
     with pytest.raises(ValueError, match="exactly two"):
         SlerpMerge(config, index_manager=_offline_index(base_path))
+
+
+def _np_elect(stack):
+    gamma = np.sign(stack.sum(axis=0))
+    agree = (np.sign(stack) == gamma[None]) & (stack != 0.0)
+    total = np.where(agree, stack, 0.0).sum(axis=0)
+    count = agree.sum(axis=0)
+    return np.where(count > 0, total / np.maximum(count, 1), 0.0)
+
+
+def test_della_keep_probs_rank_monotone():
+    """MAGPRUNE probabilities: mean == density, larger |d| -> larger keep
+    prob, epsilon=0 degenerates to uniform DARE probabilities."""
+    from shardmerge_tpu.merge.della import keep_probs
+
+    d = np.array([[[0.5, -3.0, 1.0, 0.0, -2.0]]], np.float32)
+    p = np.asarray(keep_probs(jnp.asarray(d), density=0.5, epsilon=0.2))
+    np.testing.assert_allclose(p.mean(), 0.5, atol=1e-6)
+    order = np.argsort(-np.abs(d[0, 0]))
+    assert list(np.argsort(-p[0, 0])) == list(order)
+    np.testing.assert_allclose(p[0, 0, 1], 0.6, atol=1e-6)  # largest |.|
+    np.testing.assert_allclose(p[0, 0, 3], 0.4, atol=1e-6)  # smallest |.|
+
+    p0 = np.asarray(keep_probs(jnp.asarray(d), density=0.3, epsilon=0.0))
+    np.testing.assert_allclose(p0, 0.3, atol=1e-7)
+
+
+def test_della_merge_matches_prob_replay(tmp_path, tiny_model_factory):
+    """The engine output equals an independent replay of the documented
+    contract: numpy ranks -> linear keep probs -> the same fold_in'd
+    Bernoulli draws -> rescale -> sign election."""
+    import zlib
+
+    import jax
+
+    from shardmerge_tpu.merge import DellaMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=260)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=261)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=262)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path), "alpha": 1.0},
+        {"model": str(ft2_path), "base": str(base_path), "alpha": 0.5},
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = DellaMerge(
+        config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        density=0.5,
+        epsilon=0.3,
+        combine="ties",
+        seed=7,
+        lam=1.2,
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    for name in (
+        "model.layers.0.mlp.up_proj.weight",  # 2-D: per-row ranks
+        "model.layers.1.input_layernorm.weight",  # 1-D: one row
+    ):
+        named = jax.random.fold_in(
+            jax.random.key(7), zlib.crc32(name.encode()) & 0x7FFFFFFF
+        )
+        kept = []
+        for m, (ft_t, alpha) in enumerate(((ft1_t, 1.0), (ft2_t, 0.5))):
+            d = np.float32(alpha) * (ft_t[name] - base_t[name])
+            rows = d.reshape(-1, d.shape[-1])
+            ranks = np.argsort(np.argsort(-np.abs(rows), axis=-1), axis=-1)
+            frac = ranks / max(rows.shape[-1] - 1, 1)
+            probs = np.float32(0.5) + np.float32(0.3) * (
+                np.float32(0.5) - frac.astype(np.float32)
+            )
+            mask = np.asarray(
+                jax.random.bernoulli(
+                    jax.random.fold_in(named, m), p=jnp.asarray(probs)
+                )
+            )
+            kept.append(np.where(mask, rows / probs, 0.0).reshape(d.shape))
+        merged = _np_elect(np.stack([k.reshape(-1) for k in kept]))
+        expect = base_t[name] + 1.2 * merged.reshape(base_t[name].shape)
+        np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-6)
+
+    # resume determinism: a fresh engine with the same seed is bit-identical
+    config2 = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    config2.output_dir = str(tmp_path / "merged2")
+    merger2 = DellaMerge(
+        config2,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        density=0.5,
+        epsilon=0.3,
+        combine="ties",
+        seed=7,
+        lam=1.2,
+    )
+    _run_merge(merger2)
+    out2 = _read_output(tmp_path / "merged2")
+    for k in out:
+        np.testing.assert_array_equal(
+            out[k].view(np.uint32), out2[k].view(np.uint32)
+        )
+
+
+def test_della_validates_probability_window(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import DellaMerge
+
+    base_path, _ = tiny_model_factory("base", seed=265)
+    ft1_path, _ = tiny_model_factory("ft1", seed=266)
+    entries = [{"model": str(ft1_path), "base": str(base_path)}]
+    config = _make_config(tmp_path, base_path, entries)
+
+    def make(**kw):
+        return DellaMerge(config, index_manager=_offline_index(base_path), **kw)
+
+    with pytest.raises(ValueError, match="outside"):
+        make(density=0.1, epsilon=0.3)  # density - eps/2 <= 0
+    with pytest.raises(ValueError, match="outside"):
+        make(density=0.95, epsilon=0.2)  # density + eps/2 > 1
+    with pytest.raises(ValueError, match="combine"):
+        make(combine="median")
+    with pytest.raises(ValueError, match="epsilon"):
+        make(epsilon=-0.1)
+
+
+def test_breadcrumbs_mask_tails_tie_semantics():
+    """Two-tail mask with the documented tie policy: lower threshold
+    inclusive (survives), upper threshold exclusive (dropped)."""
+    from shardmerge_tpu.merge.breadcrumbs import mask_tails, tail_counts
+
+    # |.| ascending: 0.25 0.5 1.0 2.0 3.0 3.0 — drop bottom 2, top 2;
+    # BOTH 3.0s fall (the upper threshold value s[n-k_top]=3.0 is dropped)
+    row = np.array([[3.0, -0.5, 1.0, 2.0, -3.0, 0.25]], np.float32)
+    k_low, k_top = tail_counts(6, beta=2 / 6, gamma=2 / 6)
+    assert (k_low, k_top) == (2, 2)
+    got = np.asarray(mask_tails(jnp.asarray(row), k_low, k_top))
+    np.testing.assert_array_equal(
+        got, np.array([[0.0, 0.0, 1.0, 2.0, 0.0, 0.0]], np.float32)
+    )
+
+    # beta=0, gamma=0: identity
+    got = np.asarray(mask_tails(jnp.asarray(row), 0, 0))
+    np.testing.assert_array_equal(got, row)
+
+
+def test_breadcrumbs_merge_matches_numpy(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import BreadcrumbsMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=270)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=271)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=272)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path), "alpha": 0.8},
+        {"model": str(ft2_path), "base": str(base_path), "alpha": 0.4},
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = BreadcrumbsMerge(
+        config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        beta=0.4,
+        gamma=0.1,
+        lam=0.9,
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    def oracle(base, deltas, beta, gamma, lam):
+        banded = []
+        for d in deltas:
+            flat = np.abs(d).ravel()
+            n = flat.size
+            k_low = int(round(beta * n))
+            k_top = int(round(gamma * n))
+            s = np.sort(flat)
+            keep = np.ones(d.shape, bool)
+            if k_top > 0:
+                keep &= np.abs(d) < s[n - k_top]
+            if k_low > 0:
+                keep &= np.abs(d) >= s[k_low]
+            banded.append(np.where(keep, d, 0.0))
+        return base + lam * np.stack(banded).sum(axis=0)
+
+    for name in (
+        "model.layers.0.mlp.up_proj.weight",
+        "model.layers.1.input_layernorm.weight",
+    ):
+        deltas = [
+            0.8 * (ft1_t[name] - base_t[name]),
+            0.4 * (ft2_t[name] - base_t[name]),
+        ]
+        expect = oracle(base_t[name], deltas, 0.4, 0.1, 0.9)
+        np.testing.assert_allclose(out[name], expect, rtol=1e-5, atol=1e-6)
+
+
+def test_breadcrumbs_ties_combine_and_validation(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import BreadcrumbsMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=280)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=281)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=282)
+    entries = [
+        {"model": str(ft1_path), "base": str(base_path)},
+        {"model": str(ft2_path), "base": str(base_path)},
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    with pytest.raises(ValueError, match="empty"):
+        BreadcrumbsMerge(
+            config,
+            index_manager=_offline_index(base_path),
+            beta=0.8,
+            gamma=0.2,
+        )
+    merger = BreadcrumbsMerge(
+        config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path),
+        beta=0.3,
+        gamma=0.1,
+        combine="ties",
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    name = "model.layers.1.mlp.down_proj.weight"
+    banded = []
+    for ft_t in (ft1_t, ft2_t):
+        d = ft_t[name] - base_t[name]
+        flat = np.abs(d).ravel()
+        n = flat.size
+        s = np.sort(flat)
+        k_low, k_top = int(round(0.3 * n)), int(round(0.1 * n))
+        keep = (np.abs(d) < s[n - k_top]) & (np.abs(d) >= s[k_low])
+        banded.append(np.where(keep, d, 0.0).ravel())
+    merged = _np_elect(np.stack(banded)).reshape(base_t[name].shape)
+    np.testing.assert_allclose(
+        out[name], base_t[name] + merged, rtol=1e-5, atol=1e-6
+    )
+
+
+def test_model_stock_geometry():
+    """The ratio math on constructed geometries: identical deltas -> t=1
+    (output = the finetunes), orthogonal deltas -> t=0 (output = base),
+    anti-aligned pathologies clamp instead of extrapolating."""
+    from shardmerge_tpu.merge.modelstock import _stock_reduce
+
+    base = jnp.zeros((2, 2), jnp.float32)
+    d = jnp.asarray([[1.0, 2.0], [3.0, 4.0]], jnp.float32)
+
+    out, t = _stock_reduce(base, jnp.stack([d, d]))
+    np.testing.assert_allclose(float(t), 1.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(d), rtol=1e-6)
+
+    d1 = jnp.asarray([[1.0, 0.0], [0.0, 0.0]], jnp.float32)
+    d2 = jnp.asarray([[0.0, 1.0], [0.0, 0.0]], jnp.float32)
+    out, t = _stock_reduce(base, jnp.stack([d1, d2]))
+    np.testing.assert_allclose(float(t), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-7)
+
+    # anti-aligned: cos=-1 -> paper formula diverges; clamped to t=0
+    out, t = _stock_reduce(base, jnp.stack([d1, -d1]))
+    assert 0.0 <= float(t) <= 1.0
+    np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
+
+
+def test_model_stock_merge_matches_numpy(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.merge import ModelStockMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=290)
+    ft1_path, ft1_t = tiny_model_factory("ft1", seed=291)
+    ft2_path, ft2_t = tiny_model_factory("ft2", seed=292)
+    ft3_path, ft3_t = tiny_model_factory("ft3", seed=293)
+    entries = [
+        {"model": str(p), "base": str(base_path)}
+        for p in (ft1_path, ft2_path, ft3_path)
+    ]
+    config = _make_config(tmp_path, base_path, entries, output_dtype="float32")
+    merger = ModelStockMerge(
+        config,
+        index_manager=_offline_index(base_path, ft1_path, ft2_path, ft3_path),
+    )
+    _run_merge(merger)
+    out = _read_output(tmp_path / "merged")
+
+    for name in (
+        "model.layers.0.self_attn.q_proj.weight",
+        "model.layers.1.input_layernorm.weight",
+    ):
+        deltas = np.stack(
+            [
+                (t[name] - base_t[name]).reshape(-1)
+                for t in (ft1_t, ft2_t, ft3_t)
+            ]
+        ).astype(np.float32)
+        n = deltas.shape[0]
+        norms = np.linalg.norm(deltas, axis=1)
+        cos = np.zeros((n, n), np.float32)
+        for i in range(n):
+            for j in range(n):
+                if i != j and norms[i] > 0 and norms[j] > 0:
+                    cos[i, j] = deltas[i] @ deltas[j] / (norms[i] * norms[j])
+        cos_theta = cos.sum() / (n * n - n)
+        t_ratio = n * cos_theta / (1 + (n - 1) * cos_theta)
+        t_ratio = min(max(t_ratio, 0.0), 1.0)
+        expect = base_t[name] + t_ratio * deltas.mean(axis=0).reshape(
+            base_t[name].shape
+        )
+        np.testing.assert_allclose(out[name], expect, rtol=1e-4, atol=1e-6)
+
+
+def test_model_stock_rejects_single_finetune(tmp_path, tiny_model_factory):
+    from shardmerge_tpu.config import ConfigError
+    from shardmerge_tpu.merge import ModelStockMerge
+
+    base_path, _ = tiny_model_factory("base", seed=295)
+    ft1_path, _ = tiny_model_factory("ft1", seed=296)
+    entries = [{"model": str(ft1_path), "base": str(base_path)}]
+    config = _make_config(tmp_path, base_path, entries)
+    with pytest.raises(ConfigError, match="at least two"):
+        ModelStockMerge(config, index_manager=_offline_index(base_path))
 
 
 def test_fourier_merge_llama4_checkpoints(tmp_path):
