@@ -2067,6 +2067,18 @@ def test_pipeline_llama4_interleaved_maverick(tmp_path):
     )
     np.testing.assert_allclose(got2, want, rtol=2e-5, atol=2e-5)
 
+    # the pp TRAIN step rides the periodic tree too: moments inherit the
+    # per-slot stage placement (derived from each leaf's own sharding)
+    from shardmerge_tpu.parallel.train import make_pp_train_step
+
+    init_state, train_step = make_pp_train_step(
+        mesh_pp, cfg, n_microbatches=2, learning_rate=1e-3
+    )
+    state = init_state(pp_params)
+    state, loss0 = train_step(state, batch)
+    state, loss1 = train_step(state, batch)
+    assert np.isfinite(float(loss0)) and float(loss1) < float(loss0)
+
     # 4 stages would put one layer per stage — stages would be
     # structurally different; refused with the period in the message
     mesh_4 = make_mesh(("pp",), devices=jax.devices()[:4])
