@@ -1010,7 +1010,17 @@ def _expert_mlp_weights(layer, e: int):
     the dense-and-mask loop numerically identical across representations."""
     if "experts_stacked" in layer:
         W1, W3, W2 = layer["experts_stacked"]
-        return {"gate_proj": W1[e], "up_proj": W3[e], "down_proj": W2[e]}
+
+        def sl(W):
+            # quantized stacks carry parallel {'q','scale'} (S-stripped)
+            # (E, ...) buffers — slice both; matmul dequantizes the dict
+            return (
+                {k: v[e] for k, v in W.items()}
+                if isinstance(W, dict)
+                else W[e]
+            )
+
+        return {"gate_proj": sl(W1), "up_proj": sl(W3), "down_proj": sl(W2)}
     ex = layer["experts"][e]
     return {"gate_proj": ex["w1"], "up_proj": ex["w3"], "down_proj": ex["w2"]}
 

@@ -40,12 +40,14 @@ before the pipeline, and PERIODIC kind patterns (Llama-4 Maverick's
 interleaved dense/MoE stack) stage-stack per kind slot with the schedule
 scanning over periods — see :func:`stack_stages`.
 
-Quantized DENSE stacks (int8/int4 {'q','scale'} projections, the serving
-representation) pipeline pp-only: the q/scale arrays stage-stack like any
-leaf and dequantize transparently in the stage body. Remaining
+Quantized stacks (int8/int4 {'q','scale'} / fused {'q3','scale'}, the
+serving representation) pipeline pp-only — dense projections, per-expert
+lists AND the gptoss/llama4 fused expert stacks: the q/scale arrays
+stage-stack like raw leaves (expert lists into parallel (S, per, E, ...)
+buffers) and dequantize transparently in the stage body. Remaining
 restrictions: quantized leaves under 'tp' (per-channel scales and int4
-packing do not Megatron-slice), quantized EXPERT lists, and layer counts
-divisible by the stage count (up to the replicated dense prefix).
+packing do not Megatron-slice) and layer counts divisible by the stage
+count (up to the replicated dense prefix / kind period).
 """
 
 from __future__ import annotations
@@ -152,28 +154,36 @@ def _normalize_block(layer, tp: bool):
     stacking them per layer first would hold a full extra copy of every
     expert matrix alive during the stage-major stack.
 
-    Quantized DENSE projections ({'q','scale'} dicts) DO stack — the q and
-    scale arrays stage-stack like any other leaf and ``matmul`` dequantizes
+    Quantized projections AND expert lists ({'q','scale'} dicts) DO stack —
+    the q and scale arrays stage-stack like any other leaf (expert lists
+    via _stack_experts' parallel buffers) and ``matmul`` dequantizes
     transparently inside the scanned stage body — but only pp-only:
     Megatron-slicing a quantized matrix would also have to slice its
     per-output-channel scales (and int4 packs two values per byte on the
-    input dim), so ``tp=True`` still raises. Quantized EXPERT lists raise
-    either way (the stacked-expert buffers assume raw matrices)."""
+    input dim), so ``tp=True`` still raises."""
     from ..models.llama import experts_quantized
 
     out = dict(layer)
     experts = out.pop("experts", None)
-    if experts is not None and experts_quantized(experts):
+    if experts is not None and experts_quantized(experts) and tp:
         raise NotImplementedError(
-            "quantized experts cannot be stage-stacked; pipeline "
-            "stages need raw expert matrices"
+            "quantized experts cannot be Megatron-sliced under pp x tp "
+            "(per-channel scales and int4 packing do not slice); use "
+            "pp-only stages or raw weights"
         )
     for fused in ("gptoss_experts", "llama4_experts"):
-        if fused in out and any(
-            not hasattr(w, "ndim") for w in out[fused].values()
+        if (
+            tp
+            and fused in out
+            and any(not hasattr(w, "ndim") for w in out[fused].values())
         ):
+            # pp-only is fine: the {'q3','scale'} dicts stack like any
+            # nested leaf, and the scanned stage body sees the exact
+            # (E, in, out) slices dequant_stacked expects
             raise NotImplementedError(
-                f"quantized {fused} cannot be stage-stacked"
+                f"quantized {fused} cannot be Megatron-sliced under "
+                "pp x tp (stacked scales and int4 packing do not slice); "
+                "use pp-only stages or raw weights"
             )
     for k, v in out.items():
         if k in ("gptoss_experts", "llama4_experts"):
@@ -215,9 +225,9 @@ def _stack_experts(layers, n_stages: int, per: int):
             "pipeline stages must be homogeneous: expert counts differ "
             "across layers"
         )
-    out = []
-    for kind in ("w1", "w3", "w2"):
-        proto = layers[0]["experts"][0][kind]
+
+    def fill(extract, proto):
+        proto = np.asarray(proto)
         buf = np.empty(
             (n_stages, per, n_exp) + tuple(proto.shape), proto.dtype
         )
@@ -225,8 +235,26 @@ def _stack_experts(layers, n_stages: int, per: int):
             for i in range(per):
                 experts = layers[s * per + i]["experts"]
                 for e in range(n_exp):
-                    buf[s, i, e] = np.asarray(experts[e][kind])
-        out.append(buf)
+                    buf[s, i, e] = np.asarray(extract(experts[e]))
+        return buf
+
+    out = []
+    quantized = isinstance(layers[0]["experts"][0]["w1"], dict)
+    for kind in ("w1", "w3", "w2"):
+        proto = layers[0]["experts"][0][kind]
+        if quantized:
+            # int8/int4 {'q','scale'} experts (pp-only; tp raised earlier):
+            # the q and scale arrays stack into parallel (S, per, E, ...)
+            # buffers and _expert_mlp_weights re-slices them into the
+            # {'q','scale'} dicts matmul dequantizes transparently
+            out.append(
+                {
+                    f: fill(lambda ex, k=kind, f=f: ex[k][f], proto[f])
+                    for f in proto
+                }
+            )
+        else:
+            out.append(fill(lambda ex, k=kind: ex[k], proto))
     return tuple(out)
 
 

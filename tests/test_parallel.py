@@ -775,9 +775,9 @@ def test_pipeline_rejects_bad_configs():
 
     import dataclasses
 
-    # QUANTIZED experts can't be stage-stacked ({'q','scale'} pairs would
-    # shard meaninglessly); the guard must raise cleanly, not die inside
-    # jnp.stack
+    # QUANTIZED experts stack pp-only (test_pipeline_quantized_experts_
+    # pp_only); under tp the guard must raise cleanly BEFORE stacking —
+    # per-channel scales and int4 packing do not Megatron-slice
     moe_cfg = dataclasses.replace(
         cfg, num_local_experts=2, num_experts_per_tok=1
     )
@@ -785,8 +785,9 @@ def test_pipeline_rejects_bad_configs():
     for layer in moe_params["layers"]:
         for ex in layer["experts"]:
             ex["w1"] = {"q": ex["w1"], "scale": 1.0}
+    mesh_2d = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
     with pytest.raises(NotImplementedError, match="quantized experts"):
-        stack_stages(mesh4, moe_params, 4)
+        stack_stages(mesh_2d, moe_params, 2, tp=True)
 
     # quantized {'q','scale'} dicts stack pp-only; a dict leaf holding a
     # NON-array still refuses (nothing stackable inside it)
@@ -1016,6 +1017,121 @@ def test_pipeline_moe_matches_single_device():
     np.testing.assert_allclose(float(pp_loss), float(ref_loss), rtol=1e-5)
     for leaf in jax.tree.leaves(pp_grads["blocks"]):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_pipeline_quantized_fused_experts_pp_only():
+    """Quantized FUSED expert stacks ({'q3','scale'}, gpt-oss layout)
+    pipeline pp-only: the dicts stage-stack like nested leaves, and the
+    scanned body's per-layer slice is exactly the (E, in, out) shape
+    dequant_stacked expects — logits equal forward_train on the same
+    quantized params; pp x tp refuses. (llama4_experts shares this stack
+    path and its dict branch in _moe_llama4.)"""
+    import dataclasses
+
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.models.quant import quantize_stacked
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = dataclasses.replace(
+        _moe_pp_cfg(layers=4),
+        model_type="gpt_oss",
+        sliding_window=3,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(29), dtype=jnp.float32)
+    for bits in (8, 4):
+        qparams = {
+            **params,
+            "layers": [
+                {
+                    **layer,
+                    "gptoss_experts": {
+                        k: (
+                            quantize_stacked(np.asarray(v), bits)
+                            if k in ("gate_up", "down")
+                            else v
+                        )
+                        for k, v in layer["gptoss_experts"].items()
+                    },
+                }
+                for layer in params["layers"]
+            ],
+        }
+        ids = jax.random.randint(
+            jax.random.PRNGKey(30), (4, 7), 0, cfg.vocab_size
+        )
+        want = np.asarray(forward_train(qparams, cfg, ids))
+
+        mesh = make_mesh(("pp",), devices=jax.devices()[:2])
+        pp_params = stack_stages(mesh, qparams, 2)
+        gu = pp_params["blocks"]["gptoss_experts"]["gate_up"]
+        assert set(gu) == {"q3", "scale"}
+        assert gu["q3"].shape[:3] == (2, 2, 4)  # (S, per, E)
+        got = np.asarray(
+            pipeline_forward_train(mesh, cfg, pp_params, ids, 2)
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=4e-3)
+
+        mesh2 = make_mesh(
+            ("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2)
+        )
+        with pytest.raises(NotImplementedError, match="Megatron-sliced"):
+            stack_stages(mesh2, qparams, 2, tp=True)
+
+
+def test_pipeline_quantized_experts_pp_only():
+    """int8/int4 per-expert lists pipeline pp-only: the {'q','scale'}
+    dicts stage-stack into parallel (S, per, E, ...) buffers, the stage
+    body re-slices them per expert and matmul dequantizes — logits equal
+    forward_train on the SAME quantized params. pp x tp still refuses
+    (scales/packing do not Megatron-slice). Lifts the round-3 'quantized
+    expert lists raise either way' boundary."""
+    from shardmerge_tpu.models.llama import forward_train, init_params
+    from shardmerge_tpu.models.quant import quantize
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = _moe_pp_cfg(layers=4)
+    params = init_params(cfg, jax.random.PRNGKey(26), dtype=jnp.float32)
+    for bits in (8, 4):
+        qparams = {
+            **params,
+            "layers": [
+                {
+                    **layer,
+                    "experts": [
+                        {k: quantize(w, bits) for k, w in ex.items()}
+                        for ex in layer["experts"]
+                    ],
+                }
+                for layer in params["layers"]
+            ],
+        }
+        ids = jax.random.randint(
+            jax.random.PRNGKey(27), (4, 7), 0, cfg.vocab_size
+        )
+        want = np.asarray(forward_train(qparams, cfg, ids))
+
+        mesh = make_mesh(("pp",), devices=jax.devices()[:2])
+        pp_params = stack_stages(mesh, qparams, 2)
+        w1 = pp_params["blocks"]["experts_stacked"][0]
+        assert set(w1) == {"q", "scale"}  # parallel stacked buffers
+        assert w1["q"].shape[:3] == (2, 2, 4)  # (S, per, E)
+        got = np.asarray(
+            pipeline_forward_train(mesh, cfg, pp_params, ids, 2)
+        )
+        # bf16 dequant ulps, like the quantized dense stack test
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=4e-3)
+
+        mesh2 = make_mesh(
+            ("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2)
+        )
+        with pytest.raises(NotImplementedError, match="Megatron-sliced"):
+            stack_stages(mesh2, qparams, 2, tp=True)
 
 
 def test_pipeline_moe_with_tensor_parallel():
