@@ -629,20 +629,70 @@ def verify_command(model_dir: Path, index_path: Optional[Path], repair: bool):
     default=None,
     help="Override the adapter's own lora_alpha/r scaling",
 )
+@click.option(
+    "--device",
+    type=str,
+    default=None,
+    help="'cpu' forces the host CPU backend; default probes the JAX "
+    "backend for liveness first (the fused updates are jitted)",
+)
 def fuse_lora_command(
-    base_dir: Path, adapter_dir: Path, output_dir: Path, scale: Optional[float]
+    base_dir: Path, adapter_dir: Path, output_dir: Path,
+    scale: Optional[float], device: Optional[str],
 ):
     """Fuse a PEFT LoRA adapter into a full checkpoint (W + s*B@A).
 
     The result keeps the base's shard layout/index and is an ordinary
     checkpoint: merge it, serve it, or hand it to HF tooling."""
+    from .backend import resolve_backend
     from .tools.fuse_lora import fuse_lora
+
+    try:
+        resolve_backend(device)
+    except BackendError as e:
+        raise click.ClickException(str(e))
 
     summary = fuse_lora(base_dir, adapter_dir, output_dir, scale=scale)
     click.echo(
         f"Fused {summary['fused_tensors']} tensors at scale "
         f"{summary['scale']:g} across {summary['shards']} shard(s) "
         f"-> {output_dir}"
+    )
+
+
+@cli.command("extract-lora")
+@click.argument("base_dir", type=click.Path(exists=True, path_type=Path))
+@click.argument("finetuned_dir", type=click.Path(exists=True, path_type=Path))
+@click.argument("output_dir", type=click.Path(path_type=Path))
+@click.option("--rank", type=click.IntRange(1, 4096), default=16,
+              help="Adapter rank (truncated-SVD rank of each delta)")
+@click.option(
+    "--target",
+    "targets",
+    multiple=True,
+    help="Module-name suffix to extract (repeatable; default: the "
+    "standard q/k/v/o/gate/up/down projections)",
+)
+def extract_lora_command(
+    base_dir: Path, finetuned_dir: Path, output_dir: Path, rank: int,
+    targets: tuple,
+):
+    """Extract a PEFT LoRA adapter approximating finetuned - base.
+
+    The inverse of fuse-lora: per targeted 2-D weight, the delta's best
+    rank-r factors (truncated SVD) become lora_B @ lora_A with
+    lora_alpha = r, so fusing the adapter back reproduces base + the
+    rank-r approximation exactly."""
+    from .tools.extract_lora import extract_lora
+
+    summary = extract_lora(
+        base_dir, finetuned_dir, output_dir, rank=rank,
+        target_modules=(list(targets) or None),
+    )
+    click.echo(
+        f"Extracted rank-{summary['rank']} adapter: {summary['tensors']} "
+        f"tensor pairs, worst Frobenius capture "
+        f"{summary['capture_min']:.4f} -> {output_dir}"
     )
 
 

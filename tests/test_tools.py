@@ -616,3 +616,136 @@ def test_cli_fuse_lora_command(tmp_path):
     )
     assert result.exit_code == 0, result.output
     assert "Fused 1 tensors" in result.output
+
+
+def test_extract_lora_roundtrip_full_rank(tmp_path):
+    """extract-lora -> fuse-lora roundtrip: at a rank covering every
+    target's true delta rank, fusing the extracted adapter reproduces the
+    finetune (the two tools are exact inverses up to fp32 SVD rounding);
+    untargeted tensors stay the base's."""
+    import numpy as np
+
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader
+    from shardmerge_tpu.tools.extract_lora import extract_lora
+    from shardmerge_tpu.tools.fuse_lora import fuse_lora
+
+    from .conftest import make_tiny_model
+
+    base = tmp_path / "base"
+    base_t = make_tiny_model(base, seed=40)
+    ft = tmp_path / "ft"
+    ft_t = make_tiny_model(ft, seed=41)
+
+    adapter = tmp_path / "adapter"
+    summary = extract_lora(base, ft, adapter, rank=16)
+    # 7 projections x 2 layers targeted by default; full capture at r=16
+    assert summary["tensors"] == 14
+    assert summary["capture_min"] > 0.999999
+
+    cfg = json.loads((adapter / "adapter_config.json").read_text())
+    assert cfg["r"] == cfg["lora_alpha"] == 16  # scale alpha/r == 1
+
+    fused = tmp_path / "fused"
+    fuse_lora(base, adapter, fused)
+    index = json.loads((fused / "model.safetensors.index.json").read_text())
+    for shard in sorted(set(index["weight_map"].values())):
+        with SafeTensorsReader(fused / shard) as reader:
+            for key in reader.keys():
+                got = np.asarray(reader.get_tensor(key))
+                if any(
+                    key.endswith(f"{suf}.weight")
+                    for suf in (
+                        "q_proj", "k_proj", "v_proj", "o_proj",
+                        "gate_proj", "up_proj", "down_proj",
+                    )
+                ):
+                    np.testing.assert_allclose(
+                        got, ft_t[key], rtol=1e-4, atol=1e-5, err_msg=key
+                    )
+                else:  # embed/norm/lm_head: untargeted, stay base
+                    np.testing.assert_array_equal(got, base_t[key])
+
+
+def test_extract_lora_truncated_matches_torch_svd(tmp_path):
+    """Truncated extraction is the Eckart-Young optimum: fusing the rank-2
+    adapter equals base + the torch-computed rank-2 SVD reconstruction
+    (cross-library oracle), and the capture ratios report the discarded
+    energy honestly."""
+    import numpy as np
+    import torch
+
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader
+    from shardmerge_tpu.tools.extract_lora import extract_lora
+    from shardmerge_tpu.tools.fuse_lora import fuse_lora
+
+    from .conftest import make_tiny_model
+
+    base = tmp_path / "base"
+    base_t = make_tiny_model(base, seed=42)
+    ft = tmp_path / "ft"
+    ft_t = make_tiny_model(ft, seed=43)
+
+    adapter = tmp_path / "adapter"
+    summary = extract_lora(
+        base, ft, adapter, rank=2, target_modules=("q_proj", "down_proj")
+    )
+    assert summary["tensors"] == 4
+    assert summary["capture_min"] < 0.999  # random deltas are full-rank
+
+    fused = tmp_path / "fused"
+    fuse_lora(base, adapter, fused)
+    index = json.loads((fused / "model.safetensors.index.json").read_text())
+    for key in (
+        "model.layers.0.self_attn.q_proj.weight",
+        "model.layers.1.mlp.down_proj.weight",
+    ):
+        delta = torch.from_numpy(ft_t[key] - base_t[key]).to(torch.float32)
+        u, s, vh = torch.linalg.svd(delta, full_matrices=False)
+        want = base_t[key] + (
+            u[:, :2] @ torch.diag(s[:2]) @ vh[:2]
+        ).numpy()
+        cap = float((s[:2] ** 2).sum() / (s**2).sum())
+        np.testing.assert_allclose(summary["capture"][key], cap, rtol=1e-5)
+        with SafeTensorsReader(fused / index["weight_map"][key]) as reader:
+            np.testing.assert_allclose(
+                np.asarray(reader.get_tensor(key)), want,
+                rtol=1e-4, atol=1e-5,
+            )
+
+
+def test_extract_lora_validation_and_cli(tmp_path):
+    import numpy as np  # noqa: F401
+
+    import pytest
+
+    from shardmerge_tpu.tools.extract_lora import (
+        LoraExtractError,
+        extract_lora,
+    )
+
+    from .conftest import make_tiny_model
+
+    base = tmp_path / "base"
+    make_tiny_model(base, seed=44)
+    ft = tmp_path / "ft"
+    make_tiny_model(ft, seed=45)
+
+    with pytest.raises(LoraExtractError, match="matched"):
+        extract_lora(base, ft, tmp_path / "x", target_modules=("nope",))
+    with pytest.raises(LoraExtractError, match="rank"):
+        extract_lora(base, ft, tmp_path / "x", rank=0)
+
+    from click.testing import CliRunner
+
+    from shardmerge_tpu.cli import cli as cli_root
+
+    result = CliRunner().invoke(
+        cli_root,
+        [
+            "extract-lora", str(base), str(ft), str(tmp_path / "ad"),
+            "--rank", "4", "--target", "q_proj",
+        ],
+    )
+    assert result.exit_code == 0, result.output
+    assert "rank-4 adapter: 2 tensor pairs" in result.output
+    assert (tmp_path / "ad" / "adapter_model.safetensors").is_file()
