@@ -14,6 +14,9 @@ your slice):
   ``tx=``
 - atomic checkpointing mid-run, then restore onto a TRANSPOSED mesh and
   continue — the trajectory is identical to the uninterrupted run.
+- a QLoRA finale: the trained model frozen int8-quantized, rank-4
+  adapters trained on top, exported as a PEFT adapter (fuse-lora
+  consumes it).
 
 Run:  python examples/train_recipe.py
 """
@@ -142,6 +145,43 @@ def main():
         f"| param sharding", q.sharding.spec,
         f"| per-device bytes {q.addressable_shards[0].data.nbytes}",
         f"of {q.nbytes}",
+    )
+
+    # --- QLoRA finale: freeze the trained model int8-quantized, train
+    # rank-4 adapters only (optimizer state is adapter-sized), export
+    # them as a PEFT adapter directory (fuse-lora consumes it)
+    from shardmerge_tpu.models.quant import quantize
+    from shardmerge_tpu.parallel.lora import (
+        lora_to_peft,
+        make_lora_train_step,
+    )
+
+    proj = ("q_proj", "k_proj", "v_proj", "o_proj",
+            "gate_proj", "up_proj", "down_proj")
+    host = jax.tree.map(np.asarray, restored["params"])
+    qbase = {
+        **host,
+        "layers": [
+            {k: (quantize(v, 8) if k in proj else v) for k, v in layer.items()}
+            for layer in host["layers"]
+        ],
+    }
+    lora_init_state, lora_step = make_lora_train_step(
+        mesh2, cfg, rank=4, learning_rate=1e-3, seed=0
+    )
+    lstate = lora_init_state(qbase)
+    for step in range(3):
+        lstate, loss = lora_step(lstate, batch(step))
+        print(f"qlora step {step}: loss {float(loss):.4f}", flush=True)
+    adapter_dir = Path("/tmp/train_recipe_lora")
+    summary = lora_to_peft(lstate["lora"], adapter_dir, rank=4)
+    n_lora = sum(
+        leaf.size for leaf in jax.tree.leaves(lstate["lora"])
+    )
+    n_full = sum(leaf.size for leaf in jax.tree.leaves(host))
+    print(
+        f"qlora adapter: {summary['tensors']} tensor pairs "
+        f"({n_lora / n_full:.2%} of full-model params) -> {adapter_dir}"
     )
 
 
