@@ -210,39 +210,16 @@ def _probe_device(
     every probe fails, force the CPU backend via the config API (env vars
     cannot override the host sitecustomize) and return "cpu_fallback" —
     a parity-checked bench labeled as non-TPU beats a round with no bench
-    artifact at all. Returns "device" on a healthy probe."""
-    import subprocess
+    artifact at all. Returns "device" on a healthy probe.
 
-    probe = (
-        "import jax\n"
-        "d = jax.devices()\n"
-        "import jax.numpy as jnp\n"
-        "float(jnp.sum(jnp.ones((4,))))\n"
-        "print('probe ok:', d[0].platform)\n"
-    )
-    for attempt in range(1, attempts + 1):
-        try:
-            proc = subprocess.run(
-                [sys.executable, "-c", probe],
-                capture_output=True,
-                text=True,
-                timeout=timeout_s,
-            )
-        except subprocess.TimeoutExpired:
-            print(
-                f"probe attempt {attempt}/{attempts}: backend unresponsive "
-                f"after {timeout_s:.0f}s (TPU relay stalled?)",
-                file=sys.stderr,
-            )
-            continue
-        if proc.returncode != 0:
-            print(
-                f"probe attempt {attempt}/{attempts} crashed:\n"
-                + proc.stderr[-1000:],
-                file=sys.stderr,
-            )
-            continue
-        print(proc.stdout.strip(), file=sys.stderr)
+    The probe itself is the ONE shared implementation in
+    shardmerge_tpu/backend.py (the CLI's dead-backend defense uses it
+    too); only the fallback/exit policy lives here."""
+    from shardmerge_tpu.backend import _probe_default_backend
+
+    platform = _probe_default_backend(timeout_s, attempts)
+    if platform is not None:
+        print(f"probe ok: {platform}", file=sys.stderr)
         return "device"
     if fallback_cpu:
         print(

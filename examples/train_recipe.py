@@ -150,14 +150,12 @@ def main():
     # --- QLoRA finale: freeze the trained model int8-quantized, train
     # rank-4 adapters only (optimizer state is adapter-sized), export
     # them as a PEFT adapter directory (fuse-lora consumes it)
+    from shardmerge_tpu.constants import LORA_TARGET_PROJECTIONS as proj
     from shardmerge_tpu.models.quant import quantize
     from shardmerge_tpu.parallel.lora import (
         lora_to_peft,
         make_lora_train_step,
     )
-
-    proj = ("q_proj", "k_proj", "v_proj", "o_proj",
-            "gate_proj", "up_proj", "down_proj")
     host = jax.tree.map(np.asarray, restored["params"])
     qbase = {
         **host,
@@ -174,7 +172,7 @@ def main():
         lstate, loss = lora_step(lstate, batch(step))
         print(f"qlora step {step}: loss {float(loss):.4f}", flush=True)
     adapter_dir = Path("/tmp/train_recipe_lora")
-    summary = lora_to_peft(lstate["lora"], adapter_dir, rank=4)
+    summary = lora_to_peft(lstate["lora"], adapter_dir, rank=4, alpha=4.0)
     n_lora = sum(
         leaf.size for leaf in jax.tree.leaves(lstate["lora"])
     )

@@ -47,7 +47,12 @@ logger = logging.getLogger(__name__)
 
 def tail_counts(n: int, beta: float, gamma: float):
     """(k_low, k_top): how many smallest / largest entries are dropped from
-    an n-element tensor. Guarantees at least one survivor."""
+    an n-element tensor. The COUNT-space band is kept nonempty on
+    degenerate tiny tensors; note the guarantee is count-space only —
+    mask_tails works in VALUE space, so a tensor whose magnitudes all tie
+    at the upper threshold still zeroes entirely under the documented
+    exclusive-high tie policy (all entries equal the smallest discarded
+    magnitude)."""
     k_low = int(round(beta * n))
     k_top = int(round(gamma * n))
     if k_low + k_top >= n:  # degenerate tiny tensors: keep the band nonempty

@@ -69,7 +69,10 @@ def keep_probs(deltas: jnp.ndarray, density: float, epsilon: float):
     order = jnp.argsort(-mags, axis=-1)
     ranks = jnp.argsort(order, axis=-1).astype(jnp.float32)
     c = deltas.shape[-1]
-    frac = ranks / jnp.float32(max(c - 1, 1))
+    if c == 1:  # a single-entry row has no rank spread: exactly density
+        frac = jnp.full_like(ranks, 0.5)
+    else:
+        frac = ranks / jnp.float32(c - 1)
     return jnp.float32(density) + jnp.float32(epsilon) * (0.5 - frac)
 
 

@@ -78,6 +78,13 @@ def kth_smallest_weighted(
     materializing the full mirrored array and ranking it.
     """
     k = jnp.asarray(k, jnp.int32)
+    # normalize 1-D inputs to one row: the (1, C, K)-broadcast candidate
+    # compare below needs >= 2 data dims or the reduction leaves a
+    # per-column axis in the counts (garbage prefixes, no error)
+    if x.ndim == 1:
+        x = x[None, :]
+    if y is not None and y.ndim == 1:
+        y = y[None, :]
     w = jnp.asarray(col_weights, jnp.int32)[None, :, None]  # (1, C, 1)
     ux = jax.lax.bitcast_convert_type(x, jnp.uint32)[..., None]  # (..., C, 1)
     uy = (

@@ -39,6 +39,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..constants import LORA_TARGET_PROJECTIONS as DEFAULT_LORA_TARGETS
 from ..models.llama import ModelConfig, Params
 from .train import TrainState, _loss_fn, param_shardings, shard_params
 
@@ -50,10 +51,6 @@ __all__ = [
     "lora_to_peft",
 ]
 
-DEFAULT_LORA_TARGETS = (
-    "q_proj", "k_proj", "v_proj", "o_proj",
-    "gate_proj", "up_proj", "down_proj",
-)
 
 # internal layer-dict key -> HF module path inside model.layers.{i}
 _HF_MODULE = {
@@ -206,12 +203,18 @@ def lora_to_peft(
     lora: Params,
     output_dir,
     rank: int,
-    alpha: Optional[float] = None,
+    alpha: float,
     base_model: str = "",
 ) -> dict:
     """Write the trained adapter tree as a PEFT adapter directory (the
     exact layout tools/fuse_lora.py parses back). Keys follow HF llama
-    module naming (model.layers.{i}.self_attn/mlp.*)."""
+    module naming (model.layers.{i}.self_attn/mlp.*).
+
+    ``alpha`` is REQUIRED and must be the value the adapters were trained
+    with (make_lora_train_step's ``alpha``, or ``rank`` if it was left
+    defaulted): fuse_lora/PEFT apply scale alpha/r at load time, so an
+    exported alpha differing from the training alpha silently rescales
+    the adapter's effect — nothing downstream could detect it."""
     import json
     from pathlib import Path
 
@@ -240,7 +243,7 @@ def lora_to_peft(
     config = {
         "peft_type": "LORA",
         "r": int(rank),
-        "lora_alpha": float(alpha if alpha is not None else rank),
+        "lora_alpha": float(alpha),
         "lora_dropout": 0.0,
         "target_modules": sorted(modules),
         "base_model_name_or_path": str(base_model),

@@ -42,38 +42,77 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
+from ..constants import LORA_TARGET_PROJECTIONS as DEFAULT_TARGETS
 from ..io.safetensors_io import SafeTensorsReader, save_file
 
 logger = logging.getLogger(__name__)
 
 __all__ = ["extract_lora", "DEFAULT_TARGETS"]
 
-DEFAULT_TARGETS = (
-    "q_proj", "k_proj", "v_proj", "o_proj",
-    "gate_proj", "up_proj", "down_proj",
-)
 
 
 class LoraExtractError(ValueError):
     pass
 
 
-def _iter_tensors(model_dir: Path):
-    """Yield (key, np.ndarray) over a checkpoint's shards (index order,
-    single-file fallback)."""
+def _shard_files(model_dir: Path):
     model_dir = Path(model_dir)
     index_path = model_dir / "model.safetensors.index.json"
     if index_path.is_file():
         weight_map = json.loads(index_path.read_text())["weight_map"]
-        shards = sorted(set(weight_map.values()))
-    else:
-        shards = [p.name for p in sorted(model_dir.glob("*.safetensors"))]
-        if not shards:
-            raise FileNotFoundError(f"no safetensors in {model_dir}")
-    for shard in shards:
+        return sorted(set(weight_map.values()))
+    shards = [p.name for p in sorted(model_dir.glob("*.safetensors"))]
+    if not shards:
+        raise FileNotFoundError(f"no safetensors in {model_dir}")
+    return shards
+
+
+def _iter_tensors(model_dir: Path):
+    """Yield (key, np.ndarray) over a checkpoint's shards (index order,
+    single-file fallback), one tensor materialized at a time."""
+    model_dir = Path(model_dir)
+    for shard in _shard_files(model_dir):
         with SafeTensorsReader(model_dir / shard) as reader:
             for key in reader.keys():
                 yield key, np.asarray(reader.get_tensor(key))
+
+
+class _TensorSource:
+    """Random-access tensor reads over a sharded checkpoint WITHOUT
+    materializing it: one mmap reader per shard, one tensor copied at a
+    time. A 70B finetune must never sit fully resident next to the SVD
+    working set (this host degrades catastrophically under concurrent
+    memory pressure — CLAUDE.md)."""
+
+    def __init__(self, model_dir: Path):
+        self.dir = Path(model_dir)
+        self._readers: Dict[str, SafeTensorsReader] = {}
+        self._key_to_shard: Dict[str, str] = {}
+        for shard in _shard_files(self.dir):
+            reader = SafeTensorsReader(self.dir / shard)
+            self._readers[shard] = reader
+            for key in reader.keys():
+                self._key_to_shard[key] = shard
+
+    def __contains__(self, key: str) -> bool:
+        return key in self._key_to_shard
+
+    def get(self, key: str) -> np.ndarray:
+        return np.asarray(
+            self._readers[self._key_to_shard[key]].get_tensor(key)
+        )
+
+    def close(self):
+        for reader in self._readers.values():
+            reader.close()
+
+
+def _matches_target(module: str, suffixes) -> bool:
+    """Component-anchored suffix match: 'v_proj' must not capture a fused
+    'qkv_proj' (Phi-3) nor 'up_proj' a fused 'gate_up_proj'."""
+    return any(
+        module == s or module.endswith("." + s) for s in suffixes
+    )
 
 
 def _module_of(key: str) -> Optional[str]:
@@ -122,31 +161,34 @@ def extract_lora(
         raise LoraExtractError(f"rank must be positive, got {rank}")
     suffixes = tuple(target_modules or DEFAULT_TARGETS)
 
-    ft = dict(_iter_tensors(finetuned_dir))
+    ft = _TensorSource(finetuned_dir)
     adapter: Dict[str, np.ndarray] = {}
     capture: Dict[str, float] = {}
     matched_suffixes = set()
-    for key, w_base in _iter_tensors(base_dir):
-        module = _module_of(key)
-        if module is None or not module.endswith(suffixes):
-            continue
-        if key not in ft:
-            raise LoraExtractError(
-                f"target {key!r} missing from the finetuned checkpoint"
+    try:
+        for key, w_base in _iter_tensors(base_dir):
+            module = _module_of(key)
+            if module is None or not _matches_target(module, suffixes):
+                continue
+            if key not in ft:
+                raise LoraExtractError(
+                    f"target {key!r} missing from the finetuned checkpoint"
+                )
+            w_ft = ft.get(key)
+            if w_ft.shape != w_base.shape or w_base.ndim != 2:
+                raise LoraExtractError(
+                    f"{key!r}: shapes {w_base.shape} vs {w_ft.shape} are "
+                    "not a matching 2-D pair"
+                )
+            b, a, ratio = _factor(
+                w_ft.astype(np.float32) - w_base.astype(np.float32), rank
             )
-        w_ft = ft[key]
-        if w_ft.shape != w_base.shape or w_base.ndim != 2:
-            raise LoraExtractError(
-                f"{key!r}: shapes {w_base.shape} vs {w_ft.shape} are not a "
-                "matching 2-D pair"
-            )
-        b, a, ratio = _factor(
-            w_ft.astype(np.float32) - w_base.astype(np.float32), rank
-        )
-        adapter[f"base_model.model.{module}.lora_A.weight"] = a
-        adapter[f"base_model.model.{module}.lora_B.weight"] = b
-        capture[key] = ratio
-        matched_suffixes.add(module.rsplit(".", 1)[-1])
+            adapter[f"base_model.model.{module}.lora_A.weight"] = a
+            adapter[f"base_model.model.{module}.lora_B.weight"] = b
+            capture[key] = ratio
+            matched_suffixes.add(module.rsplit(".", 1)[-1])
+    finally:
+        ft.close()
 
     if not adapter:
         raise LoraExtractError(

@@ -131,12 +131,11 @@ def test_lora_sharded_matches_single_device():
 def test_qlora_quantized_base():
     """QLoRA: int8 frozen base + fp32 adapters — the step runs, the loss
     decreases, and the base stays quantized dicts throughout."""
+    from shardmerge_tpu.constants import LORA_TARGET_PROJECTIONS as proj
     from shardmerge_tpu.models.quant import quantize
 
     cfg = _cfg()
     params = init_params(cfg, jax.random.PRNGKey(11), dtype=jnp.float32)
-    proj = ("q_proj", "k_proj", "v_proj", "o_proj",
-            "gate_proj", "up_proj", "down_proj")
     qparams = {
         **params,
         "layers": [
@@ -217,7 +216,8 @@ def test_lora_export_fuses_back(tmp_path):
 
     adapter_dir = tmp_path / "adapter"
     summary = lora_to_peft(
-        state["lora"], adapter_dir, rank=4, base_model=str(base_dir)
+        state["lora"], adapter_dir, rank=4, alpha=4.0,
+        base_model=str(base_dir),
     )
     assert summary["tensors"] == 2 * 7  # 2 layers x 7 projections
 

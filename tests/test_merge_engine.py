@@ -1609,6 +1609,12 @@ def test_della_keep_probs_rank_monotone():
     p0 = np.asarray(keep_probs(jnp.asarray(d), density=0.3, epsilon=0.0))
     np.testing.assert_allclose(p0, 0.3, atol=1e-7)
 
+    # single-entry rows have no rank spread: EXACTLY density, not
+    # density + epsilon/2 (the review-caught off-by-half)
+    one = np.array([[[2.0]], [[0.5]]], np.float32)
+    p1 = np.asarray(keep_probs(jnp.asarray(one), density=0.5, epsilon=0.4))
+    np.testing.assert_allclose(p1, 0.5, atol=1e-7)
+
 
 def test_della_merge_matches_prob_replay(tmp_path, tiny_model_factory):
     """The engine output equals an independent replay of the documented

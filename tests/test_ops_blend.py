@@ -585,6 +585,25 @@ def test_weighted_select_equals_mirrored_full():
         assert got == full_sorted[k], (k, got, full_sorted[k])
 
 
+def test_weighted_select_1d_input():
+    """1-D inputs (a single half-spectrum row) rank correctly: the shared
+    exact-order-statistic primitive must not assume >= 2 data dims (the
+    candidate broadcast otherwise leaves a per-column axis in the counts
+    and returns garbage with no error)."""
+    from shardmerge_tpu.ops.select import kth_smallest_weighted
+
+    rng = np.random.default_rng(6)
+    N = 12
+    x = np.abs(rng.standard_normal((N // 2 + 1,))).astype(np.float32)
+    w = blend.hermitian_col_weights(N)
+    full_sorted = np.sort(
+        np.concatenate([np.repeat(x[j], int(w[j])) for j in range(x.size)])
+    )
+    for k in [0, 3, len(full_sorted) // 2, len(full_sorted) - 1]:
+        got = float(kth_smallest_weighted(jnp.asarray(x), k, jnp.asarray(w)))
+        assert got == full_sorted[k], (k, got, full_sorted[k])
+
+
 def test_batched_kernels_match_per_pair(rng):
     """The vmapped per-round kernels (merge/fourier._batched_kernel) must
     reproduce the single-pair kernels exactly for every regime, including

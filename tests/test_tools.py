@@ -713,6 +713,24 @@ def test_extract_lora_truncated_matches_torch_svd(tmp_path):
             )
 
 
+def test_extract_lora_suffix_matching_is_component_anchored():
+    """'v_proj' must not capture Phi-3's fused 'qkv_proj', nor 'up_proj'
+    its 'gate_up_proj' — suffix matches anchor on a module-path component
+    boundary."""
+    from shardmerge_tpu.constants import LORA_TARGET_PROJECTIONS
+    from shardmerge_tpu.tools.extract_lora import _matches_target
+
+    t = LORA_TARGET_PROJECTIONS
+    assert _matches_target("model.layers.0.self_attn.q_proj", t)
+    assert _matches_target("model.layers.3.mlp.down_proj", t)
+    assert not _matches_target("model.layers.0.self_attn.qkv_proj", t)
+    assert not _matches_target("model.layers.0.mlp.gate_up_proj", t)
+    # explicit fused targets still opt in
+    assert _matches_target(
+        "model.layers.0.self_attn.qkv_proj", ("qkv_proj",)
+    )
+
+
 def test_extract_lora_validation_and_cli(tmp_path):
     import numpy as np  # noqa: F401
 
