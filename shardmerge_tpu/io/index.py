@@ -457,12 +457,22 @@ class HFMultiModelIndex(_IndexBase):
 
 class OfflineMultiModelIndex(_IndexBase):
     """Index over local model directories only (reference index.py:279-500);
-    the model id is the directory name."""
+    the model id is the directory name.
+
+    Beyond-reference extension: a directory holding a PEFT LoRA adapter
+    (``adapter_config.json`` + ``adapter_model.safetensors``, no full
+    checkpoint) registers as a model too — its tensors resolve to
+    ``base + (alpha/r)·B@A`` fused ON THE FLY against the adapter's
+    declared base checkpoint (cached per tensor, computed off-thread).
+    A merge config can therefore list LoRA finetunes directly, with no
+    intermediate fused checkpoint doubling disk. The fusion math is
+    byte-identical to tools/fuse_lora.py's on-disk fusion."""
 
     def __init__(self):
         super().__init__()
         self.model_paths: Dict[str, Path] = {}
         self._aliases: Dict[str, str] = {}
+        self._adapters: Dict[str, dict] = {}
 
     def _resolve(self, model_id: str) -> str:
         return self._aliases.get(str(model_id), str(model_id))
@@ -496,10 +506,14 @@ class OfflineMultiModelIndex(_IndexBase):
             # mirrors this synthesized layout: a single output shard plus an
             # index.json — valid HF layout, readable by every loader.
             index = _synthesize_single_file_index(model_path)
+        elif (model_path / "adapter_config.json").exists():
+            # a PEFT LoRA adapter directory: fuse against its base lazily
+            self._register_adapter(model_id, model_path)
+            return
         else:
             raise FileNotFoundError(
-                "Neither 'model.safetensors.index.json' nor "
-                f"'model.safetensors' found in {model_path}"
+                "Neither 'model.safetensors.index.json', 'model.safetensors' "
+                f"nor a PEFT 'adapter_config.json' found in {model_path}"
             )
 
         self.model_paths[model_id] = model_path
@@ -516,6 +530,93 @@ class OfflineMultiModelIndex(_IndexBase):
         self._aliases[str(model_path)] = model_id
         self._aliases[str(model_path.resolve())] = model_id
 
+    def _register_adapter(self, model_id: str, model_path: Path):
+        """Register a PEFT adapter dir: tensors mirror its base's key set
+        and resolve to base + scale·B@A. The base comes from the adapter's
+        ``base_model_name_or_path`` — an already-registered model (by id,
+        path or alias) or a local checkpoint directory to register now."""
+        from ..tools.fuse_lora import load_adapter
+
+        pairs, scale = load_adapter(model_path)
+        cfg = json.loads((model_path / "adapter_config.json").read_text())
+        base_ref = str(cfg.get("base_model_name_or_path") or "")
+        base_id = self._aliases.get(base_ref)
+        if base_id is None and base_ref and Path(base_ref).is_dir():
+            self.add_model(Path(base_ref))
+            base_id = self._resolve(base_ref)
+        if base_id is None or base_id not in self.model_indexes:
+            raise FileNotFoundError(
+                f"adapter {model_path} declares base_model_name_or_path="
+                f"{base_ref!r}, which is neither a registered model nor a "
+                "local checkpoint directory; set it to the adapter's base "
+                "checkpoint (or register that base first)"
+            )
+        missing = sorted(
+            set(pairs) - set(self.model_indexes[base_id]["weight_map"])
+        )
+        if missing:
+            raise KeyError(
+                f"adapter {model_id!r} targets tensors absent from its "
+                f"base {base_id!r}: {missing[:4]}"
+                f"{'...' if len(missing) > 4 else ''}"
+            )
+        self.model_paths[model_id] = model_path
+        # key set, shard layout and canonical ordering ARE the base's
+        # (identity plus a low-rank delta)
+        self.model_indexes[model_id] = self.model_indexes[base_id]
+        self.model_shards[model_id] = self.model_shards[base_id]
+        self._ordered_weights[model_id] = self._ordered_weights[base_id]
+        self._adapters[model_id] = {
+            "pairs": pairs,
+            "scale": float(scale),
+            "base": base_id,
+        }
+        self._aliases[model_id] = model_id
+        self._aliases[str(model_path)] = model_id
+        self._aliases[str(model_path.resolve())] = model_id
+        logger.info(
+            "Registered LoRA adapter %r on base %r (%d tensor pairs, "
+            "scale %g): tensors fuse on the fly",
+            model_id,
+            base_id,
+            len(pairs),
+            scale,
+        )
+
+    async def _fuse_adapter_tensor(
+        self, promise: TensorPromise, ad: dict, base_promise: TensorPromise
+    ):
+        try:
+            base = await base_promise.get()
+            pair = ad["pairs"].get(promise.tensor_name)
+            if pair is None:
+                fused = base  # untargeted: the base tensor, byte-identical
+            else:
+
+                def compute():
+                    # same math and cast as tools/fuse_lora._fused, so the
+                    # on-the-fly and on-disk fusions are byte-identical
+                    delta = (
+                        pair["B"].astype(np.float32)
+                        @ pair["A"].astype(np.float32)
+                    ) * np.float32(ad["scale"])
+                    return (base.astype(np.float32) + delta).astype(
+                        base.dtype
+                    )
+
+                fused = await asyncio.to_thread(compute)
+            self._tensor_cache[(promise.model_uri, promise.tensor_name)] = (
+                fused
+            )
+            self._settle_load(promise, fused)
+        except Exception as e:
+            logger.exception(
+                "Failed to fuse adapter tensor %s of %s",
+                promise.tensor_name,
+                promise.model_uri,
+            )
+            self._settle_load(promise, None, e)
+
     def get_tensor(self, model_id: str, tensor_name: str) -> TensorPromise:
         model_id = self._resolve(model_id)
         if model_id not in self.model_indexes:
@@ -531,6 +632,21 @@ class OfflineMultiModelIndex(_IndexBase):
         cached = self._tensor_cache.get((model_id, tensor_name))
         if cached is not None:
             promise.set_result(cached)
+            return promise
+
+        ad = self._adapters.get(model_id)
+        if ad is not None:
+            # dedupe concurrent fuses of the same tensor via _inflight
+            key = (model_id, tensor_name)
+            waiters = self._inflight.get(key)
+            if waiters is not None:
+                waiters.append(promise)
+                return promise
+            self._inflight[key] = [promise]
+            base_promise = self.get_tensor(ad["base"], tensor_name)
+            asyncio.create_task(
+                self._fuse_adapter_tensor(promise, ad, base_promise)
+            )
             return promise
 
         shard_name = index["weight_map"][tensor_name]

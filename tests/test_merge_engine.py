@@ -1908,6 +1908,91 @@ def test_model_stock_rejects_single_finetune(tmp_path, tiny_model_factory):
         ModelStockMerge(config, index_manager=_offline_index(base_path))
 
 
+def test_merge_with_lora_adapter_entry(tmp_path, tiny_model_factory):
+    """A finetune_merge entry pointing at a PEFT adapter DIRECTORY merges
+    byte-identically to pre-fusing that adapter to disk with fuse-lora:
+    the offline index fuses base + (alpha/r)*B@A on the fly, so LoRA
+    finetunes enter the merge pipeline with no intermediate full
+    checkpoint doubling disk."""
+    from shardmerge_tpu.io.safetensors_io import save_file
+    from shardmerge_tpu.tools.fuse_lora import fuse_lora
+
+    base_path, base_t = tiny_model_factory("base", seed=300)
+    ft_path, _ = tiny_model_factory("ft", seed=301)
+
+    adapter = tmp_path / "adapter"
+    adapter.mkdir()
+    gen = np.random.default_rng(17)
+    targets = [
+        "model.layers.0.self_attn.q_proj.weight",
+        "model.layers.1.mlp.down_proj.weight",
+    ]
+    aw = {}
+    for t in targets:
+        od, idim = base_t[t].shape
+        mod = t[: -len(".weight")]
+        aw[f"base_model.model.{mod}.lora_A.weight"] = gen.standard_normal(
+            (2, idim)
+        ).astype(np.float32)
+        aw[f"base_model.model.{mod}.lora_B.weight"] = gen.standard_normal(
+            (od, 2)
+        ).astype(np.float32)
+    save_file(aw, adapter / "adapter_model.safetensors")
+    (adapter / "adapter_config.json").write_text(
+        json.dumps(
+            {
+                "r": 2,
+                "lora_alpha": 4,
+                "peft_type": "LORA",
+                "base_model_name_or_path": str(base_path),
+            }
+        )
+    )
+
+    fused_dir = tmp_path / "fused"
+    fuse_lora(base_path, adapter, fused_dir)
+
+    def run(model_ref, outdir, index_paths):
+        entries = [
+            {"model": str(model_ref), "base": str(base_path), "alpha": 0.7},
+            {"model": str(ft_path), "base": str(base_path), "alpha": 0.3},
+        ]
+        config = _make_config(
+            tmp_path, base_path, entries, output_dtype="float32"
+        )
+        config.output_dir = str(tmp_path / outdir)
+        merger = FourierMerge(
+            config, index_manager=_offline_index(*index_paths)
+        )
+        _run_merge(merger)
+        return _read_output(tmp_path / outdir)
+
+    via_adapter = run(adapter, "m_adapter", (base_path, adapter, ft_path))
+    via_fused = run(fused_dir, "m_fused", (base_path, fused_dir, ft_path))
+    for k in via_fused:
+        np.testing.assert_array_equal(
+            via_adapter[k].view(np.uint32),
+            via_fused[k].view(np.uint32),
+            err_msg=k,
+        )
+
+    # a dangling base reference fails loudly at registration
+    bad = tmp_path / "bad_adapter"
+    bad.mkdir()
+    save_file(aw, bad / "adapter_model.safetensors")
+    (bad / "adapter_config.json").write_text(
+        json.dumps(
+            {
+                "r": 2,
+                "lora_alpha": 4,
+                "base_model_name_or_path": "org/nonexistent-model",
+            }
+        )
+    )
+    with pytest.raises(FileNotFoundError, match="base_model_name_or_path"):
+        _offline_index(bad)
+
+
 def test_fourier_merge_llama4_checkpoints(tmp_path):
     """The merge pipeline end-to-end on real Llama-4-shaped HF checkpoints:
     index discovery over feed_forward.* component names, the 3-D fused
