@@ -461,7 +461,12 @@ class InferenceEngine:
                 )
 
         model_path = Path(model_path)
-        cfg = ModelConfig.from_pretrained(model_path)
+        # PEFT adapter dirs resolve to their base checkpoint for
+        # config/tokenizer; load_params fuses the deltas at read time
+        from .models.loader import resolve_checkpoint_dir
+
+        weights_dir, _ = resolve_checkpoint_dir(model_path)
+        cfg = ModelConfig.from_pretrained(weights_dir)
         # with a mesh, every tensor streams straight onto its final
         # sharding (never staging the whole model on one device)
         params = load_params(model_path, cfg, quant_bits=quant_bits, mesh=mesh)
@@ -475,7 +480,14 @@ class InferenceEngine:
         if tokenizer is None:
             from transformers import AutoTokenizer
 
-            tokenizer = AutoTokenizer.from_pretrained(str(model_path))
+            # adapter dirs may ship their own (finetuned) tokenizer files;
+            # otherwise fall back to the base checkpoint's
+            tok_dir = (
+                model_path
+                if (model_path / "tokenizer_config.json").is_file()
+                else weights_dir
+            )
+            tokenizer = AutoTokenizer.from_pretrained(str(tok_dir))
         return cls(
             cfg,
             params,

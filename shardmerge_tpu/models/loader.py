@@ -24,7 +24,59 @@ from .llama import ModelConfig, Params
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["load_params", "load_model"]
+__all__ = ["load_params", "load_model", "resolve_checkpoint_dir"]
+
+
+def resolve_checkpoint_dir(model_path):
+    """(weights_dir, adapter_or_None) for a checkpoint OR a PEFT LoRA
+    adapter directory.
+
+    An adapter dir (adapter_config.json, no full weights) resolves to its
+    declared base checkpoint, with {"pairs", "scale"} describing the
+    low-rank deltas to fuse at load — so ``generate``/``serve`` accept a
+    LoRA finetune directly, no fuse-lora intermediate on disk. Mirrors
+    the merge-side support in io/index.py OfflineMultiModelIndex."""
+    model_path = Path(model_path)
+    if (model_path / "adapter_config.json").is_file() and not (
+        (model_path / "model.safetensors.index.json").exists()
+        or (model_path / "model.safetensors").exists()
+    ):
+        from ..tools.fuse_lora import load_adapter
+
+        pairs, scale = load_adapter(model_path)
+        base_ref = str(
+            json.loads(
+                (model_path / "adapter_config.json").read_text()
+            ).get("base_model_name_or_path")
+            or ""
+        )
+        if not base_ref or not Path(base_ref).is_dir():
+            raise FileNotFoundError(
+                f"adapter {model_path} declares base_model_name_or_path="
+                f"{base_ref!r}, which is not a local checkpoint directory; "
+                "set it to the adapter's base checkpoint"
+            )
+        logger.info(
+            "Loading LoRA adapter %s fused onto base %s (%d tensor "
+            "pairs, scale %g)",
+            model_path,
+            base_ref,
+            len(pairs),
+            scale,
+        )
+        return Path(base_ref), {"pairs": pairs, "scale": float(scale)}
+    return model_path, None
+
+
+def _apply_lora_pair(arr, pair, scale: float) -> np.ndarray:
+    """base + scale*B@A in fp32, cast back to the BASE dtype — identical
+    math and rounding to tools/fuse_lora._fused, so loading an adapter
+    equals loading its fuse-lora'd checkpoint byte-for-byte."""
+    w32 = np.array(arr).astype(np.float32)  # copy the mmap view first
+    delta = (
+        pair["B"].astype(np.float32) @ pair["A"].astype(np.float32)
+    ) * np.float32(scale)
+    return (w32 + delta).astype(np.asarray(arr).dtype)
 
 _LAYER_WEIGHTS = {
     "self_attn.q_proj.weight": "q_proj",
@@ -152,8 +204,12 @@ def load_params(
 
     With ``mesh`` (a 1-D ('tp',) Mesh), every tensor is placed directly
     onto its tensor-parallel sharding as it is read (_StreamShardings) —
-    required for checkpoints larger than one chip's HBM."""
-    model_path = Path(model_path)
+    required for checkpoints larger than one chip's HBM.
+
+    ``model_path`` may be a PEFT LoRA adapter directory: weights stream
+    from its base checkpoint with the low-rank deltas fused per tensor at
+    read time (resolve_checkpoint_dir)."""
+    model_path, adapter = resolve_checkpoint_dir(model_path)
     if cfg is None:
         cfg = ModelConfig.from_pretrained(model_path)
     ss = _StreamShardings(mesh) if mesh is not None else None
@@ -192,6 +248,7 @@ def load_params(
     params: Params = {
         "layers": [dict() for _ in range(cfg.num_hidden_layers)]
     }
+    adapter_fused: set = set()
 
     from .quant import quantize, quantize_stacked
 
@@ -204,6 +261,15 @@ def load_params(
                     # language_model.*; vision/projector tensors fall
                     # through to the unknown-weight warning below
                     name = name[len("language_model."):]
+                if adapter is not None:
+                    pair = adapter["pairs"].get(name)
+                    if pair is not None:
+                        # fuse BEFORE quantization/placement: quantizing
+                        # the fused weight is the correct adapter-serving
+                        # semantic (identical to quantizing a fuse-lora'd
+                        # checkpoint at load)
+                        arr = _apply_lora_pair(arr, pair, adapter["scale"])
+                        adapter_fused.add(name)
                 if name == "model.embed_tokens.weight":
                     params["embed_tokens"] = place(arr, top="embed_tokens")
                 elif name == "model.norm.weight":
@@ -335,6 +401,13 @@ def load_params(
                 else:
                     logger.warning("Skipping unknown weight %s", name)
 
+    if adapter is not None:
+        dangling = sorted(set(adapter["pairs"]) - adapter_fused)
+        if dangling:
+            raise ValueError(
+                "adapter targets absent from the base checkpoint: "
+                f"{dangling[:4]}{'...' if len(dangling) > 4 else ''}"
+            )
     if cfg.tie_word_embeddings:
         params.pop("lm_head", None)
     missing = [

@@ -237,6 +237,93 @@ def test_lora_export_fuses_back(tmp_path):
             )
 
 
+def test_load_params_accepts_adapter_dir(tmp_path):
+    """load_params on a PEFT adapter DIRECTORY equals load_params on the
+    fuse-lora'd checkpoint, leaf for leaf (raw and int8-quantized loads) —
+    generate/serve take a LoRA finetune with no fused copy on disk."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from shardmerge_tpu.models.loader import load_params
+    from shardmerge_tpu.tools.extract_lora import extract_lora
+    from shardmerge_tpu.tools.fuse_lora import fuse_lora
+
+    torch.manual_seed(5)
+    config = LlamaConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    base_dir = tmp_path / "base"
+    LlamaForCausalLM(config).eval().to(torch.float32).save_pretrained(
+        str(base_dir), safe_serialization=True
+    )
+    torch.manual_seed(6)
+    ft_dir = tmp_path / "ft"
+    LlamaForCausalLM(config).eval().to(torch.float32).save_pretrained(
+        str(ft_dir), safe_serialization=True
+    )
+    adapter_dir = tmp_path / "adapter"
+    extract_lora(base_dir, ft_dir, adapter_dir, rank=4)
+    fused_dir = tmp_path / "fused"
+    fuse_lora(base_dir, adapter_dir, fused_dir)
+
+    cfg = ModelConfig.from_pretrained(base_dir)
+    for quant in (None, 8):
+        via_adapter = load_params(
+            adapter_dir, cfg, dtype=jnp.float32, quant_bits=quant
+        )
+        via_fused = load_params(
+            fused_dir, cfg, dtype=jnp.float32, quant_bits=quant
+        )
+        for a, f in zip(
+            jax.tree.leaves(via_adapter), jax.tree.leaves(via_fused)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(f))
+
+    # the engine surface resolves config (and tokenizer fallback) too
+    from shardmerge_tpu.models.loader import resolve_checkpoint_dir
+
+    weights_dir, adapter = resolve_checkpoint_dir(adapter_dir)
+    assert weights_dir == base_dir and len(adapter["pairs"]) == 14
+
+    # dangling adapter targets fail loudly at load
+    import json as _json
+
+    bad_cfg = _json.loads((adapter_dir / "adapter_config.json").read_text())
+    bad = tmp_path / "bad_adapter"
+    bad.mkdir()
+    import shutil
+
+    shutil.copyfile(
+        adapter_dir / "adapter_model.safetensors",
+        bad / "adapter_model.safetensors",
+    )
+    bad_cfg["base_model_name_or_path"] = str(base_dir)
+    (bad / "adapter_config.json").write_text(_json.dumps(bad_cfg))
+    # point a pair at a tensor the base does not have
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader, save_file
+
+    with SafeTensorsReader(bad / "adapter_model.safetensors") as r:
+        tensors = {k: np.asarray(r.get_tensor(k)) for k in r.keys()}
+    a_key = next(k for k in tensors if k.endswith("lora_A.weight"))
+    b_key = a_key.replace("lora_A", "lora_B")
+    tensors[
+        "base_model.model.model.layers.9.self_attn.q_proj.lora_A.weight"
+    ] = tensors[a_key]
+    tensors[
+        "base_model.model.model.layers.9.self_attn.q_proj.lora_B.weight"
+    ] = tensors[b_key]
+    save_file(tensors, bad / "adapter_model.safetensors")
+    with pytest.raises(ValueError, match="absent from the base"):
+        load_params(bad, cfg, dtype=jnp.float32)
+
+
 def test_lora_validation():
     cfg = _cfg()
     params = init_params(cfg, jax.random.PRNGKey(21), dtype=jnp.float32)
