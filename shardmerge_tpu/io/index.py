@@ -149,6 +149,102 @@ class _IndexBase:
         # read (or download) the shard twice; the reference has the same
         # hazard but never prefetches (index.py:195-221).
         self._inflight: Dict[Tuple[str, str], List[TensorPromise]] = {}
+        # model id -> {"pairs", "scale", "base"} for PEFT LoRA adapters
+        # registered as models (tensors fuse base + scale*B@A lazily;
+        # see _adapter_promise)
+        self._adapters: Dict[str, dict] = {}
+
+    def _register_adapter_entry(
+        self, model_id: str, pairs: dict, scale: float, base_id: str
+    ):
+        """Mirror the base's index/shards/ordering onto an adapter model
+        id (an adapter IS identity + low-rank delta) after validating its
+        targets exist in the base."""
+        missing = sorted(
+            set(pairs) - set(self.model_indexes[base_id]["weight_map"])
+        )
+        if missing:
+            raise KeyError(
+                f"adapter {model_id!r} targets tensors absent from its "
+                f"base {base_id!r}: {missing[:4]}"
+                f"{'...' if len(missing) > 4 else ''}"
+            )
+        self.model_indexes[model_id] = self.model_indexes[base_id]
+        self.model_shards[model_id] = self.model_shards[base_id]
+        self._ordered_weights[model_id] = self._ordered_weights[base_id]
+        self._adapters[model_id] = {
+            "pairs": pairs,
+            "scale": float(scale),
+            "base": base_id,
+        }
+        logger.info(
+            "Registered LoRA adapter %r on base %r (%d tensor pairs, "
+            "scale %g): tensors fuse on the fly",
+            model_id,
+            base_id,
+            len(pairs),
+            scale,
+        )
+
+    def _adapter_promise(
+        self, model_id: str, tensor_name: str
+    ) -> Optional[TensorPromise]:
+        """A lazily-fused TensorPromise when ``model_id`` is a registered
+        adapter, else None (caller falls through to shard loading)."""
+        ad = self._adapters.get(model_id)
+        if ad is None:
+            return None
+        promise = TensorPromise(model_id, tensor_name)
+        cached = self._tensor_cache.get((model_id, tensor_name))
+        if cached is not None:
+            promise.set_result(cached)
+            return promise
+        # dedupe concurrent fuses of the same tensor via _inflight
+        key = (model_id, tensor_name)
+        waiters = self._inflight.get(key)
+        if waiters is not None:
+            waiters.append(promise)
+            return promise
+        self._inflight[key] = [promise]
+        base_promise = self.get_tensor(ad["base"], tensor_name)
+        asyncio.create_task(
+            self._fuse_adapter_tensor(promise, ad, base_promise)
+        )
+        return promise
+
+    async def _fuse_adapter_tensor(
+        self, promise: TensorPromise, ad: dict, base_promise: TensorPromise
+    ):
+        try:
+            base = await base_promise.get()
+            pair = ad["pairs"].get(promise.tensor_name)
+            if pair is None:
+                fused = base  # untargeted: the base tensor, byte-identical
+            else:
+
+                def compute():
+                    # same math and cast as tools/fuse_lora._fused, so the
+                    # on-the-fly and on-disk fusions are byte-identical
+                    delta = (
+                        pair["B"].astype(np.float32)
+                        @ pair["A"].astype(np.float32)
+                    ) * np.float32(ad["scale"])
+                    return (base.astype(np.float32) + delta).astype(
+                        base.dtype
+                    )
+
+                fused = await asyncio.to_thread(compute)
+            self._tensor_cache[(promise.model_uri, promise.tensor_name)] = (
+                fused
+            )
+            self._settle_load(promise, fused)
+        except Exception as e:
+            logger.exception(
+                "Failed to fuse adapter tensor %s of %s",
+                promise.tensor_name,
+                promise.model_uri,
+            )
+            self._settle_load(promise, None, e)
 
     def _join_or_start_load(
         self, promise: TensorPromise, shard_key: Tuple[str, str]
@@ -290,6 +386,11 @@ class HFMultiModelIndex(_IndexBase):
             logger.info("Model %s already in storage; loading index", model_uri)
             with open(model_index_path) as f:
                 index = json.load(f)
+        elif (model_path / "adapter_config.json").exists():
+            # PEFT adapter persisted by a previous run: re-register from
+            # storage (its base re-resolves recursively, storage-first)
+            await self._register_hub_adapter(model_uri, model_path)
+            return
         else:
             import aiohttp
 
@@ -309,9 +410,27 @@ class HFMultiModelIndex(_IndexBase):
                         # no-weight-fetch contract — and persisted so
                         # re-runs load it straight from storage. The file
                         # itself downloads lazily via _load_tensor.
-                        index = await self._fetch_single_file_index(
-                            model_uri, revision, session
-                        )
+                        try:
+                            index = await self._fetch_single_file_index(
+                                model_uri, revision, session
+                            )
+                        except FileNotFoundError as no_weights:
+                            # Third possibility: a PEFT LoRA adapter repo
+                            # (adapter_config.json + adapter_model.
+                            # safetensors, no full checkpoint) — fetch the
+                            # small adapter files, register the adapter's
+                            # base, and fuse lazily per tensor.
+                            self._revisions[model_uri] = revision
+                            try:
+                                await self._fetch_adapter_files(
+                                    model_uri, revision, session, model_path
+                                )
+                            except FileNotFoundError:
+                                raise no_weights from None
+                            await self._register_hub_adapter(
+                                model_uri, model_path
+                            )
+                            return
                         with open(model_index_path, "w") as f:
                             json.dump(index, f)
                         self._register_index(model_uri, index)
@@ -376,6 +495,46 @@ class HFMultiModelIndex(_IndexBase):
             "weight_map": {name: "model.safetensors" for name in header},
         }
 
+    async def _fetch_adapter_files(
+        self, model_uri: str, revision: str, session, model_path: Path
+    ):
+        """Download a hub adapter's two small files into storage
+        (atomically: .tmp then rename), so re-runs register offline."""
+        for name in ("adapter_config.json", "adapter_model.safetensors"):
+            url = self._shard_url(model_uri, name)
+            async with session.get(url) as resp:
+                if resp.status == 404:
+                    raise FileNotFoundError(
+                        f"{model_uri}: no {name} at revision {revision!r}"
+                    )
+                resp.raise_for_status()
+                data = await resp.read()
+            tmp = model_path / (name + ".tmp")
+            tmp.write_bytes(data)
+            tmp.rename(model_path / name)
+        logger.info(
+            "Fetched LoRA adapter files for %s (%d bytes of weights)",
+            model_uri,
+            (model_path / "adapter_model.safetensors").stat().st_size,
+        )
+
+    async def _register_hub_adapter(self, model_uri: str, model_path: Path):
+        """Register a downloaded adapter: resolve its base REPO (hub id
+        from base_model_name_or_path), then mirror the base's index with
+        lazy per-tensor fusion (_register_adapter_entry)."""
+        from ..tools.fuse_lora import load_adapter
+
+        pairs, scale = load_adapter(model_path)
+        cfg = json.loads((model_path / "adapter_config.json").read_text())
+        base_ref = str(cfg.get("base_model_name_or_path") or "")
+        if not base_ref:
+            raise ValueError(
+                f"hub adapter {model_uri} has no base_model_name_or_path; "
+                "cannot resolve its base checkpoint"
+            )
+        await self.add_model(base_ref)
+        self._register_adapter_entry(model_uri, pairs, scale, base_ref)
+
     def _shard_url(self, model_uri: str, shard_name: str) -> str:
         revision = self._revisions.get(model_uri, "main")
         return (
@@ -399,6 +558,10 @@ class HFMultiModelIndex(_IndexBase):
             promise.set_result(cached)
             return promise
 
+        fused = self._adapter_promise(model_uri, tensor_name)
+        if fused is not None:
+            return fused
+
         shard_name = index["weight_map"][tensor_name]
         self._join_or_start_load(promise, (model_uri, shard_name))
         return promise
@@ -407,6 +570,10 @@ class HFMultiModelIndex(_IndexBase):
         """Warm the shard containing ``tensor_name`` (reference index.py:223-236;
         no_claims=-1 marks an unclaimed warm download)."""
         try:
+            ad = self._adapters.get(model_uri)
+            if ad is not None:
+                # an adapter's shards live in its BASE repo; warm there
+                return await self.preload_tensor(ad["base"], tensor_name)
             index = self.model_indexes[model_uri]
             if tensor_name not in index["weight_map"]:
                 raise KeyError(
@@ -551,71 +718,13 @@ class OfflineMultiModelIndex(_IndexBase):
                 "local checkpoint directory; set it to the adapter's base "
                 "checkpoint (or register that base first)"
             )
-        missing = sorted(
-            set(pairs) - set(self.model_indexes[base_id]["weight_map"])
-        )
-        if missing:
-            raise KeyError(
-                f"adapter {model_id!r} targets tensors absent from its "
-                f"base {base_id!r}: {missing[:4]}"
-                f"{'...' if len(missing) > 4 else ''}"
-            )
         self.model_paths[model_id] = model_path
         # key set, shard layout and canonical ordering ARE the base's
         # (identity plus a low-rank delta)
-        self.model_indexes[model_id] = self.model_indexes[base_id]
-        self.model_shards[model_id] = self.model_shards[base_id]
-        self._ordered_weights[model_id] = self._ordered_weights[base_id]
-        self._adapters[model_id] = {
-            "pairs": pairs,
-            "scale": float(scale),
-            "base": base_id,
-        }
+        self._register_adapter_entry(model_id, pairs, scale, base_id)
         self._aliases[model_id] = model_id
         self._aliases[str(model_path)] = model_id
         self._aliases[str(model_path.resolve())] = model_id
-        logger.info(
-            "Registered LoRA adapter %r on base %r (%d tensor pairs, "
-            "scale %g): tensors fuse on the fly",
-            model_id,
-            base_id,
-            len(pairs),
-            scale,
-        )
-
-    async def _fuse_adapter_tensor(
-        self, promise: TensorPromise, ad: dict, base_promise: TensorPromise
-    ):
-        try:
-            base = await base_promise.get()
-            pair = ad["pairs"].get(promise.tensor_name)
-            if pair is None:
-                fused = base  # untargeted: the base tensor, byte-identical
-            else:
-
-                def compute():
-                    # same math and cast as tools/fuse_lora._fused, so the
-                    # on-the-fly and on-disk fusions are byte-identical
-                    delta = (
-                        pair["B"].astype(np.float32)
-                        @ pair["A"].astype(np.float32)
-                    ) * np.float32(ad["scale"])
-                    return (base.astype(np.float32) + delta).astype(
-                        base.dtype
-                    )
-
-                fused = await asyncio.to_thread(compute)
-            self._tensor_cache[(promise.model_uri, promise.tensor_name)] = (
-                fused
-            )
-            self._settle_load(promise, fused)
-        except Exception as e:
-            logger.exception(
-                "Failed to fuse adapter tensor %s of %s",
-                promise.tensor_name,
-                promise.model_uri,
-            )
-            self._settle_load(promise, None, e)
 
     def get_tensor(self, model_id: str, tensor_name: str) -> TensorPromise:
         model_id = self._resolve(model_id)
@@ -634,20 +743,9 @@ class OfflineMultiModelIndex(_IndexBase):
             promise.set_result(cached)
             return promise
 
-        ad = self._adapters.get(model_id)
-        if ad is not None:
-            # dedupe concurrent fuses of the same tensor via _inflight
-            key = (model_id, tensor_name)
-            waiters = self._inflight.get(key)
-            if waiters is not None:
-                waiters.append(promise)
-                return promise
-            self._inflight[key] = [promise]
-            base_promise = self.get_tensor(ad["base"], tensor_name)
-            asyncio.create_task(
-                self._fuse_adapter_tensor(promise, ad, base_promise)
-            )
-            return promise
+        fused = self._adapter_promise(model_id, tensor_name)
+        if fused is not None:
+            return fused
 
         shard_name = index["weight_map"][tensor_name]
         self._join_or_start_load(promise, (model_id, shard_name))

@@ -406,3 +406,95 @@ def test_hf_single_file_checkpoint(tmp_path):
             np.testing.assert_array_equal(got2, tensors[name])
 
     asyncio.run(main())
+
+
+def test_hf_hub_lora_adapter(tmp_path, tiny_model_factory):
+    """Hub LoRA adapter repos (adapter_config.json + adapter_model.
+    safetensors, no full checkpoint) register as models: the 404 chain
+    falls through index -> single-file -> adapter, the small adapter
+    files persist to storage, the base repo resolves recursively, and
+    tensors fuse base + (alpha/r)*B@A lazily — including on a re-run
+    with the network unreachable."""
+    from shardmerge_tpu.io.safetensors_io import save_file
+
+    src_path, tensors = tiny_model_factory("hubbase", seed=21)
+
+    # build adapter blobs (rank 2 on one q_proj)
+    target = "model.layers.0.self_attn.q_proj.weight"
+    od, idim = tensors[target].shape
+    gen = np.random.default_rng(23)
+    a = gen.standard_normal((2, idim)).astype(np.float32)
+    b = gen.standard_normal((od, 2)).astype(np.float32)
+    adir = tmp_path / "blob_adapter"
+    adir.mkdir()
+    mod = target[: -len(".weight")]
+    save_file(
+        {
+            f"base_model.model.{mod}.lora_A.weight": a,
+            f"base_model.model.{mod}.lora_B.weight": b,
+        },
+        adir / "adapter_model.safetensors",
+    )
+    adapter_cfg = json.dumps(
+        {
+            "r": 2,
+            "lora_alpha": 4,
+            "peft_type": "LORA",
+            "base_model_name_or_path": "org/hubbase",
+        }
+    ).encode()
+
+    async def main():
+        async with LocalServer() as server:
+            with open(src_path / "model.safetensors.index.json", "rb") as f:
+                server.blobs[
+                    "/org/hubbase/raw/main/model.safetensors.index.json"
+                ] = f.read()
+            for shard in set(TINY_SHARD_MAP.values()):
+                server.blobs[f"/org/hubbase/resolve/main/{shard}"] = (
+                    src_path / shard
+                ).read_bytes()
+            # the adapter repo serves ONLY its two adapter files
+            server.blobs["/org/lora/resolve/main/adapter_config.json"] = (
+                adapter_cfg
+            )
+            server.blobs[
+                "/org/lora/resolve/main/adapter_model.safetensors"
+            ] = (adir / "adapter_model.safetensors").read_bytes()
+
+            storage = tmp_path / "storage"
+            manager = DownloadManager(storage_path=storage)
+            index = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "cache",
+                endpoint=server.base,
+            )
+            await index.add_model("org/lora")
+            assert index.get_model_keys("org/lora") == set(TINY_SHAPES)
+
+            got = await index.get_tensor("org/lora", target).get()
+            want = (
+                tensors[target].astype(np.float32) + 2.0 * (b @ a)
+            ).astype(tensors[target].dtype)
+            np.testing.assert_array_equal(got, want)
+            # untargeted tensors pass the base through byte-identical
+            other = "model.layers.1.mlp.down_proj.weight"
+            got2 = await index.get_tensor("org/lora", other).get()
+            np.testing.assert_array_equal(got2, tensors[other])
+
+            # adapter files persisted -> re-run fully from storage
+            assert (storage / "org/lora/adapter_config.json").exists()
+            index2 = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "cache",
+                endpoint="http://127.0.0.1:1",  # unreachable
+            )
+            await index2.add_model("org/lora")
+            got3 = await index2.get_tensor("org/lora", target).get()
+            np.testing.assert_array_equal(got3, want)
+
+            # a repo with NONE of the three layouts still errors clearly
+            with pytest.raises(FileNotFoundError, match="neither"):
+                await index.add_model("org/empty")
+
+    asyncio.run(main())
