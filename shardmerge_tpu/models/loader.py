@@ -249,8 +249,9 @@ def load_params(
         "layers": [dict() for _ in range(cfg.num_hidden_layers)]
     }
     adapter_fused: set = set()
+    mxfp4_pending: dict = {}  # (layer, gate_up_proj|down_proj) -> halves
 
-    from .quant import quantize, quantize_stacked
+    from .quant import dequant_mxfp4, quantize, quantize_stacked
 
     for shard in shards:
         with SafeTensorsReader(model_path / shard) as reader:
@@ -319,15 +320,31 @@ def load_params(
                     if suffix.startswith("mlp.experts.") and suffix.endswith(
                         ("_blocks", "_scales")
                     ):
-                        # official gpt-oss releases ship MXFP4 expert tensors
-                        # (gate_up_proj_blocks/_scales); fail with the cause,
-                        # not an int-parse error from the per-expert branch
-                        raise ValueError(
-                            f"{model_path} is an MXFP4-quantized gpt-oss "
-                            "checkpoint (found "
-                            f"{name}); convert it to bf16 first — MXFP4 "
-                            "decode is not supported"
+                        # official gpt-oss releases ship MXFP4 expert
+                        # tensors (gate_up_proj_blocks/_scales): stage the
+                        # pair (COPYING — the mmap dies with the shard
+                        # reader, and the halves may live in different
+                        # shards) and decode once both halves arrive
+                        root = suffix[len("mlp.experts."):]
+                        stem, part = root.rsplit("_", 1)
+                        pend = mxfp4_pending.setdefault(
+                            (layer_idx, stem), {}
                         )
+                        pend[part] = np.array(arr)
+                        if len(pend) == 2:
+                            w = dequant_mxfp4(
+                                pend["blocks"], pend["scales"]
+                            )
+                            del mxfp4_pending[(layer_idx, stem)]
+                            gk = _GPTOSS_EXPERT_WEIGHTS[
+                                "mlp.experts." + stem
+                            ]
+                            if quant_bits:
+                                w = place_quant(w, gk, stacked=True)
+                            else:
+                                w = place(w, key=gk)
+                            layer.setdefault("gptoss_experts", {})[gk] = w
+                        continue
                     if suffix == "self_attn.sinks":
                         layer["sinks"] = place(arr, key="sinks")
                         continue
@@ -401,6 +418,12 @@ def load_params(
                 else:
                     logger.warning("Skipping unknown weight %s", name)
 
+    if mxfp4_pending:
+        raise ValueError(
+            f"Checkpoint at {model_path} has incomplete MXFP4 expert "
+            f"tensors (blocks without scales or vice versa): "
+            f"{sorted(mxfp4_pending)[:4]}"
+        )
     if adapter is not None:
         dangling = sorted(set(adapter["pairs"]) - adapter_fused)
         if dangling:

@@ -123,3 +123,39 @@ def dequant_matmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]) -> jnp.ndarray:
         ((((x.ndim - 1),), (1,)), ((), ())),
         preferred_element_type=x.dtype,
     )
+
+
+# FP4 e2m1 value table (sign in bit 3): transformers integrations/mxfp4.py
+# FP4_VALUES — the authoritative decode of OpenAI's MXFP4 gpt-oss releases.
+_FP4_VALUES = np.array(
+    [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+     -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0],
+    np.float32,
+)
+
+
+def dequant_mxfp4(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Decode MXFP4 expert tensors to fp32 ON HOST (numpy).
+
+    ``blocks``: (..., OUT, G, 16) uint8 — 32 fp4 values per 16-byte block,
+    LOW nibble first; ``scales``: (..., OUT, G) uint8 e8m0 exponents with
+    bias 127, one per block. Returns (..., IN, OUT) with IN = 32*G — the
+    final last-two-dims transpose matches the bf16 checkpoint orientation,
+    exactly like transformers integrations/mxfp4.py
+    convert_moe_packed_tensors (same value table, nibble order, ldexp).
+    """
+    blocks = np.asarray(blocks)
+    exps = np.asarray(scales).astype(np.int32) - 127
+    if blocks.shape[:-1] != exps.shape or blocks.shape[-1] != 16:
+        raise ValueError(
+            f"MXFP4 shape mismatch: blocks {blocks.shape} vs scales "
+            f"{np.asarray(scales).shape} (want blocks = scales + (16,))"
+        )
+    lo = _FP4_VALUES[(blocks & 0x0F).astype(np.int64)]
+    hi = _FP4_VALUES[(blocks >> 4).astype(np.int64)]
+    # byte b -> values [lo_b, hi_b]: out[0::2] = lo, out[1::2] = hi
+    vals = np.stack([lo, hi], axis=-1).reshape(blocks.shape[:-1] + (32,))
+    vals = np.ldexp(vals, exps[..., None])
+    *prefix, out_dim, g, _ = vals.shape
+    vals = vals.reshape(tuple(prefix) + (out_dim, g * 32))
+    return np.swapaxes(vals, -1, -2).astype(np.float32)

@@ -2683,3 +2683,101 @@ def test_llama4_forward_train_matches_serving_prefill(tmp_path):
         np.asarray(remat_logits), np.asarray(train_logits),
         rtol=1e-6, atol=1e-7,
     )
+
+
+def test_gptoss_mxfp4_checkpoint_loads(tmp_path):
+    """Official-release MXFP4 gpt-oss expert tensors (gate_up_proj_blocks/
+    _scales: e2m1 nibbles + e8m0 per-block scales) decode at load. The
+    numpy decoder is pinned elementwise against transformers' OWN
+    convert_moe_packed_tensors (integrations/mxfp4.py — the authoritative
+    decode of OpenAI's releases), and the MXFP4 checkpoint's forward
+    equals the forward on the oracle-dequantized raw checkpoint."""
+    import torch
+    from transformers import GptOssConfig, GptOssForCausalLM
+    from transformers.integrations.mxfp4 import convert_moe_packed_tensors
+
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader, save_file
+    from shardmerge_tpu.models.loader import load_params
+
+    torch.manual_seed(33)
+    config = GptOssConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=64,  # both contraction dims multiples of 32
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        sliding_window=3,
+        max_position_embeddings=256,
+        tie_word_embeddings=False,
+    )
+    model = GptOssForCausalLM(config).eval().to(torch.float32)
+    src = tmp_path / "src"
+    model.save_pretrained(str(src), safe_serialization=True)
+
+    with SafeTensorsReader(src / "model.safetensors") as r:
+        tensors = {k: np.array(r.get_tensor(k)) for k in r.keys()}
+
+    rng = np.random.default_rng(34)
+    mx_tensors = {}
+    raw_tensors = {}
+    shapes = {"gate_up_proj": (4, 128, 2, 16), "down_proj": (4, 64, 2, 16)}
+    for k, v in tensors.items():
+        if k.endswith(("experts.gate_up_proj", "experts.down_proj")):
+            stem = k.rsplit(".", 1)[-1]
+            blocks = rng.integers(
+                0, 256, shapes[stem], dtype=np.uint8
+            )
+            scales = rng.integers(
+                121, 131, shapes[stem][:-1], dtype=np.uint8
+            )
+            expect = convert_moe_packed_tensors(
+                torch.from_numpy(blocks),
+                torch.from_numpy(scales),
+                dtype=torch.float32,
+            ).numpy()
+            mx_tensors[k + "_blocks"] = blocks
+            mx_tensors[k + "_scales"] = scales
+            raw_tensors[k] = expect
+        else:
+            mx_tensors[k] = v
+            raw_tensors[k] = v
+
+    mx_dir = tmp_path / "mxfp4"
+    raw_dir = tmp_path / "raw"
+    for d, t in ((mx_dir, mx_tensors), (raw_dir, raw_tensors)):
+        d.mkdir()
+        save_file(t, d / "model.safetensors")
+        (d / "config.json").write_text((src / "config.json").read_text())
+
+    cfg = ModelConfig.from_pretrained(raw_dir)
+    p_mx = load_params(mx_dir, cfg, dtype=jnp.float32)
+    p_raw = load_params(raw_dir, cfg, dtype=jnp.float32)
+    for i in range(2):
+        for gk in ("gate_up", "down"):
+            np.testing.assert_array_equal(
+                np.asarray(p_mx["layers"][i]["gptoss_experts"][gk]),
+                np.asarray(p_raw["layers"][i]["gptoss_experts"][gk]),
+                err_msg=f"layer {i} {gk}",
+            )
+
+    from shardmerge_tpu.models.llama import forward_train
+
+    ids = jax.random.randint(jax.random.PRNGKey(35), (2, 7), 0, 128)
+    np.testing.assert_array_equal(
+        np.asarray(forward_train(p_mx, cfg, ids)),
+        np.asarray(forward_train(p_raw, cfg, ids)),
+    )
+
+    # incomplete pairs (blocks without scales) fail loudly
+    broken = dict(mx_tensors)
+    broken.pop("model.layers.0.mlp.experts.gate_up_proj_scales")
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    save_file(broken, bad_dir / "model.safetensors")
+    (bad_dir / "config.json").write_text((src / "config.json").read_text())
+    with pytest.raises(ValueError, match="incomplete MXFP4"):
+        load_params(bad_dir, cfg, dtype=jnp.float32)
