@@ -212,6 +212,32 @@ def load_params(
     model_path, adapter = resolve_checkpoint_dir(model_path)
     if cfg is None:
         cfg = ModelConfig.from_pretrained(model_path)
+
+    # GPTQ checkpoints (the dominant Hub weight-only quantization) decode
+    # at load: config.json's quantization_config announces the format
+    gptq = None
+    cfg_path = model_path / "config.json"
+    if cfg_path.is_file():
+        qc = json.loads(cfg_path.read_text()).get("quantization_config") or {}
+        method = qc.get("quant_method")
+        if method == "gptq":
+            gptq = {
+                "bits": int(qc.get("bits", 4)),
+                # v1 stores zero-1; gptqmodel marks v2 via checkpoint_format
+                "v1": qc.get("checkpoint_format", "gptq") != "gptq_v2",
+            }
+            logger.info(
+                "GPTQ checkpoint (bits=%d, %s format): decoding packed "
+                "tensors at load",
+                gptq["bits"],
+                "v1" if gptq["v1"] else "v2",
+            )
+        elif method not in (None, "mxfp4"):
+            raise ValueError(
+                f"{model_path} uses quant_method {method!r}; supported "
+                "quantized formats are GPTQ and MXFP4 (gpt-oss) — "
+                "dequantize to bf16 first"
+            )
     ss = _StreamShardings(mesh) if mesh is not None else None
 
     def place(arr, key=None, top=None):
@@ -250,8 +276,14 @@ def load_params(
     }
     adapter_fused: set = set()
     mxfp4_pending: dict = {}  # (layer, gate_up_proj|down_proj) -> halves
+    gptq_pending: dict = {}  # module root -> qweight/qzeros/scales/g_idx
 
-    from .quant import dequant_mxfp4, quantize, quantize_stacked
+    from .quant import (
+        dequant_gptq,
+        dequant_mxfp4,
+        quantize,
+        quantize_stacked,
+    )
 
     for shard in shards:
         with SafeTensorsReader(model_path / shard) as reader:
@@ -262,6 +294,31 @@ def load_params(
                     # language_model.*; vision/projector tensors fall
                     # through to the unknown-weight warning below
                     name = name[len("language_model."):]
+                if (
+                    gptq is not None
+                    and name.rsplit(".", 1)[-1]
+                    in ("qweight", "qzeros", "scales", "g_idx")
+                ):
+                    # stage the four packed parts per module (COPYING off
+                    # the mmap; parts may span shards) and decode to the
+                    # raw (out, in) weight once complete — the decoded
+                    # tensor then flows through the NORMAL dispatch below
+                    # (incl. adapter fusion and int8/int4 re-quantization)
+                    root, part = name.rsplit(".", 1)
+                    pend = gptq_pending.setdefault(root, {})
+                    pend[part] = np.array(arr)
+                    if len(pend) < 4:
+                        continue
+                    arr = dequant_gptq(
+                        pend["qweight"],
+                        pend["qzeros"],
+                        pend["scales"],
+                        pend["g_idx"],
+                        gptq["bits"],
+                        v1_zero_offset=gptq["v1"],
+                    )
+                    del gptq_pending[root]
+                    name = root + ".weight"
                 if adapter is not None:
                     pair = adapter["pairs"].get(name)
                     if pair is not None:
@@ -418,6 +475,12 @@ def load_params(
                 else:
                     logger.warning("Skipping unknown weight %s", name)
 
+    if gptq_pending:
+        raise ValueError(
+            f"Checkpoint at {model_path} has incomplete GPTQ modules "
+            "(need qweight+qzeros+scales+g_idx): "
+            f"{sorted(gptq_pending)[:4]}"
+        )
     if mxfp4_pending:
         raise ValueError(
             f"Checkpoint at {model_path} has incomplete MXFP4 expert "

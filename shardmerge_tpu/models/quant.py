@@ -159,3 +159,48 @@ def dequant_mxfp4(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
     *prefix, out_dim, g, _ = vals.shape
     vals = vals.reshape(tuple(prefix) + (out_dim, g * 32))
     return np.swapaxes(vals, -1, -2).astype(np.float32)
+
+
+def dequant_gptq(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    g_idx: np.ndarray,
+    bits: int,
+    v1_zero_offset: bool = True,
+) -> np.ndarray:
+    """Decode AutoGPTQ-format packed tensors to an (out, in) fp32 weight
+    ON HOST (numpy).
+
+    Layout (AutoGPTQ / gptqmodel "gptq" checkpoint format, bits 4 or 8,
+    values packed little-end-first within each int32):
+
+    - ``qweight`` int32 (in/per, out), per = 32//bits values along IN:
+      ``q[i, o] = (qweight[i//per, o] >> (bits*(i%per))) & maxq``
+    - ``qzeros`` int32 (groups, out/per) packed along OUT; the v1 format
+      stores ``zero - 1`` (``v1_zero_offset`` adds it back; ``gptq_v2``
+      checkpoints store the true zero)
+    - ``scales`` fp16 (groups, out); ``g_idx`` int32 (in,) maps each input
+      row to its group (shuffled under desc_act)
+    - ``W[i, o] = scales[g_idx[i], o] * (q[i, o] - zero[g_idx[i], o])``
+
+    Returned transposed to this repo's (out, in) convention.
+    """
+    if bits not in (4, 8):
+        raise ValueError(f"GPTQ bits must be 4 or 8, got {bits}")
+    per = 32 // bits
+    maxq = (1 << bits) - 1
+    qw = np.asarray(qweight).astype(np.uint32)
+    shifts = (np.arange(per, dtype=np.uint32) * bits)[None, :, None]
+    # (in/per, per, out) -> (in, out)
+    q = ((qw[:, None, :] >> shifts) & maxq).reshape(-1, qw.shape[1])
+    qz = np.asarray(qzeros).astype(np.uint32)
+    zeros = ((qz[:, :, None] >> shifts.transpose(0, 2, 1)) & maxq).reshape(
+        qz.shape[0], -1
+    )
+    if v1_zero_offset:
+        zeros = zeros + 1
+    g = np.asarray(g_idx).astype(np.int64)
+    s32 = np.asarray(scales).astype(np.float32)
+    w = s32[g] * (q.astype(np.float32) - zeros.astype(np.float32)[g])
+    return np.ascontiguousarray(w.T)

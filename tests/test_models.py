@@ -2781,3 +2781,155 @@ def test_gptoss_mxfp4_checkpoint_loads(tmp_path):
     (bad_dir / "config.json").write_text((src / "config.json").read_text())
     with pytest.raises(ValueError, match="incomplete MXFP4"):
         load_params(bad_dir, cfg, dtype=jnp.float32)
+
+
+def test_gptq_checkpoint_loads(tmp_path):
+    """AutoGPTQ-format checkpoints decode at load (qweight/qzeros/scales/
+    g_idx per module, bits 4 and 8, v1 zero-1 offset and v2, incl. a
+    desc_act-shuffled g_idx). The packing in this test is written from the
+    format spec independently of the decoder; the GPTQ checkpoint's
+    forward equals the forward on the expected raw weights."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader, save_file
+    from shardmerge_tpu.models.llama import forward_train
+    from shardmerge_tpu.models.loader import load_params
+
+    torch.manual_seed(44)
+    config = LlamaConfig(
+        vocab_size=96,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    src = tmp_path / "src"
+    LlamaForCausalLM(config).eval().to(torch.float32).save_pretrained(
+        str(src), safe_serialization=True
+    )
+    with SafeTensorsReader(src / "model.safetensors") as r:
+        tensors = {k: np.array(r.get_tensor(k)) for k in r.keys()}
+
+    group = 16
+    rng = np.random.default_rng(45)
+
+    def pack_cols(vals, bits):
+        """Pack along axis 0 rows into int32, little-end-first nibbles."""
+        per = 32 // bits
+        v = vals.astype(np.uint32).reshape(vals.shape[0] // per, per, -1)
+        out = np.zeros((v.shape[0], v.shape[2]), np.uint32)
+        for k in range(per):
+            out |= v[:, k, :] << np.uint32(bits * k)
+        return out.astype(np.int32)
+
+    def make_module(out_dim, in_dim, bits, v1, shuffle):
+        maxq = (1 << bits) - 1
+        n_groups = in_dim // group
+        q = rng.integers(0, maxq + 1, (in_dim, out_dim))
+        zeros = rng.integers(1 if v1 else 0, maxq + 1, (n_groups, out_dim))
+        scales = (rng.standard_normal((n_groups, out_dim)) * 0.02).astype(
+            np.float16
+        )
+        g_idx = np.arange(in_dim, dtype=np.int32) // group
+        if shuffle:  # desc_act: rows visit groups in shuffled order
+            g_idx = rng.permutation(g_idx).astype(np.int32)
+        # expected weight from the format definition
+        w = scales.astype(np.float32)[g_idx] * (
+            q.astype(np.float32) - zeros.astype(np.float32)[g_idx]
+        )
+        parts = {
+            "qweight": pack_cols(q, bits),
+            "qzeros": pack_cols(
+                (zeros - (1 if v1 else 0)).T, bits
+            ).T.copy(),
+            "scales": scales,
+            "g_idx": g_idx,
+        }
+        return parts, np.ascontiguousarray(w.T)  # ours is (out, in)
+
+    for bits, v1 in ((4, True), (8, False)):
+        gq_tensors = {}
+        raw_tensors = {}
+        first = True
+        for k, v in tensors.items():
+            if k.startswith("model.layers.") and k.endswith(
+                ("q_proj.weight", "k_proj.weight", "v_proj.weight",
+                 "o_proj.weight", "gate_proj.weight", "up_proj.weight",
+                 "down_proj.weight")
+            ):
+                root = k[: -len(".weight")]
+                out_dim, in_dim = v.shape
+                parts, w = make_module(
+                    out_dim, in_dim, bits, v1, shuffle=first
+                )
+                first = False  # one desc_act module exercises g_idx
+                for pname, pval in parts.items():
+                    gq_tensors[f"{root}.{pname}"] = pval
+                raw_tensors[k] = w
+            else:
+                gq_tensors[k] = v
+                raw_tensors[k] = v
+
+        gq_dir = tmp_path / f"gptq{bits}"
+        raw_dir = tmp_path / f"raw{bits}"
+        cfg_doc = json.loads((src / "config.json").read_text())
+        cfg_doc["quantization_config"] = {
+            "quant_method": "gptq",
+            "bits": bits,
+            "group_size": group,
+            "desc_act": True,
+            **({} if v1 else {"checkpoint_format": "gptq_v2"}),
+        }
+        for d, t, doc in (
+            (gq_dir, gq_tensors, cfg_doc),
+            (raw_dir, raw_tensors, json.loads((src / "config.json").read_text())),
+        ):
+            d.mkdir()
+            save_file(t, d / "model.safetensors")
+            (d / "config.json").write_text(json.dumps(doc))
+
+        cfg = ModelConfig.from_pretrained(raw_dir)
+        p_gq = load_params(gq_dir, cfg, dtype=jnp.float32)
+        p_raw = load_params(raw_dir, cfg, dtype=jnp.float32)
+        for i in range(2):
+            for name in ("q_proj", "k_proj", "down_proj"):
+                np.testing.assert_allclose(
+                    np.asarray(p_gq["layers"][i][name]),
+                    np.asarray(p_raw["layers"][i][name]),
+                    rtol=1e-6,
+                    atol=1e-7,
+                    err_msg=f"bits={bits} layer {i} {name}",
+                )
+        ids = jax.random.randint(jax.random.PRNGKey(46), (2, 7), 0, 96)
+        np.testing.assert_allclose(
+            np.asarray(forward_train(p_gq, cfg, ids)),
+            np.asarray(forward_train(p_raw, cfg, ids)),
+            rtol=1e-5,
+            atol=1e-6,
+        )
+
+    # incomplete modules fail loudly
+    broken = dict(gq_tensors)
+    broken.pop("model.layers.0.self_attn.q_proj.g_idx")
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    save_file(broken, bad_dir / "model.safetensors")
+    (bad_dir / "config.json").write_text(json.dumps(cfg_doc))
+    with pytest.raises(ValueError, match="incomplete GPTQ"):
+        load_params(bad_dir, ModelConfig.from_pretrained(raw_dir),
+                    dtype=jnp.float32)
+
+    # unsupported quant methods name themselves
+    awq_dir = tmp_path / "awq"
+    awq_dir.mkdir()
+    save_file(tensors, awq_dir / "model.safetensors")
+    doc = json.loads((src / "config.json").read_text())
+    doc["quantization_config"] = {"quant_method": "awq", "bits": 4}
+    (awq_dir / "config.json").write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="awq"):
+        load_params(awq_dir, ModelConfig.from_pretrained(raw_dir),
+                    dtype=jnp.float32)
