@@ -86,6 +86,42 @@ def _synthesize_single_file_index(model_path: Path) -> dict:
     }
 
 
+def _virtualize_gptq_index(index: dict):
+    """(virtual_index, modules) for a GPTQ weight map, or None when no
+    packed modules exist. The virtual map presents each module's
+    ``root.weight`` (mapped to its qweight's shard, for ordering and
+    prefetch granularity); passthrough tensors keep their entries.
+    ``modules``: virtual key -> module root."""
+    parts_by_root: Dict[str, dict] = {}
+    passthrough: Dict[str, str] = {}
+    for key, shard in index["weight_map"].items():
+        part = key.rsplit(".", 1)[-1]
+        if part in ("qweight", "qzeros", "scales", "g_idx"):
+            root = key.rsplit(".", 1)[0]
+            parts_by_root.setdefault(root, {})[part] = shard
+        else:
+            passthrough[key] = shard
+    if not parts_by_root:
+        return None
+    virtual = dict(passthrough)
+    modules = {}
+    for root, parts in sorted(parts_by_root.items()):
+        missing = {"qweight", "qzeros", "scales", "g_idx"} - set(parts)
+        if missing:
+            raise ValueError(
+                f"GPTQ module {root!r} is missing {sorted(missing)}"
+            )
+        virtual[root + ".weight"] = parts["qweight"]
+        modules[root + ".weight"] = root
+    return (
+        {
+            "metadata": dict(index.get("metadata", {})),
+            "weight_map": virtual,
+        },
+        modules,
+    )
+
+
 def ordered_weights(weight_map: Dict[str, str]) -> List[str]:
     """Canonical weight ordering: embed_tokens, per-layer components (sorted
     alphabetically within each layer), model.norm, lm_head, then everything
@@ -153,6 +189,81 @@ class _IndexBase:
         # registered as models (tensors fuse base + scale*B@A lazily;
         # see _adapter_promise)
         self._adapters: Dict[str, dict] = {}
+        # model id -> {"bits", "v1", "modules": {vkey: root}, "raw": id}
+        # for GPTQ checkpoints registered as models: the public index
+        # presents .weight keys, decoded lazily from the packed parts of
+        # a hidden raw registration (see _gptq_promise)
+        self._gptq: Dict[str, dict] = {}
+
+    def _gptq_promise(
+        self, model_id: str, tensor_name: str
+    ) -> Optional[TensorPromise]:
+        """A lazily-decoded TensorPromise when ``model_id`` is a GPTQ
+        model AND ``tensor_name`` is one of its quantized modules, else
+        None (passthrough tensors use the normal shard path)."""
+        gq = self._gptq.get(model_id)
+        if gq is None:
+            return None
+        root = gq["modules"].get(tensor_name)
+        if root is None:
+            return None
+        promise = TensorPromise(model_id, tensor_name)
+        cached = self._tensor_cache.get((model_id, tensor_name))
+        if cached is not None:
+            promise.set_result(cached)
+            return promise
+        key = (model_id, tensor_name)
+        waiters = self._inflight.get(key)
+        if waiters is not None:
+            waiters.append(promise)
+            return promise
+        self._inflight[key] = [promise]
+        part_promises = {
+            part: self.get_tensor(gq["raw"], f"{root}.{part}")
+            for part in ("qweight", "qzeros", "scales", "g_idx")
+        }
+        asyncio.create_task(
+            self._decode_gptq_tensor(promise, gq, part_promises)
+        )
+        return promise
+
+    async def _decode_gptq_tensor(
+        self, promise: TensorPromise, gq: dict, part_promises: dict
+    ):
+        try:
+            parts = {
+                name: await p.get() for name, p in part_promises.items()
+            }
+
+            def compute():
+                from ..models.quant import dequant_gptq
+
+                return dequant_gptq(
+                    parts["qweight"],
+                    parts["qzeros"],
+                    parts["scales"],
+                    parts["g_idx"],
+                    gq["bits"],
+                    v1_zero_offset=gq["v1"],
+                )
+
+            w = await asyncio.to_thread(compute)
+            # the packed parts were claimed under the raw id; drop them —
+            # the decoded weight is what the merge re-fetches
+            for name in part_promises:
+                self._tensor_cache.pop(
+                    (gq["raw"], f"{gq['modules'][promise.tensor_name]}.{name}"),
+                    None,
+                )
+            self._tensor_cache[(promise.model_uri, promise.tensor_name)] = w
+            self._settle_load(promise, w)
+        except Exception as e:
+            logger.exception(
+                "Failed to decode GPTQ tensor %s of %s",
+                promise.tensor_name,
+                promise.model_uri,
+            )
+            self._settle_load(promise, None, e)
 
     def _register_adapter_entry(
         self, model_id: str, pairs: dict, scale: float, base_id: str
@@ -561,6 +672,9 @@ class HFMultiModelIndex(_IndexBase):
         fused = self._adapter_promise(model_uri, tensor_name)
         if fused is not None:
             return fused
+        decoded = self._gptq_promise(model_uri, tensor_name)
+        if decoded is not None:
+            return decoded
 
         shard_name = index["weight_map"][tensor_name]
         self._join_or_start_load(promise, (model_uri, shard_name))
@@ -683,6 +797,39 @@ class OfflineMultiModelIndex(_IndexBase):
                 f"nor a PEFT 'adapter_config.json' found in {model_path}"
             )
 
+        # GPTQ checkpoints (config.json quantization_config) register a
+        # hidden raw index for the packed parts, and the PUBLIC index
+        # presents decoded .weight keys — so a local GPTQ finetune is an
+        # ordinary merge input (key sets match the base; tensors decode
+        # lazily, see _gptq_promise)
+        cfg_file = model_path / "config.json"
+        if cfg_file.is_file():
+            qc = (
+                json.loads(cfg_file.read_text()).get("quantization_config")
+                or {}
+            )
+            if qc.get("quant_method") == "gptq":
+                virt = _virtualize_gptq_index(index)
+                if virt is not None:
+                    raw_id = model_id + "#raw"
+                    self.model_paths[raw_id] = model_path
+                    self._register_index(raw_id, index)
+                    index, modules = virt
+                    self._gptq[model_id] = {
+                        "bits": int(qc.get("bits", 4)),
+                        "v1": qc.get("checkpoint_format", "gptq")
+                        != "gptq_v2",
+                        "modules": modules,
+                        "raw": raw_id,
+                    }
+                    logger.info(
+                        "Registered GPTQ model %r (%d quantized modules, "
+                        "bits=%d): tensors decode on the fly",
+                        model_id,
+                        len(modules),
+                        self._gptq[model_id]["bits"],
+                    )
+
         self.model_paths[model_id] = model_path
         try:
             self._register_index(model_id, index)
@@ -691,6 +838,7 @@ class OfflineMultiModelIndex(_IndexBase):
             self.model_paths.pop(model_id, None)
             self.model_indexes.pop(model_id, None)
             self.model_shards.pop(model_id, None)
+            self._gptq.pop(model_id, None)
             raise
         # allow lookups by the exact path string used by the caller's config
         self._aliases[model_id] = model_id
@@ -746,6 +894,9 @@ class OfflineMultiModelIndex(_IndexBase):
         fused = self._adapter_promise(model_id, tensor_name)
         if fused is not None:
             return fused
+        decoded = self._gptq_promise(model_id, tensor_name)
+        if decoded is not None:
+            return decoded
 
         shard_name = index["weight_map"][tensor_name]
         self._join_or_start_load(promise, (model_id, shard_name))

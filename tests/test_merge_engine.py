@@ -1993,6 +1993,100 @@ def test_merge_with_lora_adapter_entry(tmp_path, tiny_model_factory):
         _offline_index(bad)
 
 
+def test_merge_with_gptq_finetune(tmp_path, tiny_model_factory):
+    """A finetune_merge entry naming a local GPTQ checkpoint merges
+    byte-identically to merging its dequantized raw twin: the offline
+    index registers a virtual .weight-keyed view over the packed
+    qweight/qzeros/scales/g_idx parts and decodes per tensor on demand,
+    so key-set validation against the base passes untouched."""
+    from shardmerge_tpu.io.safetensors_io import save_file
+    from shardmerge_tpu.merge import LinearMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=310)
+
+    group, bits = 8, 4
+    per = 32 // bits
+    rng = np.random.default_rng(311)
+
+    def pack_rows(vals):
+        v = vals.astype(np.uint32).reshape(vals.shape[0] // per, per, -1)
+        out = np.zeros((v.shape[0], v.shape[2]), np.uint32)
+        for k in range(per):
+            out |= v[:, k, :] << np.uint32(bits * k)
+        return out.astype(np.int32)
+
+    gq_tensors = {}
+    raw_tensors = {}
+    for k, v in base_t.items():
+        if k.endswith("proj.weight"):
+            out_dim, in_dim = v.shape
+            root = k[: -len(".weight")]
+            q = rng.integers(0, 16, (in_dim, out_dim))
+            zeros = rng.integers(1, 16, (in_dim // group, out_dim))
+            scales = (
+                rng.standard_normal((in_dim // group, out_dim)) * 0.05
+            ).astype(np.float16)
+            g_idx = (np.arange(in_dim, dtype=np.int32) // group).astype(
+                np.int32
+            )
+            w = scales.astype(np.float32)[g_idx] * (
+                q.astype(np.float32) - zeros.astype(np.float32)[g_idx]
+            )
+            gq_tensors[f"{root}.qweight"] = pack_rows(q)
+            gq_tensors[f"{root}.qzeros"] = pack_rows((zeros - 1).T).T.copy()
+            gq_tensors[f"{root}.scales"] = scales
+            gq_tensors[f"{root}.g_idx"] = g_idx
+            raw_tensors[k] = np.ascontiguousarray(w.T)
+        else:
+            gq_tensors[k] = v
+            raw_tensors[k] = v
+
+    gq_dir = tmp_path / "ft_gptq"
+    raw_dir = tmp_path / "ft_raw"
+    for d, t in ((gq_dir, gq_tensors), (raw_dir, raw_tensors)):
+        d.mkdir()
+        save_file(t, d / "model.safetensors")
+    (gq_dir / "config.json").write_text(
+        json.dumps(
+            {
+                "model_type": "llama",
+                "quantization_config": {
+                    "quant_method": "gptq",
+                    "bits": bits,
+                    "group_size": group,
+                },
+            }
+        )
+    )
+
+    def run(ft_dir, outdir):
+        entries = [
+            {"model": str(ft_dir), "base": str(base_path), "alpha": 0.6}
+        ]
+        config = _make_config(
+            tmp_path, base_path, entries, output_dtype="float32"
+        )
+        config.output_dir = str(tmp_path / outdir)
+        merger = LinearMerge(
+            config, index_manager=_offline_index(base_path, ft_dir)
+        )
+        _run_merge(merger)
+        return _read_output(tmp_path / outdir)
+
+    via_gptq = run(gq_dir, "m_gptq")
+    via_raw = run(raw_dir, "m_raw")
+    for k in via_raw:
+        np.testing.assert_array_equal(
+            via_gptq[k].view(np.uint32),
+            via_raw[k].view(np.uint32),
+            err_msg=k,
+        )
+
+    # the virtual key set mirrors a raw checkpoint's
+    index = _offline_index(gq_dir)
+    assert index.get_model_keys("ft_gptq") == set(base_t)
+
+
 def test_fourier_merge_llama4_checkpoints(tmp_path):
     """The merge pipeline end-to-end on real Llama-4-shaped HF checkpoints:
     index discovery over feed_forward.* component names, the 3-D fused
