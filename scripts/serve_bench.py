@@ -519,7 +519,26 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
         report["continuous_ab"] = continuous_ab(engine)
 
     if report["dtype"] == "bf16":  # quant A/Bs only when bf16 fit
+        # free the measured engine's device buffers first: at the 8B shape
+        # bf16 params are 16.06 GB — co-resident with a quantized build
+        # they exhaust the chip (observed RESOURCE_EXHAUSTED)
+        import gc
+
+        import jax
+
+        for leaf in jax.tree_util.tree_leaves(engine.params):
+            if isinstance(leaf, jax.Array):
+                leaf.delete()
+        engine = None
+        gc.collect()
+        q_engine = None
         for bits in (8, 4):
+            if q_engine is not None:  # drop the previous quant engine
+                for leaf in jax.tree_util.tree_leaves(q_engine.params):
+                    if isinstance(leaf, jax.Array):
+                        leaf.delete()
+                q_engine = None
+                gc.collect()
             try:
                 q_engine, _ = build_engine(hf_cfg, seed=0, quant_bits=bits)
                 q_ms, _, _ = decode_slope_ms(q_engine)

@@ -86,17 +86,57 @@ def _synthesize_single_file_index(model_path: Path) -> dict:
     }
 
 
-def _virtualize_gptq_index(index: dict):
-    """(virtual_index, modules) for a GPTQ weight map, or None when no
+# packed weight-only formats that register as merge inputs: the public
+# index presents decoded .weight keys, parts decode lazily per module
+PACKED_PARTS = {
+    "gptq": ("qweight", "qzeros", "scales", "g_idx"),
+    "awq": ("qweight", "qzeros", "scales"),
+}
+
+
+def packed_quant_info(qc: dict) -> Optional[dict]:
+    """Normalize a config.json ``quantization_config`` into
+    ``{"fmt", "bits", "v1"}`` for the packed formats this index can decode
+    (GPTQ, AWQ gemm), None for unquantized/MXFP4 (MXFP4 merges via the
+    loader path, not the index). Unsupported AWQ serializations raise —
+    silently treating their packed parts as unknown keys would fail the
+    merge's key-set validation with a much worse message."""
+    method = (qc or {}).get("quant_method")
+    if method == "gptq":
+        return {
+            "fmt": "gptq",
+            "bits": int(qc.get("bits", 4)),
+            # v1 stores zero-1; gptqmodel marks v2 via checkpoint_format
+            "v1": qc.get("checkpoint_format", "gptq") != "gptq_v2",
+        }
+    if method == "awq":
+        version = qc.get("version", "gemm")
+        if version != "gemm":
+            raise ValueError(
+                f"AWQ version {version!r} is not decodable; only the "
+                "Hub-dominant 'gemm' serialization is supported"
+            )
+        if qc.get("zero_point", True) is not True:
+            raise ValueError(
+                "symmetric AWQ (zero_point: false) is not decodable; only "
+                "asymmetric gemm checkpoints are supported"
+            )
+        return {"fmt": "awq", "bits": int(qc.get("bits", 4)), "v1": False}
+    return None
+
+
+def _virtualize_packed_index(index: dict, fmt: str):
+    """(virtual_index, modules) for a GPTQ/AWQ weight map, or None when no
     packed modules exist. The virtual map presents each module's
     ``root.weight`` (mapped to its qweight's shard, for ordering and
     prefetch granularity); passthrough tensors keep their entries.
     ``modules``: virtual key -> module root."""
+    required = PACKED_PARTS[fmt]
     parts_by_root: Dict[str, dict] = {}
     passthrough: Dict[str, str] = {}
     for key, shard in index["weight_map"].items():
         part = key.rsplit(".", 1)[-1]
-        if part in ("qweight", "qzeros", "scales", "g_idx"):
+        if part in required:
             root = key.rsplit(".", 1)[0]
             parts_by_root.setdefault(root, {})[part] = shard
         else:
@@ -106,10 +146,10 @@ def _virtualize_gptq_index(index: dict):
     virtual = dict(passthrough)
     modules = {}
     for root, parts in sorted(parts_by_root.items()):
-        missing = {"qweight", "qzeros", "scales", "g_idx"} - set(parts)
+        missing = set(required) - set(parts)
         if missing:
             raise ValueError(
-                f"GPTQ module {root!r} is missing {sorted(missing)}"
+                f"{fmt.upper()} module {root!r} is missing {sorted(missing)}"
             )
         virtual[root + ".weight"] = parts["qweight"]
         modules[root + ".weight"] = root
@@ -189,22 +229,22 @@ class _IndexBase:
         # registered as models (tensors fuse base + scale*B@A lazily;
         # see _adapter_promise)
         self._adapters: Dict[str, dict] = {}
-        # model id -> {"bits", "v1", "modules": {vkey: root}, "raw": id}
-        # for GPTQ checkpoints registered as models: the public index
-        # presents .weight keys, decoded lazily from the packed parts of
-        # a hidden raw registration (see _gptq_promise)
-        self._gptq: Dict[str, dict] = {}
+        # model id -> {"fmt", "bits", "v1", "modules": {vkey: root},
+        # "raw": id} for GPTQ/AWQ checkpoints registered as models: the
+        # public index presents .weight keys, decoded lazily from the
+        # packed parts of a hidden raw registration (see _packed_promise)
+        self._packed: Dict[str, dict] = {}
 
-    def _gptq_promise(
+    def _packed_promise(
         self, model_id: str, tensor_name: str
     ) -> Optional[TensorPromise]:
-        """A lazily-decoded TensorPromise when ``model_id`` is a GPTQ
+        """A lazily-decoded TensorPromise when ``model_id`` is a GPTQ/AWQ
         model AND ``tensor_name`` is one of its quantized modules, else
         None (passthrough tensors use the normal shard path)."""
-        gq = self._gptq.get(model_id)
-        if gq is None:
+        pk = self._packed.get(model_id)
+        if pk is None:
             return None
-        root = gq["modules"].get(tensor_name)
+        root = pk["modules"].get(tensor_name)
         if root is None:
             return None
         promise = TensorPromise(model_id, tensor_name)
@@ -219,16 +259,16 @@ class _IndexBase:
             return promise
         self._inflight[key] = [promise]
         part_promises = {
-            part: self.get_tensor(gq["raw"], f"{root}.{part}")
-            for part in ("qweight", "qzeros", "scales", "g_idx")
+            part: self.get_tensor(pk["raw"], f"{root}.{part}")
+            for part in PACKED_PARTS[pk["fmt"]]
         }
         asyncio.create_task(
-            self._decode_gptq_tensor(promise, gq, part_promises)
+            self._decode_packed_tensor(promise, pk, part_promises)
         )
         return promise
 
-    async def _decode_gptq_tensor(
-        self, promise: TensorPromise, gq: dict, part_promises: dict
+    async def _decode_packed_tensor(
+        self, promise: TensorPromise, pk: dict, part_promises: dict
     ):
         try:
             parts = {
@@ -236,15 +276,22 @@ class _IndexBase:
             }
 
             def compute():
-                from ..models.quant import dequant_gptq
+                from ..models.quant import dequant_awq, dequant_gptq
 
+                if pk["fmt"] == "awq":
+                    return dequant_awq(
+                        parts["qweight"],
+                        parts["qzeros"],
+                        parts["scales"],
+                        bits=pk["bits"],
+                    )
                 return dequant_gptq(
                     parts["qweight"],
                     parts["qzeros"],
                     parts["scales"],
                     parts["g_idx"],
-                    gq["bits"],
-                    v1_zero_offset=gq["v1"],
+                    pk["bits"],
+                    v1_zero_offset=pk["v1"],
                 )
 
             w = await asyncio.to_thread(compute)
@@ -252,18 +299,42 @@ class _IndexBase:
             # the decoded weight is what the merge re-fetches
             for name in part_promises:
                 self._tensor_cache.pop(
-                    (gq["raw"], f"{gq['modules'][promise.tensor_name]}.{name}"),
+                    (pk["raw"], f"{pk['modules'][promise.tensor_name]}.{name}"),
                     None,
                 )
             self._tensor_cache[(promise.model_uri, promise.tensor_name)] = w
             self._settle_load(promise, w)
         except Exception as e:
             logger.exception(
-                "Failed to decode GPTQ tensor %s of %s",
+                "Failed to decode %s tensor %s of %s",
+                pk["fmt"].upper(),
                 promise.tensor_name,
                 promise.model_uri,
             )
             self._settle_load(promise, None, e)
+
+    def _register_packed(self, model_id: str, index: dict, info: dict):
+        """Shared GPTQ/AWQ registration: register the RAW packed index
+        under a hidden id and record the module map. Returns
+        (virtual_index, raw_id), or None when the weight map holds no
+        packed modules (a mislabeled config). Callers wire the raw id
+        into their backend's shard resolution (paths / revisions)."""
+        virt = _virtualize_packed_index(index, info["fmt"])
+        if virt is None:
+            return None
+        raw_id = model_id + "#raw"
+        virtual_index, modules = virt
+        self._register_index(raw_id, index)
+        self._packed[model_id] = {**info, "modules": modules, "raw": raw_id}
+        logger.info(
+            "Registered %s model %r (%d quantized modules, bits=%d): "
+            "tensors decode on the fly",
+            info["fmt"].upper(),
+            model_id,
+            len(modules),
+            info["bits"],
+        )
+        return virtual_index, raw_id
 
     def _register_adapter_entry(
         self, model_id: str, pairs: dict, scale: float, base_id: str
@@ -544,17 +615,66 @@ class HFMultiModelIndex(_IndexBase):
                             return
                         with open(model_index_path, "w") as f:
                             json.dump(index, f)
-                        self._register_index(model_uri, index)
-                        return
-                    response.raise_for_status()
-                    text = await response.text()
-            with open(model_index_path, "w") as f:
-                f.write(text)
-            index = json.loads(text)
-            logger.info("Fetched index for model %s", model_uri)
+                    else:
+                        response.raise_for_status()
+                        text = await response.text()
+                        with open(model_index_path, "w") as f:
+                            f.write(text)
+                        index = json.loads(text)
+                        logger.info("Fetched index for model %s", model_uri)
 
         self._revisions[model_uri] = revision
+        index = await self._maybe_register_hub_packed(
+            model_uri, revision, model_path, index
+        )
         self._register_index(model_uri, index)
+
+    async def _maybe_register_hub_packed(
+        self, model_uri: str, revision: str, model_path: Path, index: dict
+    ) -> dict:
+        """Hub GPTQ/AWQ repos register as ordinary models: when the weight
+        map carries packed ``.qweight`` modules, fetch the repo's
+        config.json (storage-first; persisted so re-runs register offline),
+        read its quantization_config, and stand up the hidden raw
+        registration — the returned virtual index presents decoded
+        ``.weight`` keys. Unquantized repos return ``index`` unchanged
+        with ZERO extra requests (the qweight probe is local)."""
+        if not any(
+            k.endswith(".qweight") for k in index.get("weight_map", {})
+        ):
+            return index
+        cfg_file = model_path / "config.json"
+        if cfg_file.is_file():
+            cfg_doc = json.loads(cfg_file.read_text())
+        else:
+            import aiohttp
+
+            cfg_url = f"{self.endpoint}/{model_uri}/raw/{revision}/config.json"
+            async with aiohttp.ClientSession() as session:
+                async with session.get(cfg_url) as response:
+                    if response.status == 404:
+                        logger.warning(
+                            "Model %s has packed qweight tensors but no "
+                            "config.json announcing the format; registering "
+                            "raw (the merge's key-set validation will "
+                            "likely fail)",
+                            model_uri,
+                        )
+                        return index
+                    response.raise_for_status()
+                    cfg_doc = json.loads(await response.text())
+            cfg_file.write_text(json.dumps(cfg_doc))
+        info = packed_quant_info(cfg_doc.get("quantization_config") or {})
+        if info is None:
+            return index
+        reg = self._register_packed(model_uri, index, info)
+        if reg is None:
+            return index
+        virtual_index, raw_id = reg
+        # raw shard downloads ride the PUBLIC repo: same URL, same storage
+        # partition, shared claims (see _dl_uri)
+        self._revisions[raw_id] = revision
+        return virtual_index
 
     async def _fetch_single_file_index(
         self, model_uri: str, revision: str, session
@@ -646,10 +766,19 @@ class HFMultiModelIndex(_IndexBase):
         await self.add_model(base_ref)
         self._register_adapter_entry(model_uri, pairs, scale, base_ref)
 
+    @staticmethod
+    def _dl_uri(model_uri: str) -> str:
+        """Download-manager partition/URL identity for a model id: a packed
+        model's hidden '<repo>#raw' registration downloads the PUBLIC
+        repo's files — same URL, same storage partition, shared claims —
+        so a shard holding both packed modules and passthrough tensors
+        transfers once."""
+        return model_uri.rsplit("#raw", 1)[0]
+
     def _shard_url(self, model_uri: str, shard_name: str) -> str:
         revision = self._revisions.get(model_uri, "main")
         return (
-            f"{self.endpoint}/{model_uri}/resolve/{revision}/"
+            f"{self.endpoint}/{self._dl_uri(model_uri)}/resolve/{revision}/"
             f"{shard_name}?download=true"
         )
 
@@ -672,7 +801,7 @@ class HFMultiModelIndex(_IndexBase):
         fused = self._adapter_promise(model_uri, tensor_name)
         if fused is not None:
             return fused
-        decoded = self._gptq_promise(model_uri, tensor_name)
+        decoded = self._packed_promise(model_uri, tensor_name)
         if decoded is not None:
             return decoded
 
@@ -695,7 +824,9 @@ class HFMultiModelIndex(_IndexBase):
                 )
             shard_name = index["weight_map"][tensor_name]
             await self.download_manager.cache_file(
-                model_uri, self._shard_url(model_uri, shard_name), no_claims=-1
+                self._dl_uri(model_uri),
+                self._shard_url(model_uri, shard_name),
+                no_claims=-1,
             )
         except Exception:
             logger.exception(
@@ -707,13 +838,14 @@ class HFMultiModelIndex(_IndexBase):
             model_uri, shard_name = shard_key
             shard = self.model_shards[model_uri][shard_name]
             shard_url = self._shard_url(model_uri, shard_name)
+            dl_uri = self._dl_uri(model_uri)
             await self.download_manager.cache_file(
-                model_uri, shard_url, no_claims=len(shard.contained_keys)
+                dl_uri, shard_url, no_claims=len(shard.contained_keys)
             )
-            task = self.download_manager.downloads[(model_uri, shard_url)]
+            task = self.download_manager.downloads[(dl_uri, shard_url)]
             async with task.lock:  # held until the transfer completes
                 path = await self.download_manager.get_file(
-                    model_uri, shard_url, claim=True
+                    dl_uri, shard_url, claim=True
                 )
                 if not path:
                     raise RuntimeError(f"Failed to get shard {shard_name}")
@@ -797,38 +929,26 @@ class OfflineMultiModelIndex(_IndexBase):
                 f"nor a PEFT 'adapter_config.json' found in {model_path}"
             )
 
-        # GPTQ checkpoints (config.json quantization_config) register a
-        # hidden raw index for the packed parts, and the PUBLIC index
-        # presents decoded .weight keys — so a local GPTQ finetune is an
-        # ordinary merge input (key sets match the base; tensors decode
-        # lazily, see _gptq_promise)
+        # GPTQ/AWQ checkpoints (config.json quantization_config) register
+        # a hidden raw index for the packed parts, and the PUBLIC index
+        # presents decoded .weight keys — so a local quantized finetune is
+        # an ordinary merge input (key sets match the base; tensors decode
+        # lazily, see _packed_promise)
         cfg_file = model_path / "config.json"
         if cfg_file.is_file():
             qc = (
                 json.loads(cfg_file.read_text()).get("quantization_config")
                 or {}
             )
-            if qc.get("quant_method") == "gptq":
-                virt = _virtualize_gptq_index(index)
-                if virt is not None:
-                    raw_id = model_id + "#raw"
-                    self.model_paths[raw_id] = model_path
-                    self._register_index(raw_id, index)
-                    index, modules = virt
-                    self._gptq[model_id] = {
-                        "bits": int(qc.get("bits", 4)),
-                        "v1": qc.get("checkpoint_format", "gptq")
-                        != "gptq_v2",
-                        "modules": modules,
-                        "raw": raw_id,
-                    }
-                    logger.info(
-                        "Registered GPTQ model %r (%d quantized modules, "
-                        "bits=%d): tensors decode on the fly",
-                        model_id,
-                        len(modules),
-                        self._gptq[model_id]["bits"],
-                    )
+            info = packed_quant_info(qc)
+            if info is not None:
+                # raw path FIRST: _load_tensor resolves raw reads by path
+                self.model_paths[model_id + "#raw"] = model_path
+                reg = self._register_packed(model_id, index, info)
+                if reg is None:
+                    self.model_paths.pop(model_id + "#raw", None)
+                else:
+                    index, _ = reg
 
         self.model_paths[model_id] = model_path
         try:
@@ -838,7 +958,7 @@ class OfflineMultiModelIndex(_IndexBase):
             self.model_paths.pop(model_id, None)
             self.model_indexes.pop(model_id, None)
             self.model_shards.pop(model_id, None)
-            self._gptq.pop(model_id, None)
+            self._packed.pop(model_id, None)
             raise
         # allow lookups by the exact path string used by the caller's config
         self._aliases[model_id] = model_id
@@ -894,7 +1014,7 @@ class OfflineMultiModelIndex(_IndexBase):
         fused = self._adapter_promise(model_id, tensor_name)
         if fused is not None:
             return fused
-        decoded = self._gptq_promise(model_id, tensor_name)
+        decoded = self._packed_promise(model_id, tensor_name)
         if decoded is not None:
             return decoded
 

@@ -216,6 +216,7 @@ def load_params(
     # GPTQ checkpoints (the dominant Hub weight-only quantization) decode
     # at load: config.json's quantization_config announces the format
     gptq = None
+    awq = None
     cfg_path = model_path / "config.json"
     if cfg_path.is_file():
         qc = json.loads(cfg_path.read_text()).get("quantization_config") or {}
@@ -232,11 +233,30 @@ def load_params(
                 gptq["bits"],
                 "v1" if gptq["v1"] else "v2",
             )
+        elif method == "awq":
+            version = qc.get("version", "gemm")
+            if version != "gemm":
+                raise ValueError(
+                    f"{model_path} is AWQ version {version!r}; only the "
+                    "Hub-dominant 'gemm' serialization is supported — "
+                    "dequantize to bf16 first"
+                )
+            if qc.get("zero_point", True) is not True:
+                raise ValueError(
+                    f"{model_path} is symmetric AWQ (zero_point: false); "
+                    "only asymmetric GEMM checkpoints are supported"
+                )
+            awq = {"bits": int(qc.get("bits", 4))}
+            logger.info(
+                "AWQ checkpoint (bits=%d, gemm format): decoding packed "
+                "tensors at load",
+                awq["bits"],
+            )
         elif method not in (None, "mxfp4"):
             raise ValueError(
                 f"{model_path} uses quant_method {method!r}; supported "
-                "quantized formats are GPTQ and MXFP4 (gpt-oss) — "
-                "dequantize to bf16 first"
+                "quantized formats are GPTQ, AWQ (gemm) and MXFP4 "
+                "(gpt-oss) — dequantize to bf16 first"
             )
     ss = _StreamShardings(mesh) if mesh is not None else None
 
@@ -277,8 +297,10 @@ def load_params(
     adapter_fused: set = set()
     mxfp4_pending: dict = {}  # (layer, gate_up_proj|down_proj) -> halves
     gptq_pending: dict = {}  # module root -> qweight/qzeros/scales/g_idx
+    awq_pending: dict = {}  # module root -> qweight/qzeros/scales
 
     from .quant import (
+        dequant_awq,
         dequant_gptq,
         dequant_mxfp4,
         quantize,
@@ -318,6 +340,26 @@ def load_params(
                         v1_zero_offset=gptq["v1"],
                     )
                     del gptq_pending[root]
+                    name = root + ".weight"
+                if (
+                    awq is not None
+                    and name.rsplit(".", 1)[-1]
+                    in ("qweight", "qzeros", "scales")
+                ):
+                    # same staged decode as GPTQ, three parts per module
+                    # (AWQ gemm has no g_idx — groups are contiguous)
+                    root, part = name.rsplit(".", 1)
+                    pend = awq_pending.setdefault(root, {})
+                    pend[part] = np.array(arr)
+                    if len(pend) < 3:
+                        continue
+                    arr = dequant_awq(
+                        pend["qweight"],
+                        pend["qzeros"],
+                        pend["scales"],
+                        bits=awq["bits"],
+                    )
+                    del awq_pending[root]
                     name = root + ".weight"
                 if adapter is not None:
                     pair = adapter["pairs"].get(name)
@@ -480,6 +522,12 @@ def load_params(
             f"Checkpoint at {model_path} has incomplete GPTQ modules "
             "(need qweight+qzeros+scales+g_idx): "
             f"{sorted(gptq_pending)[:4]}"
+        )
+    if awq_pending:
+        raise ValueError(
+            f"Checkpoint at {model_path} has incomplete AWQ modules "
+            "(need qweight+qzeros+scales): "
+            f"{sorted(awq_pending)[:4]}"
         )
     if mxfp4_pending:
         raise ValueError(

@@ -20,6 +20,9 @@ __all__ = [
     "dequant_matmul",
     "quantize_stacked",
     "dequant_stacked",
+    "dequant_mxfp4",
+    "dequant_gptq",
+    "dequant_awq",
 ]
 
 
@@ -159,6 +162,61 @@ def dequant_mxfp4(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
     *prefix, out_dim, g, _ = vals.shape
     vals = vals.reshape(tuple(prefix) + (out_dim, g * 32))
     return np.swapaxes(vals, -1, -2).astype(np.float32)
+
+
+# AWQ's GEMM kernels permute each 8-value pack for fused int4 dequant on
+# GPU: packed nibble k of an int32 holds LOGICAL column [0,2,4,6,1,3,5,7][k]
+# of the pack. Unpacking nibbles low-to-high therefore needs the inverse
+# permutation (= [0,4,1,5,2,6,3,7], AutoAWQ packing_utils'
+# reverse_awq_order) to restore logical column order.
+_AWQ_UNPACK_ORDER = np.argsort(np.array([0, 2, 4, 6, 1, 3, 5, 7]))
+
+
+def dequant_awq(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    bits: int = 4,
+) -> np.ndarray:
+    """Decode AutoAWQ GEMM-format packed tensors to an (out, in) fp32
+    weight ON HOST (numpy).
+
+    Layout (AutoAWQ ``version: gemm``, the Hub-dominant AWQ serialization;
+    4-bit only — AutoAWQ's GEMM kernels never shipped other widths):
+
+    - ``qweight`` int32 (in, out/8): 8 nibbles per int32 along OUT,
+      little-end-first, in AWQ's interleaved pack order [0,2,4,6,1,3,5,7]
+      (nibble k holds logical column AWQ_ORDER^-1[k] of the pack)
+    - ``qzeros`` int32 (in/group_size, out/8): same packing, true zeros
+      (no GPTQ-style zero-1 offset)
+    - ``scales`` fp16 (in/group_size, out)
+    - groups are CONTIGUOUS runs of group_size input rows (no g_idx):
+      ``W[i, o] = scales[i//gs, o] * (q[i, o] - zero[i//gs, o])``
+
+    group_size is derived from the qweight/qzeros row ratio. Returned
+    transposed to this repo's (out, in) convention.
+    """
+    if bits != 4:
+        raise ValueError(f"AWQ GEMM packs 4-bit only, got bits={bits}")
+    per = 32 // bits
+    maxq = (1 << bits) - 1
+
+    def unpack(packed):
+        p = np.asarray(packed).astype(np.uint32)
+        shifts = (np.arange(per, dtype=np.uint32) * bits)[None, None, :]
+        vals = (p[:, :, None] >> shifts) & maxq
+        return vals[:, :, _AWQ_UNPACK_ORDER].reshape(p.shape[0], -1)
+
+    q = unpack(qweight).astype(np.float32)
+    zeros = unpack(qzeros).astype(np.float32)
+    in_dim, n_groups = q.shape[0], zeros.shape[0]
+    if in_dim % n_groups:
+        raise ValueError(
+            f"AWQ group count {n_groups} does not divide in_dim {in_dim}"
+        )
+    g = np.arange(in_dim) // (in_dim // n_groups)
+    w = np.asarray(scales).astype(np.float32)[g] * (q - zeros[g])
+    return np.ascontiguousarray(w.T)
 
 
 def dequant_gptq(

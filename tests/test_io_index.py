@@ -498,3 +498,119 @@ def test_hf_hub_lora_adapter(tmp_path, tiny_model_factory):
                 await index.add_model("org/empty")
 
     asyncio.run(main())
+
+
+def test_hf_hub_quantized_repo(tmp_path, tiny_model_factory):
+    """Hub GPTQ/AWQ repos register as ordinary models: the weight map's
+    packed .qweight modules trigger a config.json fetch (persisted to
+    storage), the quantization_config stands up the hidden raw
+    registration, and the public index presents decoded .weight keys —
+    key-set-identical to a raw checkpoint, so the repo is a valid merge
+    input. This repo is single-file AND AWQ, exercising the synthesized
+    header index falling through to packed registration. Raw part
+    downloads ride the PUBLIC repo's storage partition (one transfer per
+    shard), and a re-run with the network unreachable registers fully
+    from storage."""
+    from shardmerge_tpu.io.safetensors_io import save_file
+    from shardmerge_tpu.models.quant import dequant_awq
+
+    _, tensors = tiny_model_factory("qbase", seed=31)
+
+    group = 8
+    rng = np.random.default_rng(33)
+    awq_order = [0, 2, 4, 6, 1, 3, 5, 7]
+
+    def pack_awq(vals):
+        rows, out = vals.shape
+        packed = np.zeros((rows, out // 8), np.uint32)
+        for k in range(8):
+            packed |= vals[:, awq_order[k]::8].astype(np.uint32) << np.uint32(
+                4 * k
+            )
+        return packed.astype(np.int32)
+
+    target = "model.layers.0.self_attn.q_proj.weight"
+    blob_tensors = {}
+    expected = {}
+    for k, v in tensors.items():
+        if k.endswith("proj.weight"):
+            out_dim, in_dim = v.shape
+            root = k[: -len(".weight")]
+            q = rng.integers(0, 16, (in_dim, out_dim))
+            zeros = rng.integers(0, 16, (in_dim // group, out_dim))
+            scales = (
+                rng.standard_normal((in_dim // group, out_dim)) * 0.05
+            ).astype(np.float16)
+            blob_tensors[f"{root}.qweight"] = pack_awq(q)
+            blob_tensors[f"{root}.qzeros"] = pack_awq(zeros)
+            blob_tensors[f"{root}.scales"] = scales
+            expected[k] = dequant_awq(
+                blob_tensors[f"{root}.qweight"],
+                blob_tensors[f"{root}.qzeros"],
+                blob_tensors[f"{root}.scales"],
+            )
+        else:
+            blob_tensors[k] = v
+            expected[k] = v
+
+    blob_dir = tmp_path / "blob"
+    blob_dir.mkdir()
+    save_file(blob_tensors, blob_dir / "model.safetensors")
+    cfg_doc = json.dumps(
+        {
+            "model_type": "llama",
+            "quantization_config": {
+                "quant_method": "awq",
+                "bits": 4,
+                "group_size": group,
+                "zero_point": True,
+                "version": "gemm",
+            },
+        }
+    ).encode()
+
+    async def main():
+        async with LocalServer() as server:
+            # single-file repo: no index.json (404 -> header synth)
+            server.blobs["/org/awq/resolve/main/model.safetensors"] = (
+                blob_dir / "model.safetensors"
+            ).read_bytes()
+            server.blobs["/org/awq/raw/main/config.json"] = cfg_doc
+
+            storage = tmp_path / "storage"
+            manager = DownloadManager(storage_path=storage)
+            index = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "cache",
+                endpoint=server.base,
+            )
+            await index.add_model("org/awq")
+
+            # public key set mirrors a raw checkpoint's
+            assert index.get_model_keys("org/awq") == set(tensors)
+
+            got = await index.get_tensor("org/awq", target).get()
+            np.testing.assert_array_equal(got, expected[target])
+            other = "model.embed_tokens.weight"  # passthrough tensor
+            got2 = await index.get_tensor("org/awq", other).get()
+            np.testing.assert_array_equal(got2, tensors[other])
+
+            # one header-synth GET + one full transfer — raw and public
+            # reads share the download (no duplicate fetch per identity)
+            shard_hits = server.hits.get(
+                "/org/awq/resolve/main/model.safetensors", 0
+            )
+            assert shard_hits == 2, server.hits
+
+            # config.json persisted -> re-run fully from storage
+            assert (storage / "org/awq/config.json").exists()
+            index2 = HFMultiModelIndex(
+                download_manager=manager,
+                cache_path=tmp_path / "cache",
+                endpoint="http://127.0.0.1:1",  # unreachable
+            )
+            await index2.add_model("org/awq")
+            got3 = await index2.get_tensor("org/awq", target).get()
+            np.testing.assert_array_equal(got3, expected[target])
+
+    asyncio.run(main())

@@ -2087,6 +2087,118 @@ def test_merge_with_gptq_finetune(tmp_path, tiny_model_factory):
     assert index.get_model_keys("ft_gptq") == set(base_t)
 
 
+def test_merge_with_awq_finetune(tmp_path, tiny_model_factory):
+    """A finetune_merge entry naming a local AWQ (gemm) checkpoint merges
+    byte-identically to merging its dequantized raw twin — same virtual
+    .weight-keyed index machinery as GPTQ, three parts per module, AWQ's
+    interleaved pack order, contiguous groups, true zeros."""
+    from shardmerge_tpu.io.safetensors_io import save_file
+    from shardmerge_tpu.merge import LinearMerge
+
+    base_path, base_t = tiny_model_factory("base", seed=320)
+
+    group = 8
+    rng = np.random.default_rng(321)
+    awq_order = [0, 2, 4, 6, 1, 3, 5, 7]
+
+    def pack_awq(vals):
+        rows, out = vals.shape
+        packed = np.zeros((rows, out // 8), np.uint32)
+        for k in range(8):
+            packed |= vals[:, awq_order[k]::8].astype(np.uint32) << np.uint32(
+                4 * k
+            )
+        return packed.astype(np.int32)
+
+    awq_tensors = {}
+    raw_tensors = {}
+    for k, v in base_t.items():
+        if k.endswith("proj.weight"):
+            out_dim, in_dim = v.shape
+            root = k[: -len(".weight")]
+            q = rng.integers(0, 16, (in_dim, out_dim))
+            zeros = rng.integers(0, 16, (in_dim // group, out_dim))
+            scales = (
+                rng.standard_normal((in_dim // group, out_dim)) * 0.05
+            ).astype(np.float16)
+            g = np.arange(in_dim) // group
+            w = scales.astype(np.float32)[g] * (
+                q.astype(np.float32) - zeros.astype(np.float32)[g]
+            )
+            awq_tensors[f"{root}.qweight"] = pack_awq(q)
+            awq_tensors[f"{root}.qzeros"] = pack_awq(zeros)
+            awq_tensors[f"{root}.scales"] = scales
+            raw_tensors[k] = np.ascontiguousarray(w.T)
+        else:
+            awq_tensors[k] = v
+            raw_tensors[k] = v
+
+    awq_dir = tmp_path / "ft_awq"
+    raw_dir = tmp_path / "ft_raw"
+    for d, t in ((awq_dir, awq_tensors), (raw_dir, raw_tensors)):
+        d.mkdir()
+        save_file(t, d / "model.safetensors")
+    (awq_dir / "config.json").write_text(
+        json.dumps(
+            {
+                "model_type": "llama",
+                "quantization_config": {
+                    "quant_method": "awq",
+                    "bits": 4,
+                    "group_size": group,
+                    "zero_point": True,
+                    "version": "gemm",
+                },
+            }
+        )
+    )
+
+    def run(ft_dir, outdir):
+        entries = [
+            {"model": str(ft_dir), "base": str(base_path), "alpha": 0.6}
+        ]
+        config = _make_config(
+            tmp_path, base_path, entries, output_dtype="float32"
+        )
+        config.output_dir = str(tmp_path / outdir)
+        merger = LinearMerge(
+            config, index_manager=_offline_index(base_path, ft_dir)
+        )
+        _run_merge(merger)
+        return _read_output(tmp_path / outdir)
+
+    via_awq = run(awq_dir, "m_awq")
+    via_raw = run(raw_dir, "m_raw")
+    for k in via_raw:
+        np.testing.assert_array_equal(
+            via_awq[k].view(np.uint32),
+            via_raw[k].view(np.uint32),
+            err_msg=k,
+        )
+
+    # the virtual key set mirrors a raw checkpoint's; unsupported AWQ
+    # serializations refuse at registration
+    index = _offline_index(awq_dir)
+    assert index.get_model_keys("ft_awq") == set(base_t)
+    bad_dir = tmp_path / "ft_awq_exllama"
+    bad_dir.mkdir()
+    save_file(awq_tensors, bad_dir / "model.safetensors")
+    (bad_dir / "config.json").write_text(
+        json.dumps(
+            {
+                "model_type": "llama",
+                "quantization_config": {
+                    "quant_method": "awq",
+                    "bits": 4,
+                    "version": "exllama",
+                },
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="exllama"):
+        _offline_index(bad_dir)
+
+
 def test_fourier_merge_llama4_checkpoints(tmp_path):
     """The merge pipeline end-to-end on real Llama-4-shaped HF checkpoints:
     index discovery over feed_forward.* component names, the 3-D fused

@@ -2924,12 +2924,157 @@ def test_gptq_checkpoint_loads(tmp_path):
                     dtype=jnp.float32)
 
     # unsupported quant methods name themselves
-    awq_dir = tmp_path / "awq"
-    awq_dir.mkdir()
-    save_file(tensors, awq_dir / "model.safetensors")
+    bnb_dir = tmp_path / "bnb"
+    bnb_dir.mkdir()
+    save_file(tensors, bnb_dir / "model.safetensors")
     doc = json.loads((src / "config.json").read_text())
-    doc["quantization_config"] = {"quant_method": "awq", "bits": 4}
-    (awq_dir / "config.json").write_text(json.dumps(doc))
-    with pytest.raises(ValueError, match="awq"):
-        load_params(awq_dir, ModelConfig.from_pretrained(raw_dir),
+    doc["quantization_config"] = {"quant_method": "bitsandbytes", "bits": 4}
+    (bnb_dir / "config.json").write_text(json.dumps(doc))
+    with pytest.raises(ValueError, match="bitsandbytes"):
+        load_params(bnb_dir, ModelConfig.from_pretrained(raw_dir),
                     dtype=jnp.float32)
+
+
+def test_awq_checkpoint_loads(tmp_path):
+    """AutoAWQ gemm-format checkpoints decode at load (qweight/qzeros/
+    scales per module, 4-bit, AWQ's interleaved pack order, contiguous
+    groups, true zeros). The packing in this test is written from the
+    format spec independently of the decoder: nibble k of each int32
+    holds logical column [0,2,4,6,1,3,5,7][k] of its 8-wide pack."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from shardmerge_tpu.io.safetensors_io import SafeTensorsReader, save_file
+    from shardmerge_tpu.models.llama import forward_train
+    from shardmerge_tpu.models.loader import load_params
+
+    torch.manual_seed(47)
+    config = LlamaConfig(
+        vocab_size=96,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=64,
+        tie_word_embeddings=False,
+    )
+    src = tmp_path / "src"
+    LlamaForCausalLM(config).eval().to(torch.float32).save_pretrained(
+        str(src), safe_serialization=True
+    )
+    with SafeTensorsReader(src / "model.safetensors") as r:
+        tensors = {k: np.array(r.get_tensor(k)) for k in r.keys()}
+
+    group = 16
+    rng = np.random.default_rng(48)
+    awq_order = [0, 2, 4, 6, 1, 3, 5, 7]
+
+    def pack_awq(vals):
+        """(rows, out) int4 values -> (rows, out/8) int32, AWQ order."""
+        rows, out = vals.shape
+        packed = np.zeros((rows, out // 8), np.uint32)
+        for k in range(8):
+            logical = vals[:, awq_order[k]::8].astype(np.uint32)
+            packed |= logical << np.uint32(4 * k)
+        return packed.astype(np.int32)
+
+    def make_module(out_dim, in_dim):
+        n_groups = in_dim // group
+        q = rng.integers(0, 16, (in_dim, out_dim))
+        zeros = rng.integers(0, 16, (n_groups, out_dim))
+        scales = (rng.standard_normal((n_groups, out_dim)) * 0.02).astype(
+            np.float16
+        )
+        g = np.arange(in_dim) // group
+        w = scales.astype(np.float32)[g] * (
+            q.astype(np.float32) - zeros.astype(np.float32)[g]
+        )
+        parts = {
+            "qweight": pack_awq(q),
+            "qzeros": pack_awq(zeros),
+            "scales": scales,
+        }
+        return parts, np.ascontiguousarray(w.T)  # ours is (out, in)
+
+    awq_tensors = {}
+    raw_tensors = {}
+    for k, v in tensors.items():
+        if k.startswith("model.layers.") and k.endswith(
+            ("q_proj.weight", "k_proj.weight", "v_proj.weight",
+             "o_proj.weight", "gate_proj.weight", "up_proj.weight",
+             "down_proj.weight")
+        ):
+            root = k[: -len(".weight")]
+            out_dim, in_dim = v.shape
+            parts, w = make_module(out_dim, in_dim)
+            for pname, pval in parts.items():
+                awq_tensors[f"{root}.{pname}"] = pval
+            raw_tensors[k] = w
+        else:
+            awq_tensors[k] = v
+            raw_tensors[k] = v
+
+    awq_dir = tmp_path / "awq"
+    raw_dir = tmp_path / "raw"
+    cfg_doc = json.loads((src / "config.json").read_text())
+    cfg_doc["quantization_config"] = {
+        "quant_method": "awq",
+        "bits": 4,
+        "group_size": group,
+        "zero_point": True,
+        "version": "gemm",
+    }
+    for d, t, doc in (
+        (awq_dir, awq_tensors, cfg_doc),
+        (raw_dir, raw_tensors, json.loads((src / "config.json").read_text())),
+    ):
+        d.mkdir()
+        save_file(t, d / "model.safetensors")
+        (d / "config.json").write_text(json.dumps(doc))
+
+    cfg = ModelConfig.from_pretrained(raw_dir)
+    p_awq = load_params(awq_dir, cfg, dtype=jnp.float32)
+    p_raw = load_params(raw_dir, cfg, dtype=jnp.float32)
+    for i in range(2):
+        for name in ("q_proj", "o_proj", "gate_proj"):
+            np.testing.assert_allclose(
+                np.asarray(p_awq["layers"][i][name]),
+                np.asarray(p_raw["layers"][i][name]),
+                rtol=1e-6,
+                atol=1e-7,
+                err_msg=f"layer {i} {name}",
+            )
+    ids = jax.random.randint(jax.random.PRNGKey(49), (2, 7), 0, 96)
+    np.testing.assert_allclose(
+        np.asarray(forward_train(p_awq, cfg, ids)),
+        np.asarray(forward_train(p_raw, cfg, ids)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+    # incomplete modules fail loudly
+    broken = dict(awq_tensors)
+    broken.pop("model.layers.0.self_attn.q_proj.qzeros")
+    bad_dir = tmp_path / "bad_awq"
+    bad_dir.mkdir()
+    save_file(broken, bad_dir / "model.safetensors")
+    (bad_dir / "config.json").write_text(json.dumps(cfg_doc))
+    with pytest.raises(ValueError, match="incomplete AWQ"):
+        load_params(bad_dir, cfg, dtype=jnp.float32)
+
+    # non-gemm serializations and symmetric checkpoints refuse by name
+    for override, match in (
+        ({"version": "exllama"}, "exllama"),
+        ({"zero_point": False}, "zero_point"),
+    ):
+        d = tmp_path / f"awq_{match}"
+        d.mkdir()
+        save_file(awq_tensors, d / "model.safetensors")
+        doc = dict(cfg_doc)
+        doc["quantization_config"] = {
+            **cfg_doc["quantization_config"], **override
+        }
+        (d / "config.json").write_text(json.dumps(doc))
+        with pytest.raises(ValueError, match=match):
+            load_params(d, cfg, dtype=jnp.float32)
