@@ -23,8 +23,12 @@ data:
 
 Method: slope timing (CLAUDE.md relay rules) — K chained GEMVs inside one
 jit, serialized by folding a scalar of y back into x; ms/op =
-(t_K - t_1) / (K - 1). Weights init on device (the ~85 MB/s relay must
-not enter the measurement).
+(t_K - t_1) / (K - 1), each endpoint the MIN of --reps runs (the bench.py
+min-of-N rule: relay latency swings by milliseconds between dispatches,
+which at K=32 produced negative slopes on the sub-0.1 ms shapes in the
+first chip run). K defaults to 256 so the slope work dwarfs the jitter.
+Weights init on device (the ~85 MB/s relay must not enter the
+measurement).
 
 Usage: python scripts/quant_matmul_probe.py [--out docs/QUANT_MATMUL.json]
 """
@@ -38,7 +42,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
-SCAN_K = 32
+SCAN_K = 256
+REPS = 5
 
 # (name, N out, K in): Llama-3.1-8B decode GEMV shapes.
 SHAPES = [
@@ -53,6 +58,7 @@ def main():
     ap.add_argument("--out", type=Path, default=REPO / "docs" / "QUANT_MATMUL.json")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--scan-k", type=int, default=SCAN_K)
+    ap.add_argument("--reps", type=int, default=REPS)
     args = ap.parse_args()
 
     if args.cpu:
@@ -88,13 +94,16 @@ def main():
         x = jax.jit(lambda: jnp.ones((1, w_in[0]), jnp.bfloat16))()
         float(run_k(x, w))  # compile + warm
         float(run_1(x, w))
-        t0 = time.perf_counter()
-        float(run_k(x, w))
-        t_k = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        float(run_1(x, w))
-        t_1 = time.perf_counter() - t0
-        return (t_k - t_1) / (k - 1) * 1e3
+
+        def best(fn):
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                float(fn(x, w))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        return (best(run_k) - best(run_1)) / (k - 1) * 1e3
 
     report = {
         "device": str(jax.devices()[0]),
@@ -226,6 +235,26 @@ def main():
 
         row["int4_splithalf"] = {"ms": timed(dot_sh, init_sh, args.scan_k),
                                  "bytes": n_out * k_in // 2}
+
+        # --- int4 fused Pallas kernel (models/quant_kernels.py):
+        # VMEM nibble unpack, one HBM visit per packed byte, f32 acc
+        from shardmerge_tpu.models.quant_kernels import int4_matmul
+
+        def dot_pallas(x, wq):
+            return int4_matmul(x, wq["q"], wq["scale"])
+
+        if args.cpu:
+            # interpret-mode pallas at these shapes runs for hours; the
+            # kernel's CPU correctness lives in tests/test_models.py
+            row["int4_pallas"] = {"skipped": "cpu run"}
+        else:
+            try:
+                row["int4_pallas"] = {
+                    "ms": timed(dot_pallas, init_sh, args.scan_k),
+                    "bytes": n_out * k_in // 2,
+                }
+            except Exception as e:
+                row["int4_pallas"] = {"error": f"{type(e).__name__}: {e}"[:300]}
 
         for v in row.values():
             if "ms" in v:

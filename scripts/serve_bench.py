@@ -522,38 +522,47 @@ def bench_config(name: str, hf_cfg: dict, spec_ab: bool):
         # free the measured engine's device buffers first: at the 8B shape
         # bf16 params are 16.06 GB — co-resident with a quantized build
         # they exhaust the chip (observed RESOURCE_EXHAUSTED)
-        import gc
+        _free_engine(engine)
+        engine = None
+        report.update(quant_ab(hf_cfg))
 
-        import jax
+    return report
 
+
+def _free_engine(engine):
+    import gc
+
+    import jax
+
+    if engine is not None:
         for leaf in jax.tree_util.tree_leaves(engine.params):
             if isinstance(leaf, jax.Array):
                 leaf.delete()
-        engine = None
-        gc.collect()
-        q_engine = None
-        for bits in (8, 4):
-            if q_engine is not None:  # drop the previous quant engine
-                for leaf in jax.tree_util.tree_leaves(q_engine.params):
-                    if isinstance(leaf, jax.Array):
-                        leaf.delete()
-                q_engine = None
-                gc.collect()
-            try:
-                q_engine, _ = build_engine(hf_cfg, seed=0, quant_bits=bits)
-                q_ms, _, _ = decode_slope_ms(q_engine)
-                q_floor, _, _ = device_floor_ms(q_engine)
-                report[f"int{bits}"] = {
-                    "wall_ms_per_token": round(q_ms, 3),
-                    "device_floor_ms_per_token": round(q_floor, 3),
-                    "param_bytes": param_bytes(q_engine.params),
-                }
-            except Exception as e:
-                report[f"int{bits}"] = {
-                    "error": f"{type(e).__name__}: {e}"[:300]
-                }
+    gc.collect()
 
-    return report
+
+def quant_ab(hf_cfg: dict) -> dict:
+    """int8/int4 decode slope + device floor, one quantized engine
+    resident at a time (two 8B builds co-resident exhaust the chip)."""
+    out = {}
+    q_engine = None
+    for bits in (8, 4):
+        if q_engine is not None:  # drop the previous quant engine
+            _free_engine(q_engine)
+            q_engine = None
+        try:
+            q_engine, _ = build_engine(hf_cfg, seed=0, quant_bits=bits)
+            q_ms, _, _ = decode_slope_ms(q_engine)
+            q_floor, _, _ = device_floor_ms(q_engine)
+            out[f"int{bits}"] = {
+                "wall_ms_per_token": round(q_ms, 3),
+                "device_floor_ms_per_token": round(q_floor, 3),
+                "param_bytes": param_bytes(q_engine.params),
+            }
+        except Exception as e:
+            out[f"int{bits}"] = {"error": f"{type(e).__name__}: {e}"[:300]}
+    _free_engine(q_engine)
+    return out
 
 
 def main():
@@ -563,6 +572,11 @@ def main():
     ap.add_argument(
         "--cpu", action="store_true",
         help="logic-validation run on the CPU backend (numbers meaningless)",
+    )
+    ap.add_argument(
+        "--quant-only", action="store_true",
+        help="re-measure only the int8/int4 decode rows and merge them "
+        "into --out (skips the 400 s full artifact)",
     )
     args = ap.parse_args()
 
@@ -597,6 +611,18 @@ def main():
         "method": "two-point decode slope N1=%d N2=%d; scan K=%d floor" % (
             N1, N2, SCAN_K),
     }
+    if args.quant_only:
+        if args.out.exists():
+            report = {**json.loads(args.out.read_text()), **report}
+        for name in args.configs.split(","):
+            cfg = {"tiny": TINY, "8b": EIGHT_B}[name]
+            print(f"--- {name} (quant only)", file=sys.stderr, flush=True)
+            report.setdefault(name, {}).update(quant_ab(cfg))
+            print(json.dumps({name: report[name]}), flush=True)
+            args.out.write_text(json.dumps(report, indent=1))
+        print(json.dumps(report))
+        return
+
     t_all = time.perf_counter()
     for name in args.configs.split(","):
         cfg = {"tiny": TINY, "8b": EIGHT_B}[name]

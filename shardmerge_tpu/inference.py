@@ -236,8 +236,13 @@ class InferenceEngine:
             # inserts the collectives in the same jitted forward. Models
             # whose weights exceed one chip's HBM serve this way.
             from jax.sharding import NamedSharding, PartitionSpec
+            from .models import quant
             from .parallel.train import shard_params
 
+            # GSPMD cannot partition the fused int4 pallas kernel over
+            # tp-sharded weights; route packed int4 through the XLA
+            # decomposition for every engine once any engine shards
+            quant.mesh_active = True
             self.params = params = shard_params(mesh, params)
             if not cfg.is_mla and cfg.num_key_value_heads % mesh.devices.size == 0:
                 self._kv_head_sharding = NamedSharding(

@@ -3,7 +3,13 @@
 Maps the reference's bitsandbytes 4/8-bit load options
 (shard/inference.py:90-115) onto TPU-friendly weight-only quantization:
 per-output-channel absmax scales, dequantized on the fly inside the matmul
-(bf16 compute on the MXU). int4 is stored two nibbles per uint8.
+(bf16 compute on the MXU). int4 is stored two nibbles per uint8 in
+SPLIT-HALF layout: the byte at reduction index j holds columns j (low
+nibble) and j + K/2 (high nibble). Unpacking is then two ELEMENTWISE
+extractions — no interleave stack/reshape, which XLA cannot fuse into the
+matmul (the unpacked bf16 weight materialized, measured 3x slower than
+bf16 on the v5e decode floor; the split-half GEMV decomposition won the
+chip shootout at every bandwidth-bound shape, docs/QUANT_MATMUL.json).
 """
 
 from __future__ import annotations
@@ -45,12 +51,20 @@ def quantize(w, bits: int = 8) -> Dict[str, jnp.ndarray]:
     # uint8 = packed 4-bit) — a "bits" int in the dict would become a traced
     # pytree leaf under jit and break Python branching.
     if bits == 4:
-        # pack two signed nibbles per byte: columns 2j (low), 2j+1 (high)
-        assert q.shape[1] % 2 == 0, "int4 requires even input dim"
-        u = (q + 8).astype(jnp.uint8)  # [1, 15]
-        packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)
-        return {"q": packed, "scale": scale.astype(jnp.float32)}
+        return {"q": _pack4(q), "scale": scale.astype(jnp.float32)}
     return {"q": q, "scale": scale.astype(jnp.float32)}
+
+
+def _pack4(q):
+    """Split-half nibble pack along axis 1 (jnp or numpy, 2-D or 3-D
+    stacked): byte j holds columns j (low) and j+K/2 (high) of the
+    reduction dim, so unpack is elementwise and a GEMV reads the packed
+    buffer directly as two half-matmuls."""
+    xp = np if isinstance(q, np.ndarray) else jnp
+    assert q.shape[1] % 2 == 0, "int4 requires even reduction dim"
+    h = q.shape[1] // 2
+    u = (q + 8).astype(xp.uint8)  # [1, 15]
+    return (u[:, :h] | (u[:, h:] << 4)).astype(xp.uint8)
 
 
 def _quantize_host(w: np.ndarray, bits: int, qkey: str = "q") -> Dict[str, np.ndarray]:
@@ -66,18 +80,17 @@ def _quantize_host(w: np.ndarray, bits: int, qkey: str = "q") -> Dict[str, np.nd
     scale = np.maximum(absmax / qmax, 1e-12).astype(np.float32)
     q = np.clip(np.round(w32 / scale), -qmax, qmax).astype(np.int8)
     if bits == 4:
-        assert q.shape[1] % 2 == 0, "int4 requires even reduction dim"
-        u = (q + 8).astype(np.uint8)
-        packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(np.uint8)
-        return {qkey: packed, "scale": scale}
+        return {qkey: _pack4(q), "scale": scale}
     return {qkey: q, "scale": scale}
 
 
-def _unpack4(packed: jnp.ndarray) -> jnp.ndarray:
+def _unpack4(packed: jnp.ndarray, axis: int = 1) -> jnp.ndarray:
+    """Invert :func:`_pack4`: two elementwise nibble extractions joined by
+    a half-boundary concat (the halves are contiguous column blocks — no
+    interleave reshape for XLA to choke on)."""
     lo = (packed & 0xF).astype(jnp.int8) - 8
     hi = (packed >> 4).astype(jnp.int8) - 8
-    out = jnp.stack([lo, hi], axis=-1)  # (out, in/2, 2)
-    return out.reshape(packed.shape[0], packed.shape[1] * 2)
+    return jnp.concatenate([lo, hi], axis=axis)
 
 
 def dequant(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
@@ -99,33 +112,79 @@ def quantize_stacked(w, bits: int = 8) -> Dict[str, jnp.ndarray]:
     scale = jnp.maximum(absmax / qmax, 1e-12)
     q = jnp.clip(jnp.round(w32 / scale), -qmax, qmax).astype(jnp.int8)
     if bits == 4:
-        assert q.shape[1] % 2 == 0, "int4 requires even reduction dim"
-        u = (q + 8).astype(jnp.uint8)
-        packed = (u[:, 0::2] | (u[:, 1::2] << 4)).astype(jnp.uint8)
-        return {"q3": packed, "scale": scale.astype(jnp.float32)}
+        return {"q3": _pack4(q), "scale": scale.astype(jnp.float32)}
     return {"q3": q, "scale": scale.astype(jnp.float32)}
 
 
 def dequant_stacked(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
     q = wq["q3"]
-    if q.dtype == jnp.uint8:  # packed int4 on the middle (reduction) dim
-        lo = (q & 0xF).astype(jnp.int8) - 8
-        hi = (q >> 4).astype(jnp.int8) - 8
-        q = jnp.stack([lo, hi], axis=2).reshape(
-            q.shape[0], q.shape[1] * 2, q.shape[2]
-        )
+    if q.dtype == jnp.uint8:  # split-half packed on the middle (reduction) dim
+        q = _unpack4(q, axis=1)
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 
+# Trace-time switch: mesh-sharded serving (GSPMD jit, no shard_map) cannot
+# partition a pallas_call over tp-sharded weights — the engine flips this
+# off while tracing a sharded forward so packed int4 takes the XLA
+# decomposition, which GSPMD partitions fine (inference.py mesh init).
+mesh_active = False
+
+
+def _use_int4_kernel(x: jnp.ndarray, q: jnp.ndarray) -> bool:
+    """Route decode-shaped packed-int4 GEMVs to the fused Pallas kernel.
+
+    SHARDMERGE_INT4_KERNEL=0 forces the XLA split-half path, =1 forces
+    the kernel even on the CPU backend (interpret mode — tests); default
+    is auto: kernel on any real accelerator backend, XLA on host CPU
+    (interpret-mode pallas is orders of magnitude slower than XLA there).
+    Validated on the chip: compiles at every production tile after the
+    uint8>>4 int32-hop fix (scripts/int4_kernel_ablate.py bisected the
+    Mosaic remote-compile crash to the sub-word shift) and beats the XLA
+    decomposition at every measured decode shape (docs/QUANT_MATMUL.json
+    `int4_pallas` 437-479 GB/s vs `int4_splithalf` 255-413)."""
+    import os
+
+    mode = os.environ.get("SHARDMERGE_INT4_KERNEL", "")
+    if mode == "0" or mesh_active:
+        return False
+    from .quant_kernels import supported
+
+    if not supported(x.shape, q.shape):
+        return False
+    return mode == "1" or jax.default_backend() != "cpu"
+
+
 def dequant_matmul(x: jnp.ndarray, wq: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """x @ dequant(W).T — dequantization fuses into the matmul under XLA."""
+    """x @ dequant(W).T — dequantization fuses into the matmul under XLA.
+
+    For split-half packed int4 the product decomposes into two
+    half-matmuls — x[..., :h] against the low nibbles and x[..., h:]
+    against the high — so the packed buffer is the ONLY weight read from
+    HBM (the interleaved layout's unpack materialized the full bf16
+    weight; chip shootout in docs/QUANT_MATMUL.json). Decode-shaped
+    int4 GEMVs on an accelerator route to the fused Pallas kernel
+    (quant_kernels.int4_matmul), which unpacks nibbles in VMEM and beats
+    the XLA decomposition on HBM traffic."""
+    dims = ((((x.ndim - 1),), (1,)), ((), ()))
+    q = wq["q"]
+    if q.dtype == jnp.uint8:
+        if _use_int4_kernel(x, q):
+            from .quant_kernels import int4_matmul
+
+            return int4_matmul(x, q, wq["scale"])
+        h = q.shape[1]
+        s = wq["scale"]
+        wl = (((q & 0xF).astype(jnp.int8) - 8) * s).astype(x.dtype)
+        wh = (((q >> 4).astype(jnp.int8) - 8) * s).astype(x.dtype)
+        yl = jax.lax.dot_general(
+            x[..., :h], wl, dims, preferred_element_type=x.dtype
+        )
+        yh = jax.lax.dot_general(
+            x[..., h:], wh, dims, preferred_element_type=x.dtype
+        )
+        return yl + yh
     w = dequant(wq, x.dtype)
-    return jax.lax.dot_general(
-        x,
-        w,
-        ((((x.ndim - 1),), (1,)), ((), ())),
-        preferred_element_type=x.dtype,
-    )
+    return jax.lax.dot_general(x, w, dims, preferred_element_type=x.dtype)
 
 
 # FP4 e2m1 value table (sign in bit 3): transformers integrations/mxfp4.py

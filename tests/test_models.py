@@ -240,6 +240,107 @@ def test_quantization_roundtrip(rng):
         assert max_err <= tol * scale, (bits, max_err)
 
 
+def test_int4_split_half_matmul_matches_dense_dequant(rng):
+    """dequant_matmul's packed-int4 path decomposes the GEMV into two
+    half-matmuls over the split-half nibble layout (low nibbles = columns
+    [0, K/2), high = [K/2, K)); it must compute the same product as
+    x @ dequant(W).T up to fp32 reduction order."""
+    from shardmerge_tpu.models.quant import dequant, dequant_matmul, quantize
+
+    w = jnp.asarray(rng.standard_normal((24, 64)).astype(np.float32))
+    wq = quantize(w, bits=4)
+    assert wq["q"].dtype == jnp.uint8 and wq["q"].shape == (24, 32)
+    for lead in [(3,), (2, 5)]:
+        x = jnp.asarray(rng.standard_normal(lead + (64,)).astype(np.float32))
+        got = dequant_matmul(x, wq)
+        want = x @ dequant(wq, jnp.float32).T
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5
+        )
+
+
+def test_int4_pallas_kernel_matches_dense_dequant(rng):
+    """The fused Pallas GEMV (quant_kernels.int4_matmul, interpret mode on
+    this CPU suite) must reproduce x @ dequant(W).T; its f32 accumulator
+    makes it at least as accurate as the XLA decomposition."""
+    from shardmerge_tpu.models.quant import dequant, quantize
+    from shardmerge_tpu.models.quant_kernels import int4_matmul, supported
+
+    w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+    wq = quantize(w, bits=4)
+    assert supported((1, 256), wq["q"].shape)
+    want = None
+    for lead in [(1,), (3,), (2, 4)]:
+        x = jnp.asarray(rng.standard_normal(lead + (256,)).astype(np.float32))
+        got = int4_matmul(x, wq["q"], wq["scale"])
+        want = x @ dequant(wq, jnp.float32).T
+        assert got.shape == want.shape
+        # the kernel folds the +8 nibble offset out of the matmul
+        # (x @ u.T - 8*sum(x)), a different f32 association than the
+        # dense product — agreement is to f32 rounding, not bitwise
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=5e-4, atol=5e-4
+        )
+    # differentiable w.r.t. x (frozen-base training paths)
+    x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    g1 = jax.grad(lambda v: jnp.sum(int4_matmul(v, wq["q"], wq["scale"])))(x)
+    g2 = jax.grad(lambda v: jnp.sum(v @ dequant(wq, jnp.float32).T))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=5e-4, atol=5e-4)
+
+
+def test_int4_kernel_routing(rng, monkeypatch):
+    """dequant_matmul routes aligned decode shapes to the Pallas kernel
+    when forced on (env=1), never on the CPU backend by default (auto
+    means kernel on real accelerators only), and refuses unaligned
+    shapes regardless."""
+    from shardmerge_tpu.models import quant
+    from shardmerge_tpu.models.quant_kernels import supported
+
+    w = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
+    wq = quant.quantize(w, bits=4)
+    x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+
+    monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "")
+    assert not quant._use_int4_kernel(x, wq["q"])  # cpu backend -> XLA
+    monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "1")
+    assert quant._use_int4_kernel(x, wq["q"])
+    forced = quant.dequant_matmul(x, wq)  # interpret-mode kernel
+    monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "0")
+    assert not quant._use_int4_kernel(x, wq["q"])
+    xla = quant.dequant_matmul(x, wq)
+    np.testing.assert_allclose(
+        np.asarray(forced), np.asarray(xla), rtol=5e-4, atol=5e-4
+    )
+    # unaligned N (not a multiple of 128) is unsupported
+    w_odd = jnp.asarray(rng.standard_normal((24, 256)).astype(np.float32))
+    assert not supported((2, 256), quant.quantize(w_odd, bits=4)["q"].shape)
+    # oversized token batches stay on XLA (prefill regime)
+    assert not supported((128, 256), wq["q"].shape)
+    # mesh-sharded serving disables the kernel even when forced: GSPMD
+    # cannot partition a pallas_call over tp-sharded weights
+    monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "1")
+    monkeypatch.setattr(quant, "mesh_active", True)
+    assert not quant._use_int4_kernel(x, wq["q"])
+
+
+def test_int4_stacked_pack_roundtrip(rng):
+    """3-D expert stacks pack/unpack on the middle (reduction) dim with the
+    same split-half layout; host-numpy and jnp packers must agree."""
+    from shardmerge_tpu.models.quant import (
+        dequant_stacked,
+        quantize_stacked,
+    )
+
+    w = rng.standard_normal((3, 16, 8)).astype(np.float32)
+    host = quantize_stacked(w, bits=4)
+    dev = quantize_stacked(jnp.asarray(w), bits=4)
+    assert host["q3"].shape == (3, 8, 8)
+    np.testing.assert_array_equal(host["q3"], np.asarray(dev["q3"]))
+    back = np.asarray(dequant_stacked(dev, jnp.float32))
+    scale = np.max(np.abs(w), axis=1, keepdims=True)
+    assert np.max(np.abs(back - w)) <= 0.3 * np.max(scale)
+
+
 def test_quantized_forward_close(rng):
     from shardmerge_tpu.models.quant import quantize
 
