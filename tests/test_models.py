@@ -300,6 +300,9 @@ def test_int4_kernel_routing(rng, monkeypatch):
     wq = quant.quantize(w, bits=4)
     x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
 
+    # earlier tests in this process may have built a mesh-sharded engine,
+    # which latches the global kernel kill-switch — pin both states here
+    monkeypatch.setattr(quant, "mesh_active", False)
     monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "")
     assert not quant._use_int4_kernel(x, wq["q"])  # cpu backend -> XLA
     monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "1")
