@@ -35,6 +35,7 @@ from .models.llama import (
     rope_tables,
 )
 from .models.loader import load_params
+from .models.quant import scoped_without_int4_kernel
 from .models.sampling import sample_token
 
 logger = logging.getLogger(__name__)
@@ -229,6 +230,7 @@ class InferenceEngine:
         self._prefix_lock = threading.Lock()
         self._kv_head_sharding = None
         self._kv_init_fns: dict = {}
+        self._int4_xla_only = False
         if mesh is not None:
             # Megatron-style tensor parallelism for serving: params shard
             # per parallel/train.param_shardings (weights without a rule
@@ -236,13 +238,13 @@ class InferenceEngine:
             # inserts the collectives in the same jitted forward. Models
             # whose weights exceed one chip's HBM serve this way.
             from jax.sharding import NamedSharding, PartitionSpec
-            from .models import quant
             from .parallel.train import shard_params
 
             # GSPMD cannot partition the fused int4 pallas kernel over
-            # tp-sharded weights; route packed int4 through the XLA
-            # decomposition for every engine once any engine shards
-            quant.mesh_active = True
+            # tp-sharded weights; this engine's weight-tracing callables
+            # are wrapped below so THEIR traces take the XLA decomposition
+            # while unsharded engines in the same process keep the kernel
+            self._int4_xla_only = True
             self.params = params = shard_params(mesh, params)
             if not cfg.is_mla and cfg.num_key_value_heads % mesh.devices.size == 0:
                 self._kv_head_sharding = NamedSharding(
@@ -265,8 +267,8 @@ class InferenceEngine:
         # ONE jitted forward serves chunked prefill and decode (donated
         # cache); prompts process in fixed prompt_chunk slices
         # (_chunked_prefill) so compile shapes don't scale with length
-        self._decode_step = jax.jit(
-            partial(forward, cfg=cfg), donate_argnames=("kv_cache",)
+        self._decode_step = self._weight_trace(
+            jax.jit(partial(forward, cfg=cfg), donate_argnames=("kv_cache",))
         )
         # the decode LOOPS use the fused step: sample + penalty-mask update
         # + next forward in one dispatch (3 device calls/token -> 1). On a
@@ -290,12 +292,14 @@ class InferenceEngine:
                     f"({self.draft_cfg.vocab_size}) must match the target's "
                     f"({cfg.vocab_size})"
                 )
-            self._draft_decode = jax.jit(
-                partial(forward, cfg=self.draft_cfg),
-                donate_argnames=("kv_cache",),
+            self._draft_decode = self._weight_trace(
+                jax.jit(
+                    partial(forward, cfg=self.draft_cfg),
+                    donate_argnames=("kv_cache",),
+                )
             )
-            self._spec_round = _make_spec_round(
-                cfg, self.draft_cfg, self.speculation_k
+            self._spec_round = self._weight_trace(
+                _make_spec_round(cfg, self.draft_cfg, self.speculation_k)
             )
 
     def _chunk_step(self, chunk: int):
@@ -414,7 +418,18 @@ class InferenceEngine:
             # toks: (S, B)
             return toks, last, generated_mask, key, kv_cache, key_positions
 
-        return chunk_decode
+        return self._weight_trace(chunk_decode)
+
+    def _weight_trace(self, fn):
+        """Gate a weight-tracing jitted callable on this engine's sharding:
+        mesh-sharded engines must trace with the fused int4 Pallas kernel
+        suppressed (GSPMD cannot partition a pallas_call over tp-sharded
+        weights); unsharded engines keep the kernel. Scoped per call so the
+        lazy first-call trace is always covered and other engines in the
+        process are untouched."""
+        if self._int4_xla_only:
+            return scoped_without_int4_kernel(fn)
+        return fn
 
     def __enter__(self):
         return self
@@ -470,11 +485,19 @@ class InferenceEngine:
         # config/tokenizer; load_params fuses the deltas at read time
         from .models.loader import resolve_checkpoint_dir
 
-        weights_dir, _ = resolve_checkpoint_dir(model_path)
+        weights_dir, adapter = resolve_checkpoint_dir(model_path)
         cfg = ModelConfig.from_pretrained(weights_dir)
         # with a mesh, every tensor streams straight onto its final
-        # sharding (never staging the whole model on one device)
-        params = load_params(model_path, cfg, quant_bits=quant_bits, mesh=mesh)
+        # sharding (never staging the whole model on one device); the
+        # already-resolved adapter rides along so its safetensors is not
+        # read a second time
+        params = load_params(
+            weights_dir,
+            cfg,
+            quant_bits=quant_bits,
+            mesh=mesh,
+            resolved=(weights_dir, adapter),
+        )
 
         draft = None
         if draft_model is not None:

@@ -337,7 +337,12 @@ class _IndexBase:
         return virtual_index, raw_id
 
     def _register_adapter_entry(
-        self, model_id: str, pairs: dict, scale: float, base_id: str
+        self,
+        model_id: str,
+        pairs: dict,
+        scale: float,
+        base_id: str,
+        evict_base: bool = False,
     ):
         """Mirror the base's index/shards/ordering onto an adapter model
         id (an adapter IS identity + low-rank delta) after validating its
@@ -358,6 +363,11 @@ class _IndexBase:
             "pairs": pairs,
             "scale": float(scale),
             "base": base_id,
+            # True when the base was registered only to serve this adapter:
+            # the merge loop's per-layer eviction never touches it, so the
+            # fuse path must drop each base tensor after use or the whole
+            # base checkpoint accumulates in the host cache
+            "evict_base": bool(evict_base),
         }
         logger.info(
             "Registered LoRA adapter %r on base %r (%d tensor pairs, "
@@ -416,6 +426,14 @@ class _IndexBase:
                     )
 
                 fused = await asyncio.to_thread(compute)
+            if ad.get("evict_base") and pair is not None:
+                # base registered only for this adapter: nothing else will
+                # evict its tensors (cf. _decode_packed_tensor's part drop).
+                # Untargeted tensors pass through by reference — popping
+                # those would orphan the shared array, not free it.
+                self._tensor_cache.pop(
+                    (ad["base"], promise.tensor_name), None
+                )
             self._tensor_cache[(promise.model_uri, promise.tensor_name)] = (
                 fused
             )
@@ -663,7 +681,12 @@ class HFMultiModelIndex(_IndexBase):
                         return index
                     response.raise_for_status()
                     cfg_doc = json.loads(await response.text())
-            cfg_file.write_text(json.dumps(cfg_doc))
+            # .tmp + rename: a truncated config.json would poison every
+            # future registration of this repo (same pattern as
+            # _fetch_adapter_files)
+            cfg_tmp = model_path / "config.json.tmp"
+            cfg_tmp.write_text(json.dumps(cfg_doc))
+            cfg_tmp.rename(cfg_file)
         info = packed_quant_info(cfg_doc.get("quantization_config") or {})
         if info is None:
             return index
@@ -730,8 +753,14 @@ class HFMultiModelIndex(_IndexBase):
         self, model_uri: str, revision: str, session, model_path: Path
     ):
         """Download a hub adapter's two small files into storage
-        (atomically: .tmp then rename), so re-runs register offline."""
-        for name in ("adapter_config.json", "adapter_model.safetensors"):
+        (atomically: .tmp then rename), so re-runs register offline.
+
+        Weights land FIRST: offline re-registration keys on
+        adapter_config.json existing, so writing the config last makes a
+        crash between the two files invisible (the next run re-fetches)
+        instead of leaving a config-without-weights directory that every
+        later add_model trips over."""
+        for name in ("adapter_model.safetensors", "adapter_config.json"):
             url = self._shard_url(model_uri, name)
             async with session.get(url) as resp:
                 if resp.status == 404:
@@ -763,8 +792,11 @@ class HFMultiModelIndex(_IndexBase):
                 f"hub adapter {model_uri} has no base_model_name_or_path; "
                 "cannot resolve its base checkpoint"
             )
+        implicit_base = base_ref not in self.model_indexes
         await self.add_model(base_ref)
-        self._register_adapter_entry(model_uri, pairs, scale, base_ref)
+        self._register_adapter_entry(
+            model_uri, pairs, scale, base_ref, evict_base=implicit_base
+        )
 
     @staticmethod
     def _dl_uri(model_uri: str) -> str:
@@ -885,7 +917,6 @@ class OfflineMultiModelIndex(_IndexBase):
         super().__init__()
         self.model_paths: Dict[str, Path] = {}
         self._aliases: Dict[str, str] = {}
-        self._adapters: Dict[str, dict] = {}
 
     def _resolve(self, model_id: str) -> str:
         return self._aliases.get(str(model_id), str(model_id))
@@ -976,9 +1007,11 @@ class OfflineMultiModelIndex(_IndexBase):
         cfg = json.loads((model_path / "adapter_config.json").read_text())
         base_ref = str(cfg.get("base_model_name_or_path") or "")
         base_id = self._aliases.get(base_ref)
+        implicit_base = False
         if base_id is None and base_ref and Path(base_ref).is_dir():
             self.add_model(Path(base_ref))
             base_id = self._resolve(base_ref)
+            implicit_base = True
         if base_id is None or base_id not in self.model_indexes:
             raise FileNotFoundError(
                 f"adapter {model_path} declares base_model_name_or_path="
@@ -987,9 +1020,17 @@ class OfflineMultiModelIndex(_IndexBase):
                 "checkpoint (or register that base first)"
             )
         self.model_paths[model_id] = model_path
-        # key set, shard layout and canonical ordering ARE the base's
-        # (identity plus a low-rank delta)
-        self._register_adapter_entry(model_id, pairs, scale, base_id)
+        try:
+            # key set, shard layout and canonical ordering ARE the base's
+            # (identity plus a low-rank delta)
+            self._register_adapter_entry(
+                model_id, pairs, scale, base_id, evict_base=implicit_base
+            )
+        except Exception:
+            # same rollback discipline as add_model's packed path: a failed
+            # validation must not leave a half-registered model behind
+            self.model_paths.pop(model_id, None)
+            raise
         self._aliases[model_id] = model_id
         self._aliases[str(model_path)] = model_id
         self._aliases[str(model_path.resolve())] = model_id

@@ -199,6 +199,7 @@ def load_params(
     dtype=jnp.bfloat16,
     quant_bits: Optional[int] = None,
     mesh=None,
+    resolved=None,
 ) -> Params:
     """Load all weights from a sharded (or single-file) safetensors dir.
 
@@ -208,8 +209,13 @@ def load_params(
 
     ``model_path`` may be a PEFT LoRA adapter directory: weights stream
     from its base checkpoint with the low-rank deltas fused per tensor at
-    read time (resolve_checkpoint_dir)."""
-    model_path, adapter = resolve_checkpoint_dir(model_path)
+    read time (resolve_checkpoint_dir). Callers that already resolved it
+    pass ``resolved=(weights_dir, adapter)`` so the adapter safetensors is
+    not read twice."""
+    if resolved is not None:
+        model_path, adapter = resolved
+    else:
+        model_path, adapter = resolve_checkpoint_dir(model_path)
     if cfg is None:
         cfg = ModelConfig.from_pretrained(model_path)
 
@@ -219,40 +225,34 @@ def load_params(
     awq = None
     cfg_path = model_path / "config.json"
     if cfg_path.is_file():
+        from ..io.index import packed_quant_info
+
         qc = json.loads(cfg_path.read_text()).get("quantization_config") or {}
         method = qc.get("quant_method")
-        if method == "gptq":
-            gptq = {
-                "bits": int(qc.get("bits", 4)),
-                # v1 stores zero-1; gptqmodel marks v2 via checkpoint_format
-                "v1": qc.get("checkpoint_format", "gptq") != "gptq_v2",
-            }
+        try:
+            # one shared normalization with the merge index — the two
+            # surfaces must agree on format detection and defaults
+            info = packed_quant_info(qc)
+        except ValueError as e:
+            raise ValueError(
+                f"{model_path}: {e} — dequantize to bf16 first"
+            ) from e
+        if info is not None and info["fmt"] == "gptq":
+            gptq = {"bits": info["bits"], "v1": info["v1"]}
             logger.info(
                 "GPTQ checkpoint (bits=%d, %s format): decoding packed "
                 "tensors at load",
                 gptq["bits"],
                 "v1" if gptq["v1"] else "v2",
             )
-        elif method == "awq":
-            version = qc.get("version", "gemm")
-            if version != "gemm":
-                raise ValueError(
-                    f"{model_path} is AWQ version {version!r}; only the "
-                    "Hub-dominant 'gemm' serialization is supported — "
-                    "dequantize to bf16 first"
-                )
-            if qc.get("zero_point", True) is not True:
-                raise ValueError(
-                    f"{model_path} is symmetric AWQ (zero_point: false); "
-                    "only asymmetric GEMM checkpoints are supported"
-                )
-            awq = {"bits": int(qc.get("bits", 4))}
+        elif info is not None and info["fmt"] == "awq":
+            awq = {"bits": info["bits"]}
             logger.info(
                 "AWQ checkpoint (bits=%d, gemm format): decoding packed "
                 "tensors at load",
                 awq["bits"],
             )
-        elif method not in (None, "mxfp4"):
+        elif info is None and method not in (None, "mxfp4"):
             raise ValueError(
                 f"{model_path} uses quant_method {method!r}; supported "
                 "quantized formats are GPTQ, AWQ (gemm) and MXFP4 "

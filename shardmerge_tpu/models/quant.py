@@ -14,6 +14,9 @@ chip shootout at every bandwidth-bound shape, docs/QUANT_MATMUL.json).
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import functools
 from typing import Dict
 
 import jax
@@ -123,11 +126,43 @@ def dequant_stacked(wq: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarr
     return (q.astype(jnp.float32) * wq["scale"]).astype(dtype)
 
 
-# Trace-time switch: mesh-sharded serving (GSPMD jit, no shard_map) cannot
-# partition a pallas_call over tp-sharded weights — the engine flips this
-# off while tracing a sharded forward so packed int4 takes the XLA
-# decomposition, which GSPMD partitions fine (inference.py mesh init).
-mesh_active = False
+# Trace-time switch: GSPMD jit (no shard_map) cannot partition a
+# pallas_call over mesh-sharded operands — callers that trace such
+# programs (mesh-sharded serving, the auto-sharded train steps) run the
+# trace inside suppress_int4_kernel() so packed int4 takes the XLA
+# decomposition, which GSPMD partitions fine. A contextvar keeps the
+# suppression scoped to those traces: other engines in the same process
+# keep the kernel. shard_map paths need no scope — their bodies see
+# per-device local blocks, which the kernel handles like any single
+# device.
+_kernel_suppressed = contextvars.ContextVar(
+    "shardmerge_int4_kernel_suppressed", default=False
+)
+
+
+@contextlib.contextmanager
+def suppress_int4_kernel():
+    """Route packed int4 through the XLA decomposition inside this scope."""
+    token = _kernel_suppressed.set(True)
+    try:
+        yield
+    finally:
+        _kernel_suppressed.reset(token)
+
+
+def scoped_without_int4_kernel(fn):
+    """Wrap a (jitted) callable so its traces suppress the Pallas kernel.
+
+    jax.jit traces lazily on first call per shape — wrapping every CALL is
+    the only way to guarantee the scope is active whenever the trace
+    actually happens; after the trace is cached the scope is inert."""
+
+    @functools.wraps(fn)
+    def scoped(*args, **kwargs):
+        with suppress_int4_kernel():
+            return fn(*args, **kwargs)
+
+    return scoped
 
 
 def _use_int4_kernel(x: jnp.ndarray, q: jnp.ndarray) -> bool:
@@ -145,7 +180,7 @@ def _use_int4_kernel(x: jnp.ndarray, q: jnp.ndarray) -> bool:
     import os
 
     mode = os.environ.get("SHARDMERGE_INT4_KERNEL", "")
-    if mode == "0" or mesh_active:
+    if mode == "0" or _kernel_suppressed.get():
         return False
     from .quant_kernels import supported
 

@@ -46,9 +46,21 @@ _ROW_PAD = 8  # MXU sublane granule the flattened token dim pads up to
 
 
 def _tiles(n: int, kh: int) -> Tuple[Optional[int], Optional[int]]:
-    """Largest aligned (out-tile, reduction-tile) dividing (N, K//2)."""
-    tn = next((t for t in (512, 256, 128) if n % t == 0), None)
-    tkh = next((t for t in (1024, 512, 256, 128) if kh % t == 0), None)
+    """(out-tile, reduction-tile) dividing (N, K//2), chosen per the v5e
+    tile sweep (scripts/int4_kernel_tilesweep.py, clean re-run pinned in
+    docs/QUANT_MATMUL.json tile_sweep): square-ish 4096-row outputs (qkv,
+    mlp_down) run ~25% faster at TN=2048 (halves the out-grid), wide-N
+    shapes (mlp_up 14336) regress at 2048 and peak at TN=1024, and very
+    tall outputs whose divisibility caps TN at 256 (the 128256-row
+    lm_head) want the deeper TKH=2048 reduction tile (+30%)."""
+    tn_prefs = (2048, 1024, 512, 256, 128) if n <= 4096 else (1024, 512, 256, 128)
+    tn = next((t for t in tn_prefs if n % t == 0), None)
+    tkh_prefs = (
+        (2048, 1024, 512, 256, 128)
+        if tn is not None and tn <= 256
+        else (1024, 512, 256, 128)
+    )
+    tkh = next((t for t in tkh_prefs if kh % t == 0), None)
     return tn, tkh
 
 

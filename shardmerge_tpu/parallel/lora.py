@@ -41,6 +41,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..constants import LORA_TARGET_PROJECTIONS as DEFAULT_LORA_TARGETS
 from ..models.llama import ModelConfig, Params
+from ..models.quant import scoped_without_int4_kernel
 from .train import TrainState, _loss_fn, param_shardings, shard_params
 
 __all__ = [
@@ -196,7 +197,9 @@ def make_lora_train_step(
             loss,
         )
 
-    return init_state, train_step
+    # QLoRA bases are quantized: keep the fused int4 Pallas GEMV out of
+    # this GSPMD-jitted trace (it cannot be auto-partitioned over a mesh)
+    return init_state, scoped_without_int4_kernel(train_step)
 
 
 def lora_to_peft(

@@ -29,6 +29,7 @@ import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.llama import ModelConfig, Params, forward_train
+from ..models.quant import scoped_without_int4_kernel
 
 __all__ = [
     "param_shardings",
@@ -474,7 +475,10 @@ def make_train_step(
             )
         return kit.apply(state, grads), loss
 
-    return init_state, train_step
+    # the auto-sharded (GSPMD) jit cannot partition a pallas_call: trace
+    # with the fused int4 Pallas GEMV suppressed so quantized frozen bases
+    # (QLoRA-style) take the XLA decomposition GSPMD partitions fine
+    return init_state, scoped_without_int4_kernel(train_step)
 
 
 def make_pp_train_step(

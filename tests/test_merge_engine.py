@@ -1993,6 +1993,129 @@ def test_merge_with_lora_adapter_entry(tmp_path, tiny_model_factory):
         _offline_index(bad)
 
 
+def _write_adapter(dirpath, base_t, base_ref, targets, rank=2, seed=17):
+    """PEFT adapter dir with rank-`rank` pairs on `targets`."""
+    from shardmerge_tpu.io.safetensors_io import save_file
+
+    dirpath.mkdir(parents=True, exist_ok=True)
+    gen = np.random.default_rng(seed)
+    aw = {}
+    for t in targets:
+        od, idim = base_t[t].shape
+        mod = t[: -len(".weight")]
+        aw[f"base_model.model.{mod}.lora_A.weight"] = gen.standard_normal(
+            (rank, idim)
+        ).astype(np.float32)
+        aw[f"base_model.model.{mod}.lora_B.weight"] = gen.standard_normal(
+            (od, rank)
+        ).astype(np.float32)
+    save_file(aw, dirpath / "adapter_model.safetensors")
+    (dirpath / "adapter_config.json").write_text(
+        json.dumps(
+            {
+                "r": rank,
+                "lora_alpha": 2 * rank,
+                "peft_type": "LORA",
+                "base_model_name_or_path": str(base_ref),
+            }
+        )
+    )
+
+
+def test_adapter_implicit_base_evicts_after_fuse(tmp_path, tiny_model_factory):
+    """A base checkpoint registered ONLY via an adapter's
+    base_model_name_or_path must not pin itself in the host tensor cache:
+    the merge loop's per-layer eviction releases config-listed models
+    only, so the fuse path drops each implicit base tensor after use.
+    Untargeted tensors pass the base array through by reference — those
+    keep their cache entry (popping would free nothing). A base the user
+    registered explicitly keeps its entries (the merge owns them)."""
+    base_path, base_t = tiny_model_factory("base", seed=320)
+    target = "model.layers.0.self_attn.q_proj.weight"
+    untargeted = "model.layers.1.mlp.up_proj.weight"
+    adapter = tmp_path / "adapter"
+    _write_adapter(adapter, base_t, base_path, [target])
+
+    # implicit base: only the adapter is added; its registration pulls
+    # the base in behind the scenes
+    index = OfflineMultiModelIndex()
+    index.add_model(adapter)
+    base_id = index._adapters["adapter"]["base"]
+    assert index._adapters["adapter"]["evict_base"]
+
+    async def fetch(name):
+        return await index.get_tensor("adapter", name).get()
+
+    fused = asyncio.run(fetch(target))
+    assert (base_id, target) not in index._tensor_cache
+    assert ("adapter", target) in index._tensor_cache
+    # the fused result is real (base + delta, not the raw base)
+    assert not np.array_equal(fused, base_t[target])
+
+    passthrough = asyncio.run(fetch(untargeted))
+    np.testing.assert_array_equal(passthrough, base_t[untargeted])
+    assert (base_id, untargeted) in index._tensor_cache
+
+    # explicit base: user registered it first -> never popped
+    index2 = OfflineMultiModelIndex()
+    index2.add_model(base_path)
+    adapter2 = tmp_path / "adapter2"
+    _write_adapter(adapter2, base_t, base_path, [target])
+    index2.add_model(adapter2)
+    assert not index2._adapters["adapter2"]["evict_base"]
+
+    async def fetch2(name):
+        return await index2.get_tensor("adapter2", name).get()
+
+    asyncio.run(fetch2(target))
+    assert (index2._adapters["adapter2"]["base"], target) in index2._tensor_cache
+
+
+def test_adapter_registration_rolls_back_on_bad_targets(
+    tmp_path, tiny_model_factory
+):
+    """A failed adapter validation (targets absent from the base) must not
+    leave a half-registered model: the same directory NAME must remain
+    registrable afterwards — mirroring add_model's packed-path rollback."""
+    base_path, base_t = tiny_model_factory("base", seed=330)
+    bad = tmp_path / "x" / "contender"
+    _write_adapter(bad, base_t, base_path, [
+        "model.layers.0.self_attn.q_proj.weight",
+    ])
+    # point a pair at a tensor the base does not have
+    aw_dir = bad / "adapter_model.safetensors"
+    from shardmerge_tpu.io.safetensors_io import save_file
+
+    gen = np.random.default_rng(5)
+    save_file(
+        {
+            "base_model.model.model.layers.9.ghost.lora_A.weight": (
+                gen.standard_normal((2, 8)).astype(np.float32)
+            ),
+            "base_model.model.model.layers.9.ghost.lora_B.weight": (
+                gen.standard_normal((8, 2)).astype(np.float32)
+            ),
+        },
+        aw_dir,
+    )
+
+    index = OfflineMultiModelIndex()
+    with pytest.raises(KeyError, match="absent from its base"):
+        index.add_model(bad)
+    assert "contender" not in index.model_paths
+    assert "contender" not in index._adapters
+
+    # the name is free again: a real checkpoint dir with the same name
+    # registers cleanly
+    good_parent = tmp_path / "y"
+    good_parent.mkdir()
+    from .conftest import make_tiny_model
+
+    make_tiny_model(good_parent / "contender", seed=331)
+    index.add_model(good_parent / "contender")
+    assert "contender" in index.model_indexes
+
+
 def test_merge_with_gptq_finetune(tmp_path, tiny_model_factory):
     """A finetune_merge entry naming a local GPTQ checkpoint merges
     byte-identically to merging its dequantized raw twin: the offline

@@ -300,9 +300,6 @@ def test_int4_kernel_routing(rng, monkeypatch):
     wq = quant.quantize(w, bits=4)
     x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
 
-    # earlier tests in this process may have built a mesh-sharded engine,
-    # which latches the global kernel kill-switch — pin both states here
-    monkeypatch.setattr(quant, "mesh_active", False)
     monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "")
     assert not quant._use_int4_kernel(x, wq["q"])  # cpu backend -> XLA
     monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "1")
@@ -319,11 +316,20 @@ def test_int4_kernel_routing(rng, monkeypatch):
     assert not supported((2, 256), quant.quantize(w_odd, bits=4)["q"].shape)
     # oversized token batches stay on XLA (prefill regime)
     assert not supported((128, 256), wq["q"].shape)
-    # mesh-sharded serving disables the kernel even when forced: GSPMD
-    # cannot partition a pallas_call over tp-sharded weights
+    # GSPMD traces (mesh-sharded serving, auto-sharded train steps) run
+    # inside suppress_int4_kernel(), which beats even the force env var —
+    # and the suppression must NOT leak outside the scope
     monkeypatch.setenv("SHARDMERGE_INT4_KERNEL", "1")
-    monkeypatch.setattr(quant, "mesh_active", True)
-    assert not quant._use_int4_kernel(x, wq["q"])
+    with quant.suppress_int4_kernel():
+        assert not quant._use_int4_kernel(x, wq["q"])
+    assert quant._use_int4_kernel(x, wq["q"])
+    # the callable wrapper used by sharded engines / train steps scopes
+    # each call the same way
+    scoped = quant.scoped_without_int4_kernel(
+        lambda: quant._use_int4_kernel(x, wq["q"])
+    )
+    assert not scoped()
+    assert quant._use_int4_kernel(x, wq["q"])
 
 
 def test_int4_stacked_pack_roundtrip(rng):
