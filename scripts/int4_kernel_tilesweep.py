@@ -55,6 +55,12 @@ def main():
         help="comma-separated TNxTKH list, e.g. 1024x1024,512x2048 "
         "(default: the built-in sweep list)",
     )
+    ap.add_argument(
+        "--check-agreement",
+        action="store_true",
+        help="also compute the kernel's relative L2 error vs the XLA "
+        "split-half path at each tile (value-agreement pin)",
+    )
     args = ap.parse_args()
     tiles = TILES
     if args.tiles:
@@ -111,7 +117,28 @@ def main():
 
             ms = (best(run_k) - best(run_1)) / (sk - 1) * 1e3
             gbps = (n * kh) / ms / 1e6
-            print(f"TN={tn} TKH={tkh}: {ms:.4f} ms  {gbps:.0f} GB/s", flush=True)
+            agree = ""
+            if args.check_agreement:
+                import numpy as np
+
+                from shardmerge_tpu.models import quant
+
+                wq = {"q": q, "scale": scale}
+                y_kernel = np.asarray(
+                    jax.jit(qk.int4_matmul)(x, q, scale), np.float64
+                )
+                with quant.suppress_int4_kernel():
+                    y_xla = np.asarray(
+                        jax.jit(quant.dequant_matmul)(x, wq), np.float64
+                    )
+                rel = np.linalg.norm(y_kernel - y_xla) / (
+                    np.linalg.norm(y_xla) + 1e-30
+                )
+                agree = f"  relL2 {rel:.3e}"
+            print(
+                f"TN={tn} TKH={tkh}: {ms:.4f} ms  {gbps:.0f} GB/s{agree}",
+                flush=True,
+            )
         except Exception as e:
             msg = f"{type(e).__name__}: {e}"[:140].replace("\n", " ")
             print(f"TN={tn} TKH={tkh}: FAIL {msg}", flush=True)
