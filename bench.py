@@ -14,6 +14,7 @@ Prints ONE JSON line: {"metric", "value" (GB/s), "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -195,7 +196,7 @@ def bench_torch_reference(a_np, b_np):
 
 
 def _probe_device(
-    timeout_s: float = 180.0, attempts: int = 3, fallback_cpu: bool = False
+    timeout_s: float | None = None, attempts: int = 3, fallback_cpu: bool = False
 ) -> str:
     """Fail FAST (with retries) if the device backend is unreachable.
 
@@ -217,6 +218,13 @@ def _probe_device(
     too); only the fallback/exit policy lives here."""
     from shardmerge_tpu.backend import _probe_default_backend
 
+    if timeout_s is None:
+        # Same knob resolve_backend honors: the relay's COLD compile of
+        # even the tiny probe program is nonstationary (observed >180 s
+        # on a live relay), so a fixed deadline misdiagnoses slow as dead.
+        timeout_s = float(
+            os.environ.get("SHARDMERGE_BACKEND_PROBE_TIMEOUT", "180")
+        )
     platform = _probe_default_backend(timeout_s, attempts)
     if platform is not None:
         print(f"probe ok: {platform}", file=sys.stderr)

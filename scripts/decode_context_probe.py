@@ -156,9 +156,14 @@ def main():
         2 * cfg.num_hidden_layers * cfg.num_key_value_heads * cfg.head_dim * 2
     )
 
+    import os
+
     report = {
         "device": str(jax.devices()[0]),
         "method": f"scan slope K={SCAN_K} at pos0=S-{SCAN_K}-2 (bucket full)",
+        # "" = auto (flash-decode Pallas kernel on accelerators), "0" = XLA
+        # einsum attention, "1" = kernel forced (models/attn_kernels.py)
+        "flash_decode_mode": os.environ.get("SHARDMERGE_FLASH_DECODE", ""),
         "config": {
             k: cfg_dict[k]
             for k in (

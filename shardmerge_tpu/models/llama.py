@@ -841,6 +841,21 @@ def _attention(
     # (B, KVH, group, T, D) x (B, KVH, S, D) -> (B, KVH, group, T, S)
     qg = q.reshape(B, KVH, group, T, D)
     scale = jnp.sqrt(jnp.float32(cfg.query_pre_attn_scalar or D))
+    from .attn_kernels import flash_decode, use_flash_decode
+
+    if use_flash_decode(cfg, layer, T, (B, KVH, group, D), S):
+        # decode fast path: stream the bf16 cache through VMEM once
+        # (XLA's einsum path prices the same reads at ~15% of the HBM
+        # roof — docs/DECODE_CONTEXT.json). Same additive mask, same f32
+        # softmax semantics; sinks/softcap/T>1 stay on the path below.
+        qk = qg[:, :, :, 0, :].astype(jnp.float32) / scale
+        ctx = flash_decode(qk, k_cache, v_cache, mask[:, 0, :])
+        out = ctx.reshape(B, H, D).reshape(B, T, H * D)
+        out = matmul(out.astype(x.dtype), layer["o_proj"])
+        if "o_bias" in layer:
+            out = out + layer["o_bias"]
+        return out, k_cache, v_cache
+
     scores = jnp.einsum(
         "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
     ) / scale

@@ -142,12 +142,22 @@ _kernel_suppressed = contextvars.ContextVar(
 
 @contextlib.contextmanager
 def suppress_int4_kernel():
-    """Route packed int4 through the XLA decomposition inside this scope."""
+    """Route Pallas-kerneled ops through their XLA paths inside this scope.
+
+    Despite the historical name this gates EVERY GSPMD-unpartitionable
+    Pallas kernel (the int4 GEMV and the flash-decode attention): the flag
+    means "this trace must be partitionable by GSPMD", which is one
+    property of the trace, not of any one op."""
     token = _kernel_suppressed.set(True)
     try:
         yield
     finally:
         _kernel_suppressed.reset(token)
+
+
+def pallas_kernels_suppressed() -> bool:
+    """True inside a suppress_int4_kernel() scope (GSPMD-traced program)."""
+    return _kernel_suppressed.get()
 
 
 def scoped_without_int4_kernel(fn):
