@@ -1,14 +1,22 @@
-"""Flash-decode attention in Pallas — cached K/V stream at HBM speed.
+"""Flash-decode attention in Pallas — STATUS: built, measured, OPT-IN ONLY.
 
-Why: the XLA decode attention (models/llama.py ``_attention``) prices its
-cached K/V reads at ~121-125 GB/s on the v5e — 15% of the 819 GB/s HBM
-roof, flat from 2k to 8k cache buckets (docs/DECODE_CONTEXT.json) — so at
-an 8k context the attention term costs 8.4 ms of the 17.1 ms/token 8B
-int4 decode floor when the hardware can stream those bytes in ~1.3 ms.
-The einsum path materializes f32 casts of the cache and S-sized score
-tensors between HBM round trips; here each K/V tile is DMA'd to VMEM
-once, scores + online softmax + the V reduction all happen in VMEM, and
-the only HBM traffic is the bf16 cache itself.
+History: the end-to-end context probe priced the decode attention's K/V
+reads at ~121-125 GB/s (15% of the v5e's 819 GB/s HBM roof), which this
+kernel was written to fix. An isolated microbenchmark
+(scripts/flash_decode_microbench.py, slope-timed on the chip at 8B
+geometry B=1 KVH=8 G=4 D=128 S=8192) then showed the REAL cause was
+elsewhere: XLA's own einsum decode attention streams the cache at
+~757 GB/s (92% of roof) when handed the cache buffer directly — the
+end-to-end 121 GB/s came from ``forward`` re-assembling the stacked KV
+cache with ``jnp.stack`` every step, copying the whole multi-GiB cache
+per token (fixed in models/llama.py by threading the stacked buffers
+through the layer loop with in-place dynamic_update_slices). This kernel
+measures ~458 GB/s on the same shape — the (G=4, BS) score tiles are too
+skinny to keep the MXU busy and the per-tile softmax recurrence runs on
+the VPU between DMAs — so the XLA path is the better production route
+and this kernel is OFF by default (SHARDMERGE_FLASH_DECODE=1 opts in).
+Kept as working, tested infrastructure: at G>=8 with a fatter tile the
+balance may flip on future geometries.
 
 Semantics: identical to the masked full-bucket attention it replaces.
 The caller passes the SAME additive mask ``forward`` already built
@@ -73,22 +81,20 @@ def supported(q_shape, s: int) -> bool:
 def use_flash_decode(cfg, layer, t: int, q_shape, s: int) -> bool:
     """Route decision for one attention call (trace-time, static).
 
-    SHARDMERGE_FLASH_DECODE=0 forces the XLA einsum path, =1 forces the
-    kernel even on the CPU backend (interpret mode — tests); default is
-    auto: kernel on any real accelerator backend for plain decode steps.
+    Default OFF — the isolated microbench showed XLA's einsum path
+    streams the cache faster than this kernel once the cache-restack bug
+    was fixed (module docstring). SHARDMERGE_FLASH_DECODE=1 opts in (on
+    the CPU backend that runs in interpret mode — tests).
     """
     if t != 1 or "sinks" in layer or cfg.attn_logit_softcapping:
         return False
-    mode = os.environ.get("SHARDMERGE_FLASH_DECODE", "")
-    if mode == "0":
+    if os.environ.get("SHARDMERGE_FLASH_DECODE", "") != "1":
         return False
     from .quant import pallas_kernels_suppressed
 
     if pallas_kernels_suppressed():
         return False
-    if not supported(q_shape, s):
-        return False
-    return mode == "1" or jax.default_backend() != "cpu"
+    return supported(q_shape, s)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref):

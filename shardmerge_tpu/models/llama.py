@@ -797,12 +797,21 @@ def init_kv_cache(
 # ---------------------------------------------------------------------------
 
 def _attention(
-    cfg, layer, x, cos, sin, positions, kv_slice, cache_pos, mask, use_rope=True
+    cfg, layer, x, cos, sin, positions, kv_bufs, layer_idx, cache_pos, mask,
+    use_rope=True,
 ):
     """Self-attention over the cached keys/values.
 
-    kv_slice: (2, B, KVH, S, D) full cache buffers for this layer.
-    Returns (output, new_k_cache, new_v_cache).
+    kv_bufs: (k_buf, v_buf), each the FULL stacked (L, B, KVH, S, D) cache
+    buffer; layer_idx is this layer's static index into dim 0. The update
+    is a dynamic_update_slice at (layer_idx, 0, 0, cache_pos, 0) on the
+    whole buffer — with the cache donated at the jit boundary XLA performs
+    the per-layer chain in place, where the previous design (per-layer
+    slices re-assembled with jnp.stack at the end of ``forward``) copied
+    the ENTIRE multi-GiB cache every decode step and capped the measured
+    attention bandwidth at ~15% of the HBM roof (docs/DECODE_CONTEXT.json,
+    pre-fix rows).
+    Returns (output, k_buf, v_buf).
     """
     B, T, _ = x.shape
     H, KVH, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -832,9 +841,15 @@ def _attention(
     else:
         q = _nope_temp_q(cfg, q, positions)
 
-    k_cache, v_cache = kv_slice
-    k_cache = jax.lax.dynamic_update_slice(k_cache, k, (0, 0, cache_pos, 0))
-    v_cache = jax.lax.dynamic_update_slice(v_cache, v, (0, 0, cache_pos, 0))
+    k_buf, v_buf = kv_bufs
+    k_buf = jax.lax.dynamic_update_slice(
+        k_buf, k[None], (layer_idx, 0, 0, cache_pos, 0)
+    )
+    v_buf = jax.lax.dynamic_update_slice(
+        v_buf, v[None], (layer_idx, 0, 0, cache_pos, 0)
+    )
+    k_cache = k_buf[layer_idx]
+    v_cache = v_buf[layer_idx]
 
     group = H // KVH
     S = k_cache.shape[2]
@@ -854,7 +869,7 @@ def _attention(
         out = matmul(out.astype(x.dtype), layer["o_proj"])
         if "o_bias" in layer:
             out = out + layer["o_bias"]
-        return out, k_cache, v_cache
+        return out, k_buf, v_buf
 
     scores = jnp.einsum(
         "bkgtd,bksd->bkgts", qg.astype(jnp.float32), k_cache.astype(jnp.float32)
@@ -881,7 +896,7 @@ def _attention(
     out = matmul(out.astype(x.dtype), layer["o_proj"])
     if "o_bias" in layer:
         out = out + layer["o_bias"]
-    return out, k_cache, v_cache
+    return out, k_buf, v_buf
 
 
 def _uninterleave(x: jnp.ndarray) -> jnp.ndarray:
@@ -898,7 +913,9 @@ def _uninterleave(x: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _attention_mla(cfg, layer, x, cos, sin, positions, cache_slice, cache_pos, mask):
+def _attention_mla(
+    cfg, layer, x, cos, sin, positions, cache_bufs, layer_idx, cache_pos, mask
+):
     """DeepSeek multi-head latent attention over a COMPRESSED cache.
 
     Semantics: HF modeling_deepseek_v3.DeepseekV3Attention.forward (and the
@@ -913,21 +930,25 @@ def _attention_mla(cfg, layer, x, cos, sin, positions, cache_slice, cache_pos, m
     algebraically identical by matmul associativity, and the cache is
     ~(heads x head_dim)/(kv_lora_rank + rope) times smaller (9x for V3).
 
-    cache_slice: (c_cache (B, S, Ckv), pe_cache (B, S, Dr)).
-    Returns (output, new_c_cache, new_pe_cache).
+    cache_bufs: (c_buf (L, B, S, Ckv), pe_buf (L, B, S, Dr)) — the FULL
+    stacked buffers, updated in place at layer_idx (same donation-driven
+    design as :func:`_attention`).
+    Returns (output, c_buf, pe_buf).
     """
     c, k_pe, q_nope, q_pe = _mla_project(cfg, layer, x, cos, sin, positions)
 
-    c_cache, pe_cache = cache_slice
-    c_cache = jax.lax.dynamic_update_slice(c_cache, c, (0, cache_pos, 0))
-    pe_cache = jax.lax.dynamic_update_slice(
-        pe_cache, k_pe, (0, cache_pos, 0)
+    c_buf, pe_buf = cache_bufs
+    c_buf = jax.lax.dynamic_update_slice(
+        c_buf, c[None], (layer_idx, 0, cache_pos, 0)
+    )
+    pe_buf = jax.lax.dynamic_update_slice(
+        pe_buf, k_pe[None], (layer_idx, 0, cache_pos, 0)
     )
     out = _mla_attend(
-        cfg, layer, x.dtype, q_nope, q_pe, c_cache, pe_cache,
+        cfg, layer, x.dtype, q_nope, q_pe, c_buf[layer_idx], pe_buf[layer_idx],
         mask[:, None, :, :],
     )
-    return out, c_cache, pe_cache
+    return out, c_buf, pe_buf
 
 
 def _mla_project(cfg, layer, x, cos, sin, positions):
@@ -1517,8 +1538,14 @@ def forward(
         )
 
     mla = cfg.is_mla
-    new_k = []
-    new_v = []
+    # the stacked cache buffers thread through the layer loop and are
+    # returned AS the new cache — no jnp.stack re-assembly (which copied
+    # the whole cache per decode step; see _attention's docstring)
+    buf_a, buf_b = (
+        (kv_cache["ckv"], kv_cache["kpe"])
+        if mla
+        else (kv_cache["k"], kv_cache["v"])
+    )
     for i, layer in enumerate(params["layers"]):
         # olmo2 has no input norm: attention consumes the raw residual
         h = (
@@ -1527,11 +1554,6 @@ def forward(
             else rms_norm(x, layer["input_layernorm"], cfg.rms_norm_eps, po)
         )
         attn = _attention_mla if mla else _attention
-        cache_slice = (
-            (kv_cache["ckv"][i], kv_cache["kpe"][i])
-            if mla
-            else (kv_cache["k"][i], kv_cache["v"][i])
-        )
         attn_kwargs = {} if mla else {"use_rope": cfg.layer_uses_rope(i)}
         if cfg.layer_is_chunked(i):
             layer_mask = mask_chunked
@@ -1539,20 +1561,19 @@ def forward(
             layer_mask = mask_sliding
         else:
             layer_mask = mask
-        attn_out, k_c, v_c = attn(
+        attn_out, buf_a, buf_b = attn(
             cfg,
             layer,
             h,
             cos,
             sin,
             positions,
-            cache_slice,
+            (buf_a, buf_b),
+            i,
             cache_pos,
             layer_mask,
             **attn_kwargs,
         )
-        new_k.append(k_c)
-        new_v.append(v_c)
         if cfg.is_olmo2:  # post-norm residuals, no pre-FFN norm
             x = x + rms_norm(
                 attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps
@@ -1588,8 +1609,8 @@ def forward(
         logits = cap * jnp.tanh(logits / cap)
 
     if mla:
-        return logits, {"ckv": jnp.stack(new_k), "kpe": jnp.stack(new_v)}
-    return logits, {"k": jnp.stack(new_k), "v": jnp.stack(new_v)}
+        return logits, {"ckv": buf_a, "kpe": buf_b}
+    return logits, {"k": buf_a, "v": buf_b}
 
 
 def block_train(
