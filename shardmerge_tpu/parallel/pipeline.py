@@ -41,13 +41,20 @@ interleaved dense/MoE stack) stage-stack per kind slot with the schedule
 scanning over periods — see :func:`stack_stages`.
 
 Quantized stacks (int8/int4 {'q','scale'} / fused {'q3','scale'}, the
-serving representation) pipeline pp-only — dense projections, per-expert
+serving representation) pipeline too — dense projections, per-expert
 lists AND the gptoss/llama4 fused expert stacks: the q/scale arrays
 stage-stack like raw leaves (expert lists into parallel (S, per, E, ...)
-buffers) and dequantize transparently in the stage body. Remaining
-restrictions: quantized leaves under 'tp' (per-channel scales and int4
-packing do not Megatron-slice) and layer counts divisible by the stage
-count (up to the replicated dense prefix / kind period).
+buffers) and dequantize transparently in the stage body. Dense and
+per-expert-list quantized stacks also Megatron-slice under pp x tp —
+column-parallel owners slice q and its per-output-channel scale on the
+out dim; row-parallel owners slice q's reduction dim (int4 packed
+buffers get a tp-blocked split-half repack at stack time) with scale
+replicated, the existing block psums distributing the per-channel
+scaling exactly. Remaining restrictions: FUSED quantized stacks under
+'tp' (their row-parallel tp axis is the packed middle axis; llama4's
+gate/up permutation would have to permute packed nibbles) and layer
+counts divisible by the stage count (up to the replicated dense prefix /
+kind period).
 """
 
 from __future__ import annotations
@@ -100,9 +107,17 @@ def _leaf_name(path):
     """Classification key for a stacked block leaf from its tree path:
     the last dict key, plus the tuple slot for ``experts_stacked``
     (0 = W1/gate, 1 = W3/up, 2 = W2/down — see models/llama.py
-    stack_expert_weights)."""
+    stack_expert_weights). Leaves of int8/int4 quantized dicts resolve to
+    ``(owner, field)`` with field in {'q', 'scale'} and owner the
+    enclosing projection name (or experts_stacked slot tuple), so
+    :func:`_block_spec` can shard them with their owner's Megatron role."""
     import jax.tree_util as jtu
 
+    path = list(path)
+    field = None
+    if isinstance(path[-1], jtu.DictKey) and path[-1].key in ("q", "scale"):
+        field = path[-1].key
+        path = path[:-1]
     name = next(
         p.key for p in reversed(path) if isinstance(p, jtu.DictKey)
     )
@@ -110,14 +125,33 @@ def _leaf_name(path):
         slot = next(
             p.idx for p in reversed(path) if isinstance(p, jtu.SequenceKey)
         )
-        return ("experts_stacked", slot)
-    return name
+        name = ("experts_stacked", slot)
+    return (name, field) if field else name
 
 
 def _block_spec(key, leaf, tp: bool, qk_full: bool = False) -> P:
     """PartitionSpec for one stacked block leaf (key from _leaf_name)."""
     if not tp:
         return P(_AXIS, *([None] * (leaf.ndim - 1)))
+    if isinstance(key, tuple) and key[-1] in ("q", "scale"):
+        # int8/int4 {'q','scale'} leaf: q shards exactly like its owner's
+        # raw weight (same ndim — int4's packed reduction dim just halves
+        # the size, and the divisibility check below runs on packed
+        # units). scale is (..., out, 1): it rides the owner's spec where
+        # it has the dim (column-parallel out slices) and replicates where
+        # the owner shards the reduction dim (row-parallel — the psum of
+        # scale*(q_shard @ x_shard) partials distributes the per-channel
+        # scaling exactly).
+        owner, field = key
+        base = _block_spec(owner, leaf, tp, qk_full)
+        if field == "q":
+            return base
+        return P(
+            *(
+                ax if not (ax == "tp" and leaf.shape[i] == 1) else None
+                for i, ax in enumerate(base)
+            )
+        )
     if isinstance(key, tuple):  # experts_stacked: (S, per, E, out/in, in/out)
         if key[1] in (0, 1):  # W1/W3: column-parallel on the expert inter dim
             return P(_AXIS, None, None, "tp", None)
@@ -147,6 +181,37 @@ def _block_spec(key, leaf, tp: bool, qk_full: bool = False) -> P:
     return P(_AXIS, *([None] * (leaf.ndim - 1)))  # norms/router: replicated
 
 
+def _repack4_tp_blocked(q, n_tp: int):
+    """Permute a split-half int4-packed buffer (packed over the FULL
+    reduction dim K on its LAST axis — models/quant.py _pack4) into n_tp
+    contiguous blocks, each split-half packed over its OWN K/n_tp columns.
+
+    Why: a plain 'tp' slice of the packed axis hands device r the low
+    nibbles of columns [r·K/(2T), (r+1)·K/(2T)) and the high nibbles of
+    columns K/2 + that range — two NON-adjacent column blocks, while its
+    row-parallel activation shard covers the contiguous block
+    [r·K/T, (r+1)·K/T). After this repack the same slice IS the split-half
+    packing of exactly that contiguous block, so the local
+    ``dequant_matmul`` (and the fused Pallas GEMV, whose split-half
+    contract is relative to the local buffer) are both exact. Pure nibble
+    permutation — values stay in [0, 15], no +-8 bias round trip."""
+    xp = np if isinstance(q, np.ndarray) else jnp
+    k = 2 * q.shape[-1]
+    if (k // n_tp) % 2:
+        raise ValueError(
+            f"int4 row-parallel reduction dim {k} must split into even "
+            f"per-device blocks under tp={n_tp}"
+        )
+    nib = xp.concatenate([q & 0xF, q >> 4], axis=-1)  # full-K column order
+    bh = k // n_tp // 2
+    blocks = [
+        nib[..., r * 2 * bh : (r + 1) * 2 * bh] for r in range(n_tp)
+    ]
+    return xp.concatenate(
+        [b[..., :bh] | (b[..., bh:] << 4) for b in blocks], axis=-1
+    ).astype(xp.uint8)
+
+
 def _normalize_block(layer, tp: bool):
     """Validate one layer's weights for stage stacking and return the
     stackable non-expert tree. Per-expert weight lists are removed here and
@@ -157,20 +222,18 @@ def _normalize_block(layer, tp: bool):
     Quantized projections AND expert lists ({'q','scale'} dicts) DO stack —
     the q and scale arrays stage-stack like any other leaf (expert lists
     via _stack_experts' parallel buffers) and ``matmul`` dequantizes
-    transparently inside the scanned stage body — but only pp-only:
-    Megatron-slicing a quantized matrix would also have to slice its
-    per-output-channel scales (and int4 packs two values per byte on the
-    input dim), so ``tp=True`` still raises."""
-    from ..models.llama import experts_quantized
-
+    transparently inside the scanned stage body. Under pp x tp they
+    Megatron-slice too: column-parallel owners slice q AND the per-output-
+    channel scale on the out dim; row-parallel owners slice q's reduction
+    dim with scale replicated (the psum distributes the per-channel
+    scaling), int4 packed buffers getting a tp-blocked repack first
+    (_repack4_tp_blocked). Only the FUSED quantized stacks
+    (gptoss/llama4 {'q3','scale'}) still refuse under tp — their
+    row-parallel tp axis is the packed MIDDLE axis and llama4's gate/up
+    column permutation would additionally have to permute packed
+    nibbles."""
     out = dict(layer)
-    experts = out.pop("experts", None)
-    if experts is not None and experts_quantized(experts) and tp:
-        raise NotImplementedError(
-            "quantized experts cannot be Megatron-sliced under pp x tp "
-            "(per-channel scales and int4 packing do not slice); use "
-            "pp-only stages or raw weights"
-        )
+    out.pop("experts", None)
     for fused in ("gptoss_experts", "llama4_experts"):
         if (
             tp
@@ -193,12 +256,6 @@ def _normalize_block(layer, tp: bool):
         if isinstance(v, dict) and all(
             hasattr(w, "ndim") for w in v.values()
         ):
-            if tp:
-                raise NotImplementedError(
-                    f"quantized leaf {k!r} cannot be Megatron-sliced under "
-                    "pp x tp (per-channel scales and int4 packing do not "
-                    "slice); use pp-only stages or raw weights"
-                )
             continue
         raise NotImplementedError(
             f"pipeline stages require array (or quantized-dict) block "
@@ -243,7 +300,7 @@ def _stack_experts(layers, n_stages: int, per: int):
     for kind in ("w1", "w3", "w2"):
         proto = layers[0]["experts"][0][kind]
         if quantized:
-            # int8/int4 {'q','scale'} experts (pp-only; tp raised earlier):
+            # int8/int4 {'q','scale'} experts:
             # the q and scale arrays stack into parallel (S, per, E, ...)
             # buffers and _expert_mlp_weights re-slices them into the
             # {'q','scale'} dicts matmul dequantizes transparently
@@ -463,7 +520,8 @@ def stack_stages(
         }
 
     def _place(path, v):
-        spec = _block_spec(_leaf_name(path), v, tp, qk_norm_full)
+        key = _leaf_name(path)
+        spec = _block_spec(key, v, tp, qk_norm_full)
         if tp:
             # validate the Megatron slice BEFORE device_put: cfg-level
             # checks cannot see per-layer widths (llama4 dense layers use
@@ -471,10 +529,19 @@ def stack_stages(
             for ax, name in enumerate(spec):
                 if name == "tp" and v.shape[ax] % mesh.shape["tp"]:
                     raise ValueError(
-                        f"block leaf {_leaf_name(path)!r} dim {ax} of size "
+                        f"block leaf {key!r} dim {ax} of size "
                         f"{v.shape[ax]} does not divide tp="
                         f"{mesh.shape['tp']}"
                     )
+            if (
+                isinstance(key, tuple)
+                and key[-1] == "q"
+                and v.dtype == jnp.uint8
+                and spec[-1] == "tp"
+            ):
+                # row-parallel int4: tp-blocked split-half repack so the
+                # packed-axis slice matches the contiguous activation shard
+                v = _repack4_tp_blocked(v, mesh.shape["tp"])
         return jax.device_put(v, NamedSharding(mesh, spec))
 
     pp_shard = jtu.tree_map_with_path(_place, stacked)

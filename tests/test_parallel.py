@@ -773,23 +773,7 @@ def test_pipeline_rejects_bad_configs():
     with pytest.raises(ValueError, match="microbatches"):
         pipeline_forward_train(mesh4, cfg, pp_params, ids, 2)  # 3 % 2 != 0
 
-    import dataclasses
-
-    # QUANTIZED experts stack pp-only (test_pipeline_quantized_experts_
-    # pp_only); under tp the guard must raise cleanly BEFORE stacking —
-    # per-channel scales and int4 packing do not Megatron-slice
-    moe_cfg = dataclasses.replace(
-        cfg, num_local_experts=2, num_experts_per_tok=1
-    )
-    moe_params = init_params(moe_cfg, jax.random.PRNGKey(1), dtype=jnp.float32)
-    for layer in moe_params["layers"]:
-        for ex in layer["experts"]:
-            ex["w1"] = {"q": ex["w1"], "scale": 1.0}
-    mesh_2d = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
-    with pytest.raises(NotImplementedError, match="quantized experts"):
-        stack_stages(mesh_2d, moe_params, 2, tp=True)
-
-    # quantized {'q','scale'} dicts stack pp-only; a dict leaf holding a
+    # quantized {'q','scale'} dicts stack, but a dict leaf holding a
     # NON-array still refuses (nothing stackable inside it)
     broken = init_params(cfg, jax.random.PRNGKey(2), dtype=jnp.float32)
     for layer in broken["layers"]:
@@ -1081,13 +1065,16 @@ def test_pipeline_quantized_fused_experts_pp_only():
             stack_stages(mesh2, qparams, 2, tp=True)
 
 
-def test_pipeline_quantized_experts_pp_only():
-    """int8/int4 per-expert lists pipeline pp-only: the {'q','scale'}
-    dicts stage-stack into parallel (S, per, E, ...) buffers, the stage
-    body re-slices them per expert and matmul dequantizes — logits equal
-    forward_train on the SAME quantized params. pp x tp still refuses
-    (scales/packing do not Megatron-slice). Lifts the round-3 'quantized
-    expert lists raise either way' boundary."""
+def test_pipeline_quantized_experts():
+    """int8/int4 per-expert lists pipeline pp AND pp x tp: the
+    {'q','scale'} dicts stage-stack into parallel (S, per, E, ...)
+    buffers, the stage body re-slices them per expert and matmul
+    dequantizes; under tp, W1/W3 column-slice q+scale on the expert
+    intermediate dim and W2 row-slices q's packed reduction dim
+    (tp-block-repacked) with scale replicated — logits equal
+    forward_train on the SAME quantized params either way."""
+    import dataclasses
+
     from shardmerge_tpu.models.llama import forward_train, init_params
     from shardmerge_tpu.models.quant import quantize
     from shardmerge_tpu.parallel.pipeline import (
@@ -1095,7 +1082,9 @@ def test_pipeline_quantized_experts_pp_only():
         stack_stages,
     )
 
-    cfg = _moe_pp_cfg(layers=4)
+    cfg = dataclasses.replace(
+        _moe_pp_cfg(layers=4), num_key_value_heads=4
+    )
     params = init_params(cfg, jax.random.PRNGKey(26), dtype=jnp.float32)
     for bits in (8, 4):
         qparams = {
@@ -1130,8 +1119,23 @@ def test_pipeline_quantized_experts_pp_only():
         mesh2 = make_mesh(
             ("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2)
         )
-        with pytest.raises(NotImplementedError, match="Megatron-sliced"):
-            stack_stages(mesh2, qparams, 2, tp=True)
+        tp_params = stack_stages(mesh2, qparams, 2, tp=True)
+        w1, _, w2 = tp_params["blocks"]["experts_stacked"]
+        # W1 column-parallel: q and scale slice the intermediate dim
+        assert w1["q"].sharding.shard_shape(w1["q"].shape)[3] \
+            == w1["q"].shape[3] // 2
+        assert w1["scale"].sharding.shard_shape(w1["scale"].shape)[3] \
+            == w1["scale"].shape[3] // 2
+        # W2 row-parallel: q slices the packed reduction dim; scale
+        # replicates within the stage (only 'pp' shards it)
+        assert w2["q"].sharding.shard_shape(w2["q"].shape)[4] \
+            == w2["q"].shape[4] // 2
+        assert w2["scale"].sharding.shard_shape(w2["scale"].shape) \
+            == (w2["scale"].shape[0] // 2, *w2["scale"].shape[1:])
+        got_tp = np.asarray(
+            pipeline_forward_train(mesh2, cfg, tp_params, ids, 2)
+        )
+        np.testing.assert_allclose(got_tp, want, rtol=2e-2, atol=4e-3)
 
 
 def test_pipeline_moe_with_tensor_parallel():
@@ -1857,12 +1861,40 @@ def test_cp_loss_rejects_incompatible_attention():
         make_cp_loss(mesh, capped, params)
 
 
-def test_pipeline_quantized_dense_stack_pp_only():
-    """int8/int4 serving-representation weights pipeline pp-only: the
-    {'q','scale'} dicts stage-stack like raw leaves and dequantize inside
-    the scanned stage body — logits equal forward_train on the SAME
-    quantized params. Under pp x tp they refuse loudly (scales and int4
-    packing do not Megatron-slice)."""
+def test_repack4_tp_blocked_matches_contiguous_slices():
+    """The tp-blocked int4 repack invariant: slicing the repacked buffer
+    into n_tp equal blocks and unpacking each block yields exactly the
+    contiguous reduction columns [r*K/T, (r+1)*K/T) of the original
+    full-K split-half unpack — for every block, any leading shape."""
+    from shardmerge_tpu.models.quant import _pack4, _unpack4
+    from shardmerge_tpu.parallel.pipeline import _repack4_tp_blocked
+
+    rng = np.random.default_rng(7)
+    q = rng.integers(-7, 8, size=(3, 5, 48), dtype=np.int8)
+    packed = _pack4(q.reshape(-1, 48)).reshape(3, 5, 24)
+    for n_tp in (2, 4):
+        rp = _repack4_tp_blocked(packed, n_tp)
+        blk = 48 // n_tp
+        for r in range(n_tp):
+            shard = jnp.asarray(
+                rp[..., r * blk // 2 : (r + 1) * blk // 2]
+            )
+            got = np.asarray(_unpack4(shard, axis=-1))
+            np.testing.assert_array_equal(
+                got, q[..., r * blk : (r + 1) * blk]
+            )
+
+
+def test_pipeline_quantized_dense_stacks():
+    """int8/int4 serving-representation weights pipeline pp AND pp x tp:
+    the {'q','scale'} dicts stage-stack like raw leaves and dequantize
+    inside the scanned stage body; under tp, column-parallel owners slice
+    q and its per-output-channel scale on the out dim while row-parallel
+    owners slice q's reduction dim (int4 packed buffers tp-block-repacked
+    at stack time) with scale replicated — logits equal forward_train on
+    the SAME quantized params either way."""
+    import dataclasses
+
     from shardmerge_tpu.models.llama import forward_train, init_params
     from shardmerge_tpu.models.quant import quantize
     from shardmerge_tpu.parallel.pipeline import (
@@ -1870,7 +1902,7 @@ def test_pipeline_quantized_dense_stack_pp_only():
         stack_stages,
     )
 
-    cfg = _pp_cfg(layers=4)
+    cfg = dataclasses.replace(_pp_cfg(layers=4), num_key_value_heads=4)
     params = init_params(cfg, jax.random.PRNGKey(5), dtype=jnp.float32)
     proj = ("q_proj", "k_proj", "v_proj", "o_proj",
             "gate_proj", "up_proj", "down_proj")
@@ -1905,8 +1937,24 @@ def test_pipeline_quantized_dense_stack_pp_only():
         mesh2 = make_mesh(
             ("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2)
         )
-        with pytest.raises(NotImplementedError, match="Megatron-sliced"):
-            stack_stages(mesh2, qparams, 2, tp=True)
+        tp_params = stack_stages(mesh2, qparams, 2, tp=True)
+        # column-parallel q_proj: q AND scale slice the out dim
+        q = tp_params["blocks"]["q_proj"]
+        assert q["q"].sharding.shard_shape(q["q"].shape)[2] \
+            == q["q"].shape[2] // 2
+        assert q["scale"].sharding.shard_shape(q["scale"].shape)[2] \
+            == q["scale"].shape[2] // 2
+        # row-parallel o_proj: q slices the (packed) reduction dim,
+        # scale replicates within the stage (only 'pp' shards it)
+        o = tp_params["blocks"]["o_proj"]
+        assert o["q"].sharding.shard_shape(o["q"].shape)[3] \
+            == o["q"].shape[3] // 2
+        assert o["scale"].sharding.shard_shape(o["scale"].shape) \
+            == (o["scale"].shape[0] // 2, *o["scale"].shape[1:])
+        got_tp = np.asarray(
+            pipeline_forward_train(mesh2, cfg, tp_params, ids, 2)
+        )
+        np.testing.assert_allclose(got_tp, want, rtol=2e-2, atol=4e-3)
 
 
 def test_engine_mesh_shards_3d_expert_stacks(tmp_path, mesh):
