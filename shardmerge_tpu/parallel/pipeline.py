@@ -44,17 +44,17 @@ Quantized stacks (int8/int4 {'q','scale'} / fused {'q3','scale'}, the
 serving representation) pipeline too — dense projections, per-expert
 lists AND the gptoss/llama4 fused expert stacks: the q/scale arrays
 stage-stack like raw leaves (expert lists into parallel (S, per, E, ...)
-buffers) and dequantize transparently in the stage body. Dense and
-per-expert-list quantized stacks also Megatron-slice under pp x tp —
-column-parallel owners slice q and its per-output-channel scale on the
-out dim; row-parallel owners slice q's reduction dim (int4 packed
-buffers get a tp-blocked split-half repack at stack time) with scale
-replicated, the existing block psums distributing the per-channel
-scaling exactly. Remaining restrictions: FUSED quantized stacks under
-'tp' (their row-parallel tp axis is the packed middle axis; llama4's
-gate/up permutation would have to permute packed nibbles) and layer
-counts divisible by the stage count (up to the replicated dense prefix /
-kind period).
+buffers) and dequantize transparently in the stage body. Quantized
+stacks also Megatron-slice under pp x tp — column-parallel owners slice
+q and its per-output-channel scale on the out dim; row-parallel owners
+slice q's reduction dim (int4 packed buffers get a tp-blocked
+split-half repack at stack time, on the last axis for dense/per-expert
+'q' and on the packed middle axis for the fused gptoss/llama4 'q3')
+with scale replicated, the existing block psums distributing the
+per-channel scaling exactly; llama4's fused gate/up column permutation
+applies to q3 and scale alike (the out dim is never the packed axis).
+Remaining restriction: layer counts divisible by the stage count (up to
+the replicated dense prefix / kind period).
 """
 
 from __future__ import annotations
@@ -108,14 +108,17 @@ def _leaf_name(path):
     the last dict key, plus the tuple slot for ``experts_stacked``
     (0 = W1/gate, 1 = W3/up, 2 = W2/down — see models/llama.py
     stack_expert_weights). Leaves of int8/int4 quantized dicts resolve to
-    ``(owner, field)`` with field in {'q', 'scale'} and owner the
-    enclosing projection name (or experts_stacked slot tuple), so
-    :func:`_block_spec` can shard them with their owner's Megatron role."""
+    ``(owner, field)`` with field in {'q', 'q3', 'scale'} and owner the
+    enclosing projection name (or experts_stacked slot tuple / fused
+    gate_up/down key), so :func:`_block_spec` can shard them with their
+    owner's Megatron role."""
     import jax.tree_util as jtu
 
     path = list(path)
     field = None
-    if isinstance(path[-1], jtu.DictKey) and path[-1].key in ("q", "scale"):
+    if isinstance(path[-1], jtu.DictKey) and path[-1].key in (
+        "q", "q3", "scale",
+    ):
         field = path[-1].key
         path = path[:-1]
     name = next(
@@ -133,18 +136,19 @@ def _block_spec(key, leaf, tp: bool, qk_full: bool = False) -> P:
     """PartitionSpec for one stacked block leaf (key from _leaf_name)."""
     if not tp:
         return P(_AXIS, *([None] * (leaf.ndim - 1)))
-    if isinstance(key, tuple) and key[-1] in ("q", "scale"):
-        # int8/int4 {'q','scale'} leaf: q shards exactly like its owner's
-        # raw weight (same ndim — int4's packed reduction dim just halves
-        # the size, and the divisibility check below runs on packed
-        # units). scale is (..., out, 1): it rides the owner's spec where
-        # it has the dim (column-parallel out slices) and replicates where
-        # the owner shards the reduction dim (row-parallel — the psum of
+    if isinstance(key, tuple) and key[-1] in ("q", "q3", "scale"):
+        # int8/int4 {'q','scale'} (or fused {'q3','scale'}) leaf: q shards
+        # exactly like its owner's raw weight (same ndim — int4's packed
+        # reduction dim just halves the size, and the divisibility check
+        # below runs on packed units). scale is per-output-channel with a
+        # size-1 reduction dim: it rides the owner's spec where it has the
+        # dim (column-parallel out slices) and replicates where the owner
+        # shards the reduction dim (row-parallel — the psum of
         # scale*(q_shard @ x_shard) partials distributes the per-channel
         # scaling exactly).
         owner, field = key
         base = _block_spec(owner, leaf, tp, qk_full)
-        if field == "q":
+        if field in ("q", "q3"):
             return base
         return P(
             *(
@@ -181,10 +185,12 @@ def _block_spec(key, leaf, tp: bool, qk_full: bool = False) -> P:
     return P(_AXIS, *([None] * (leaf.ndim - 1)))  # norms/router: replicated
 
 
-def _repack4_tp_blocked(q, n_tp: int):
+def _repack4_tp_blocked(q, n_tp: int, axis: int = -1):
     """Permute a split-half int4-packed buffer (packed over the FULL
-    reduction dim K on its LAST axis — models/quant.py _pack4) into n_tp
-    contiguous blocks, each split-half packed over its OWN K/n_tp columns.
+    reduction dim K on ``axis`` — models/quant.py _pack4; the last axis
+    for dense/per-expert weights, the middle (ndim-2) axis for fused
+    (E, in, out) expert stacks) into n_tp contiguous blocks, each
+    split-half packed over its OWN K/n_tp columns.
 
     Why: a plain 'tp' slice of the packed axis hands device r the low
     nibbles of columns [r·K/(2T), (r+1)·K/(2T)) and the high nibbles of
@@ -196,6 +202,10 @@ def _repack4_tp_blocked(q, n_tp: int):
     contract is relative to the local buffer) are both exact. Pure nibble
     permutation — values stay in [0, 15], no +-8 bias round trip."""
     xp = np if isinstance(q, np.ndarray) else jnp
+    if axis % q.ndim != q.ndim - 1:
+        return xp.moveaxis(
+            _repack4_tp_blocked(xp.moveaxis(q, axis, -1), n_tp), -1, axis
+        )
     k = 2 * q.shape[-1]
     if (k // n_tp) % 2:
         raise ValueError(
@@ -227,27 +237,14 @@ def _normalize_block(layer, tp: bool):
     channel scale on the out dim; row-parallel owners slice q's reduction
     dim with scale replicated (the psum distributes the per-channel
     scaling), int4 packed buffers getting a tp-blocked repack first
-    (_repack4_tp_blocked). Only the FUSED quantized stacks
-    (gptoss/llama4 {'q3','scale'}) still refuse under tp — their
-    row-parallel tp axis is the packed MIDDLE axis and llama4's gate/up
-    column permutation would additionally have to permute packed
-    nibbles."""
+    (_repack4_tp_blocked). FUSED quantized stacks (gptoss/llama4
+    {'q3','scale'}) slice too: gate_up's tp axis is the OUT dim, which
+    the middle-axis packing never touches (llama4's gate/up column
+    permutation likewise — stack_stages applies it to q3 and scale);
+    down's tp axis IS the packed middle axis, handled by the same
+    repack on ndim-2."""
     out = dict(layer)
     out.pop("experts", None)
-    for fused in ("gptoss_experts", "llama4_experts"):
-        if (
-            tp
-            and fused in out
-            and any(not hasattr(w, "ndim") for w in out[fused].values())
-        ):
-            # pp-only is fine: the {'q3','scale'} dicts stack like any
-            # nested leaf, and the scanned stage body sees the exact
-            # (E, in, out) slices dequant_stacked expects
-            raise NotImplementedError(
-                f"quantized {fused} cannot be Megatron-sliced under "
-                "pp x tp (stacked scales and int4 packing do not slice); "
-                "use pp-only stages or raw weights"
-            )
     for k, v in out.items():
         if k in ("gptoss_experts", "llama4_experts"):
             continue
@@ -393,10 +390,14 @@ def _stack_run(mesh, run_layers, n_stages: int, tp: bool) -> dict:
         # slice hands each device matched gate/up columns and the scanned
         # body's split-in-half works on the LOCAL width; down row-shards
         # its input dim to match and the FFN psum reassembles the output.
+        # Quantized {'q3','scale'} gate_up permutes q3 AND its per-output-
+        # channel scale the same way — the permuted axis is the OUT dim,
+        # which the middle-axis int4 packing never touches.
         le = dict(stacked["llama4_experts"])
         gu = le["gate_up"]  # (S, per, E, hidden, 2I)
         n_tp = mesh.shape["tp"]
-        inter = gu.shape[-1] // 2
+        width = gu["q3"].shape[-1] if isinstance(gu, dict) else gu.shape[-1]
+        inter = width // 2
         if inter % n_tp:
             raise ValueError(
                 f"llama4 expert intermediate dim {inter} must divide "
@@ -414,7 +415,10 @@ def _stack_run(mesh, run_layers, n_stages: int, tp: bool) -> dict:
                 for r in range(n_tp)
             ]
         )
-        le["gate_up"] = gu[..., idx]
+        if isinstance(gu, dict):
+            le["gate_up"] = {k: v[..., idx] for k, v in gu.items()}
+        else:
+            le["gate_up"] = gu[..., idx]
         stacked["llama4_experts"] = le
     return stacked
 
@@ -535,13 +539,19 @@ def stack_stages(
                     )
             if (
                 isinstance(key, tuple)
-                and key[-1] == "q"
+                and key[-1] in ("q", "q3")
                 and v.dtype == jnp.uint8
-                and spec[-1] == "tp"
             ):
                 # row-parallel int4: tp-blocked split-half repack so the
-                # packed-axis slice matches the contiguous activation shard
-                v = _repack4_tp_blocked(v, mesh.shape["tp"])
+                # packed-axis slice matches the contiguous activation
+                # shard. 'q' (dense/per-expert) packs the LAST axis;
+                # fused 'q3' packs the middle (ndim-2) axis (_pack4 on
+                # (E, in, out) axis 1).
+                packed_ax = v.ndim - 1 if key[-1] == "q" else v.ndim - 2
+                if spec[packed_ax] == "tp":
+                    v = _repack4_tp_blocked(
+                        v, mesh.shape["tp"], axis=packed_ax
+                    )
         return jax.device_put(v, NamedSharding(mesh, spec))
 
     pp_shard = jtu.tree_map_with_path(_place, stacked)

@@ -1003,13 +1003,16 @@ def test_pipeline_moe_matches_single_device():
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
-def test_pipeline_quantized_fused_experts_pp_only():
+def test_pipeline_quantized_fused_experts():
     """Quantized FUSED expert stacks ({'q3','scale'}, gpt-oss layout)
-    pipeline pp-only: the dicts stage-stack like nested leaves, and the
-    scanned body's per-layer slice is exactly the (E, in, out) shape
-    dequant_stacked expects — logits equal forward_train on the same
-    quantized params; pp x tp refuses. (llama4_experts shares this stack
-    path and its dict branch in _moe_llama4.)"""
+    pipeline pp AND pp x tp: the dicts stage-stack like nested leaves and
+    the scanned body's per-layer slice is exactly the (E, in, out) shape
+    dequant_stacked expects; under tp, gate_up column-slices q3+scale on
+    the interleaved out dim (untouched by the middle-axis packing) and
+    down row-slices q3's packed middle axis (tp-block-repacked on ndim-2)
+    with scale replicated — logits equal forward_train on the same
+    quantized params both ways. (llama4's permuted variant is covered by
+    test_pipeline_llama4_quantized_fused_tp.)"""
     import dataclasses
 
     from shardmerge_tpu.models.llama import forward_train, init_params
@@ -1061,8 +1064,90 @@ def test_pipeline_quantized_fused_experts_pp_only():
         mesh2 = make_mesh(
             ("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2)
         )
-        with pytest.raises(NotImplementedError, match="Megatron-sliced"):
-            stack_stages(mesh2, qparams, 2, tp=True)
+        tp_params = stack_stages(mesh2, qparams, 2, tp=True)
+        gu2 = tp_params["blocks"]["gptoss_experts"]["gate_up"]
+        dn2 = tp_params["blocks"]["gptoss_experts"]["down"]
+        # gate_up column-parallel: q3 AND scale slice the interleaved out
+        assert gu2["q3"].sharding.shard_shape(gu2["q3"].shape)[4] \
+            == gu2["q3"].shape[4] // 2
+        assert gu2["scale"].sharding.shard_shape(gu2["scale"].shape)[4] \
+            == gu2["scale"].shape[4] // 2
+        # down row-parallel: q3 slices its (packed) middle axis, scale
+        # replicates within the stage (only 'pp' shards it)
+        assert dn2["q3"].sharding.shard_shape(dn2["q3"].shape)[3] \
+            == dn2["q3"].shape[3] // 2
+        assert dn2["scale"].sharding.shard_shape(dn2["scale"].shape) \
+            == (dn2["scale"].shape[0] // 2, *dn2["scale"].shape[1:])
+        got_tp = np.asarray(
+            pipeline_forward_train(mesh2, cfg, tp_params, ids, 2)
+        )
+        np.testing.assert_allclose(got_tp, want, rtol=2e-2, atol=4e-3)
+
+
+def test_pipeline_llama4_quantized_fused_tp(tmp_path):
+    """Llama-4 fused expert stacks quantized to int4 pipeline pp x tp:
+    the gate/up block permutation applies to q3 AND its per-output-channel
+    scale (the permuted axis is the out dim — never the packed axis), and
+    down's packed middle axis gets the tp-blocked repack — logits equal
+    forward_train on the same quantized params."""
+    import torch
+    from transformers import Llama4ForCausalLM, Llama4TextConfig
+
+    from shardmerge_tpu.models.llama import ModelConfig, forward_train
+    from shardmerge_tpu.models.loader import load_params
+    from shardmerge_tpu.models.quant import quantize_stacked
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    torch.manual_seed(31)
+    config = Llama4TextConfig(
+        vocab_size=96,
+        hidden_size=32,
+        intermediate_size=48,
+        intermediate_size_mlp=64,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=8,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        interleave_moe_layer_step=1,
+        no_rope_layers=[1, 1, 0, 1],
+        attention_chunk_size=4,
+        max_position_embeddings=128,
+        tie_word_embeddings=False,
+    )
+    model = Llama4ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "l4q"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    cfg = ModelConfig.from_pretrained(path)
+    params = load_params(path, cfg, dtype=jnp.float32)
+    qparams = {
+        **params,
+        "layers": [
+            {
+                **layer,
+                "llama4_experts": {
+                    k: quantize_stacked(np.asarray(v), 4)
+                    for k, v in layer["llama4_experts"].items()
+                },
+            }
+            for layer in params["layers"]
+        ],
+    }
+    ids = jax.random.randint(jax.random.PRNGKey(32), (2, 9), 0, cfg.vocab_size)
+    want = np.asarray(forward_train(qparams, cfg, ids))
+
+    mesh_2d = make_mesh(("pp", "tp"), devices=jax.devices()[:4], shape=(2, 2))
+    tp_params = stack_stages(mesh_2d, qparams, 2, tp=True)
+    gu = tp_params["blocks"]["llama4_experts"]["gate_up"]
+    assert gu["q3"].sharding.shard_shape(gu["q3"].shape)[4] \
+        == gu["q3"].shape[4] // 2
+    got = np.asarray(pipeline_forward_train(mesh_2d, cfg, tp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=4e-3)
 
 
 def test_pipeline_quantized_experts():
@@ -1883,6 +1968,16 @@ def test_repack4_tp_blocked_matches_contiguous_slices():
             np.testing.assert_array_equal(
                 got, q[..., r * blk : (r + 1) * blk]
             )
+
+    # fused (E, in, out) stacks pack the MIDDLE axis (_pack4 axis 1);
+    # axis=ndim-2 must slice to the same contiguous reduction rows
+    qm = rng.integers(-7, 8, size=(3, 48, 5), dtype=np.int8)
+    pm = _pack4(qm)  # (3, 24, 5) — axis 1 is the packed axis
+    rpm = _repack4_tp_blocked(pm, 2, axis=1)
+    for r in range(2):
+        shard = jnp.asarray(rpm[:, r * 12 : (r + 1) * 12, :])
+        got = np.asarray(_unpack4(shard, axis=1))
+        np.testing.assert_array_equal(got, qm[:, r * 24 : (r + 1) * 24, :])
 
 
 def test_pipeline_quantized_dense_stacks():
