@@ -149,7 +149,25 @@ def main():
     if args.cpu:
         report["platform"] = "CPU BACKEND (wall numbers are NOT chip numbers)"
 
+    # Merge with a prior run's report (the relay dies mid-session; partial
+    # artifacts must accumulate, not reset) — only when the measurement
+    # setup matches, so rows stay comparable.
+    if args.out.exists():
+        try:
+            prior = json.loads(args.out.read_text())
+        except json.JSONDecodeError:
+            prior = {}
+        if (
+            prior.get("dtype") == report["dtype"]
+            and prior.get("method") == report["method"]
+            and prior.get("param_bytes") == report["param_bytes"]
+            and ("platform" in prior) == ("platform" in report)
+        ):
+            report["batches"].update(prior.get("batches", {}))
+
     base_ms = None
+    if "1" in report["batches"]:
+        base_ms = report["batches"]["1"]["floor_ms_per_step"]
     for b in batches:
         ms, compile_s = floor_at_batch(engine, b, args.cache_len)
         route = (
