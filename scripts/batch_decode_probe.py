@@ -157,10 +157,13 @@ def main():
             prior = json.loads(args.out.read_text())
         except json.JSONDecodeError:
             prior = {}
+        if not isinstance(prior, dict):
+            prior = {}
         if (
             prior.get("dtype") == report["dtype"]
             and prior.get("method") == report["method"]
             and prior.get("param_bytes") == report["param_bytes"]
+            and prior.get("device") == report["device"]
             and ("platform" in prior) == ("platform" in report)
         ):
             report["batches"].update(prior.get("batches", {}))
@@ -181,9 +184,11 @@ def main():
             "int4_route": route,
             "compile_s": compile_s,
         }
-        if base_ms is None:
+        # vs_b1 ratios only against a REAL B=1 floor — a fallback to the
+        # first measured batch would mislabel the base
+        if base_ms is None and b == 1:
             base_ms = ms
-        elif base_ms > 0 and ms > 0:
+        elif base_ms is not None and base_ms > 0 and ms > 0 and b != 1:
             row["step_cost_vs_b1"] = round(ms / base_ms, 3)
             row["throughput_scaling"] = round((b * base_ms) / ms, 2)
         report["batches"][str(b)] = row
