@@ -24,6 +24,15 @@ Design (all shapes static — nothing ever recompiles after warmup):
   per-slot ``key_positions`` map (see models/llama.forward) — a DEVICE
   array the fused step advances in-jit, so steady-state host→device
   traffic per dispatch is O(B) scalars, independent of cache length.
+- Admission is CHUNKED against active decode: while any row is decoding,
+  at most ONE ``prefill_chunk``-token slice of the joining prompt runs
+  between pool dispatches (the off-pool batch-1 cache carries the partial
+  state across slices), so a long arriving prompt stalls the running
+  streams by a bounded single-chunk step instead of its whole prefill —
+  and concurrent arrivals serialize their CHUNKS, never their prefills,
+  against the pool. When the pool is idle the admission drains at full
+  speed. Off-pool prefill is exact by causality, so chunking changes
+  WHEN compute happens, not what is computed.
 - When a prompt is longer than the current frontier, the frontier jumps
   forward to Lp; other rows absorb the jump as one more masked gap (their
   pads grow by the jump, so their positions remain contiguous).
@@ -104,6 +113,23 @@ class Completion:
 
     def done(self) -> bool:
         return self._done.is_set()
+
+
+@dataclass
+class _Admission:
+    """An in-flight chunked admission: the off-pool batch-1 prefill state
+    of the request currently joining the pool."""
+
+    handle: Completion
+    ids: List[int]
+    Lp: int  # true prompt length
+    budget: int
+    pids: object  # (1, L) padded prompt ids
+    ppos: object  # (1, L) positions
+    kv1: object  # batch-1 prefill cache (padded-prompt length)
+    next_c0: int  # first unprefilled slot (prefix-cache hits skip ahead)
+    row_logits: object = None  # (1, V) logits at Lp-1 once prefilled
+    complete: bool = False
 
 
 def _seq_index(idx, leaf_key, ndim):
@@ -187,6 +213,7 @@ class ContinuousEngine:
         system_prompt: Optional[str] = None,
         seed: int = 0,
         device_lock: Optional[threading.Lock] = None,
+        prefill_chunk: Optional[int] = None,
     ):
         if slots < 1:
             raise ValueError("continuous batching needs at least one slot")
@@ -196,6 +223,16 @@ class ContinuousEngine:
                 "use it on the stream path, not the continuous pool"
             )
         self.engine = engine
+        # admission prefill slice size (tokens): the bound on how long an
+        # arriving prompt may stall active decode between two pool steps.
+        # Capped at the engine's prompt_chunk so admission reuses the
+        # stream path's compiled prefill shapes; floored at one prompt
+        # bucket (the prefill shape granularity).
+        from .inference import _PROMPT_BUCKET
+
+        pc = engine.prompt_chunk if prefill_chunk is None else int(prefill_chunk)
+        pc = min(max(pc, _PROMPT_BUCKET), engine.prompt_chunk)
+        self.prefill_chunk = -(-pc // _PROMPT_BUCKET) * _PROMPT_BUCKET
         self.cfg = engine.cfg
         self.B = int(slots)
         self.S = max(1, int(decode_chunk))
@@ -236,6 +273,8 @@ class ContinuousEngine:
         self._thread: Optional[threading.Thread] = None
         self._stopping = False
         self._dead: Optional[Exception] = None
+        # the one in-flight chunked admission (driver-thread-owned)
+        self._admitting: Optional[_Admission] = None
         # observability: dispatch/compaction counters for benches and tests
         self.stats = {
             "decode_dispatches": 0,
@@ -243,6 +282,8 @@ class ContinuousEngine:
             "frontier_jumps": 0,
             "joins": 0,
             "tokens_out": 0,
+            "admission_chunks": 0,  # prefill slices run between pool steps
+            "admission_chunk_ms_max": 0.0,  # worst single-slice stall
         }
 
     def _dev(self):
@@ -374,13 +415,82 @@ class ContinuousEngine:
         self._valid_dirty = True
         self.stats["frontier_jumps"] += 1
 
-    def _try_admit(self, handle: Completion) -> bool:
+    def _begin_admission(self, handle: Completion) -> None:
+        """Open the off-pool batch-1 prefill for the next queued request."""
+        engine = self.engine
+        ids = handle._input_ids  # type: ignore[attr-defined]
+        Lp = len(ids)
+        pcache = min(
+            -(-Lp // _CACHE_BUCKET) * _CACHE_BUCKET, self.cache_len
+        )
+        pids, ppos = engine._pad_prompt(ids, pcache)
+        with self._dev():
+            kv1 = engine._init_kv(1, pcache)
+            hit = 0
+            if engine.prefix_cache_slots > 0:
+                hit, kv1 = engine._prefix_lookup(ids, Lp, kv1)
+        self._admitting = _Admission(
+            handle=handle,
+            ids=ids,
+            Lp=Lp,
+            budget=self._budget(handle.max_new_tokens),
+            pids=pids,
+            ppos=ppos,
+            kv1=kv1,
+            next_c0=hit,
+        )
+
+    def _advance_admission(self) -> None:
+        """Run ONE prefill slice of the in-flight admission.
+
+        Mirrors engine._chunked_prefill's loop body (same shapes when
+        prefill_chunk == engine.prompt_chunk, so the compiled programs are
+        shared with the stream path) but returns to the caller after a
+        single slice — the pool interleaves slices with decode steps.
+        Forces completion of the slice's device work before returning so
+        the recorded stall is the real one, and so a decode step
+        dispatched next never queues behind a multi-slice prefill."""
+        adm = self._admitting
+        engine = self.engine
+        L = adm.pids.shape[1]
+        c0 = adm.next_c0
+        c1 = min(c0 + self.prefill_chunk, L)
+        keep = adm.Lp - 1
+        t0 = time.monotonic()
+        with self._dev():
+            logits, adm.kv1 = engine._decode_step(
+                engine.params,
+                input_ids=adm.pids[:, c0:c1],
+                positions=adm.ppos[:, c0:c1],
+                kv_cache=adm.kv1,
+                cache_pos=c0,
+                rope=self._rope,
+                attn_len=min(c1, adm.Lp),
+            )
+            if c0 <= keep < c1:
+                adm.row_logits = logits[:, keep - c0, :]
+                jax.block_until_ready(adm.row_logits)
+            else:
+                jax.block_until_ready(logits)
+        ms = (time.monotonic() - t0) * 1e3
+        self.stats["admission_chunks"] += 1
+        if ms > self.stats["admission_chunk_ms_max"]:
+            self.stats["admission_chunk_ms_max"] = round(ms, 3)
+        adm.next_c0 = c1
+        if c1 >= L:
+            adm.complete = True
+            if engine.prefix_cache_slots > 0:
+                with self._dev():
+                    engine._prefix_store(adm.ids, adm.Lp, adm.kv1)
+
+    def _try_implant(self) -> bool:
+        """Install the completed admission into a free row; False when the
+        pool has no slot or no cache capacity yet (retried after steps)."""
+        adm = self._admitting
         b = self._free_slot()
         if b is None:
             return False
-        ids = handle._input_ids  # type: ignore[attr-defined]
-        Lp = len(ids)
-        budget = self._budget(handle.max_new_tokens)
+        Lp, budget = adm.Lp, adm.budget
         t_join = max(self._t, Lp)
         if t_join + budget > self.cache_len:
             with self._dev():
@@ -391,35 +501,13 @@ class ContinuousEngine:
         if t_join > self._t:
             self._jump_frontier(t_join)
 
-        engine = self.engine
-        pcache = min(
-            -(-Lp // _CACHE_BUCKET) * _CACHE_BUCKET, self.cache_len
-        )
-        pids, ppos = engine._pad_prompt(ids, pcache)
+        handle = adm.handle
         with self._dev():
-            kv1 = engine._init_kv(1, pcache)
-            hit = 0
-            if engine.prefix_cache_slots > 0:
-                hit, kv1 = engine._prefix_lookup(ids, Lp, kv1)
-            row_logits, kv1 = engine._chunked_prefill(
-                engine._decode_step,
-                engine.params,
-                pids,
-                ppos,
-                kv1,
-                self._rope,
-                Lp,
-                keep_pos=Lp - 1,
-                start=hit,
-            )
-            if engine.prefix_cache_slots > 0:
-                engine._prefix_store(ids, Lp, kv1)
-
             self._kv, self._last, self._gen_mask, self._kp = _implant_row(
                 self._kv,
-                kv1,
+                adm.kv1,
                 self._last,
-                row_logits,
+                adm.row_logits,
                 self._gen_mask,
                 self._kp,
                 jnp.int32(b),
@@ -437,6 +525,7 @@ class ContinuousEngine:
         handle.token_ids = []
         handle.joined_at = time.monotonic()
         self.stats["joins"] += 1
+        self._admitting = None
         return True
 
     def _finish(self, b: int, reason: str):
@@ -520,23 +609,40 @@ class ContinuousEngine:
         return any(r is not None for r in self._rows)
 
     def _admit_pending(self):
-        """Admit queued requests until a capacity/slot wall or empty queue.
+        """Advance admission work between pool steps.
 
-        Queue peeks/pops are the only locked operations; prefill/implant
+        While any row is actively decoding, at most ONE prefill slice runs
+        per call — the bounded-stall contract: an arriving prompt costs the
+        running streams one chunk-step between two pool dispatches, never
+        its whole prefill. With the pool idle, admissions drain at full
+        speed. Queue pops are the only locked operations; prefill/implant
         device work runs unlocked (pool state is driver-thread-owned)."""
+        sliced = False  # one prefill slice per call while rows decode
         while True:
-            with self._lock:
-                if not self._queue:
-                    return
-                handle = self._queue[0]
+            if self._admitting is None:
+                with self._lock:
+                    if not self._queue:
+                        return
+                    handle = self._queue.popleft()  # driver thread only
+                try:
+                    self._begin_admission(handle)
+                except Exception as exc:  # surface encode/cache errors
+                    handle.error = exc
+                    handle._done.set()
+                    continue
+            adm = self._admitting
             try:
-                if not self._try_admit(handle):
-                    return
+                while not adm.complete:
+                    if sliced and self._active():
+                        return  # bounded stall: resume after the next step
+                    self._advance_admission()
+                    sliced = True
+                if not self._try_implant():
+                    return  # no slot/capacity yet; retry after steps
             except Exception as exc:  # surface prefill errors to the caller
-                handle.error = exc
-                handle._done.set()
-            with self._lock:
-                self._queue.popleft()  # only the driver thread pops
+                self._admitting = None
+                adm.handle.error = exc
+                adm.handle._done.set()
 
     def run_until_idle(self):
         """Drive the pool synchronously until queue and rows are empty.
@@ -546,9 +652,9 @@ class ContinuousEngine:
             self._admit_pending()
             if not self._active():
                 with self._lock:
-                    if not self._queue:
+                    if not self._queue and self._admitting is None:
                         return
-                # a queued request that cannot be admitted with every slot
+                # a request that cannot finish admission with every slot
                 # free would mean submit()'s capacity check is broken
                 raise RuntimeError("queued request cannot be admitted")
             self._step()
@@ -557,6 +663,10 @@ class ContinuousEngine:
         with self._lock:
             pending = list(self._queue)
             self._queue.clear()
+        adm, self._admitting = self._admitting, None
+        if adm is not None:
+            adm.handle.error = exc
+            adm.handle._done.set()
         for b in range(self.B):
             if self._rows[b] is not None:
                 handle = self._rows[b]
@@ -575,7 +685,11 @@ class ContinuousEngine:
                 with self._lock:
                     if self._stopping:
                         break
-                    if not self._queue and not self._active():
+                    if (
+                        not self._queue
+                        and not self._active()
+                        and self._admitting is None
+                    ):
                         self._lock.wait(timeout=0.1)
                         continue
                 self._admit_pending()

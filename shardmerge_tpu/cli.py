@@ -538,6 +538,14 @@ def generate_command(
     "request must fit)",
 )
 @click.option(
+    "--continuous-prefill-chunk",
+    type=click.IntRange(64, 4096),
+    default=None,
+    help="Admission prefill slice (tokens) for the continuous pool: an "
+    "arriving prompt stalls active decode by at most one slice between "
+    "pool steps (default: the engine's prompt chunk, 512)",
+)
+@click.option(
     "--warmup",
     is_flag=True,
     help="Compile the serving hot path (prefill + fused decode, batcher "
@@ -564,6 +572,7 @@ def serve_command(
     prefix_cache: int,
     continuous: int,
     continuous_cache_len: int,
+    continuous_prefill_chunk: Optional[int],
     warmup: bool,
     device: Optional[str],
 ):
@@ -596,6 +605,7 @@ def serve_command(
         prefix_cache=prefix_cache,
         continuous=continuous,
         continuous_cache_len=continuous_cache_len,
+        continuous_prefill_chunk=continuous_prefill_chunk,
         warmup=warmup,
     )
     click.echo(f"Serving {model_path} on http://{host}:{port} (Ctrl-C to stop)")

@@ -230,6 +230,7 @@ class ModelServer:
         continuous_slots: int = 0,
         continuous_cache_len: int = 2048,
         continuous_decode_chunk: int = 1,
+        continuous_prefill_chunk: Optional[int] = None,
     ):
         self.engine = engine
         self.model_id = model_id
@@ -263,6 +264,7 @@ class ModelServer:
                 cache_len=continuous_cache_len,
                 greedy=True,
                 decode_chunk=continuous_decode_chunk,
+                prefill_chunk=continuous_prefill_chunk,
                 # the pool's daemon thread dispatches device work; sharing
                 # the server's lock keeps it serialized against the
                 # lockstep/stream paths (one decode program on the device
@@ -831,6 +833,7 @@ def serve(
     continuous: int = 0,
     continuous_cache_len: int = 2048,
     continuous_decode_chunk: int = 1,
+    continuous_prefill_chunk: Optional[int] = None,
     warmup: bool = False,
 ) -> ModelServer:
     """Load a model and start the HTTP server (CLI entry). ``draft_model``
@@ -861,6 +864,7 @@ def serve(
         continuous_slots=continuous,
         continuous_cache_len=continuous_cache_len,
         continuous_decode_chunk=continuous_decode_chunk,
+        continuous_prefill_chunk=continuous_prefill_chunk,
     )
     if warmup:
         # compile the hot path BEFORE the port opens: on TPU hosts with a

@@ -50,10 +50,12 @@ def _solo(engine, prompt, n):
 
 
 def _drive(pool, steps):
-    """Admit anything pending, then run exactly ``steps`` decode chunks."""
+    """Admit anything pending, then run exactly ``steps`` decode chunks
+    (pumping chunked-admission slices between steps like the serve loop)."""
     pool._admit_pending()
     for _ in range(steps):
         pool._step()
+        pool._admit_pending()
 
 
 def test_continuous_matches_solo_greedy_staggered_join():
@@ -155,6 +157,90 @@ def test_continuous_decode_chunk_and_slot_reuse_threaded():
     assert pool.stats["joins"] == 5
     # chunked pool decode: every dispatch advances ALL rows 4 slots
     assert pool.stats["decode_dispatches"] <= 5 * 4  # far under 5*10 solo
+
+
+def test_chunked_admission_bounds_per_step_stall():
+    """An arriving LONG prompt must never stall the active streams for its
+    whole prefill: between any two pool decode dispatches at most ONE
+    admission prefill slice runs, and every stream stays token-exact."""
+    engine = _tiny_engine(seed=47, tokenizer=_NoEosTokenizer())
+    events = []
+    orig_prefill = engine._decode_step
+
+    def rec_prefill(*a, **k):
+        events.append("prefill")
+        return orig_prefill(*a, **k)
+
+    orig_fused = engine._fused_decode
+
+    def rec_decode(*a, **k):
+        events.append("decode")
+        return orig_fused(*a, **k)
+
+    engine._decode_step = rec_prefill
+    engine._fused_decode = rec_decode
+    pool = ContinuousEngine(
+        engine,
+        slots=2,
+        cache_len=1024,
+        greedy=True,
+        use_template=False,
+        prefill_chunk=64,
+    )
+    pa = "busy stream"
+    ha = pool.submit(pa, max_new_tokens=40)
+    _drive(pool, 5)  # A decodes alone
+    events.clear()
+    long_prompt = "y" * 300  # 300 tokens -> 320 padded -> 5 slices of 64
+    hb = pool.submit(long_prompt, max_new_tokens=8)
+    pool.run_until_idle()
+    engine._decode_step = orig_prefill
+    engine._fused_decode = orig_fused
+
+    # bounded stall: no window between two decode dispatches (or before
+    # the first) ever contains more than one prefill slice
+    window = 0
+    max_window = 0
+    for ev in events:
+        if ev == "prefill":
+            window += 1
+            max_window = max(max_window, window)
+        else:
+            window = 0
+    assert max_window <= 1, events
+    assert pool.stats["admission_chunks"] >= 5  # the slices really chunked
+    assert pool.stats["admission_chunk_ms_max"] > 0
+    # token-exactness of the stalled stream AND the admitted one
+    assert ha.result(0) == _solo(engine, pa, 40)
+    assert hb.result(0) == _solo(engine, long_prompt, 8)
+
+
+def test_chunked_admission_concurrent_arrivals_serialize_chunks():
+    """Two long prompts arriving together interleave their admission
+    slices with decode steps one at a time — neither freezes the pool —
+    and both match the solo path."""
+    engine = _tiny_engine(seed=53, tokenizer=_NoEosTokenizer())
+    pool = ContinuousEngine(
+        engine,
+        slots=3,
+        cache_len=1024,
+        greedy=True,
+        use_template=False,
+        prefill_chunk=64,
+    )
+    ha = pool.submit("anchor stream", max_new_tokens=60)
+    _drive(pool, 3)
+    p1, p2 = "u" * 200, "v" * 150
+    h1 = pool.submit(p1, max_new_tokens=6)
+    h2 = pool.submit(p2, max_new_tokens=6)
+    dispatches_before = pool.stats["decode_dispatches"]
+    pool.run_until_idle()
+    # the anchor kept decoding THROUGHOUT both admissions (more decode
+    # dispatches than the post-join tail alone would need)
+    assert pool.stats["decode_dispatches"] > dispatches_before + 6
+    assert ha.result(0) == _solo(engine, "anchor stream", 60)
+    assert h1.result(0) == _solo(engine, p1, 6)
+    assert h2.result(0) == _solo(engine, p2, 6)
 
 
 def test_continuous_per_request_sampling_params():
