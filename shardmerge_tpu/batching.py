@@ -41,6 +41,16 @@ Design (all shapes static — nothing ever recompiles after warmup):
   longest live row. A row's live length is bounded by its prompt + budget
   (enforced at submit), so compaction always makes progress.
 
+- With a draft model loaded (``engine.draft_cfg``), the pool decodes
+  SPECULATIVELY: each dispatch is one pooled round (k−1 draft proposals
+  per row + one target verify over all k positions, all rows fused — see
+  :func:`_make_pool_spec_round`), so up to k tokens per row ride a single
+  device call. Rows accept different prefix lengths; both caches burn a
+  fixed k slots per round at shared frontiers and each row's rejected
+  slots are masked invalid — the same machinery as join gaps. Greedy
+  output is token-identical to the solo stream paths (speculative and
+  plain greedy), up to the documented (B,k)-vs-(1,1) rounding near-ties.
+
 Sampling is per-request for temperature / top_p / repetition_penalty
 (they ride as (B, 1) arrays straight into the fused step's sample body);
 ``top_k`` and ``greedy`` are compiled static, so they are pool-level
@@ -78,7 +88,7 @@ from .inference import (
     _KV_SEQ_AXIS,
     InferenceEngine,
 )
-from .models.llama import rope_tables
+from .models.llama import forward, init_kv_cache, rope_tables
 
 logger = logging.getLogger(__name__)
 
@@ -130,6 +140,8 @@ class _Admission:
     next_c0: int  # first unprefilled slot (prefix-cache hits skip ahead)
     row_logits: object = None  # (1, V) logits at Lp-1 once prefilled
     complete: bool = False
+    d_kv1: object = None  # spec mode: draft batch-1 prefill cache
+    d_next_c0: int = 0  # spec mode: draft prefill progress
 
 
 def _seq_index(idx, leaf_key, ndim):
@@ -182,6 +194,171 @@ def _implant_row(kv, slab, last, row_logits, gen_mask, key_pos, b):
     return out, last, gen_mask, key_pos
 
 
+@partial(jax.jit, donate_argnums=(0, 2))
+def _implant_draft_row(kv, slab, key_pos, b):
+    """Install a prefilled draft cache into draft-pool row ``b``."""
+    out = {}
+    slab_len = None
+    for k, v in kv.items():
+        start = [0] * v.ndim
+        start[1] = b
+        out[k] = jax.lax.dynamic_update_slice(v, slab[k], tuple(start))
+        slab_len = slab[k].shape[_KV_SEQ_AXIS[k]]
+    key_pos = jax.lax.dynamic_update_slice(
+        key_pos, jnp.arange(slab_len, dtype=jnp.int32)[None, :], (b, 0)
+    )
+    return out, key_pos
+
+
+def _make_pool_spec_round(cfg, draft_cfg, B: int, k: int):
+    """One POOLED speculative round as a single dispatch.
+
+    The pooled generalization of inference._make_spec_round: every live
+    row proposes k−1 draft continuations of its pending token and the
+    target verifies all k speculative positions — for all B rows — in one
+    fused program. Rows accept different prefix lengths, so both caches
+    burn a fixed k slots per round at SHARED frontiers (t target, t_d
+    draft) and the host masks each row's rejected slots invalid
+    afterwards (``token_valid``) — the same gap machinery that makes
+    joins and frontier jumps exact. Per-slot true positions ride the
+    ``key_positions`` maps, stamped in-jit for the round's slot ranges.
+
+    The draft catch-up (a row whose whole proposal block was accepted
+    lags one true token) runs unconditionally for every row at draft slot
+    t_d with the row's ``catch_tok``; rows that do not lag have that slot
+    pre-masked invalid by the caller, so the write is inert. Last round's
+    emitted tokens fold into the repetition-penalty history
+    (``gen_mask``) at round start from (prev_fed, prev_m) — the pending
+    token itself rides each round's cumulative fed masks, exactly as the
+    solo path's mask_pre | {x1}.
+
+    Returns ``(B, 2k−1)`` packed [proposals | verify argmaxes] so the
+    host pays one dispatch + one fetch per round.
+    """
+    V = cfg.vocab_size
+
+    def spec_round(
+        t_params,
+        d_params,
+        kv,  # pooled target cache
+        d_kv,  # pooled draft cache
+        rope,
+        d_rope,
+        gen_mask,  # (B, V) bool penalty history (donated)
+        prev_fed,  # (B, k) int32 last round's fed tokens
+        prev_m,  # (B, 1) int32 accepted count last round (−1: none)
+        x1,  # (B,) int32 pending tokens
+        catch_tok,  # (B,) int32 draft catch-up tokens
+        pos_x1,  # (B, 1) int32 pending token positions
+        rp,  # (B, 1) f32 repetition penalties
+        t,  # int32 target frontier
+        t_d,  # int32 draft frontier
+        valid,  # (B, S) bool target slot validity
+        valid_d,  # (B, S) bool draft slot validity
+        kp,  # (B, S) int32 target slot→position map (donated)
+        kp_d,  # (B, S) int32 draft slot→position map (donated)
+    ):
+        # 0. fold last round's emissions into the penalty history
+        fold = jnp.arange(k, dtype=jnp.int32)[None, :] <= prev_m  # (B, k)
+        emitted = jnp.any(
+            jax.nn.one_hot(prev_fed, V, dtype=bool) & fold[:, :, None],
+            axis=1,
+        )
+        gen_mask = gen_mask | emitted
+
+        # stamp this round's slot→position maps up front; invalid slots'
+        # entries are never read
+        steps = jnp.arange(k, dtype=jnp.int32)[None, :]
+        kp = jax.lax.dynamic_update_slice(kp, pos_x1 + steps, (0, t))
+        kp_d = jax.lax.dynamic_update_slice(
+            kp_d,
+            jnp.concatenate([pos_x1 - 1, pos_x1 + steps[:, : k - 1]], axis=1),
+            (0, t_d),
+        )
+
+        # 1. draft catch-up: one forward for EVERY row (static shape);
+        # valid_d[b, t_d] is False for rows that do not lag, making the
+        # junk write inert
+        _, d_kv = forward(
+            d_params,
+            draft_cfg,
+            input_ids=catch_tok[:, None],
+            positions=pos_x1 - 1,
+            kv_cache=d_kv,
+            cache_pos=t_d,
+            rope=d_rope,
+            attn_len=t_d + k,
+            mask_positions=jnp.full((B, 1), 0, jnp.int32) + t_d,
+            token_valid=valid_d,
+            key_positions=kp_d,
+        )
+
+        # 2. k−1 chained draft proposals continuing each row's x1
+        rows = jnp.arange(B)
+        base_mask = gen_mask.at[rows, x1].set(True)
+
+        def prop(carry, i):
+            dk, prev, mask = carry
+            logits, dk = forward(
+                d_params,
+                draft_cfg,
+                input_ids=prev[:, None],
+                positions=pos_x1 + i,
+                kv_cache=dk,
+                cache_pos=t_d + 1 + i,
+                rope=d_rope,
+                attn_len=t_d + k,
+                mask_positions=jnp.full((B, 1), 0, jnp.int32) + t_d + 1 + i,
+                token_valid=valid_d,
+                key_positions=kp_d,
+            )
+            lg = logits[:, -1]
+            pen = jnp.where(lg > 0, lg / rp, lg * rp)
+            tok = jnp.argmax(jnp.where(mask, pen, lg), axis=-1).astype(
+                jnp.int32
+            )
+            mask = mask.at[rows, tok].set(True)
+            return (dk, tok, mask), tok
+
+        (d_kv, _, _), props = jax.lax.scan(
+            prop, (d_kv, x1, base_mask), jnp.arange(k - 1, dtype=jnp.int32)
+        )
+        props = props.T  # (B, k−1)
+
+        # 3. target verify over all k speculative positions, all rows
+        fed = jnp.concatenate([x1[:, None], props], axis=1)  # (B, k)
+        v_logits, kv = forward(
+            t_params,
+            cfg,
+            input_ids=fed,
+            positions=pos_x1 + steps,
+            kv_cache=kv,
+            cache_pos=t,
+            rope=rope,
+            attn_len=t + k,
+            mask_positions=jnp.broadcast_to(steps + t, (B, k)),
+            token_valid=valid,
+            key_positions=kp,
+        )
+        # 4. per-position greedy re-derivation: position i's penalty mask
+        # assumes fed[0..i] were emitted — the only case its result is
+        # consumed (see inference._greedy_verify)
+        fed_mask = (
+            jnp.cumsum(jax.nn.one_hot(fed, V, dtype=jnp.int32), axis=1) > 0
+        )
+        vmask = gen_mask[:, None, :] | fed_mask
+        rp3 = rp[:, :, None]
+        pen = jnp.where(v_logits > 0, v_logits / rp3, v_logits * rp3)
+        y = jnp.argmax(jnp.where(vmask, pen, v_logits), axis=-1).astype(
+            jnp.int32
+        )  # (B, k)
+
+        packed = jnp.concatenate([props, y], axis=1)  # (B, 2k−1)
+        return packed, gen_mask, kv, d_kv, kp, kp_d
+
+    return jax.jit(spec_round, donate_argnums=(2, 3, 6, 17, 18))
+
+
 class ContinuousEngine:
     """A continuously-batched decode pool over an :class:`InferenceEngine`.
 
@@ -217,10 +394,17 @@ class ContinuousEngine:
     ):
         if slots < 1:
             raise ValueError("continuous batching needs at least one slot")
-        if engine.draft_cfg is not None:
+        self.spec = engine.draft_cfg is not None
+        if self.spec and not greedy:
             raise ValueError(
-                "speculative decoding drives its own dispatch cadence; "
-                "use it on the stream path, not the continuous pool"
+                "the speculative pool verifies against target-greedy "
+                "tokens; construct the pool with greedy=True (sampled "
+                "requests bypass the pool anyway)"
+            )
+        if self.spec and decode_chunk != 1:
+            raise ValueError(
+                "speculative rounds amortize dispatches their own way "
+                "(k tokens per round); decode_chunk must be 1"
             )
         self.engine = engine
         # admission prefill slice size (tokens): the bound on how long an
@@ -266,6 +450,36 @@ class ContinuousEngine:
         self._pos_next = np.zeros(self.B, np.int64)  # next seq position
         self._budget_left = np.zeros(self.B, np.int64)
 
+        # speculative pool state: a pooled draft cache mirrors the target
+        # pool's slot discipline with its own frontier / validity / slot→
+        # position map, plus per-row pending-token bookkeeping
+        if self.spec:
+            self.k = engine.speculation_k
+            d_embed = engine.draft_params["embed_tokens"]
+            d_dtype = (
+                jnp.bfloat16 if isinstance(d_embed, dict) else d_embed.dtype
+            )
+            self._d_kv = init_kv_cache(
+                engine.draft_cfg, self.B, self.cache_len, d_dtype
+            )
+            self._d_rope = rope_tables(engine.draft_cfg, self.cache_len)
+            self._kp_d = jnp.zeros((self.B, self.cache_len), jnp.int32)
+            self._valid_d = np.zeros((self.B, self.cache_len), bool)
+            self._valid_d_dev = jnp.asarray(self._valid_d)
+            self._valid_d_dirty = False
+            self._t_d = 0  # draft frontier
+            self._x1 = np.zeros(self.B, np.int64)  # pending tokens
+            self._pos_x1 = np.ones(self.B, np.int64)  # their positions
+            self._catch_tok = np.zeros(self.B, np.int64)
+            self._lag = np.zeros(self.B, bool)
+            self._prev_fed = np.zeros((self.B, self.k), np.int32)
+            self._prev_m = np.full(self.B, -1, np.int32)
+            self._spec_round_fn = engine._weight_trace(
+                _make_pool_spec_round(
+                    self.cfg, engine.draft_cfg, self.B, self.k
+                )
+            )
+
         # the lock guards ONLY the queue and lifecycle flags; pool/device
         # state belongs to the single driving thread
         self._queue: deque = deque()
@@ -285,6 +499,9 @@ class ContinuousEngine:
             "admission_chunks": 0,  # prefill slices run between pool steps
             "admission_chunk_ms_max": 0.0,  # worst single-slice stall
         }
+        if self.spec:
+            self.stats["spec_rounds"] = 0
+            self.stats["spec_accepted"] = 0  # draft tokens target-approved
 
     def _dev(self):
         return self._device_lock or contextlib.nullcontext()
@@ -308,6 +525,15 @@ class ContinuousEngine:
     def _budget(self, max_new_tokens: int) -> int:
         return -(-max_new_tokens // self.S) * self.S
 
+    def _capacity_need(self, n_ids: int, max_new_tokens: int) -> int:
+        """Cache slots a request may consume before compaction reclaims
+        it to its live length: prompt + decode budget (decode pool) or
+        prompt + budget + k verify headroom (speculative pool, whose
+        rounds always write k slots past the live frontier)."""
+        if self.spec:
+            return n_ids + max_new_tokens + self.k
+        return n_ids + self._budget(max_new_tokens)
+
     def fits(
         self,
         prompt: str,
@@ -324,7 +550,7 @@ class ContinuousEngine:
         ids = self._encode(
             prompt, use_template, system_prompt, previous_messages
         )
-        return 0 < len(ids) + self._budget(max_new_tokens) <= self.cache_len
+        return 0 < self._capacity_need(len(ids), max_new_tokens) <= self.cache_len
 
     def submit(
         self,
@@ -342,7 +568,7 @@ class ContinuousEngine:
         )
         if not ids:
             raise ValueError("empty prompt after encoding")
-        if len(ids) + self._budget(max_new_tokens) > self.cache_len:
+        if self._capacity_need(len(ids), max_new_tokens) > self.cache_len:
             raise ValueError(
                 f"prompt ({len(ids)} tokens) + budget exceeds the pool "
                 f"cache ({self.cache_len}); raise cache_len or shorten"
@@ -375,18 +601,23 @@ class ContinuousEngine:
                 return b
         return None
 
-    def _compact(self):
-        """Drop dead slots from every row; rebase the frontier."""
+    def _live_index(self, valid: np.ndarray, t: int):
+        """Per-row gather indices packing live slots to the front."""
         idx = np.zeros((self.B, self.cache_len), np.int32)
         live_len = np.zeros(self.B, np.int64)
         new_t = 0
         for b in range(self.B):
             if self._rows[b] is None:
                 continue
-            live = np.nonzero(self._valid[b, : self._t])[0]
+            live = np.nonzero(valid[b, :t])[0]
             idx[b, : len(live)] = live
             live_len[b] = len(live)
             new_t = max(new_t, len(live))
+        return idx, live_len, new_t
+
+    def _compact(self):
+        """Drop dead slots from every row; rebase the frontier."""
+        idx, live_len, new_t = self._live_index(self._valid, self._t)
         self._kv, self._kp = _compact_pool(
             self._kv, self._kp, jnp.asarray(idx)
         )
@@ -403,6 +634,22 @@ class ContinuousEngine:
         self._valid_dirty = True
         self.stats["compactions"] += 1
 
+    def _compact_draft(self):
+        """Spec mode: compact the pooled draft cache (same discipline)."""
+        idx, live_len, new_t = self._live_index(self._valid_d, self._t_d)
+        self._d_kv, self._kp_d = _compact_pool(
+            self._d_kv, self._kp_d, jnp.asarray(idx)
+        )
+        self._t_d = new_t
+        self._valid_d[:] = False
+        for b in range(self.B):
+            if self._rows[b] is None:
+                continue
+            self._valid_d[b, : int(live_len[b])] = True
+            self._valid_d[b, new_t:] = True
+        self._valid_d_dirty = True
+        self.stats["compactions"] += 1
+
     def _jump_frontier(self, to: int):
         """Advance the global frontier; other rows mask the skipped span."""
         jump = to - self._t
@@ -415,6 +662,16 @@ class ContinuousEngine:
         self._valid_dirty = True
         self.stats["frontier_jumps"] += 1
 
+    def _jump_frontier_d(self, to: int):
+        """Spec mode: advance the draft frontier past a joining prompt."""
+        assert to > self._t_d
+        for b in range(self.B):
+            if self._rows[b] is not None:
+                self._valid_d[b, self._t_d : to] = False
+        self._t_d = to
+        self._valid_d_dirty = True
+        self.stats["frontier_jumps"] += 1
+
     def _begin_admission(self, handle: Completion) -> None:
         """Open the off-pool batch-1 prefill for the next queued request."""
         engine = self.engine
@@ -424,11 +681,25 @@ class ContinuousEngine:
             -(-Lp // _CACHE_BUCKET) * _CACHE_BUCKET, self.cache_len
         )
         pids, ppos = engine._pad_prompt(ids, pcache)
+        d_kv1 = None
+        d_hit = 0
         with self._dev():
             kv1 = engine._init_kv(1, pcache)
             hit = 0
             if engine.prefix_cache_slots > 0:
                 hit, kv1 = engine._prefix_lookup(ids, Lp, kv1)
+            if self.spec:
+                d_embed = engine.draft_params["embed_tokens"]
+                d_dtype = (
+                    jnp.bfloat16
+                    if isinstance(d_embed, dict)
+                    else d_embed.dtype
+                )
+                d_kv1 = init_kv_cache(engine.draft_cfg, 1, pcache, d_dtype)
+                if engine.prefix_cache_slots > 0:
+                    d_hit, d_kv1 = engine._prefix_lookup(
+                        ids, Lp, d_kv1, "d"
+                    )
         self._admitting = _Admission(
             handle=handle,
             ids=ids,
@@ -438,6 +709,8 @@ class ContinuousEngine:
             ppos=ppos,
             kv1=kv1,
             next_c0=hit,
+            d_kv1=d_kv1,
+            d_next_c0=d_hit,
         )
 
     def _advance_admission(self) -> None:
@@ -453,35 +726,58 @@ class ContinuousEngine:
         adm = self._admitting
         engine = self.engine
         L = adm.pids.shape[1]
-        c0 = adm.next_c0
-        c1 = min(c0 + self.prefill_chunk, L)
-        keep = adm.Lp - 1
+        target_done = adm.next_c0 >= L
         t0 = time.monotonic()
-        with self._dev():
-            logits, adm.kv1 = engine._decode_step(
-                engine.params,
-                input_ids=adm.pids[:, c0:c1],
-                positions=adm.ppos[:, c0:c1],
-                kv_cache=adm.kv1,
-                cache_pos=c0,
-                rope=self._rope,
-                attn_len=min(c1, adm.Lp),
-            )
-            if c0 <= keep < c1:
-                adm.row_logits = logits[:, keep - c0, :]
-                jax.block_until_ready(adm.row_logits)
-            else:
+        if not target_done:
+            c0 = adm.next_c0
+            c1 = min(c0 + self.prefill_chunk, L)
+            keep = adm.Lp - 1
+            with self._dev():
+                logits, adm.kv1 = engine._decode_step(
+                    engine.params,
+                    input_ids=adm.pids[:, c0:c1],
+                    positions=adm.ppos[:, c0:c1],
+                    kv_cache=adm.kv1,
+                    cache_pos=c0,
+                    rope=self._rope,
+                    attn_len=min(c1, adm.Lp),
+                )
+                if c0 <= keep < c1:
+                    adm.row_logits = logits[:, keep - c0, :]
+                    jax.block_until_ready(adm.row_logits)
+                else:
+                    jax.block_until_ready(logits)
+            adm.next_c0 = c1
+            target_done = c1 >= L
+            if target_done and engine.prefix_cache_slots > 0:
+                with self._dev():
+                    engine._prefix_store(adm.ids, adm.Lp, adm.kv1)
+        else:
+            # spec mode: the draft's prefill runs in its own slices after
+            # the target's (one model's slice per call keeps the bound)
+            c0 = adm.d_next_c0
+            c1 = min(c0 + self.prefill_chunk, L)
+            with self._dev():
+                logits, adm.d_kv1 = engine._draft_decode(
+                    engine.draft_params,
+                    input_ids=adm.pids[:, c0:c1],
+                    positions=adm.ppos[:, c0:c1],
+                    kv_cache=adm.d_kv1,
+                    cache_pos=c0,
+                    rope=self._d_rope,
+                    attn_len=min(c1, adm.Lp),
+                )
                 jax.block_until_ready(logits)
+            adm.d_next_c0 = c1
+            if c1 >= L and engine.prefix_cache_slots > 0:
+                with self._dev():
+                    engine._prefix_store(adm.ids, adm.Lp, adm.d_kv1, "d")
         ms = (time.monotonic() - t0) * 1e3
         self.stats["admission_chunks"] += 1
         if ms > self.stats["admission_chunk_ms_max"]:
             self.stats["admission_chunk_ms_max"] = round(ms, 3)
-        adm.next_c0 = c1
-        if c1 >= L:
+        if target_done and (not self.spec or adm.d_next_c0 >= L):
             adm.complete = True
-            if engine.prefix_cache_slots > 0:
-                with self._dev():
-                    engine._prefix_store(adm.ids, adm.Lp, adm.kv1)
 
     def _try_implant(self) -> bool:
         """Install the completed admission into a free row; False when the
@@ -491,15 +787,29 @@ class ContinuousEngine:
         if b is None:
             return False
         Lp, budget = adm.Lp, adm.budget
+        # headroom this join must find NOW: the decode budget (decode
+        # pool) or one verify block (spec pool, which compacts as rounds
+        # exhaust the cache)
+        head = self.k if self.spec else budget
         t_join = max(self._t, Lp)
-        if t_join + budget > self.cache_len:
+        if t_join + head > self.cache_len:
             with self._dev():
                 self._compact()
             t_join = max(self._t, Lp)
-            if t_join + budget > self.cache_len:
+            if t_join + head > self.cache_len:
                 return False  # genuinely full: wait for a row to finish
+        if self.spec:
+            td_join = max(self._t_d, Lp)
+            if td_join + self.k > self.cache_len:
+                with self._dev():
+                    self._compact_draft()
+                td_join = max(self._t_d, Lp)
+                if td_join + self.k > self.cache_len:
+                    return False
         if t_join > self._t:
             self._jump_frontier(t_join)
+        if self.spec and td_join > self._t_d:
+            self._jump_frontier_d(td_join)
 
         handle = adm.handle
         with self._dev():
@@ -512,6 +822,10 @@ class ContinuousEngine:
                 self._kp,
                 jnp.int32(b),
             )
+            if self.spec:
+                self._d_kv, self._kp_d = _implant_draft_row(
+                    self._d_kv, adm.d_kv1, self._kp_d, jnp.int32(b)
+                )
         self._rows[b] = handle
         self._valid[b, :] = True
         self._valid[b, Lp : self._t] = False  # the join gap
@@ -526,6 +840,25 @@ class ContinuousEngine:
         handle.joined_at = time.monotonic()
         self.stats["joins"] += 1
         self._admitting = None
+        if self.spec:
+            self._valid_d[b, :] = True
+            self._valid_d[b, Lp : self._t_d] = False
+            self._valid_d_dirty = True
+            self._prev_m[b] = -1
+            self._lag[b] = False
+            self._catch_tok[b] = 0
+            self._pos_x1[b] = Lp
+            # the first pending token: target-greedy over the prompt
+            # logits (empty penalty history — a plain argmax, matching
+            # the solo spec path's x1 seed)
+            x1 = int(jnp.argmax(adm.row_logits))
+            self._x1[b] = x1
+            if x1 in self._eos:
+                self._finish(b, "stop")
+            else:
+                handle.token_ids.append(x1)
+                if len(handle.token_ids) >= handle.max_new_tokens:
+                    self._finish(b, "length")
         return True
 
     def _finish(self, b: int, reason: str):
@@ -533,6 +866,14 @@ class ContinuousEngine:
         self._rows[b] = None
         self._valid[b, :] = False
         self._valid_dirty = True
+        if self.spec:
+            self._valid_d[b, :] = False
+            self._valid_d_dirty = True
+            self._prev_m[b] = -1
+            self._x1[b] = 0
+            self._catch_tok[b] = 0
+            self._lag[b] = False
+            self._pos_x1[b] = 1  # keep catch-up positions non-negative
         handle.finish_reason = reason
         handle.text = self.engine.tokenizer.decode(
             handle.token_ids, skip_special_tokens=True
@@ -544,7 +885,10 @@ class ContinuousEngine:
     # -- decode -------------------------------------------------------------
 
     def _step(self):
-        """One fused dispatch: every row advances S slots."""
+        """One fused dispatch: every row advances S slots (decode pool)
+        or one speculative round of up to k tokens (spec pool)."""
+        if self.spec:
+            return self._step_spec()
         t, S = self._t, self.S
         if t + S > self.cache_len:
             with self._dev():
@@ -602,6 +946,114 @@ class ContinuousEngine:
                 or self._budget_left[b] <= 0
             ):
                 self._finish(b, "length")
+
+    def _step_spec(self):
+        """One pooled speculative round: every live row advances by its
+        own accepted prefix (1..k tokens); both caches burn k slots at
+        the shared frontiers and rejected slots go invalid."""
+        k = self.k
+        if self._t + k > self.cache_len:
+            with self._dev():
+                self._compact()
+        if self._t_d + k > self.cache_len:
+            with self._dev():
+                self._compact_draft()
+        if self._t + k > self.cache_len or self._t_d + k > self.cache_len:
+            raise RuntimeError("pool cache exhausted beyond compaction")
+        t, t_d = self._t, self._t_d
+        # the catch-up slot is live only for rows whose whole proposal
+        # block was accepted last round
+        for b in range(self.B):
+            if self._rows[b] is not None:
+                self._valid_d[b, t_d] = bool(self._lag[b])
+        self._valid_d_dirty = True
+        if self._valid_dirty:
+            self._valid_dev = jnp.asarray(self._valid)
+            self._valid_dirty = False
+        if self._valid_d_dirty:
+            self._valid_d_dev = jnp.asarray(self._valid_d)
+            self._valid_d_dirty = False
+
+        engine = self.engine
+        with self._dev():
+            (
+                packed,
+                self._gen_mask,
+                self._kv,
+                self._d_kv,
+                self._kp,
+                self._kp_d,
+            ) = self._spec_round_fn(
+                engine.params,
+                engine.draft_params,
+                self._kv,
+                self._d_kv,
+                self._rope,
+                self._d_rope,
+                self._gen_mask,
+                jnp.asarray(self._prev_fed),
+                jnp.asarray(self._prev_m[:, None]),
+                jnp.asarray(self._x1.astype(np.int32)),
+                jnp.asarray(self._catch_tok.astype(np.int32)),
+                jnp.asarray(self._pos_x1[:, None].astype(np.int32)),
+                jnp.asarray(self._rep[:, None]),
+                jnp.int32(t),
+                jnp.int32(t_d),
+                self._valid_dev,
+                self._valid_d_dev,
+                self._kp,
+                self._kp_d,
+            )
+            arr = np.asarray(packed)  # (B, 2k−1) — the per-round fetch
+        self._t = t + k
+        self._t_d = t_d + k
+        self.stats["decode_dispatches"] += 1
+        self.stats["spec_rounds"] += 1
+
+        for b in range(self.B):
+            row = self._rows[b]
+            if row is None:
+                self._prev_m[b] = -1
+                continue
+            props = arr[b, : k - 1]
+            y = arr[b, k - 1 :]
+            fed = [int(self._x1[b])] + [int(v) for v in props]
+            m = 0
+            while m < k - 1 and int(y[m]) == fed[m + 1]:
+                m += 1
+            self.stats["spec_accepted"] += m
+            # target slots [t, t+m] hold x1 + accepted drafts; the rest
+            # of the block was rejected speculation
+            self._valid[b, t + m + 1 : t + k] = False
+            # draft: slots t_d+1+i consumed [x1, d1..d_{k-2}][i] — live
+            # up through the accepted prefix; the catch-up slot keeps the
+            # validity set before the round
+            self._valid_d[b, t_d + 2 + min(m, k - 2) : t_d + k] = False
+            # emit: accepted drafts, then the new pending (target argmax
+            # at the first mismatch) — the solo path's emission order
+            finished = False
+            for tok in fed[1 : m + 1] + [int(y[m])]:
+                if tok in self._eos:
+                    self._finish(b, "stop")
+                    finished = True
+                    break
+                row.token_ids.append(tok)
+                if len(row.token_ids) >= row.max_new_tokens:
+                    self._finish(b, "length")
+                    finished = True
+                    break
+            if finished:
+                continue
+            self._x1[b] = int(y[m])
+            self._pos_x1[b] += m + 1
+            self._pos_next[b] = self._pos_x1[b]
+            full = m == k - 1
+            self._lag[b] = full
+            self._catch_tok[b] = int(props[k - 2]) if full else 0
+            self._prev_fed[b] = np.asarray(fed, np.int32)
+            self._prev_m[b] = m
+        self._valid_dirty = True
+        self._valid_d_dirty = True
 
     # -- driving ------------------------------------------------------------
 

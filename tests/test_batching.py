@@ -243,6 +243,143 @@ def test_chunked_admission_concurrent_arrivals_serialize_chunks():
     assert h2.result(0) == _solo(engine, p2, 6)
 
 
+def _spec_pool_engines(seed_t=61, seed_d=62, same_draft=False, **cfg_kw):
+    """(spec engine, plain engine sharing the target params)."""
+    defaults = dict(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=2048,
+    )
+    defaults.update(cfg_kw)
+    cfg = ModelConfig(**defaults)
+    params = init_params(cfg, jax.random.PRNGKey(seed_t), jnp.float32)
+    d_params = (
+        params
+        if same_draft
+        else init_params(cfg, jax.random.PRNGKey(seed_d), jnp.float32)
+    )
+    tok = StubTokenizer()
+    spec = InferenceEngine(
+        cfg, params, tok, draft=(cfg, d_params), speculation_k=4
+    )
+    plain = InferenceEngine(cfg, params, tok)
+    return spec, plain
+
+
+def test_spec_pool_matches_plain_greedy_staggered_joins():
+    """Speculative pool output must be token-identical to plain greedy
+    solo decoding — through staggered joins, frontier jumps, and mostly-
+    rejected drafts (an independently-initialized draft disagrees with
+    the target almost everywhere, exercising the rejection path)."""
+    spec, plain = _spec_pool_engines()
+    pool = ContinuousEngine(
+        spec, slots=3, cache_len=512, greedy=True, use_template=False
+    )
+    assert pool.spec
+    pa, pb, pc = "spec pool row", "x", "a much longer late joining prompt"
+    ha = pool.submit(pa, max_new_tokens=24)
+    _drive(pool, 4)
+    hb = pool.submit(pb, max_new_tokens=12)
+    _drive(pool, 2)
+    hc = pool.submit(pc, max_new_tokens=6)
+    pool.run_until_idle()
+
+    assert ha.result(0) == _solo(plain, pa, 24)
+    assert hb.result(0) == _solo(plain, pb, 12)
+    assert hc.result(0) == _solo(plain, pc, 6)
+    assert pool.stats["spec_rounds"] > 0
+
+
+def test_spec_pool_amortizes_dispatches_on_agreeing_draft():
+    """With the draft sharing the target's weights every proposal is
+    accepted: n tokens cost ~n/k rounds (the dispatch win), and the
+    output still matches plain greedy."""
+    spec, plain = _spec_pool_engines(seed_t=67, same_draft=True)
+    k = spec.speculation_k
+    pool = ContinuousEngine(
+        spec, slots=2, cache_len=512, greedy=True, use_template=False
+    )
+    n = 24
+    h = pool.submit("agreeing draft", max_new_tokens=n)
+    pool.run_until_idle()
+    assert h.result(0) == _solo(plain, "agreeing draft", n)
+    # 1 token at implant + up to k per round; allow one slack round for
+    # the final partial block
+    assert pool.stats["spec_rounds"] <= -(-(n - 1) // k) + 1
+    assert pool.stats["spec_accepted"] >= n - pool.stats["spec_rounds"] - 1
+
+
+def test_spec_pool_compaction_and_slot_reuse():
+    """Rounds burn k slots per round, so small caches compact BOTH pools;
+    rows finishing free slots for queued requests — all token-exact."""
+    spec, plain = _spec_pool_engines(seed_t=71, seed_d=72)
+    spec.tokenizer = _NoEosTokenizer()
+    plain.tokenizer = spec.tokenizer
+    pool = ContinuousEngine(
+        spec, slots=2, cache_len=256, greedy=True, use_template=False
+    )
+    prompts = [f"spec req {i}" for i in range(4)]
+    handles = [pool.submit(p, max_new_tokens=60) for p in prompts]
+    pool.run_until_idle()
+    assert pool.stats["compactions"] >= 1
+    for p, h in zip(prompts, handles):
+        assert h.result(0) == _solo(plain, p, 60)
+
+
+def test_spec_pool_rejects_non_greedy_and_decode_chunk():
+    spec, _ = _spec_pool_engines(seed_t=73)
+    with pytest.raises(ValueError, match="greedy"):
+        ContinuousEngine(spec, slots=2, greedy=False)
+    with pytest.raises(ValueError, match="decode_chunk"):
+        ContinuousEngine(spec, slots=2, greedy=True, decode_chunk=4)
+
+
+def test_model_server_speculative_pool():
+    """--draft-model and --continuous compose: greedy HTTP requests ride
+    the SPECULATIVE pool (previously a hard refusal) and match the plain
+    greedy solo path."""
+    import json as _json
+    import urllib.request
+    from concurrent.futures import ThreadPoolExecutor
+
+    from shardmerge_tpu.serve import ModelServer
+
+    spec, plain = _spec_pool_engines(seed_t=79, seed_d=80)
+    server = ModelServer(
+        spec, model_id="specpool", continuous_slots=2,
+        continuous_cache_len=256,
+    )
+    assert server.pool is not None and server.pool.spec
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}/v1/completions"
+
+    def call(p):
+        req = urllib.request.Request(
+            base,
+            data=_json.dumps(
+                {"prompt": p, "greedy": True, "max_tokens": 10}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return _json.loads(r.read())
+
+    try:
+        prompts = ["first spec", "second"]
+        with ThreadPoolExecutor(2) as ex:
+            results = list(ex.map(call, prompts))
+        for p, res in zip(prompts, results):
+            assert res["choices"][0]["text"] == _solo(plain, p, 10)
+        assert server.pool.stats["joins"] == 2
+        assert server.pool.stats["spec_rounds"] > 0
+    finally:
+        server.stop()
+
+
 def test_continuous_per_request_sampling_params():
     engine = _tiny_engine(seed=13)
     pool = ContinuousEngine(
