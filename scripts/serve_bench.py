@@ -395,6 +395,9 @@ def continuous_ab(engine, n_requests=8, long_budget=96, short_budget=8):
         "compactions": pool.stats["compactions"],
         "frontier_jumps": pool.stats["frontier_jumps"],
         "tokens_out": pool.stats["tokens_out"],
+        # per-request TTFT/TPOT + queue-wait + admission-stall percentiles
+        # (the production-shape observability the /v1/stats endpoint serves)
+        "latency": pool.metrics(),
     }
     return out
 

@@ -109,9 +109,11 @@ class Completion:
     text: Optional[str] = None
     finish_reason: Optional[str] = None
     error: Optional[Exception] = None
-    # serving metrics (time.monotonic): set at submit / join / finish
+    # serving metrics (time.monotonic): set at submit / join / first
+    # emitted token / finish
     submitted_at: Optional[float] = None
     joined_at: Optional[float] = None
+    first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
 
     def result(self, timeout: Optional[float] = None) -> str:
@@ -502,6 +504,14 @@ class ContinuousEngine:
         if self.spec:
             self.stats["spec_rounds"] = 0
             self.stats["spec_accepted"] = 0  # draft tokens target-approved
+        # latency accumulators for production observability (bounded so a
+        # long-lived pool never grows them): per-request TTFT (submit →
+        # first token), TPOT (mean inter-token time after the first),
+        # queue wait (submit → join), and per-admission-slice stalls
+        self._ttft_ms: deque = deque(maxlen=1024)
+        self._tpot_ms: deque = deque(maxlen=1024)
+        self._wait_ms: deque = deque(maxlen=1024)
+        self._admission_ms: deque = deque(maxlen=1024)
 
     def _dev(self):
         return self._device_lock or contextlib.nullcontext()
@@ -774,6 +784,7 @@ class ContinuousEngine:
                     engine._prefix_store(adm.ids, adm.Lp, adm.d_kv1, "d")
         ms = (time.monotonic() - t0) * 1e3
         self.stats["admission_chunks"] += 1
+        self._admission_ms.append(ms)
         if ms > self.stats["admission_chunk_ms_max"]:
             self.stats["admission_chunk_ms_max"] = round(ms, 3)
         if target_done and (not self.spec or adm.d_next_c0 >= L):
@@ -853,6 +864,7 @@ class ContinuousEngine:
             # the solo spec path's x1 seed)
             x1 = int(jnp.argmax(adm.row_logits))
             self._x1[b] = x1
+            handle.first_token_at = time.monotonic()
             if x1 in self._eos:
                 self._finish(b, "stop")
             else:
@@ -880,6 +892,21 @@ class ContinuousEngine:
         )
         self.stats["tokens_out"] += len(handle.token_ids)
         handle.finished_at = time.monotonic()
+        # latency accounting (bounded deques; see metrics())
+        if handle.submitted_at is not None:
+            if handle.joined_at is not None:
+                self._wait_ms.append(
+                    (handle.joined_at - handle.submitted_at) * 1e3
+                )
+            ft = handle.first_token_at or handle.finished_at
+            self._ttft_ms.append((ft - handle.submitted_at) * 1e3)
+            n = len(handle.token_ids)
+            if n > 1 and handle.first_token_at is not None:
+                self._tpot_ms.append(
+                    (handle.finished_at - handle.first_token_at)
+                    / (n - 1)
+                    * 1e3
+                )
         handle._done.set()
 
     # -- decode -------------------------------------------------------------
@@ -928,11 +955,14 @@ class ContinuousEngine:
             toks = np.asarray(toks)  # (S, B) — the per-dispatch fetch
         self._t = t + S
         self.stats["decode_dispatches"] += 1
+        now = time.monotonic()
         active = [b for b in range(self.B) if self._rows[b] is not None]
         self._pos_next[active] += S
         self._budget_left[active] -= S
         for b in active:
             handle = self._rows[b]
+            if handle.first_token_at is None:
+                handle.first_token_at = now
             for s in range(S):
                 if len(handle.token_ids) >= handle.max_new_tokens:
                     break
@@ -1054,6 +1084,34 @@ class ContinuousEngine:
             self._prev_m[b] = m
         self._valid_dirty = True
         self._valid_d_dirty = True
+
+    def metrics(self) -> dict:
+        """Latency summaries (ms) over the recent-request window: TTFT,
+        TPOT, queue wait, and per-admission-slice stall percentiles."""
+
+        def summary(d):
+            if not d:
+                return None
+            v = sorted(d)
+            n = len(v)
+            return {
+                "n": n,
+                "p50": round(v[n // 2], 2),
+                "p95": round(v[min(n - 1, int(n * 0.95))], 2),
+                "max": round(v[-1], 2),
+            }
+
+        out = {}
+        for name, d in (
+            ("ttft_ms", self._ttft_ms),
+            ("tpot_ms", self._tpot_ms),
+            ("queue_wait_ms", self._wait_ms),
+            ("admission_chunk_ms", self._admission_ms),
+        ):
+            s = summary(d)
+            if s is not None:
+                out[name] = s
+        return out
 
     # -- driving ------------------------------------------------------------
 

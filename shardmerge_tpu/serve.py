@@ -596,6 +596,7 @@ class ModelServer:
                 "slots": self.pool.B,
                 "cache_len": self.pool.cache_len,
                 **self.pool.stats,
+                "latency": self.pool.metrics(),
             }
         if getattr(self.engine, "prefix_cache_slots", 0) > 0:
             out["prefix_cache"] = {

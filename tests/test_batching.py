@@ -437,6 +437,18 @@ def test_model_server_continuous_pool():
             assert res["choices"][0]["finish_reason"] in ("stop", "length")
         assert server.pool.stats["joins"] == 3
 
+        # /v1/stats exposes per-request latency percentiles (TTFT/TPOT/
+        # queue wait) and admission-stall summaries for the pool
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/v1/stats", timeout=60
+        ) as r:
+            stats = _json.loads(r.read())
+        lat = stats["continuous_pool"]["latency"]
+        for key in ("ttft_ms", "tpot_ms", "queue_wait_ms",
+                    "admission_chunk_ms"):
+            assert key in lat and lat[key]["n"] >= 1
+            assert 0 <= lat[key]["p50"] <= lat[key]["max"]
+
         # a list prompt fans out into independent pool requests
         res = call({"prompt": prompts, "greedy": True, "max_tokens": 6})
         assert [c["text"] for c in res["choices"]] == [
