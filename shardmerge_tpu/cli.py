@@ -91,6 +91,7 @@ async def run_merge(
     device: Optional[str] = None,
     clean_cache: bool = False,
     dry_run: bool = False,
+    token: Optional[str] = None,
     **kwargs,
 ):
     """Wire up transport + index + merger and run (reference __main__.py:47-76).
@@ -138,11 +139,13 @@ async def run_merge(
             storage_path=config.storage_path,
             clean_cache=clean_cache,
             max_retries=3,
+            token=token,
         )
         download_manager.progress_callbacks.append(progress_callback)
         index_manager = HFMultiModelIndex(
             download_manager=download_manager,
             cache_path=config.cache_path,
+            token=token,
         )
 
     mesh = None
@@ -292,6 +295,13 @@ def cli():
     help="Resolve indexes, validate architectures and print the merge plan "
     "without fetching weights or computing",
 )
+@click.option(
+    "--token",
+    type=str,
+    default=None,
+    help="HuggingFace access token for gated/private repos (defaults to "
+    "HF_TOKEN or the huggingface-cli login)",
+)
 def merge_command(
     config_file: Path,
     cache_dir: Optional[Path],
@@ -300,6 +310,7 @@ def merge_command(
     write_through: bool,
     trace_dir: Optional[Path],
     profile: bool,
+    token: Optional[str],
     **kwargs,
 ):
     """Merge multiple finetuned models by computing and combining their deltas.
@@ -343,6 +354,7 @@ def merge_command(
                 run_merge(
                     config=config,
                     dry_run=bool(kwargs.get("dry_run")),
+                    token=token,
                     **config.to_dict(),
                 )
             )
@@ -358,8 +370,17 @@ def merge_command(
 @cli.command("copy-model")
 @click.argument("config_file", type=click.Path(exists=True, path_type=Path))
 @click.option("--revision", type=str, default="main", help="Model revision/tag")
+@click.option(
+    "--token",
+    type=str,
+    default=None,
+    help="HuggingFace access token for gated/private repos (defaults to "
+    "HF_TOKEN or the huggingface-cli login)",
+)
 @click.option("--verbose", is_flag=True, help="Enable verbose logging")
-def copy_model_command(config_file: Path, revision: str, verbose: bool):
+def copy_model_command(
+    config_file: Path, revision: str, token: Optional[str], verbose: bool
+):
     """Copy model configuration files from HuggingFace to the output directory."""
     setup_logging(verbose)
     try:
@@ -377,6 +398,7 @@ def copy_model_command(config_file: Path, revision: str, verbose: bool):
             output_path=config.output_path,
             layer_order=[],
             revision=revision,
+            token=token,
         )
         logger.info("Successfully copied model configuration files")
     except ConfigError as e:

@@ -12,6 +12,12 @@ Improvements over the reference (behavior-compatible):
 - optional bounded retries with exponential backoff (reference has none;
   default 0 preserves reference behavior, the CLI enables 3).
 - a concurrency semaphore bounding simultaneous connections.
+- HuggingFace token authentication (``--token`` / HF_TOKEN /
+  ``huggingface-cli login``): the reference's raw shard downloader
+  (download.py:241-257) is unauthenticated, so gated repos
+  (meta-llama/Mistral) fail with an opaque 401 — here every request
+  carries the resolved Bearer token and auth failures raise a loud,
+  actionable error instead of retrying.
 """
 
 from __future__ import annotations
@@ -29,6 +35,43 @@ from urllib.parse import unquote, urlparse
 logger = logging.getLogger(__name__)
 
 _CHUNK_SIZE = 1 << 20  # 1 MiB
+
+
+def resolve_hf_token(token: Optional[str] = None) -> Optional[str]:
+    """Resolve a HuggingFace access token: explicit argument, then the
+    HF_TOKEN / HUGGING_FACE_HUB_TOKEN environment variables, then the
+    huggingface_hub stored login (``$HF_HOME/token``). None when nothing
+    is configured (anonymous access — public repos only)."""
+    if token:
+        return token
+    for var in ("HF_TOKEN", "HUGGING_FACE_HUB_TOKEN"):
+        v = os.environ.get(var)
+        if v:
+            return v
+    tok_file = (
+        Path(os.environ.get("HF_HOME") or Path.home() / ".cache" / "huggingface")
+        / "token"
+    )
+    try:
+        v = tok_file.read_text().strip()
+    except OSError:
+        return None
+    return v or None
+
+
+def hf_auth_headers(token: Optional[str] = None) -> dict:
+    """Authorization header dict for HF requests ({} when anonymous)."""
+    t = resolve_hf_token(token)
+    return {"Authorization": f"Bearer {t}"} if t else {}
+
+
+def auth_error(status: int, uri: str) -> RuntimeError:
+    """A loud, actionable error for HTTP 401/403 on a HF-shaped URL."""
+    return RuntimeError(
+        f"{uri} returned HTTP {status} — the repo is gated or private. "
+        "Pass --token, set HF_TOKEN, or run `huggingface-cli login` "
+        "(and accept the repo's license on huggingface.co if gated)."
+    )
 
 
 class DownloadStatus(Enum):
@@ -51,6 +94,7 @@ class DownloadTask:
     status: DownloadStatus
     claims: int
     lock: asyncio.Lock
+    error: Optional[str] = None  # failure cause, surfaced by get_file
 
 
 @dataclass
@@ -85,6 +129,7 @@ class DownloadManager:
         http_timeout: float = 3600.0,
         max_retries: int = 0,
         max_concurrent: int = 8,
+        token: Optional[str] = None,
     ):
         self.storage_path = Path(storage_path)
         self.progress_interval = progress_interval
@@ -92,6 +137,8 @@ class DownloadManager:
         self.clean_cache = clean_cache
         self.http_timeout = http_timeout
         self.max_retries = max_retries
+        # every shard stream carries the resolved HF token (gated repos)
+        self.headers = hf_auth_headers(token)
         self.downloads: Dict[Tuple[str, str], DownloadTask] = {}
         self.progress_callbacks: List[Callable[[DownloadStats], None]] = []
         self._semaphore = asyncio.Semaphore(max_concurrent)
@@ -173,7 +220,8 @@ class DownloadManager:
             task.claims -= 1
 
         if task.status == DownloadStatus.FAILED:
-            raise RuntimeError(f"Failed to download {uri}")
+            cause = f": {task.error}" if task.error else ""
+            raise RuntimeError(f"Failed to download {uri}{cause}")
         if task.status == DownloadStatus.COMPLETED:
             return task.path
         return None
@@ -212,9 +260,14 @@ class DownloadManager:
                 try:
                     async with self._semaphore:
                         async with aiohttp.ClientSession(
-                            timeout=aiohttp.ClientTimeout(total=self.http_timeout)
+                            timeout=aiohttp.ClientTimeout(total=self.http_timeout),
+                            headers=self.headers,
                         ) as session:
                             async with session.get(task.uri) as response:
+                                if response.status in (401, 403):
+                                    raise auth_error(
+                                        response.status, task.uri
+                                    )
                                 response.raise_for_status()
                                 content_length = response.headers.get("content-length")
                                 task.total_size = (
@@ -236,7 +289,13 @@ class DownloadManager:
                             f"{task.uri}"
                         )
                     break
-                except Exception:
+                except Exception as e:
+                    # auth failures are not transient: retrying a 401/403
+                    # just delays the actionable message
+                    if getattr(e, "status", None) in (401, 403) or isinstance(
+                        e, RuntimeError
+                    ) and "gated or private" in str(e):
+                        raise
                     if attempt >= self.max_retries:
                         raise
                     attempt += 1
@@ -256,6 +315,7 @@ class DownloadManager:
 
         except Exception as e:
             task.status = DownloadStatus.FAILED
+            task.error = str(e)
             logger.error("Download failed for %s: %s", task.uri, e)
             if temp_path.exists():
                 temp_path.unlink()

@@ -539,8 +539,14 @@ class HFMultiModelIndex(_IndexBase):
         download_manager: Optional[DownloadManager] = None,
         cache_path: Optional[Path] = None,
         endpoint: Optional[str] = None,
+        token: Optional[str] = None,
     ):
         super().__init__()
+        from .download import hf_auth_headers
+
+        # index/config/header fetches carry the same HF token the shard
+        # streams use (gated repos need it on EVERY request type)
+        self.headers = hf_auth_headers(token)
         self.download_manager = download_manager
         self.cache_path = (
             Path(cache_path)
@@ -598,8 +604,12 @@ class HFMultiModelIndex(_IndexBase):
                 f"{self.endpoint}/{model_uri}/raw/{revision}/"
                 "model.safetensors.index.json"
             )
-            async with aiohttp.ClientSession() as session:
+            async with aiohttp.ClientSession(headers=self.headers) as session:
                 async with session.get(index_url) as response:
+                    if response.status in (401, 403):
+                        from .download import auth_error
+
+                        raise auth_error(response.status, index_url)
                     if response.status == 404:
                         # Single-file checkpoint: models under the 5 GB
                         # shard cutoff ship one model.safetensors and no
@@ -668,8 +678,12 @@ class HFMultiModelIndex(_IndexBase):
             import aiohttp
 
             cfg_url = f"{self.endpoint}/{model_uri}/raw/{revision}/config.json"
-            async with aiohttp.ClientSession() as session:
+            async with aiohttp.ClientSession(headers=self.headers) as session:
                 async with session.get(cfg_url) as response:
+                    if response.status in (401, 403):
+                        from .download import auth_error
+
+                        raise auth_error(response.status, cfg_url)
                     if response.status == 404:
                         logger.warning(
                             "Model %s has packed qweight tensors but no "
@@ -713,6 +727,10 @@ class HFMultiModelIndex(_IndexBase):
         self._revisions[model_uri] = revision
         shard_url = self._shard_url(model_uri, "model.safetensors")
         async with session.get(shard_url) as resp:
+            if resp.status in (401, 403):
+                from .download import auth_error
+
+                raise auth_error(resp.status, shard_url)
             if resp.status == 404:
                 raise FileNotFoundError(
                     f"{model_uri}: neither model.safetensors.index.json nor "
@@ -763,6 +781,10 @@ class HFMultiModelIndex(_IndexBase):
         for name in ("adapter_model.safetensors", "adapter_config.json"):
             url = self._shard_url(model_uri, name)
             async with session.get(url) as resp:
+                if resp.status in (401, 403):
+                    from .download import auth_error
+
+                    raise auth_error(resp.status, url)
                 if resp.status == 404:
                     raise FileNotFoundError(
                         f"{model_uri}: no {name} at revision {revision!r}"

@@ -286,10 +286,15 @@ class ModelWriter:
         revision: str = "main",
         output_astype=None,
         write_through: bool = False,
+        token=None,
     ) -> "ModelWriter":
         """Initialize by downloading a model's config files (not weights)
-        from HuggingFace (reference writer.py:182-223)."""
+        from HuggingFace (reference writer.py:182-223). ``token``
+        authenticates gated/private repos (explicit wins over HF_TOKEN /
+        the stored huggingface-cli login)."""
         from huggingface_hub import snapshot_download
+
+        from .download import resolve_hf_token
 
         output_path = Path(output_path)
         output_path.mkdir(parents=True, exist_ok=True)
@@ -299,6 +304,7 @@ class ModelWriter:
             revision=revision,
             ignore_patterns=["*.bin", "*.safetensors", "*.msgpack"],
             local_dir=output_path,
+            token=resolve_hf_token(token),
         )
 
         index_path = output_path / "model.safetensors.index.json"

@@ -19,10 +19,18 @@ class LocalServer:
         self.blobs = {}
         self.bad_length = set()  # paths that lie about content-length
         self.hits = {}
+        self.auth = {}  # path -> last Authorization header seen (or None)
+        self.require_token = None  # set: Bearer <token> required, else 401
 
     async def handler(self, request):
         path = request.path
         self.hits[path] = self.hits.get(path, 0) + 1
+        self.auth[path] = request.headers.get("Authorization")
+        if (
+            self.require_token is not None
+            and self.auth[path] != f"Bearer {self.require_token}"
+        ):
+            return web.Response(status=401)
         if path not in self.blobs:
             return web.Response(status=404)
         data = self.blobs[path]
@@ -195,5 +203,58 @@ def test_cleanup_removes_files(tmp_path):
         await manager.cleanup()
         assert not (tmp_path / "b" / "f.bin").exists()
         assert manager.downloads == {}
+
+    asyncio.run(main())
+
+
+def _no_ambient_hf_auth(monkeypatch, tmp_path):
+    """Make token resolution deterministic: no env vars, empty HF_HOME."""
+    monkeypatch.delenv("HF_TOKEN", raising=False)
+    monkeypatch.delenv("HUGGING_FACE_HUB_TOKEN", raising=False)
+    hf_home = tmp_path / "hfhome"
+    hf_home.mkdir(exist_ok=True)
+    monkeypatch.setenv("HF_HOME", str(hf_home))
+    return hf_home
+
+
+def test_hf_token_resolution_order(tmp_path, monkeypatch):
+    from shardmerge_tpu.io.download import resolve_hf_token
+
+    hf_home = _no_ambient_hf_auth(monkeypatch, tmp_path)
+    assert resolve_hf_token() is None
+    (hf_home / "token").write_text("stored\n")  # huggingface-cli login
+    assert resolve_hf_token() == "stored"
+    monkeypatch.setenv("HF_TOKEN", "envtok")  # env beats the stored login
+    assert resolve_hf_token() == "envtok"
+    assert resolve_hf_token("explicit") == "explicit"  # --token beats all
+
+
+def test_token_rides_shard_requests_and_401_is_actionable(
+    tmp_path, monkeypatch
+):
+    """Gated-repo shape: without a token the 401 surfaces an actionable
+    error WITHOUT burning retries; with the token every request carries
+    the Authorization header and the download succeeds."""
+    _no_ambient_hf_auth(monkeypatch, tmp_path)
+
+    async def main():
+        async with LocalServer() as server:
+            server.blobs["/m/g.bin"] = b"s" * 1024
+            server.require_token = "sekret"
+            uri = f"{server.base}/m/g.bin"
+
+            m0 = DownloadManager(storage_path=tmp_path / "s0", max_retries=3)
+            await m0.cache_file("p", uri)
+            await _wait_done(m0, ("p", uri))
+            with pytest.raises(RuntimeError, match="HF_TOKEN"):
+                await m0.get_file("p", uri)
+            assert server.hits["/m/g.bin"] == 1  # auth failures never retry
+
+            m1 = DownloadManager(storage_path=tmp_path / "s1", token="sekret")
+            await m1.cache_file("p", uri)
+            await _wait_done(m1, ("p", uri))
+            path = await m1.get_file("p", uri)
+            assert path.read_bytes() == b"s" * 1024
+            assert server.auth["/m/g.bin"] == "Bearer sekret"
 
     asyncio.run(main())

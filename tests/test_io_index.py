@@ -614,3 +614,84 @@ def test_hf_hub_quantized_repo(tmp_path, tiny_model_factory):
             np.testing.assert_array_equal(got3, expected[target])
 
     asyncio.run(main())
+
+
+def test_hf_index_token_on_every_request_type(tmp_path, tiny_model_factory):
+    """Gated-repo end-to-end: the resolved token must ride the index
+    fetch AND the shard streams (the reference's raw downloader is
+    unauthenticated — download.py:241-257); an anonymous attempt surfaces
+    the actionable 401 error instead of an opaque failure."""
+    import pytest
+
+    from .test_io_download import _no_ambient_hf_auth
+
+    src_path, tensors = tiny_model_factory("gatedsrc", seed=9)
+
+    def run(monkeypatched=None):
+        async def main():
+            async with LocalServer() as server:
+                with open(src_path / "model.safetensors.index.json", "rb") as f:
+                    server.blobs[
+                        "/org/gated/raw/main/model.safetensors.index.json"
+                    ] = f.read()
+                for shard in set(TINY_SHARD_MAP.values()):
+                    server.blobs[f"/org/gated/resolve/main/{shard}"] = (
+                        src_path / shard
+                    ).read_bytes()
+                server.require_token = "sekret"
+
+                # anonymous: actionable error from the index fetch
+                anon = HFMultiModelIndex(
+                    download_manager=DownloadManager(
+                        storage_path=tmp_path / "anon"
+                    ),
+                    cache_path=tmp_path / "anon_cache",
+                    endpoint=server.base,
+                )
+                with pytest.raises(RuntimeError, match="HF_TOKEN"):
+                    await anon.add_model("org/gated")
+
+                # authenticated: index + shard + tensor read all succeed,
+                # every request carried the header
+                manager = DownloadManager(
+                    storage_path=tmp_path / "storage", token="sekret"
+                )
+                index = HFMultiModelIndex(
+                    download_manager=manager,
+                    cache_path=tmp_path / "cache",
+                    endpoint=server.base,
+                    token="sekret",
+                )
+                await index.add_model("org/gated")
+                name = "model.layers.1.self_attn.q_proj.weight"
+                await index.preload_tensor("org/gated", name)
+                got = await index.get_tensor("org/gated", name).get()
+                np.testing.assert_array_equal(got, tensors[name])
+                assert all(
+                    v == "Bearer sekret"
+                    for p, v in server.auth.items()
+                    if server.hits[p] and v is not None
+                )
+                # both request types actually carried it
+                assert (
+                    server.auth[
+                        "/org/gated/raw/main/model.safetensors.index.json"
+                    ]
+                    == "Bearer sekret"
+                )
+                shard_paths = [
+                    p for p in server.auth if "/resolve/main/" in p
+                ]
+                assert shard_paths and all(
+                    server.auth[p] == "Bearer sekret" for p in shard_paths
+                )
+
+        asyncio.run(main())
+
+    # no ambient auth: monkeypatch env inline (function-scoped)
+    mp = pytest.MonkeyPatch()
+    try:
+        _no_ambient_hf_auth(mp, tmp_path)
+        run()
+    finally:
+        mp.undo()

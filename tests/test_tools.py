@@ -297,7 +297,7 @@ def test_cli_copy_model(monkeypatch, tmp_path, tiny_model_factory):
 
     src_path, _ = tiny_model_factory("donor2", seed=11)
 
-    def fake_snapshot_download(repo_id, revision, ignore_patterns, local_dir):
+    def fake_snapshot_download(repo_id, revision, ignore_patterns, local_dir, token=None):
         import shutil
 
         assert "*.safetensors" in ignore_patterns
