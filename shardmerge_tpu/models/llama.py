@@ -1625,6 +1625,7 @@ def block_train(
     use_rope=True,
     qk_stat_reduce=None,
     attend=None,
+    ffn=None,
 ):
     """One cache-free decoder block (attention + FFN with residuals).
 
@@ -1662,7 +1663,7 @@ def block_train(
         attn_out = _mla_attend(
             cfg, layer, x.dtype, q_nope, q_pe, c, k_pe, mask[None, None]
         )
-        return _block_tail(cfg, layer, x, attn_out, reduce, po)
+        return _block_tail(cfg, layer, x, attn_out, reduce, po, ffn)
     q = matmul(h, layer["q_proj"])
     k = matmul(h, layer["k_proj"])
     v = matmul(h, layer["v_proj"])
@@ -1721,15 +1722,16 @@ def block_train(
     if attend is not None:
         # context parallelism: the caller supplies the score/softmax/value
         # kernel (e.g. ring attention over a 'cp' axis — parallel/ring.py
-        # _ring_body derives causality from GLOBAL token positions, so
-        # ``mask`` is unused here). Softcapping/sinks do not compose with
-        # an external kernel; parallel/train.py validates the config.
+        # _ring_body derives causality, windows and chunking from GLOBAL
+        # token positions, so ``mask`` is unused here). Softcapping and
+        # sinks are the kernel's responsibility too (the caller closes
+        # over cfg/layer — see parallel/train.make_cp_loss).
         out = attend(q, k, v, 1.0 / scale)
         out = (
             out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(B, T, H * D)
         )
         attn_out = matmul(out, layer["o_proj"])
-        return _block_tail(cfg, layer, x, attn_out, reduce, po)
+        return _block_tail(cfg, layer, x, attn_out, reduce, po, ffn)
     group = H // KVH
     qg = q.reshape(B, KVH, group, T, D)
     scores = jnp.einsum(
@@ -1750,21 +1752,25 @@ def block_train(
     out = jnp.einsum("bkgts,bksd->bkgtd", probs, v.astype(jnp.float32))
     out = out.reshape(B, H, T, D).transpose(0, 2, 1, 3).reshape(B, T, H * D)
     attn_out = matmul(out.astype(x.dtype), layer["o_proj"])
-    return _block_tail(cfg, layer, x, attn_out, reduce, po)
+    return _block_tail(cfg, layer, x, attn_out, reduce, po, ffn)
 
 
-def _block_tail(cfg: ModelConfig, layer, x, attn_out, reduce, po):
+def _block_tail(cfg: ModelConfig, layer, x, attn_out, reduce, po, ffn=None):
     """The reduce/residual/FFN tail every attention variant shares (single
     source of the Megatron reduce contract and the per-family residual
     structures: olmo2 post-norms, gemma2 sandwich norms, standard
-    pre-norm)."""
+    pre-norm). ``ffn`` substitutes the FFN kernel (same (cfg, layer, x)
+    contract as :func:`_ffn`) — the expert-parallel train path routes MoE
+    layers through its sharded capacity dispatch this way
+    (parallel/moe.make_ep_loss)."""
+    ffn = ffn or _ffn
     if reduce is not None:  # TP: o_proj is row-parallel; sum the partials
         attn_out = reduce(attn_out)
     if cfg.is_olmo2:  # post-norm residuals, no pre-FFN norm
         x = x + rms_norm(
             attn_out, layer["post_attention_layernorm"], cfg.rms_norm_eps
         )
-        ffn_out = _ffn(cfg, layer, x)
+        ffn_out = ffn(cfg, layer, x)
         if reduce is not None:
             ffn_out = reduce(ffn_out)
         x = x + rms_norm(
@@ -1778,7 +1784,7 @@ def _block_tail(cfg: ModelConfig, layer, x, attn_out, reduce, po):
         h = rms_norm(
             x, layer["pre_feedforward_layernorm"], cfg.rms_norm_eps, po
         )
-        ffn_out = _ffn(cfg, layer, h)
+        ffn_out = ffn(cfg, layer, h)
         if reduce is not None:
             ffn_out = reduce(ffn_out)
         x = x + rms_norm(
@@ -1790,7 +1796,7 @@ def _block_tail(cfg: ModelConfig, layer, x, attn_out, reduce, po):
     else:
         x = x + attn_out
         h = rms_norm(x, layer["post_attention_layernorm"], cfg.rms_norm_eps, po)
-        ffn_out = _ffn(cfg, layer, h)
+        ffn_out = ffn(cfg, layer, h)
         if reduce is not None:  # TP: down_proj is row-parallel
             ffn_out = reduce(ffn_out)
         x = x + ffn_out

@@ -51,9 +51,40 @@ def _mesh_fp(mesh: Mesh) -> tuple:
     return (id(mesh), tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
 
 
-def _ring_body(ql, kl, vl, *, n_dev, scale):
+def _ring_body(
+    ql,
+    kl,
+    vl,
+    *,
+    n_dev,
+    scale,
+    window=None,
+    chunk=None,
+    softcap=None,
+    sinks=None,
+):
     """shard_map body. ql: (B, H, Tl, D) local query block; kl/vl:
-    (B, KVH, Tl, D) local key/value blocks. Returns (B, H, Tl, D) fp32."""
+    (B, KVH, Tl, D) local key/value blocks. Returns (B, H, Tl, D) fp32.
+
+    Attention-variant hooks (matching models/llama.block_train's
+    single-device semantics exactly):
+
+    - ``window``: sliding-window attention — a query at global position p
+      attends keys at positions (p − window, p]. The hop count DROPS to
+      ceil(window/Tl)+1: K/V blocks entirely behind the window are never
+      shipped or scored, so a 4k window over a 128k cp-sharded sequence
+      costs window-local FLOPs and ICI traffic, not O(T) hops.
+    - ``chunk``: llama4 chunk-aligned local attention (keys share the
+      query's chunk-aligned block: k ≥ floor(p/C)·C); same bounded-hop
+      schedule with lookback C.
+    - ``softcap``: gemma2 logit softcapping, applied after scaling and
+      before masking (elementwise, so it commutes with the flash
+      recombination).
+    - ``sinks``: gpt-oss attention sinks, an (H,) per-head logit joining
+      the softmax normalization with its mass dropped — folded into the
+      FINAL renormalization: the sink is position-independent, so it
+      joins once after all hops with the running (m, l) statistics.
+    """
     B, H, Tl, D = ql.shape
     KVH = kl.shape[1]
     group = H // KVH
@@ -65,17 +96,37 @@ def _ring_body(ql, kl, vl, *, n_dev, scale):
     neg = jnp.float32(-1e9)
     perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
 
+    # bounded lookback: window/chunk attention never reaches more than
+    # `lookback` positions behind a query, so only the last
+    # ceil(lookback/Tl)+1 blocks can contribute — skip the other hops
+    lookback = None
+    if window is not None:
+        lookback = int(window)
+    if chunk is not None:
+        lookback = int(chunk)
+    hops = n_dev if lookback is None else min(n_dev, -(-lookback // Tl) + 1)
+
     def hop(carry, _):
         acc, m, l, k_blk, v_blk, blk_rank = carry
         k_pos = blk_rank * Tl + jnp.arange(Tl)
         # causal: query at global position p attends keys at positions <= p
-        mask = jnp.where(q_pos[:, None] >= k_pos[None, :], 0.0, neg)
+        allowed = q_pos[:, None] >= k_pos[None, :]
+        if window is not None:
+            allowed = allowed & (k_pos[None, :] > q_pos[:, None] - window)
+        if chunk is not None:
+            allowed = allowed & (
+                k_pos[None, :] >= (q_pos[:, None] // chunk) * chunk
+            )
+        mask = jnp.where(allowed, 0.0, neg)
 
         scores = (
             jnp.einsum("bkgtd,bksd->bkgts", qg, k_blk.astype(jnp.float32))
             * scale
-            + mask[None, None, None]
         )
+        if softcap is not None:
+            cap = jnp.float32(softcap)
+            scores = cap * jnp.tanh(scores / cap)
+        scores = scores + mask[None, None, None]
         m_blk = jnp.max(scores, axis=-1, keepdims=True)
         m_new = jnp.maximum(m, m_blk)
         # rescale previous accumulators to the new max
@@ -103,10 +154,24 @@ def _ring_body(ql, kl, vl, *, n_dev, scale):
         sorted(set(jax.typeof(kl).vma) - set(jax.typeof(acc0).vma))
     ) or (_AXIS,)
     acc0, m0, l0 = jax.lax.pcast((acc0, m0, l0), vary, to="varying")
-    (acc, _, l, _, _, _), _ = jax.lax.scan(
-        hop, (acc0, m0, l0, kl, vl, rank), None, length=n_dev
+    (acc, m, l, _, _, _), _ = jax.lax.scan(
+        hop, (acc0, m0, l0, kl, vl, rank), None, length=hops
     )
-    out = acc / jnp.maximum(l, 1e-30)
+    if sinks is not None:
+        # fold the sink logit into the final renormalization: it joins
+        # the softmax denominator exactly once (position-independent), so
+        # the running (m, l) statistics combine with it here — matching
+        # block_train's mx = max(scores_max, sinks) form
+        s = sinks.astype(jnp.float32).reshape(KVH, group)
+        s = s[None, :, :, None, None]  # (1, KVH, group, 1, 1)
+        mx = jnp.maximum(m, s)
+        out = (
+            acc
+            * jnp.exp(m - mx)
+            / (l * jnp.exp(m - mx) + jnp.exp(s - mx))
+        )
+    else:
+        out = acc / jnp.maximum(l, 1e-30)
     return out.reshape(B, H, Tl, D)
 
 

@@ -568,12 +568,17 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
     dp x cp x tp layout in one shard_map. Differentiable; weight cotangents
     psum over 'dp' and 'cp' through shard_map's transpose.
 
-    ``params`` fixes the pytree structure for the shard_map specs. Plain
-    causal attention only: sliding windows, logit softcapping, attention
-    sinks and MLA do not compose with the ring kernel and raise.
+    ``params`` fixes the pytree structure for the shard_map specs.
+    Attention variants compose with the ring kernel per layer: sliding
+    windows and llama4 chunked attention run a BOUNDED hop schedule
+    (blocks behind the window are never shipped — see ring._ring_body),
+    gemma2 softcapping applies inside each hop's scores, and gpt-oss
+    sinks fold into the final flash renormalization. Two refusals
+    remain: MLA does not ring-decompose (its latent cache is not
+    per-head K/V), and gpt-oss under a 'tp' axis (its fused expert
+    stacks do not Megatron-slice in this manual body — use cp-only or
+    the pipeline path).
     """
-    from functools import partial as _partial
-
     import dataclasses
 
     from ..models.llama import block_train, matmul, rms_norm, rope_tables
@@ -581,21 +586,12 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
 
     if cfg.is_mla:
         raise NotImplementedError("MLA attention does not ring-decompose")
-    if cfg.attn_logit_softcapping:
-        raise NotImplementedError("logit softcapping under cp")
-    if cfg.model_type == "gpt_oss":
-        raise NotImplementedError("attention sinks under cp")
-    if cfg.sliding_window is not None and any(
-        cfg.layer_is_sliding(i) for i in range(cfg.num_hidden_layers)
-    ):
-        raise NotImplementedError("sliding windows under cp")
-    if cfg.attention_chunk_size is not None and any(
-        cfg.layer_is_chunked(i) for i in range(cfg.num_hidden_layers)
-    ):
-        # llama4 chunk-aligned local attention: the ring schedule derives
-        # causality only — chunked layers would silently attend past their
-        # chunk boundary
-        raise NotImplementedError("chunked attention under cp")
+    if cfg.model_type == "gpt_oss" and "tp" in mesh.axis_names:
+        raise NotImplementedError(
+            "gpt-oss under cp x tp: the fused expert stacks do not "
+            "Megatron-slice in the manual cp body (use a cp-only mesh "
+            "or the pipeline-parallel path)"
+        )
 
     n_cp = mesh.shape["cp"]
     tp = "tp" in mesh.axis_names
@@ -635,20 +631,40 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
             if (tp and cfg.qk_norm_full)
             else None
         )
-        attend = lambda q, k, v, s: _ring_body(  # noqa: E731
-            q, k, v, n_dev=n_cp, scale=s
-        )
 
-        def one(x_, layer, use_rope):
+        def one(x_, layer, i):
+            # per-layer attention variant (windows/chunking alternate by
+            # layer index in mistral/gemma2/gpt-oss/llama4); the sinks
+            # leaf rides the layer dict into the ring's renormalization
+            window = (
+                cfg.sliding_window
+                if cfg.sliding_window is not None and cfg.layer_is_sliding(i)
+                else None
+            )
+            chunk = (
+                cfg.attention_chunk_size
+                if cfg.attention_chunk_size is not None
+                and cfg.layer_is_chunked(i)
+                else None
+            )
+
+            def attend(q, k, v, s):
+                return _ring_body(
+                    q, k, v, n_dev=n_cp, scale=s,
+                    window=window, chunk=chunk,
+                    softcap=cfg.attn_logit_softcapping or None,
+                    sinks=layer.get("sinks"),
+                )
+
             return block_train(
                 local_cfg, layer, x_, cos, sin, positions, None,
-                reduce=reduce, use_rope=use_rope,
+                reduce=reduce, use_rope=cfg.layer_uses_rope(i),
                 qk_stat_reduce=qk_sr, attend=attend,
             )
 
         fn = jax.checkpoint(one, static_argnums=(2,)) if remat else one
         for i, layer in enumerate(p["layers"]):
-            x = fn(x, layer, cfg.layer_uses_rope(i))
+            x = fn(x, layer, i)
         x = rms_norm(x, p["norm"], cfg.rms_norm_eps, cfg.is_gemma)
         head = p.get("lm_head", p["embed_tokens"])
         return matmul(x, head).astype(jnp.float32)

@@ -1924,9 +1924,146 @@ def test_train_with_context_parallel(axes, shape):
     assert expected <= flat_axes, (mu_leaf.sharding.spec, expected)
 
 
+@pytest.mark.parametrize(
+    "name,cfg_kw",
+    [
+        ("mistral_sliding", dict(model_type="mistral", sliding_window=6)),
+        (
+            "gemma2_softcap_alternating_windows",
+            dict(
+                model_type="gemma2",
+                attn_logit_softcapping=30.0,
+                final_logit_softcapping=30.0,
+                sliding_window=6,
+                query_pre_attn_scalar=16,
+            ),
+        ),
+        (
+            "gptoss_sinks_sliding",
+            dict(
+                model_type="gpt_oss",
+                sliding_window=6,
+                layer_types=[
+                    "sliding_attention",
+                    "full_attention",
+                    "sliding_attention",
+                    "full_attention",
+                ],
+                num_local_experts=4,
+                num_experts_per_tok=2,
+                norm_topk_prob=True,
+            ),
+        ),
+        (
+            "llama4_chunked",
+            dict(
+                attention_chunk_size=8,
+                layer_types=[
+                    "chunked_attention",
+                    "full_attention",
+                    "chunked_attention",
+                    "full_attention",
+                ],
+            ),
+        ),
+    ],
+)
+def test_cp_attention_variants_match_unsharded(name, cfg_kw):
+    """Sliding windows (with the BOUNDED hop schedule), gemma2
+    softcapping, gpt-oss sinks, and llama4 chunked attention all compose
+    with context-parallel training: loss and grads of the ring step equal
+    the unsharded forward_train reference for each family."""
+    import dataclasses
+
+    from shardmerge_tpu.models.llama import init_params
+    from shardmerge_tpu.parallel.train import _loss_fn, make_cp_loss
+
+    cfg = dataclasses.replace(_pp_cfg(layers=4), **cfg_kw)
+    params = init_params(cfg, jax.random.PRNGKey(83), dtype=jnp.float32)
+    if name.startswith("gptoss"):
+        assert "sinks" in params["layers"][0]
+        # non-zero sinks so the renormalization actually moves the output
+        for li, layer in enumerate(params["layers"]):
+            layer["sinks"] = (
+                jax.random.normal(
+                    jax.random.PRNGKey(90 + li),
+                    (cfg.num_attention_heads,),
+                    jnp.float32,
+                )
+                * 0.5
+            )
+    mesh = make_mesh(("dp", "cp"), devices=jax.devices()[:8], shape=(2, 4))
+
+    B, T = 4, 16  # window (6) < T and chunk (8) < T: locality is real
+    batch = jax.random.randint(
+        jax.random.PRNGKey(84), (B, T + 1), 0, cfg.vocab_size
+    )
+    loss_fn = make_cp_loss(mesh, cfg, params)
+    cp_loss, cp_grads = jax.value_and_grad(loss_fn)(params, batch)
+    ref_loss, ref_grads = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    np.testing.assert_allclose(float(cp_loss), float(ref_loss), rtol=1e-5)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-5
+        ),
+        cp_grads,
+        ref_grads,
+    )
+
+
+def test_cp_window_skips_out_of_window_hops():
+    """The ring schedule for a sliding window runs ceil(w/Tl)+1 hops, not
+    n_dev — blocks entirely behind the window are never shipped. Pinned
+    by counting the scan length in the jaxpr of the windowed kernel."""
+    from functools import partial
+
+    from shardmerge_tpu.parallel.ring import _ring_body
+
+    n_dev = 8
+    mesh = make_mesh(("cp",), devices=jax.devices()[:8], shape=(8,))
+    Tl = 4  # local block; window 6 -> ceil(6/4)+1 = 3 hops, not 8
+
+    def count_scan_lengths(window):
+        fn = jax.shard_map(
+            partial(
+                _ring_body,
+                n_dev=n_dev,
+                scale=jnp.float32(0.5),
+                window=window,
+            ),
+            mesh=mesh,
+            in_specs=(P(None, None, "cp", None),) * 3,
+            out_specs=P(None, None, "cp", None),
+        )
+        shape = jax.ShapeDtypeStruct((1, 2, Tl * n_dev, 8), jnp.float32)
+        jaxpr = jax.make_jaxpr(fn)(shape, shape, shape)
+        lengths = []
+
+        def walk(jx):
+            # params may hold ClosedJaxpr (.jaxpr), raw Jaxpr (.eqns),
+            # or tuples of either — descend into all of them
+            if hasattr(jx, "jaxpr"):
+                jx = jx.jaxpr
+            if not hasattr(jx, "eqns"):
+                return
+            for eqn in jx.eqns:
+                if eqn.primitive.name == "scan":
+                    lengths.append(eqn.params["length"])
+                for v in eqn.params.values():
+                    for sub in v if isinstance(v, (tuple, list)) else (v,):
+                        if hasattr(sub, "jaxpr") or hasattr(sub, "eqns"):
+                            walk(sub)
+        walk(jaxpr.jaxpr)
+        return lengths
+
+    assert 3 in count_scan_lengths(6)
+    assert 8 in count_scan_lengths(None)
+
+
 def test_cp_loss_rejects_incompatible_attention():
-    """Ring attention composes only with plain causal attention; the cp
-    loss names the offending feature instead of silently mis-masking."""
+    """The two remaining structural refusals: MLA (no per-head K/V to
+    ring) and gpt-oss under a 'tp' axis (fused expert stacks do not
+    Megatron-slice in the manual cp body)."""
     import dataclasses
 
     from shardmerge_tpu.models.llama import init_params
@@ -1934,16 +2071,31 @@ def test_cp_loss_rejects_incompatible_attention():
 
     cfg = _pp_cfg(layers=2)
     params = init_params(cfg, jax.random.PRNGKey(82), dtype=jnp.float32)
-    mesh = make_mesh(("dp", "cp"), devices=jax.devices()[:4], shape=(2, 2))
 
-    sliding = dataclasses.replace(
-        cfg, sliding_window=8, model_type="mistral"
+    mla = dataclasses.replace(
+        cfg,
+        model_type="deepseek_v2",
+        q_lora_rank=16,
+        kv_lora_rank=16,
+        qk_nope_head_dim=8,
+        qk_rope_head_dim=4,
+        v_head_dim=8,
     )
-    with pytest.raises(NotImplementedError, match="sliding"):
-        make_cp_loss(mesh, sliding, params)
-    capped = dataclasses.replace(cfg, attn_logit_softcapping=30.0)
-    with pytest.raises(NotImplementedError, match="softcapping"):
-        make_cp_loss(mesh, capped, params)
+    mesh = make_mesh(("dp", "cp"), devices=jax.devices()[:4], shape=(2, 2))
+    with pytest.raises(NotImplementedError, match="MLA"):
+        make_cp_loss(mesh, mla, params)
+
+    gptoss = dataclasses.replace(
+        cfg,
+        model_type="gpt_oss",
+        num_local_experts=4,
+        num_experts_per_tok=2,
+    )
+    tp_mesh = make_mesh(
+        ("dp", "cp", "tp"), devices=jax.devices()[:8], shape=(2, 2, 2)
+    )
+    with pytest.raises(NotImplementedError, match="gpt-oss"):
+        make_cp_loss(tp_mesh, gptoss, params)
 
 
 def test_repack4_tp_blocked_matches_contiguous_slices():
