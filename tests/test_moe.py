@@ -387,3 +387,175 @@ def test_stack_expert_weights_for_capacity_dispatch():
     assert "experts" in qparams["layers"][0]
     out = _ffn(cfg, qparams["layers"][0], x)
     assert out.shape == x.shape
+
+
+def test_ep_train_matches_dense_mask_mixtral():
+    """'ep' composed into TRAINING: loss and grads of the expert-sharded
+    (dp x ep) step equal the dense-and-mask single-device step, and a
+    2-step adamw trajectory tracks the unsharded one exactly (the
+    default no-drop capacity makes the dispatch a re-layout, not an
+    approximation)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from shardmerge_tpu.models.llama import (
+        ModelConfig,
+        init_params,
+        stack_expert_weights,
+    )
+    from shardmerge_tpu.parallel.mesh import make_mesh
+    from shardmerge_tpu.parallel.moe import make_ep_loss, make_ep_train_step
+    from shardmerge_tpu.parallel.train import _loss_fn
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=8,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(10), dtype=jnp.float32)
+    sparams = init_params(cfg, jax.random.PRNGKey(10), dtype=jnp.float32)
+    assert stack_expert_weights(sparams)
+    batch = jax.random.randint(jax.random.PRNGKey(11), (4, 13), 0, 64)
+
+    ref_loss, ref_grads = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+
+    mesh = make_mesh(("dp", "ep"), shape=(2, 4))
+    loss_fn = make_ep_loss(mesh, cfg, sparams)
+    ep_loss, ep_grads = jax.value_and_grad(loss_fn)(sparams, batch)
+    np.testing.assert_allclose(float(ep_loss), float(ref_loss), rtol=1e-5)
+    for li in range(cfg.num_hidden_layers):
+        for wi, name in enumerate(("w1", "w3", "w2")):
+            want = np.stack(
+                [
+                    np.asarray(e[name])
+                    for e in ref_grads["layers"][li]["experts"]
+                ]
+            )
+            got = np.asarray(ep_grads["layers"][li]["experts_stacked"][wi])
+            np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(ep_grads["layers"][0]["q_proj"]),
+        np.asarray(ref_grads["layers"][0]["q_proj"]),
+        rtol=5e-4,
+        atol=5e-5,
+    )
+
+    # 2-step trajectory == a plain single-device adamw on the dense loss
+    tx = optax.adamw(1e-2)
+    opt = tx.init(params)
+    p_ref = params
+    for _ in range(2):
+        l_ref, g = jax.value_and_grad(_loss_fn)(p_ref, cfg, batch)
+        upd, opt = tx.update(g, opt, p_ref)
+        p_ref = optax.apply_updates(p_ref, upd)
+
+    init_state, train_step = make_ep_train_step(
+        mesh, cfg, sparams, learning_rate=1e-2
+    )
+    state = init_state(sparams)
+    state, l0 = train_step(state, batch)
+    state, l1 = train_step(state, batch)
+    np.testing.assert_allclose(float(l1), float(l_ref), rtol=1e-5)
+    # the expert moments are genuinely ep-sharded
+    mu = state["opt_state"][0].mu["layers"][0]["experts_stacked"][0]
+    assert mu.sharding.spec[0] == "ep", mu.sharding.spec
+
+
+def test_ep_train_matches_dense_mask_deepseek():
+    """The deepseek grouped router (sigmoid scores, selection bias,
+    grouped top-k, shared experts, MLA attention) trains under 'ep' with
+    loss/grads equal to the dense-and-mask step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from shardmerge_tpu.models.llama import (
+        ModelConfig,
+        init_params,
+        stack_expert_weights,
+    )
+    from shardmerge_tpu.parallel.mesh import make_mesh
+    from shardmerge_tpu.parallel.moe import make_ep_loss
+    from shardmerge_tpu.parallel.train import _loss_fn
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        moe_intermediate_size=24,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=4,
+        model_type="deepseek_v3",
+        kv_lora_rank=16,
+        qk_nope_head_dim=8,
+        qk_rope_head_dim=4,
+        v_head_dim=8,
+        num_local_experts=8,
+        num_experts_per_tok=2,
+        n_shared_experts=1,
+        n_group=4,
+        topk_group=2,
+        topk_method="noaux_tc",
+        routed_scaling_factor=2.5,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(12), dtype=jnp.float32)
+    sparams = init_params(cfg, jax.random.PRNGKey(12), dtype=jnp.float32)
+    for p in (params, sparams):
+        for li, layer in enumerate(p["layers"]):
+            layer["gate_bias"] = (
+                jax.random.normal(jax.random.PRNGKey(20 + li), (8,)) * 0.2
+            )
+    assert stack_expert_weights(sparams)
+    batch = jax.random.randint(jax.random.PRNGKey(13), (2, 13), 0, 64)
+
+    ref_loss, ref_grads = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    mesh = make_mesh(("ep",))  # ep-only mesh composes too
+    loss_fn = make_ep_loss(mesh, cfg, sparams)
+    ep_loss, ep_grads = jax.value_and_grad(loss_fn)(sparams, batch)
+    np.testing.assert_allclose(float(ep_loss), float(ref_loss), rtol=1e-5)
+    for wi, name in enumerate(("w1", "w3", "w2")):
+        want = np.stack(
+            [np.asarray(e[name]) for e in ref_grads["layers"][1]["experts"]]
+        )
+        got = np.asarray(ep_grads["layers"][1]["experts_stacked"][wi])
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(
+        np.asarray(ep_grads["layers"][0]["shared_gate_proj"]),
+        np.asarray(ref_grads["layers"][0]["shared_gate_proj"]),
+        rtol=5e-4,
+        atol=5e-5,
+    )
+
+
+def test_ep_loss_refusals():
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from shardmerge_tpu.models.llama import ModelConfig, init_params
+    from shardmerge_tpu.parallel.mesh import make_mesh
+    from shardmerge_tpu.parallel.moe import make_ep_loss
+
+    cfg = ModelConfig(
+        vocab_size=64,
+        hidden_size=32,
+        intermediate_size=48,
+        num_hidden_layers=1,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        num_local_experts=8,
+        num_experts_per_tok=2,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(14), dtype=jnp.float32)
+    mesh = make_mesh(("ep",))
+    with pytest.raises(ValueError, match="stack_expert_weights"):
+        make_ep_loss(mesh, cfg, params)  # unstacked expert lists
