@@ -302,6 +302,14 @@ def cli():
     help="HuggingFace access token for gated/private repos (defaults to "
     "HF_TOKEN or the huggingface-cli login)",
 )
+@click.option(
+    "--output-quant",
+    type=click.Choice(["int8", "int4"]),
+    default=None,
+    help="Additionally write a quantized GPTQ-v2 artifact of the merged "
+    "model into <output_dir>-<int8|int4> (loadable by this repo's "
+    "generate/serve/merge and any GPTQ-compatible stack)",
+)
 def merge_command(
     config_file: Path,
     cache_dir: Optional[Path],
@@ -311,6 +319,7 @@ def merge_command(
     trace_dir: Optional[Path],
     profile: bool,
     token: Optional[str],
+    output_quant: Optional[str],
     **kwargs,
 ):
     """Merge multiple finetuned models by computing and combining their deltas.
@@ -357,6 +366,17 @@ def merge_command(
                     token=token,
                     **config.to_dict(),
                 )
+            )
+        if output_quant and not kwargs.get("dry_run"):
+            from .tools.quantize_checkpoint import quantize_checkpoint
+
+            bits = int(output_quant.removeprefix("int"))
+            dst = str(config.output_path) + f"-{output_quant}"
+            report = quantize_checkpoint(config.output_path, dst, bits=bits)
+            click.echo(
+                f"quantized artifact: {dst} "
+                f"({report['tensors_quantized']} tensors, "
+                f"{report['compression']}x smaller)"
             )
     except ConfigError as e:
         raise click.BadParameter(str(e))
@@ -636,6 +656,42 @@ def serve_command(
             time.sleep(3600)
     except KeyboardInterrupt:
         server.stop()
+
+
+@cli.command("quantize")
+@click.argument("src", type=click.Path(exists=True, path_type=Path))
+@click.argument("dst", type=click.Path(path_type=Path))
+@click.option(
+    "--bits",
+    type=click.Choice(["4", "8"]),
+    default="4",
+    help="Quantization width (GPTQ-v2 serialization either way)",
+)
+@click.option(
+    "--no-check",
+    is_flag=True,
+    help="Skip the per-tensor round-trip verification pass",
+)
+@click.option("--verbose", is_flag=True, help="Enable verbose logging")
+def quantize_command(src: Path, dst: Path, bits: str, no_check: bool, verbose: bool):
+    """Write a quantized GPTQ-v2 artifact of a checkpoint directory.
+
+    Symmetric per-output-channel quantization (the serving scheme) in the
+    Hub-standard gptq_v2 packed serialization: the artifact loads in this
+    repo's generate/serve/merge paths and in any GPTQ-compatible stack.
+    """
+    import json as _json
+
+    setup_logging(verbose)
+    from .tools.quantize_checkpoint import quantize_checkpoint
+
+    try:
+        report = quantize_checkpoint(
+            src, dst, bits=int(bits), check=not no_check
+        )
+    except (FileNotFoundError, ValueError, AssertionError) as e:
+        raise click.ClickException(str(e))
+    click.echo(_json.dumps(report))
 
 
 @cli.command("verify-safetensors")

@@ -767,3 +767,173 @@ def test_extract_lora_validation_and_cli(tmp_path):
     assert result.exit_code == 0, result.output
     assert "rank-4 adapter: 2 tensor pairs" in result.output
     assert (tmp_path / "ad" / "adapter_model.safetensors").is_file()
+
+
+def test_quantize_checkpoint_gptq_v2_roundtrip(tmp_path, tiny_model_factory):
+    """The GPTQ-v2 artifact decodes (via the repo's OWN GPTQ load math)
+    to exactly the serving quantization of the source weights, up to fp16
+    scale rounding; excluded tensors pass through bit-identical."""
+    import numpy as np
+
+    from shardmerge_tpu.io.safetensors_io import load_file
+    from shardmerge_tpu.models.quant import dequant, dequant_gptq, quantize
+    from shardmerge_tpu.tools.quantize_checkpoint import quantize_checkpoint
+
+    src_path, tensors = tiny_model_factory("qsrc", seed=31)
+    for bits in (4, 8):
+        dst = tmp_path / f"qdst{bits}"
+        report = quantize_checkpoint(src_path, dst, bits=bits)
+        assert report["tensors_quantized"] == 14  # 7 projections x 2 layers
+        assert report["compression"] > (1.5 if bits == 8 else 2.0)
+        assert report["worst_roundtrip_relL2_vs_serving_quant"] < 2e-3
+
+        index = json.loads(
+            (dst / "model.safetensors.index.json").read_text()
+        )
+        arrays = {}
+        for shard in set(index["weight_map"].values()):
+            arrays.update(load_file(str(dst / shard)))
+        name = "model.layers.0.mlp.down_proj.weight"
+        root = name[: -len(".weight")]
+        back = dequant_gptq(
+            arrays[root + ".qweight"],
+            arrays[root + ".qzeros"],
+            arrays[root + ".scales"],
+            arrays[root + ".g_idx"],
+            bits,
+            v1_zero_offset=False,  # gptq_v2: true zeros
+        )
+        ours = np.asarray(
+            dequant(quantize(np.array(tensors[name]), bits), np.float32)
+        )
+        np.testing.assert_allclose(back, ours, rtol=2e-3, atol=2e-4)
+        # excluded tensors are byte-identical
+        np.testing.assert_array_equal(
+            arrays["model.embed_tokens.weight"],
+            tensors["model.embed_tokens.weight"],
+        )
+        np.testing.assert_array_equal(
+            arrays["model.norm.weight"], tensors["model.norm.weight"]
+        )
+        qc = json.loads((dst / "config.json").read_text())[
+            "quantization_config"
+        ]
+        assert qc["quant_method"] == "gptq"
+        assert qc["checkpoint_format"] == "gptq_v2"
+        assert qc["bits"] == bits
+
+
+def test_cli_merge_output_quant_artifact(tmp_path, tiny_model_factory):
+    """merge --output-quant int4 writes a sibling GPTQ-v2 artifact that
+    REGISTERS AS A MERGE INPUT again (the full loop: merge -> quantized
+    artifact -> downstream merge/load)."""
+    import asyncio
+
+    import numpy as np
+
+    from shardmerge_tpu.cli import cli
+    from shardmerge_tpu.io.index import OfflineMultiModelIndex
+    from shardmerge_tpu.models.quant import dequant, quantize
+
+    base_path, _ = tiny_model_factory("base", seed=33)
+    ft_path, _ = tiny_model_factory("ft", seed=34)
+    config = {
+        "output_base_model": str(base_path),
+        "finetune_merge": [{"model": str(ft_path), "base": str(base_path)}],
+        "output_dir": str(tmp_path / "merged"),
+        "cache_dir": str(tmp_path / "cache"),
+        "storage_dir": str(tmp_path / "storage"),
+    }
+    import yaml
+
+    config_path = tmp_path / "config.yaml"
+    config_path.write_text(yaml.safe_dump(config))
+
+    runner = CliRunner()
+    result = runner.invoke(
+        cli, ["merge", str(config_path), "--output-quant", "int4"]
+    )
+    assert result.exit_code == 0, result.output
+    art = tmp_path / "merged-int4"
+    assert (art / "model.safetensors.index.json").exists()
+    assert "quantized artifact" in result.output
+
+    # the artifact registers as a model (virtual .weight keys) and its
+    # decoded tensors equal load-time quantization of the bf16 output
+    async def check():
+        index = OfflineMultiModelIndex()
+        index.add_model(art)
+        name = "model.layers.1.self_attn.q_proj.weight"
+        keys = index.get_model_keys(str(art))
+        assert name in keys  # virtualized from qweight parts
+        got = await index.get_tensor(str(art), name).get()
+
+        bf16_index = OfflineMultiModelIndex()
+        bf16_index.add_model(tmp_path / "merged")
+        bf16_w = await bf16_index.get_tensor(str(tmp_path / "merged"), name).get()
+        want = np.asarray(
+            dequant(quantize(np.array(bf16_w), 4), np.float32)
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), want, rtol=2e-2, atol=2e-3
+        )
+
+    asyncio.run(check())
+
+
+def test_generate_serves_quantized_artifact(tmp_path):
+    """The quantized artifact SERVES: generate on the GPTQ-v2 dir matches
+    greedy generation on the bf16 checkpoint quantized at load (the two
+    sides hold the same int grid; only fp16 scale rounding differs)."""
+    import torch
+    from tokenizers import Tokenizer, models as tok_models, pre_tokenizers
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from shardmerge_tpu.inference import InferenceEngine
+    from shardmerge_tpu.tools.quantize_checkpoint import quantize_checkpoint
+
+    torch.manual_seed(23)
+    config = LlamaConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=512,
+    )
+    model_dir = tmp_path / "m"
+    LlamaForCausalLM(config).eval().save_pretrained(
+        str(model_dir), safe_serialization=True
+    )
+    vocab = {f"tok{i}": i for i in range(120)}
+    vocab.update({"<unk>": 120, "hello": 121, "there": 122})
+    tok = Tokenizer(tok_models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(model_dir / "tokenizer.json"))
+    (model_dir / "tokenizer_config.json").write_text(
+        json.dumps(
+            {
+                "tokenizer_class": "PreTrainedTokenizerFast",
+                "unk_token": "<unk>",
+                "eos_token": "tok0",
+            }
+        )
+    )
+
+    art = tmp_path / "m-int4"
+    quantize_checkpoint(model_dir, art, bits=4)
+    assert (art / "tokenizer.json").exists()  # tokenizer rides along
+
+    def gen(path, **kw):
+        eng = InferenceEngine.from_pretrained(str(path), **kw)
+        return "".join(
+            eng.stream_generation(
+                "hello there tok3",
+                max_new_tokens=6,
+                greedy=True,
+                use_template=False,
+            )
+        )
+
+    assert gen(art) == gen(model_dir, load_in_4bit=True)
