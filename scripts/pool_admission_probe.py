@@ -53,13 +53,22 @@ class _NoEos:
         return self._inner.decode(ids, skip_special_tokens)
 
 
-def run_phase(pool, prompts, budget, churn_prompt=None, queue_depth=2):
+def run_phase(pool, prompts, budget, churn_prompt=None, queue_depth=2,
+              unchunked=False):
     """Drive the pool until the seed prompts finish; optionally keep the
-    admission pipeline saturated with churn requests. Returns metrics of
-    the SEED streams plus per-step timing."""
+    admission pipeline saturated with churn requests.
+
+    Reports the SEED streams' throughput, the pure decode-step wall, and
+    the INTER-TOKEN GAP (admission work + step — the latency an active
+    stream's user actually sees between tokens; the number chunked
+    admission is supposed to bound). ``unchunked=True`` emulates the
+    round-4 behavior: each arrival's whole prefill runs to completion
+    between two decode steps (the pool believes itself idle during
+    _admit_pending, so the bounded-slice return never fires)."""
     handles = [pool.submit(p, max_new_tokens=budget) for p in prompts]
     churn_handles = []
     step_walls = []
+    gaps = []
     t0 = time.monotonic()
     while not all(h.done() for h in handles):
         if churn_prompt is not None:
@@ -70,30 +79,46 @@ def run_phase(pool, prompts, budget, churn_prompt=None, queue_depth=2):
                 churn_handles.append(
                     pool.submit(churn_prompt, max_new_tokens=4)
                 )
-        pool._admit_pending()
+        g0 = time.monotonic()
+        if unchunked:
+            real_active = pool._active
+            pool._active = lambda: False  # round-4 emulation: full drain
+            try:
+                pool._admit_pending()
+            finally:
+                pool._active = real_active
+        else:
+            pool._admit_pending()
         if pool._active():
             s0 = time.monotonic()
             pool._step()
-            step_walls.append(time.monotonic() - s0)
+            now = time.monotonic()
+            step_walls.append(now - s0)
+            gaps.append(now - g0)
     wall = time.monotonic() - t0
     seed_tokens = sum(len(h.token_ids) for h in handles)
-    for h in churn_handles:  # drain so the next phase starts clean
-        pass
     pool.run_until_idle()
-    step_walls.sort()
-    n = len(step_walls)
+
+    def pct(vals):
+        if not vals:
+            return None
+        v = sorted(vals)
+        n = len(v)
+        return {
+            "p50": round(v[n // 2] * 1e3, 2),
+            "p99": round(v[min(n - 1, int(n * 0.99))] * 1e3, 2),
+            "max": round(v[-1] * 1e3, 2),
+        }
+
     return {
         "seed_tokens": seed_tokens,
         "wall_s": round(wall, 3),
         "tokens_per_s": round(seed_tokens / wall, 1),
-        "steps": n,
-        "step_ms_p50": round(step_walls[n // 2] * 1e3, 2) if n else None,
-        "step_ms_p99": (
-            round(step_walls[min(n - 1, int(n * 0.99))] * 1e3, 2)
-            if n
-            else None
-        ),
-        "step_ms_max": round(step_walls[-1] * 1e3, 2) if n else None,
+        "steps": len(step_walls),
+        "decode_step_ms": pct(step_walls),
+        "inter_token_gap_ms": pct(gaps),
+        "decode_wall_s": round(sum(step_walls), 3),
+        "admission_wall_s": round(sum(gaps) - sum(step_walls), 3),
         "churn_requests_finished": sum(h.done() for h in churn_handles),
         "churn_requests_submitted": len(churn_handles),
     }
@@ -155,7 +180,8 @@ def main():
     # exercising the chunked prefill continuously
     n_seed = max(1, args.slots - 2)
     seed_prompts = [f"steady stream {i} " * 3 for i in range(n_seed)]
-    churn = "c " * args.prompt_tokens  # long arriving prompt
+    # BenchTokenizer is one token per CHARACTER — size the string exactly
+    churn = "c" * args.prompt_tokens  # long arriving prompt
 
     # warm every shape (prefill buckets for both prompt lengths, the
     # fused step, implant) so phase walls measure steady state
@@ -180,6 +206,20 @@ def main():
         queue_depth=args.queue_depth,
     )
     churn_stats = dict(pool.stats)
+    churn_latency = pool.metrics().get("admission_chunk_ms")
+    for k in pool.stats:
+        pool.stats[k] = 0
+    pool._admission_ms.clear()
+
+    # round-4 emulation: every arrival's WHOLE prefill between two steps
+    unchunked = run_phase(
+        pool,
+        seed_prompts,
+        args.decode_tokens,
+        churn_prompt=churn,
+        queue_depth=args.queue_depth,
+        unchunked=True,
+    )
 
     report = {
         "device": str(jax.devices()[0]),
@@ -196,11 +236,17 @@ def main():
         "under_continuous_admissions": {
             **churned,
             "pool_stats": churn_stats,
-            "admission_latency": pool.metrics().get("admission_chunk_ms"),
+            "admission_latency": churn_latency,
         },
-        "throughput_held_pct": round(
-            100.0 * churned["tokens_per_s"] / baseline["tokens_per_s"], 1
-        ),
+        "round4_unchunked_emulation": unchunked,
+        # the contract: an active stream's worst inter-token gap under
+        # churn stays ~(one decode step + one prefill slice); unchunked it
+        # grows with the ARRIVING PROMPT LENGTH (whole prefill + implant)
+        "worst_gap_ms": {
+            "baseline": baseline["inter_token_gap_ms"]["max"],
+            "chunked_churn": churned["inter_token_gap_ms"]["max"],
+            "unchunked_churn": unchunked["inter_token_gap_ms"]["max"],
+        },
     }
     if args.cpu:
         report["platform"] = "CPU BACKEND (wall numbers are NOT chip numbers)"
