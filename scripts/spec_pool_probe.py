@@ -105,23 +105,29 @@ def build_pair(target_cfg, draft_cfg, quant_bits):
 
 
 def pool_round_floor(pool, prompts, budget, n_rounds):
-    """Median wall ms of a pool step after warmup, plus token accounting."""
+    """Median wall ms of a pool step after warmup, plus token accounting.
+
+    ALL rows join before timing starts (chunked admission hands out one
+    slice per _admit_pending call while rows decode, so a naive
+    submit-then-step loop would time a mostly-empty pool)."""
     handles = [pool.submit(p, max_new_tokens=budget) for p in prompts]
-    pool._admit_pending()
+    while pool.stats["joins"] < len(handles):
+        before = pool.stats["joins"]
+        pool._admit_pending()
+        if pool.stats["joins"] == before and pool._admitting is None:
+            break  # safety: nothing left to admit
+    assert pool.stats["joins"] == len(handles), pool.stats
     pool._step()  # compile + first-round warmup
     walls = []
-    tokens_before = pool.stats["tokens_out"]
     accepted_before = pool.stats.get("spec_accepted", 0)
+    tokens_before = sum(len(h.token_ids) for h in handles)
     for _ in range(n_rounds):
         if not pool._active():
             break
         t0 = time.perf_counter()
         pool._step()
         walls.append(time.perf_counter() - t0)
-        pool._admit_pending()
-    tokens = pool.stats["tokens_out"] + sum(
-        len(h.token_ids) for h in handles if not h.done()
-    ) - tokens_before
+    tokens = sum(len(h.token_ids) for h in handles) - tokens_before
     accepted = pool.stats.get("spec_accepted", 0) - accepted_before
     pool.run_until_idle()
     walls.sort()
