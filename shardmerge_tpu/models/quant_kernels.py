@@ -17,10 +17,23 @@ nibble) and j + K//2 (high nibble) as (value + 8) in [0, 15]; ``scale`` is
 accumulation (the XLA path accumulates in x.dtype, so bf16 inputs agree
 only to bf16 rounding).
 
-The -8 zero-point is folded out of the per-element path: with unsigned
-nibbles u, ``x @ (u - 8).T == x @ u.T - 8 * sum(x)``, so the VPU does two
-bitwise ops and two uint8->dtype converts per byte and the correction is
-one (B, 1) reduction per tile.
+The unpack itself is the kernel's bottleneck (round-5 variant shootout,
+scripts/int4_kernel_variants.py: pipeline-semantics, row-padding and
+MXU-fusion variants all landed within noise — the VPU nibble work is the
+critical path). The shipped formulation therefore minimizes per-byte VPU
+ops with the byte-plus-low-nibble decomposition: with v the RAW byte
+(= u_lo + 16*u_hi, exact in bf16) and u_lo the low nibble,
+
+    x_lo@w_lo + x_hi@w_hi = (x_hi/16)@v + (x_lo - x_hi/16)@u_lo - 8*sum(x)
+
+so the HIGH nibble is never extracted (no int32 hop, no shift — the two
+ops Mosaic pays most for), the kernel does one int32->dtype convert (v)
+plus one masked int8->dtype convert (u_lo) per byte, and both the x-side
+combinations and the -8 zero-point fold happen OUTSIDE the kernel where
+XLA fuses them. Measured +13-17% on the 8B MLP GEMVs (526->605, 540->630
+GB/s), neutral on qkv; the bf16 rounding of (x_lo - x_hi/16) adds ~5e-3
+relL2 vs the two-extract form — an order below the int4 quantization
+error itself.
 
 Reference surface being accelerated: the bitsandbytes 4-bit load option at
 /root/reference/shard/inference.py:90-115 (reimagined as TPU weight-only
@@ -47,12 +60,17 @@ _ROW_PAD = 8  # MXU sublane granule the flattened token dim pads up to
 
 def _tiles(n: int, kh: int) -> Tuple[Optional[int], Optional[int]]:
     """(out-tile, reduction-tile) dividing (N, K//2), chosen per the v5e
-    tile sweep (scripts/int4_kernel_tilesweep.py, clean re-run pinned in
-    docs/QUANT_MATMUL.json tile_sweep): square-ish 4096-row outputs (qkv,
-    mlp_down) run ~25% faster at TN=2048 (halves the out-grid), wide-N
-    shapes (mlp_up 14336) regress at 2048 and peak at TN=1024, and very
-    tall outputs whose divisibility caps TN at 256 (the 128256-row
-    lm_head) want the deeper TKH=2048 reduction tile (+30%)."""
+    tile sweeps (scripts/int4_kernel_tilesweep.py; round-4 policy pinned
+    in docs/QUANT_MATMUL.json tile_sweep, re-swept in round 5 for the
+    byte-plus-low-nibble kernel): with the cheaper unpack, the DEEP
+    TKH=2048 reduction tile wins at every 2048-divisible shape
+    (qkv 576→621, mlp_up 542→615, lm_head already there) with TN=1024
+    preferred; shapes whose kh does not divide 2048 (mlp_down's 7168)
+    keep the round-4 policy (TN=2048/TKH=1024, 606 GB/s)."""
+    if kh % 2048 == 0:
+        tn = next((t for t in (1024, 2048, 512, 256, 128) if n % t == 0), None)
+        if tn is not None:
+            return tn, 2048
     tn_prefs = (2048, 1024, 512, 256, 128) if n <= 4096 else (1024, 512, 256, 128)
     tn = next((t for t in tn_prefs if n % t == 0), None)
     tkh_prefs = (
@@ -80,7 +98,7 @@ def supported(x_shape, q_shape) -> bool:
     return tn is not None and tkh is not None
 
 
-def _gemv4_kernel(xl_ref, xh_ref, q_ref, scale_ref, out_ref, acc_ref):
+def _gemv4_kernel(xs_ref, xd_ref, q_ref, scale_ref, out_ref, acc_ref):
     k = pl.program_id(1)
 
     @pl.when(k == 0)
@@ -88,30 +106,25 @@ def _gemv4_kernel(xl_ref, xh_ref, q_ref, scale_ref, out_ref, acc_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     qb = q_ref[:]  # (TN, TKH) uint8, one HBM visit per byte
-    # Mosaic has no uint8->float cast; hop through int8 (nibbles fit).
-    # The high-nibble shift must ALSO hop through int32: a sub-word
-    # `uint8 >> 4` crashes the remote Mosaic compile at production shapes
-    # (HTTP 500 from tpu_compile_helper; bisected feature-by-feature in
-    # scripts/int4_kernel_ablate.py — `& 0xF` lowers, `>> 4` does not).
-    lo = (qb & 0xF).astype(jnp.int8).astype(xl_ref.dtype)  # [0, 15]
-    hi = (qb.astype(jnp.int32) >> 4).astype(jnp.int8).astype(xl_ref.dtype)
+    # Byte-plus-low-nibble form (module docstring): the full byte v needs
+    # an int32 hop (Mosaic has no uint8->float cast and bytes don't fit
+    # int8); the low nibble masks into int8 directly. The high nibble is
+    # never extracted — `uint8 >> 4` also CRASHES the remote Mosaic
+    # compile at production shapes (HTTP 500; bisected in
+    # scripts/int4_kernel_ablate.py), so this form sidesteps the shift
+    # entirely instead of hopping around it.
+    v = qb.astype(jnp.int32).astype(xs_ref.dtype)  # [0, 255]
+    lo = (qb & 0xF).astype(jnp.int8).astype(xs_ref.dtype)  # [0, 15]
     dims = (((1,), (1,)), ((), ()))
-    prod = jax.lax.dot_general(
-        xl_ref[:], lo, dims, preferred_element_type=jnp.float32
+    acc_ref[:] += jax.lax.dot_general(
+        xs_ref[:], v, dims, preferred_element_type=jnp.float32
     ) + jax.lax.dot_general(
-        xh_ref[:], hi, dims, preferred_element_type=jnp.float32
+        xd_ref[:], lo, dims, preferred_element_type=jnp.float32
     )
-    # fold the +8 nibble offset: x @ (u - 8).T = x @ u.T - 8 * sum(x)
-    sx = jnp.sum(
-        xl_ref[:].astype(jnp.float32) + xh_ref[:].astype(jnp.float32),
-        axis=1,
-        keepdims=True,
-    )
-    acc_ref[:] += prod - 8.0 * sx
 
     @pl.when(k == pl.num_programs(1) - 1)
     def _():
-        out_ref[:] = (acc_ref[:] * scale_ref[:]).astype(out_ref.dtype)
+        out_ref[:] = acc_ref[:] * scale_ref[:]
 
 
 def _int4_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
@@ -122,6 +135,15 @@ def _int4_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
     pb = -(-b // _ROW_PAD) * _ROW_PAD
     if pb != b:
         x = jnp.pad(x, ((0, pb - b), (0, 0)))
+    # x-side combinations of the byte-plus-low-nibble form, computed
+    # once outside the kernel (XLA fuses them with the caller): xs rides
+    # the raw-byte dot, xd the low-nibble dot. x_hi/16 is exact in bf16
+    # (exponent shift); the xd subtraction rounds once.
+    xl, xh = x[:, :kh], x[:, kh:]
+    xs = xh / 16
+    xd = xl - xs
+    sumx = jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    s_row = scale.reshape(1, n).astype(jnp.float32)
     grid = (n // tn, kh // tkh)
     out = pl.pallas_call(
         _gemv4_kernel,
@@ -135,10 +157,13 @@ def _int4_matmul_2d(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray):
         out_specs=pl.BlockSpec(
             (pb, tn), lambda i, j: (0, i), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((pb, n), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((pb, n), jnp.float32),
         scratch_shapes=[pltpu.VMEM((pb, tn), jnp.float32)],
         interpret=(jax.default_backend() == "cpu"),
-    )(x[:, :kh], x[:, kh:], q, scale.reshape(1, n).astype(jnp.float32))
+    )(xs, xd, q, s_row)
+    # the -8 zero-point fold, outside the kernel:
+    # x @ (u - 8).T == x @ u.T - 8 * sum(x)
+    out = (out - 8.0 * sumx * s_row).astype(x.dtype)
     return out[:b]
 
 
