@@ -129,6 +129,11 @@ class ModelConfig:
     floor_scale: float = 8192.0
     attn_scale: float = 0.1
     qk_norm_l2: bool = False
+    # gemma3: DUAL rope — sliding (local) layers rope at this base
+    # frequency with no scaling, full (global) layers at rope_theta with
+    # rope_scaling (HF Gemma3TextModel.rotary_emb_local); None = single
+    # rope table (every other family)
+    rope_local_base_freq: Optional[float] = None
 
     @property
     def head_dim(self) -> int:
@@ -173,6 +178,10 @@ class ModelConfig:
     @property
     def is_gemma2(self) -> bool:
         return self.model_type == "gemma2"
+
+    @property
+    def is_gemma3(self) -> bool:
+        return self.model_type == "gemma3_text"
 
     @property
     def is_olmo2(self) -> bool:
@@ -222,6 +231,12 @@ class ModelConfig:
             # the decoder geometry lives in text_config
             config = config["text_config"]
             model_type = config.get("model_type", "llama4_text")
+        if model_type == "gemma3" and isinstance(
+            config.get("text_config"), dict
+        ):
+            # multimodal wrapper (Gemma3ForConditionalGeneration)
+            config = config["text_config"]
+            model_type = config.get("model_type", "gemma3_text")
         no_rope = config.get("no_rope_layers")
         layer_types = config.get("layer_types")
         moe_layers = config.get("moe_layers")
@@ -245,6 +260,15 @@ class ModelConfig:
                     "chunked_attention" if uses_rope else "full_attention"
                     for uses_rope in no_rope
                 ]
+        if model_type == "gemma3_text" and layer_types is None:
+            # HF derives the 5-local:1-global pattern when config.json
+            # omits layer_types (configuration_gemma3.Gemma3TextConfig:
+            # sliding unless (i+1) % sliding_window_pattern == 0)
+            p = config.get("sliding_window_pattern", 6)
+            layer_types = [
+                "sliding_attention" if (i + 1) % p else "full_attention"
+                for i in range(config["num_hidden_layers"])
+            ]
         if model_type == "smollm3":
             # HF derives both fields when config.json omits them
             # (configuration_smollm3.py): NoPE every no_rope_layer_interval
@@ -297,7 +321,13 @@ class ModelConfig:
             num_experts_per_tok=config.get("num_experts_per_tok", 2),
             moe_intermediate_size=config.get("moe_intermediate_size"),
             norm_topk_prob=config.get("norm_topk_prob", True),
-            qk_norm=model_type.startswith("qwen3"),
+            # per-head q/k RMSNorm before rope (qwen3 llama-style;
+            # gemma3 zero-centered — the rms_norm gemma flag follows
+            # cfg.is_gemma at the application sites)
+            qk_norm=(
+                model_type.startswith("qwen3")
+                or model_type == "gemma3_text"
+            ),
             qk_norm_full=model_type == "olmo2",
             # explicit head_dim (gemma always; qwen3/new-mistral when present)
             head_dim_override=config.get("head_dim"),
@@ -309,7 +339,7 @@ class ModelConfig:
             final_logit_softcapping=config.get("final_logit_softcapping"),
             sliding_window=config.get("sliding_window")
             if (
-                model_type in ("gemma2", "mistral", "gpt_oss")
+                model_type in ("gemma2", "gemma3_text", "mistral", "gpt_oss")
                 or (
                     model_type == "smollm3"
                     and config.get("use_sliding_window")
@@ -371,6 +401,11 @@ class ModelConfig:
             qk_norm_l2=(
                 model_type == "llama4_text"
                 and bool(config.get("use_qk_norm", True))
+            ),
+            rope_local_base_freq=(
+                config.get("rope_local_base_freq", 10000.0)
+                if model_type == "gemma3_text"
+                else None
             ),
         )
 
@@ -503,15 +538,43 @@ def _rope_inv_freq(cfg: ModelConfig, seq_len: int = 0) -> tuple:
     return inv_freq.astype(np.float32), 1.0
 
 
-def rope_tables(cfg: ModelConfig, max_len: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def rope_tables(cfg: ModelConfig, max_len: int) -> Tuple[jnp.ndarray, ...]:
+    """(cos, sin) rotary tables — or gemma3's DUAL tables
+    (cos_g, sin_g, cos_l, sin_l): global layers rope at rope_theta with
+    rope_scaling, sliding (local) layers at rope_local_base_freq with no
+    scaling (HF Gemma3TextModel.rotary_emb / rotary_emb_local). Callers
+    that pass ``rope`` opaquely into :func:`forward` need no change; the
+    per-layer selection is :func:`layer_rope`."""
     inv_freq, attention_factor = _rope_inv_freq(cfg, seq_len=max_len)
     t = np.arange(max_len, dtype=np.float32)
     freqs = np.outer(t, inv_freq)  # (max_len, head_dim/2)
     emb = np.concatenate([freqs, freqs], axis=-1)
-    return (
+    tables = (
         jnp.asarray(np.cos(emb) * attention_factor),
         jnp.asarray(np.sin(emb) * attention_factor),
     )
+    if cfg.rope_local_base_freq is None:
+        return tables
+    import dataclasses
+
+    local_cfg = dataclasses.replace(
+        cfg,
+        rope_theta=cfg.rope_local_base_freq,
+        rope_scaling=None,
+        rope_local_base_freq=None,
+    )
+    return tables + rope_tables(local_cfg, max_len)
+
+
+def layer_rope(cfg: ModelConfig, rope, layer_idx: int):
+    """Per-layer (cos, sin) from a rope_tables result: gemma3's dual
+    tables select the LOCAL table on sliding layers (static — layer index
+    is a Python int at every call site)."""
+    if len(rope) == 4:
+        if cfg.layer_is_sliding(layer_idx):
+            return rope[2], rope[3]
+        return rope[0], rope[1]
+    return rope
 
 
 def _l2_norm(x: jnp.ndarray, eps: float) -> jnp.ndarray:
@@ -684,8 +747,9 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
                 # omit it; keep init pytrees structurally identical)
                 layer["input_layernorm"] = norm_init((cfg.hidden_size,), dtype)
         if cfg.qk_norm:
-            layer["q_norm"] = jnp.ones((cfg.head_dim,), dtype)
-            layer["k_norm"] = jnp.ones((cfg.head_dim,), dtype)
+            qk_init = jnp.zeros if cfg.is_gemma else jnp.ones  # gemma3: 1+w
+            layer["q_norm"] = qk_init((cfg.head_dim,), dtype)
+            layer["k_norm"] = qk_init((cfg.head_dim,), dtype)
         if cfg.qk_norm_full:  # olmo2
             layer["q_norm"] = jnp.ones((q_dim,), dtype)
             layer["k_norm"] = jnp.ones((kv_dim,), dtype)
@@ -693,7 +757,9 @@ def init_params(cfg: ModelConfig, key, dtype=jnp.bfloat16) -> Params:
             layer["post_feedforward_layernorm"] = norm_init(
                 (cfg.hidden_size,), dtype
             )
-        if cfg.is_gemma2 or cfg.model_type == "glm4":  # sandwich norms
+        if (
+            cfg.is_gemma2 or cfg.is_gemma3 or cfg.model_type == "glm4"
+        ):  # sandwich norms
             layer["pre_feedforward_layernorm"] = norm_init(
                 (cfg.hidden_size,), dtype
             )
@@ -831,9 +897,10 @@ def _attention(
     k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
     if "q_norm" in layer and not cfg.qk_norm_full:
-        # qwen3: per-head RMSNorm before RoPE
-        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+        # qwen3/gemma3: per-head RMSNorm before RoPE (gemma3's weights
+        # are zero-centered — the (1+w) form rides cfg.is_gemma)
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, cfg.is_gemma)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, cfg.is_gemma)
 
     if use_rope:  # smollm3/llama4 NoPE layers skip rotary entirely
         q, k = apply_rope_cfg(cfg, q, k, cos, sin, positions)
@@ -1483,7 +1550,6 @@ def forward(
 
     Returns (logits fp32 (B, T, V), new kv_cache).
     """
-    cos, sin = rope
     x = embed_matrix(params)[input_ids]
     po = cfg.is_gemma  # (1+w) norms
     if cfg.is_gemma:
@@ -1561,6 +1627,7 @@ def forward(
             layer_mask = mask_sliding
         else:
             layer_mask = mask
+        cos, sin = layer_rope(cfg, rope, i)  # gemma3: dual tables
         attn_out, buf_a, buf_b = attn(
             cfg,
             layer,
@@ -1697,9 +1764,10 @@ def block_train(
     k = k.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
     v = v.reshape(B, T, KVH, D).transpose(0, 2, 1, 3)
     if "q_norm" in layer and not cfg.qk_norm_full:
-        # qwen3: per-head RMSNorm before RoPE
-        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps)
-        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps)
+        # qwen3/gemma3: per-head RMSNorm before RoPE (gemma3's weights
+        # are zero-centered — the (1+w) form rides cfg.is_gemma)
+        q = rms_norm(q, layer["q_norm"], cfg.rms_norm_eps, cfg.is_gemma)
+        k = rms_norm(k, layer["k_norm"], cfg.rms_norm_eps, cfg.is_gemma)
     # smollm3/llama4 NoPE layers skip rotary entirely. ``use_rope`` may be a
     # traced scalar bool (the pipeline schedule scans layer-index-dependent
     # flags through one compiled body, parallel/pipeline.py): rope is then
@@ -1826,7 +1894,7 @@ def forward_train(
     if cfg.is_gemma:
         x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
 
-    cos, sin = rope_tables(cfg, T)
+    rope = rope_tables(cfg, T)
     positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
     causal = jnp.tril(jnp.ones((T, T), bool))
     mask_full = jnp.where(causal, 0.0, jnp.float32(-1e9))
@@ -1845,13 +1913,13 @@ def forward_train(
         ch = causal & (jj >= (ii // C) * C)
         mask_chunked = jnp.where(ch, 0.0, jnp.float32(-1e9))
 
-    def blk(layer, x, mask, use_rope):
+    def blk(layer, x, mask, cos, sin, use_rope):
         return block_train(
             cfg, layer, x, cos, sin, positions, mask, use_rope=use_rope
         )
 
     if remat:
-        blk = jax.checkpoint(blk, static_argnums=(3,))
+        blk = jax.checkpoint(blk, static_argnums=(5,))
 
     for li, layer in enumerate(params["layers"]):
         if cfg.layer_is_chunked(li):
@@ -1860,7 +1928,8 @@ def forward_train(
             mask = mask_sliding
         else:
             mask = mask_full
-        x = blk(layer, x, mask, cfg.layer_uses_rope(li))
+        cos, sin = layer_rope(cfg, rope, li)  # gemma3: dual tables
+        x = blk(layer, x, mask, cos, sin, cfg.layer_uses_rope(li))
 
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, po)
     head = params.get("lm_head", params["embed_tokens"])

@@ -222,6 +222,7 @@ def make_ep_loss(
         capacity_tables,
         capacity_tables_from_topk,
         deepseek_topk,
+        layer_rope,
         matmul,
         rms_norm,
         rope_tables,
@@ -260,7 +261,7 @@ def make_ep_loss(
         if cfg.is_gemma:
             x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
         positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
-        cos, sin = rope_tables(cfg, T)
+        rope = rope_tables(cfg, T)
         causal = jnp.tril(jnp.ones((T, T), bool))
         neg = jnp.float32(-1e9)
         mask_full = jnp.where(causal, 0.0, neg)
@@ -324,6 +325,7 @@ def make_ep_loss(
                 if cfg.sliding_window is not None and cfg.layer_is_sliding(i)
                 else mask_full
             )
+            cos, sin = layer_rope(cfg, rope, i)
             return block_train(
                 cfg, layer, x_, cos, sin, positions, mask,
                 use_rope=cfg.layer_uses_rope(i), ffn=ep_ffn,

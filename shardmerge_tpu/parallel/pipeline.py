@@ -573,7 +573,7 @@ def stack_stages(
 
 def _schedule_body(
     blocks, xs, cos, sin, positions, masks, *, cfg, n_stages, tp=False,
-    n_tp=1, rope_flags=None, mask_ids=None, remat=False,
+    n_tp=1, rope_flags=None, mask_ids=None, rope_ids=None, remat=False,
 ):
     """shard_map body: run the GPipe ticks for this device's stage.
 
@@ -609,17 +609,28 @@ def _schedule_body(
     mask_uniform = len(set(mask_ids)) == 1
     rope_table = jnp.asarray(rope_flags)
     mask_table = jnp.asarray(mask_ids, jnp.int32)
+    # gemma3 dual rope: cos/sin arrive STACKED (n_tables, L, D) with a
+    # per-layer table id — same static-or-gathered machinery as masks
+    # (single-rope families stack one table with uniform id 0, and the
+    # static select compiles away)
+    rid_uniform = len(set(rope_ids)) == 1
+    rid_table = jnp.asarray(rope_ids, jnp.int32)
 
     def _mask_rope_for(g):
-        """Static-or-gathered (mask, use_rope) for global layer index g."""
+        """Static-or-gathered (mask, use_rope, cos, sin) for global
+        layer index g."""
         mask = masks[mask_ids[0]] if mask_uniform else masks[mask_table[g]]
         use_rope = rope_flags[0] if rope_uniform else rope_table[g]
-        return mask, use_rope
+        if rid_uniform:
+            c, s = cos[rope_ids[0]], sin[rope_ids[0]]
+        else:
+            c, s = cos[rid_table[g]], sin[rid_table[g]]
+        return mask, use_rope, c, s
 
     def _apply_block(layer, h, g):
-        mask, use_rope = _mask_rope_for(g)
+        mask, use_rope, c, s = _mask_rope_for(g)
         return block_train(
-            cfg, layer, h, cos, sin, positions, mask,
+            cfg, layer, h, c, s, positions, mask,
             reduce=reduce, use_rope=use_rope,
             qk_stat_reduce=qk_stat_reduce,
         )
@@ -766,7 +777,12 @@ def pipeline_forward_train(
     if cfg.is_gemma:
         x = x * jnp.asarray(cfg.hidden_size**0.5, x.dtype)
 
-    cos, sin = rope_tables(cfg, T)
+    rope = rope_tables(cfg, T)
+    if len(rope) == 4:  # gemma3 dual tables: [global, local] stacks
+        cos = jnp.stack([rope[0], rope[2]])
+        sin = jnp.stack([rope[1], rope[3]])
+    else:
+        cos, sin = rope[0][None], rope[1][None]
     positions = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(mb, axis=0)
     causal = jnp.tril(jnp.ones((T, T), bool))
     mask_full = jnp.where(causal, 0.0, jnp.float32(-1e9))
@@ -794,6 +810,10 @@ def pipeline_forward_train(
         2 if cfg.layer_is_chunked(i) else 1 if cfg.layer_is_sliding(i) else 0
         for i in range(n_layers)
     )
+    rope_ids = tuple(
+        int(cos.shape[0] > 1 and cfg.layer_is_sliding(i))
+        for i in range(n_layers)
+    )
 
     # heterogeneous stacks (DeepSeek first_k_dense_replace): the replicated
     # prefix layers run before the pipeline, full-batch, exactly like
@@ -805,12 +825,13 @@ def pipeline_forward_train(
         pos_full = jnp.arange(T, dtype=jnp.int32)[None, :].repeat(B, axis=0)
         for i, layer in enumerate(prefix):
             x = block_train(
-                cfg, layer, x, cos, sin, pos_full,
+                cfg, layer, x, cos[rope_ids[i]], sin[rope_ids[i]], pos_full,
                 masks[mask_ids[i]],
                 use_rope=rope_flags[i],
             )
         rope_flags = rope_flags[n_prefix:]
         mask_ids = mask_ids[n_prefix:]
+        rope_ids = rope_ids[n_prefix:]
 
     xs = x.reshape(n_microbatches, mb, T, -1)
 
@@ -822,7 +843,18 @@ def pipeline_forward_train(
     # parallel/moe.py _FFN_CACHE)
     import jax.tree_util as jtu
 
-    cfg_fp = tuple(sorted(dataclasses.asdict(cfg).items()))
+    def _hashable(v):
+        # cfg fields may hold dicts/lists (rope_scaling, layer tables) —
+        # freeze them recursively so the cache key hashes
+        if isinstance(v, dict):
+            return tuple(sorted((k, _hashable(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(_hashable(x) for x in v)
+        return v
+
+    cfg_fp = tuple(
+        sorted((k, _hashable(v)) for k, v in dataclasses.asdict(cfg).items())
+    )
     # the blocks STRUCTURE is part of the key: the same cfg can stack
     # uniform or periodic (period_slots) trees, whose in_specs differ
     key = (
@@ -850,6 +882,7 @@ def pipeline_forward_train(
             n_tp=(n_tp if tp else 1),
             rope_flags=rope_flags,
             mask_ids=mask_ids,
+            rope_ids=rope_ids,
             remat=remat,
         )
         block_specs = jtu.tree_map_with_path(

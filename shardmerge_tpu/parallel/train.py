@@ -581,7 +581,13 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
     """
     import dataclasses
 
-    from ..models.llama import block_train, matmul, rms_norm, rope_tables
+    from ..models.llama import (
+        block_train,
+        layer_rope,
+        matmul,
+        rms_norm,
+        rope_tables,
+    )
     from .ring import _ring_body
 
     if cfg.is_mla:
@@ -624,7 +630,7 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
         positions = (
             rank * Tl + jnp.arange(Tl, dtype=jnp.int32)
         )[None, :].repeat(B, axis=0)
-        cos, sin = rope_tables(cfg, Tl * n_cp)
+        rope = rope_tables(cfg, Tl * n_cp)
         reduce = (lambda y: jax.lax.psum(y, "tp")) if tp else None
         qk_sr = (
             (n_tp, lambda y: jax.lax.psum(y, "tp"))
@@ -656,6 +662,7 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
                     sinks=layer.get("sinks"),
                 )
 
+            cos, sin = layer_rope(cfg, rope, i)  # gemma3: dual tables
             return block_train(
                 local_cfg, layer, x_, cos, sin, positions, None,
                 reduce=reduce, use_rope=cfg.layer_uses_rope(i),

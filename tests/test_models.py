@@ -3188,3 +3188,58 @@ def test_awq_checkpoint_loads(tmp_path):
         (d / "config.json").write_text(json.dumps(doc))
         with pytest.raises(ValueError, match=match):
             load_params(d, cfg, dtype=jnp.float32)
+
+
+def test_gemma3_matches_transformers(tmp_path):
+    """Gemma-3: DUAL rope (sliding layers at rope_local_base_freq with no
+    scaling, global layers at rope_theta with linear scaling), gemma-style
+    per-head q/k RMSNorm, sandwich norms, 5:1-style sliding pattern (here
+    2:1 via sliding_window_pattern), no softcapping."""
+    import torch
+    from transformers import Gemma3ForCausalLM, Gemma3TextConfig
+
+    torch.manual_seed(8)
+    config = Gemma3TextConfig(
+        vocab_size=128,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=4,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        head_dim=16,
+        max_position_embeddings=256,
+        rope_theta=1_000_000.0,
+        rope_local_base_freq=10_000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        sliding_window=4,  # shorter than the prompt so the window matters
+        sliding_window_pattern=2,
+        query_pre_attn_scalar=16,
+        hidden_activation="gelu_pytorch_tanh",
+    )
+    model = Gemma3ForCausalLM(config).eval().to(torch.float32)
+    path = tmp_path / "gemma3"
+    model.save_pretrained(str(path), safe_serialization=True)
+
+    from shardmerge_tpu.models.loader import load_params
+
+    cfg = ModelConfig.from_pretrained(path)
+    assert cfg.is_gemma3 and cfg.rope_local_base_freq == 10_000.0
+    assert cfg.layer_is_sliding(0) and not cfg.layer_is_sliding(1)
+    assert cfg.qk_norm
+    params = load_params(path, cfg, dtype=jnp.float32)
+    assert "pre_feedforward_layernorm" in params["layers"][0]
+    assert "q_norm" in params["layers"][0]
+    ids = np.array([[2, 9, 31, 60, 99, 12, 47, 88]], np.int32)
+    with torch.no_grad():
+        expected = model(torch.from_numpy(ids).long()).logits.numpy()
+    logits, _ = _run_forward(cfg, params, jnp.asarray(ids))
+    np.testing.assert_allclose(np.asarray(logits), expected, rtol=2e-3, atol=3e-4)
+
+    # the train path agrees with serving (rope selection per layer rides
+    # layer_rope in both)
+    from shardmerge_tpu.models.llama import forward_train
+
+    train_logits = forward_train(params, cfg, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(train_logits), expected, rtol=2e-3, atol=3e-4
+    )

@@ -2500,3 +2500,58 @@ def test_pipeline_llama4_interleaved_maverick(tmp_path):
     # aperiodic remainder — refused
     with pytest.raises(ValueError, match="heterogeneous"):
         stack_stages(mesh_pp, params, 2, n_prefix_layers=1)
+
+
+def test_pipeline_gemma3_dual_rope():
+    """Gemma3 stacks pipeline: the per-layer DUAL rope table (local for
+    sliding layers, scaled-global otherwise) rides the schedule's
+    static-or-gathered select; pp logits == forward_train. Also pinned
+    under cp and ep-free train paths via layer_rope."""
+    import dataclasses
+
+    from shardmerge_tpu.models.llama import (
+        ModelConfig,
+        forward_train,
+        init_params,
+    )
+    from shardmerge_tpu.parallel.pipeline import (
+        pipeline_forward_train,
+        stack_stages,
+    )
+
+    cfg = dataclasses.replace(
+        _pp_cfg(layers=4),
+        model_type="gemma3_text",
+        sliding_window=4,
+        layer_types=(
+            "sliding_attention",
+            "full_attention",
+            "sliding_attention",
+            "full_attention",
+        ),
+        rope_local_base_freq=10_000.0,
+        rope_theta=1_000_000.0,
+        rope_scaling={"rope_type": "linear", "factor": 8.0},
+        query_pre_attn_scalar=8.0,
+        qk_norm=True,
+        hidden_act="gelu_pytorch_tanh",
+        head_dim_override=8,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(91), dtype=jnp.float32)
+    assert "pre_feedforward_layernorm" in params["layers"][0]
+    ids = jax.random.randint(jax.random.PRNGKey(92), (4, 9), 0, 64)
+    want = np.asarray(forward_train(params, cfg, ids))
+
+    mesh = make_mesh(("pp",), devices=jax.devices()[:2])
+    pp_params = stack_stages(mesh, params, 2)
+    got = np.asarray(pipeline_forward_train(mesh, cfg, pp_params, ids, 2))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # cp training with the dual tables: loss+grads == unsharded
+    from shardmerge_tpu.parallel.train import _loss_fn, make_cp_loss
+
+    cp_mesh = make_mesh(("dp", "cp"), devices=jax.devices()[:4], shape=(2, 2))
+    batch = jax.random.randint(jax.random.PRNGKey(93), (4, 9), 0, 64)
+    cp_loss = make_cp_loss(cp_mesh, cfg, params)(params, batch)
+    ref_loss = _loss_fn(params, cfg, batch)
+    np.testing.assert_allclose(float(cp_loss), float(ref_loss), rtol=1e-5)
