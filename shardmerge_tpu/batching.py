@@ -104,6 +104,8 @@ class Completion:
     temperature: float
     top_p: float
     repetition_penalty: float
+    stop: Optional[List[str]] = None  # OpenAI stop sequences
+    _stop_cut: Optional[int] = None  # char index a stop seq began at
     _done: threading.Event = field(default_factory=threading.Event)
     token_ids: List[int] = field(default_factory=list)
     text: Optional[str] = None
@@ -572,6 +574,7 @@ class ContinuousEngine:
         use_template: Optional[bool] = None,
         system_prompt=None,
         previous_messages=None,
+        stop: Optional[List[str]] = None,
     ) -> Completion:
         ids = self._encode(
             prompt, use_template, system_prompt, previous_messages
@@ -589,6 +592,7 @@ class ContinuousEngine:
             temperature=temperature,
             top_p=top_p,
             repetition_penalty=repetition_penalty,
+            stop=list(stop) if stop else None,
         )
         handle._input_ids = ids  # type: ignore[attr-defined]
         handle.submitted_at = time.monotonic()
@@ -869,7 +873,9 @@ class ContinuousEngine:
                 self._finish(b, "stop")
             else:
                 handle.token_ids.append(x1)
-                if len(handle.token_ids) >= handle.max_new_tokens:
+                if handle.stop and self._check_stop(b, handle):
+                    pass
+                elif len(handle.token_ids) >= handle.max_new_tokens:
                     self._finish(b, "length")
         return True
 
@@ -890,6 +896,8 @@ class ContinuousEngine:
         handle.text = self.engine.tokenizer.decode(
             handle.token_ids, skip_special_tokens=True
         )
+        if handle._stop_cut is not None:
+            handle.text = handle.text[: handle._stop_cut]
         self.stats["tokens_out"] += len(handle.token_ids)
         handle.finished_at = time.monotonic()
         # latency accounting (bounded deques; see metrics())
@@ -971,11 +979,29 @@ class ContinuousEngine:
                     self._finish(b, "stop")
                     break
                 handle.token_ids.append(tid)
+                if handle.stop and self._check_stop(b, handle):
+                    break
             if self._rows[b] is not None and (
                 len(handle.token_ids) >= handle.max_new_tokens
                 or self._budget_left[b] <= 0
             ):
                 self._finish(b, "length")
+
+    def _check_stop(self, b: int, handle: Completion) -> bool:
+        """OpenAI stop sequences: finish the row at the earliest
+        occurrence in its decoded text (the stop text is trimmed by
+        _finish). Only called for rows that configured stops."""
+        from .inference import _find_stop
+
+        text = self.engine.tokenizer.decode(
+            handle.token_ids, skip_special_tokens=True
+        )
+        cut = _find_stop(text, handle.stop)
+        if cut is None:
+            return False
+        handle._stop_cut = cut
+        self._finish(b, "stop")
+        return True
 
     def _step_spec(self):
         """One pooled speculative round: every live row advances by its
@@ -1068,6 +1094,9 @@ class ContinuousEngine:
                     finished = True
                     break
                 row.token_ids.append(tok)
+                if row.stop and self._check_stop(b, row):
+                    finished = True
+                    break
                 if len(row.token_ids) >= row.max_new_tokens:
                     self._finish(b, "length")
                     finished = True

@@ -199,6 +199,32 @@ def _greedy_verify(logits, base_mask, fed, repetition_penalty):
     return jnp.argmax(jnp.where(mask, penalized, logits), axis=-1)
 
 
+def _find_stop(text: str, stops) -> Optional[int]:
+    """Char index of the EARLIEST occurrence of any stop string, or None.
+    OpenAI semantics: generation halts at the stop sequence and the stop
+    text itself is never returned."""
+    best = None
+    for s in stops:
+        i = text.find(s)
+        if i != -1 and (best is None or i < best):
+            best = i
+    return best
+
+
+def _stop_holdback(text: str, stops) -> int:
+    """Chars to withhold from streaming: the longest suffix of ``text``
+    that is a proper prefix of some stop string — so a stop sequence
+    split across chunks never leaks to the client."""
+    hold = 0
+    for s in stops:
+        m = min(len(s) - 1, len(text))
+        for k in range(m, 0, -1):
+            if text.endswith(s[:k]):
+                hold = max(hold, k)
+                break
+    return hold
+
+
 class InferenceEngine:
     def __init__(
         self,
@@ -742,6 +768,7 @@ class InferenceEngine:
         seed: int = 0,
         meta: Optional[dict] = None,
         decode_chunk: int = 1,
+        stop: Optional[List[str]] = None,
     ) -> Iterator[str]:
         """Yield generated text chunks token by token.
 
@@ -752,7 +779,10 @@ class InferenceEngine:
         latency, S-token emission granularity, identical tokens); it does
         not apply on the speculative path, which amortizes dispatches its
         own way (one per round of up to k tokens).
-        Pass a dict as ``meta`` to receive
+        ``stop``: OpenAI-style stop sequences — generation halts at the
+        earliest occurrence, the stop text is never emitted (streamed
+        chunks withhold partial stop prefixes until resolved), and
+        finish_reason is "stop". Pass a dict as ``meta`` to receive
         ``{"finish_reason": "stop"|"length"}`` after exhaustion."""
         cfg = self.cfg
         if meta is None:
@@ -765,7 +795,7 @@ class InferenceEngine:
 
         if greedy and self.draft_cfg is not None:
             yield from self._stream_speculative(
-                input_ids, max_new_tokens, repetition_penalty, meta
+                input_ids, max_new_tokens, repetition_penalty, meta, stop
             )
             return
 
@@ -836,15 +866,29 @@ class InferenceEngine:
                 generated.append(token_id)
 
                 # incremental decode: emit the text suffix (handles BPE
-                # joins)
+                # joins). ``emitted_text`` tracks what was YIELDED — with
+                # stop sequences the tail may be withheld (partial stop
+                # prefix) until it resolves either way.
                 text = self.tokenizer.decode(
                     generated, skip_special_tokens=True
                 )
+                if stop:
+                    cut = _find_stop(text, stop)
+                    if cut is not None:
+                        if cut > len(emitted_text):
+                            yield text[len(emitted_text) : cut]
+                            emitted_text = text[:cut]
+                        meta["finish_reason"] = "stop"
+                        meta["stopped_at"] = cut
+                        stopped = True
+                        break
                 if len(text) > len(emitted_text) and not text.endswith("�"):
-                    chunk = text[len(emitted_text) :]
-                    emitted_text = text
-                    if chunk:
-                        yield chunk
+                    safe = len(text) - (
+                        _stop_holdback(text, stop) if stop else 0
+                    )
+                    if safe > len(emitted_text):
+                        yield text[len(emitted_text) : safe]
+                        emitted_text = text[:safe]
 
                 if token_id in eos_ids:
                     meta["finish_reason"] = "stop"
@@ -856,12 +900,16 @@ class InferenceEngine:
         # so completion_tokens matches the batch/pool paths (which never
         # record the stop token)
         meta["completion_tokens"] = len(generated) - (
-            1 if meta["finish_reason"] == "stop" else 0
+            1
+            if meta["finish_reason"] == "stop" and "stopped_at" not in meta
+            else 0
         )
         # final flush: the incremental decoder withholds text ending in
-        # U+FFFD (incomplete multi-byte character); emit whatever decoded
-        # text remains so callers that join the stream get the full output
+        # U+FFFD or a partial stop prefix; emit whatever remains (up to a
+        # stop cut) so callers that join the stream get the full output
         text = self.tokenizer.decode(generated, skip_special_tokens=True)
+        if "stopped_at" in meta:
+            text = text[: meta["stopped_at"]]
         if len(text) > len(emitted_text):
             yield text[len(emitted_text) :]
 
@@ -871,6 +919,7 @@ class InferenceEngine:
         max_new_tokens: int,
         repetition_penalty: float,
         meta: dict,
+        stop: Optional[List[str]] = None,
     ) -> Iterator[str]:
         """Greedy speculative decoding against the loaded draft model.
 
@@ -954,14 +1003,27 @@ class InferenceEngine:
         state = {"text": ""}
 
         def emit(token_id: int):
-            """Append + stream; returns False when generation must stop."""
+            """Append + stream; returns False when generation must stop.
+            ``state["text"]`` tracks YIELDED text (stop-prefix tails are
+            withheld until they resolve)."""
             generated.append(token_id)
             all_tokens.append(token_id)
             chunks = []
             text = self.tokenizer.decode(generated, skip_special_tokens=True)
+            if stop:
+                cut = _find_stop(text, stop)
+                if cut is not None:
+                    if cut > len(state["text"]):
+                        chunks.append(text[len(state["text"]) : cut])
+                        state["text"] = text[:cut]
+                    meta["finish_reason"] = "stop"
+                    meta["stopped_at"] = cut
+                    return chunks, False
             if len(text) > len(state["text"]) and not text.endswith("�"):
-                chunks.append(text[len(state["text"]) :])
-                state["text"] = text
+                safe = len(text) - (_stop_holdback(text, stop) if stop else 0)
+                if safe > len(state["text"]):
+                    chunks.append(text[len(state["text"]) : safe])
+                    state["text"] = text[:safe]
             if token_id in eos_ids:
                 meta["finish_reason"] = "stop"
                 return chunks, False
@@ -1028,9 +1090,13 @@ class InferenceEngine:
         meta["prompt_tokens"] = prompt_len
         # as in stream_generation: the emitted EOS is not a completion token
         meta["completion_tokens"] = len(generated) - (
-            1 if meta["finish_reason"] == "stop" else 0
+            1
+            if meta["finish_reason"] == "stop" and "stopped_at" not in meta
+            else 0
         )
         text = self.tokenizer.decode(generated, skip_special_tokens=True)
+        if "stopped_at" in meta:
+            text = text[: meta["stopped_at"]]
         if len(text) > len(state["text"]):
             yield text[len(state["text"]) :]
 
@@ -1049,6 +1115,7 @@ class InferenceEngine:
         return_meta: bool = False,
         decode_chunk: int = 1,
         meta: Optional[dict] = None,
+        stop: Optional[List[str]] = None,
     ):
         """Generate completions for a whole batch in lockstep (serving path).
 
@@ -1113,6 +1180,7 @@ class InferenceEngine:
         pad_col = jnp.asarray(pad[:, None])  # (B, 1)
         tokens: List[List[int]] = [[] for _ in range(B)]
         finished = [False] * B
+        stop_cuts: dict = {}  # row -> char index where a stop seq began
 
         done = 0
         emitted = 0
@@ -1151,12 +1219,22 @@ class InferenceEngine:
                             finished[b] = True
                         else:
                             tokens[b].append(tid)
+                            if stop:
+                                text = self.tokenizer.decode(
+                                    tokens[b], skip_special_tokens=True
+                                )
+                                cut = _find_stop(text, stop)
+                                if cut is not None:
+                                    stop_cuts[b] = cut
+                                    finished[b] = True
                 if all(finished):
                     break
 
         texts = [
             self.tokenizer.decode(t, skip_special_tokens=True) for t in tokens
         ]
+        for b, cut in stop_cuts.items():
+            texts[b] = texts[b][:cut]
         if meta is not None:
             # per-row token accounting (true encoded lengths, not padded)
             meta["usage"] = [

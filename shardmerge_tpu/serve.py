@@ -322,6 +322,19 @@ class ModelServer:
             )
         except (TypeError, ValueError):
             raise ValueError("sampling parameters must be numeric")
+        stop = payload.get("stop")
+        if stop is not None:
+            stops = stop if isinstance(stop, list) else [stop]
+            if (
+                not stops
+                or len(stops) > 4  # the OpenAI cap
+                or not all(isinstance(s, str) and s for s in stops)
+            ):
+                raise ValueError(
+                    "'stop' must be a non-empty string or a list of up "
+                    "to 4 non-empty strings"
+                )
+            kwargs["stop"] = stops
         if kwargs["max_new_tokens"] < 1 or kwargs["max_new_tokens"] > 4096:
             raise ValueError("max_tokens must be in [1, 4096]")
         if not 1 <= kwargs["decode_chunk"] <= 64:
@@ -409,6 +422,7 @@ class ModelServer:
                         max_new_tokens=kwargs["max_new_tokens"],
                         repetition_penalty=kwargs["repetition_penalty"],
                         use_template=use_tpl,
+                        stop=kwargs.get("stop"),
                     )
                     for p in prompts
                 ]
@@ -541,6 +555,7 @@ class ModelServer:
                 use_template=kwargs.get("use_template", False),
                 system_prompt=system,
                 previous_messages=previous,
+                stop=kwargs.get("stop"),
             )
             text = h.result(timeout=600)
             reason = h.finish_reason

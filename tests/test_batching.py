@@ -680,3 +680,76 @@ def test_chat_requests_ride_the_pool():
             assert usage["completion_tokens"] < 8
     finally:
         server.stop()
+
+
+def test_stop_sequences_pool_and_http():
+    """'stop' rides the continuous pool (decode AND speculative modes)
+    and the HTTP API: truncation at the earliest occurrence, stop text
+    never returned, finish_reason 'stop'; malformed stop lists 400."""
+    import json as _json
+    import urllib.request
+
+    from shardmerge_tpu.serve import ModelServer
+
+    engine = _tiny_engine(seed=59)
+    full = _solo(engine, "pool stop", 24)
+    stop_str = full[5:8]
+    want = full[: full.find(stop_str)]
+
+    pool = ContinuousEngine(
+        engine, slots=2, cache_len=256, greedy=True, use_template=False
+    )
+    h = pool.submit("pool stop", max_new_tokens=24, stop=[stop_str])
+    pool.run_until_idle()
+    assert h.result(0) == want
+    assert h.finish_reason == "stop"
+
+    # speculative pool honors stops too
+    spec, plain = _spec_pool_engines(seed_t=59, seed_d=60)
+    sfull = _solo(plain, "pool stop", 24)
+    sstop = sfull[5:8]
+    spool = ContinuousEngine(
+        spec, slots=2, cache_len=256, greedy=True, use_template=False
+    )
+    hs = spool.submit("pool stop", max_new_tokens=24, stop=[sstop])
+    spool.run_until_idle()
+    assert hs.result(0) == sfull[: sfull.find(sstop)]
+    assert hs.finish_reason == "stop"
+
+    server = ModelServer(
+        engine, model_id="stops", continuous_slots=2,
+        continuous_cache_len=256,
+    )
+    port = server.start(port=0)
+    base = f"http://127.0.0.1:{port}/v1/completions"
+    try:
+        req = urllib.request.Request(
+            base,
+            data=_json.dumps(
+                {
+                    "prompt": "pool stop",
+                    "greedy": True,
+                    "max_tokens": 24,
+                    "stop": stop_str,
+                }
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        res = _json.loads(urllib.request.urlopen(req, timeout=300).read())
+        assert res["choices"][0]["text"] == want
+        assert res["choices"][0]["finish_reason"] == "stop"
+
+        bad = urllib.request.Request(
+            base,
+            data=_json.dumps(
+                {"prompt": "x", "stop": ["a", "b", "c", "d", "e"]}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        try:
+            urllib.request.urlopen(bad, timeout=60)
+            raise AssertionError("5 stop strings must 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        server.stop()

@@ -3243,3 +3243,59 @@ def test_gemma3_matches_transformers(tmp_path):
     np.testing.assert_allclose(
         np.asarray(train_logits), expected, rtol=2e-3, atol=3e-4
     )
+
+
+def test_stop_sequences_stream_and_batch():
+    """OpenAI 'stop' semantics on the engine paths: generation halts at
+    the EARLIEST occurrence, the stop text is never returned (streamed
+    chunks withhold partial stop prefixes), finish_reason is 'stop' —
+    and the batch path truncates per row identically."""
+    cfg = ModelConfig(
+        vocab_size=128,
+        hidden_size=32,
+        intermediate_size=64,
+        num_hidden_layers=2,
+        num_attention_heads=2,
+        num_key_value_heads=2,
+        max_position_embeddings=2048,
+    )
+    from shardmerge_tpu.inference import InferenceEngine
+
+    params = init_params(cfg, jax.random.PRNGKey(57), jnp.float32)
+    engine = InferenceEngine(cfg, params, StubTokenizer())
+
+    full = "".join(
+        engine.stream_generation(
+            "stop test", max_new_tokens=32, greedy=True, use_template=False
+        )
+    )
+    assert len(full) > 10
+    stop_str = full[6:9]
+    want = full[: full.find(stop_str)]
+
+    meta = {}
+    chunks = list(
+        engine.stream_generation(
+            "stop test",
+            max_new_tokens=32,
+            greedy=True,
+            use_template=False,
+            stop=[stop_str],
+            meta=meta,
+        )
+    )
+    assert "".join(chunks) == want
+    assert meta["finish_reason"] == "stop"
+    assert all(stop_str not in c for c in chunks)
+
+    # batch path: the stopped row truncates, the other runs to budget
+    texts, reasons = engine.generate_batch(
+        ["stop test", "x"],
+        max_new_tokens=32,
+        greedy=True,
+        use_template=False,
+        stop=[stop_str],
+        return_meta=True,
+    )
+    assert texts[0] == want
+    assert stop_str not in texts[0]
