@@ -1292,9 +1292,20 @@ def _moe_gptoss(cfg: ModelConfig, layer, x):
     score (HF's batched-bmm inference path, one einsum chain on the MXU).
     """
     e = layer["gptoss_experts"]
+    scores = gptoss_router_scores(cfg, layer, x)
+    out = _gptoss_expert_math(
+        x, e["gate_up"], e["gate_up_bias"], e["down"], e["down_bias"], scores
+    )
+    return out.astype(x.dtype)
+
+
+def gptoss_router_scores(cfg: ModelConfig, layer, x):
+    """gpt-oss dense router scores (B, T, n_exp): biased linear -> top-k
+    of the RAW logits -> softmax over just the top-k values, scattered
+    dense. Deterministic and replicable, so expert-sharded bodies compute
+    it identically on every rank and slice their experts' columns."""
     k = cfg.num_experts_per_tok
     n_exp = cfg.num_local_experts
-
     logits = jnp.einsum(
         "bte,ne->btn",
         x.astype(jnp.float32),
@@ -1303,9 +1314,15 @@ def _moe_gptoss(cfg: ModelConfig, layer, x):
     top_v, top_i = jax.lax.top_k(logits, k)
     top_v = jax.nn.softmax(top_v, axis=-1)
     onehot = jax.nn.one_hot(top_i, n_exp, dtype=jnp.float32)
-    scores = jnp.einsum("btk,btkn->btn", top_v, onehot)  # (B, T, n_exp)
+    return jnp.einsum("btk,btkn->btn", top_v, onehot)
 
-    gate_up_w, down_w = e["gate_up"], e["down"]
+
+def _gptoss_expert_math(x, gate_up_w, gate_up_bias, down_w, down_bias, scores):
+    """The gpt-oss fused-expert SwiGLU, score-weighted and summed over the
+    GIVEN experts — shared by the full dense-and-mask block and the
+    expert-sharded cp body (which passes LOCAL expert slices + the
+    matching score columns; the partial sums psum over 'tp'). Returns
+    fp32 (B, T, hidden)."""
     if isinstance(gate_up_w, dict):  # int8/int4 stacked (models/quant.py)
         from .quant import dequant_stacked
 
@@ -1313,7 +1330,7 @@ def _moe_gptoss(cfg: ModelConfig, layer, x):
         down_w = dequant_stacked(down_w, x.dtype)
 
     # gate_up: (n_exp, hidden, 2*inter) with interleaved gate/up columns
-    gu = jnp.einsum("btd,edi->btei", x, gate_up_w) + e["gate_up_bias"]
+    gu = jnp.einsum("btd,edi->btei", x, gate_up_w) + gate_up_bias
     gate = gu[..., ::2]
     up = gu[..., 1::2]
     limit = jnp.asarray(7.0, gu.dtype)
@@ -1322,9 +1339,8 @@ def _moe_gptoss(cfg: ModelConfig, layer, x):
     g32 = gate.astype(jnp.float32)
     glu = (g32 * jax.nn.sigmoid(g32 * 1.702)).astype(gu.dtype)
     h = (up + 1.0) * glu
-    out = jnp.einsum("btei,eid->bted", h, down_w) + e["down_bias"]
-    out = jnp.sum(out.astype(jnp.float32) * scores[..., None], axis=2)
-    return out.astype(x.dtype)
+    out = jnp.einsum("btei,eid->bted", h, down_w) + down_bias
+    return jnp.sum(out.astype(jnp.float32) * scores[..., None], axis=2)
 
 
 def _moe_llama4(cfg: ModelConfig, layer, x):

@@ -535,14 +535,32 @@ def _cp_layer_specs(params: Params, tp: bool):
         "gate_proj": col, "up_proj": col,
         "o_proj": row, "down_proj": row,
         "q_bias": col1, "k_bias": col1, "v_bias": col1,
+        # gpt-oss: sinks slice with the head split
+        "sinks": col1,
     }
     expert_rules = {"w1": col, "w3": col, "w2": row}
+    # gpt-oss fused stacks shard the EXPERT dim (each device computes its
+    # experts end-to-end; the routed sum's contraction over e becomes the
+    # body's row-parallel psum — same layout as loader_shardings)
+    gptoss_rules = {
+        "gate_up": P("tp", None, None),
+        "gate_up_bias": P("tp", None),
+        "down": P("tp", None, None),
+        "down_bias": P("tp", None),
+    }
 
     def layer_spec(layer):
         out = {}
         for k, v in layer.items():
             if tp and k == "experts":
                 out[k] = [dict(expert_rules) for _ in v]
+            elif tp and k == "gptoss_experts":
+                if any(isinstance(leaf, dict) for leaf in v.values()):
+                    raise NotImplementedError(
+                        "quantized gpt-oss expert stacks do not train "
+                        "under cp x tp (dequantize first)"
+                    )
+                out[k] = {w: gptoss_rules[w] for w in v}
             elif tp and k in rules:
                 out[k] = rules[k]
             else:
@@ -573,16 +591,20 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
     windows and llama4 chunked attention run a BOUNDED hop schedule
     (blocks behind the window are never shipped — see ring._ring_body),
     gemma2 softcapping applies inside each hop's scores, and gpt-oss
-    sinks fold into the final flash renormalization. Two refusals
-    remain: MLA does not ring-decompose (its latent cache is not
-    per-head K/V), and gpt-oss under a 'tp' axis (its fused expert
-    stacks do not Megatron-slice in this manual body — use cp-only or
-    the pipeline path).
+    sinks fold into the final flash renormalization. gpt-oss composes
+    with 'tp' too: the fused expert stacks shard their EXPERT dim (each
+    device computes its experts' weighted outputs from the replicated
+    router, and the routed sum rides the body's row-parallel psum). One
+    refusal remains: MLA does not ring-decompose (its latent cache is
+    not per-head K/V).
     """
     import dataclasses
 
     from ..models.llama import (
+        _ffn,
+        _gptoss_expert_math,
         block_train,
+        gptoss_router_scores,
         layer_rope,
         matmul,
         rms_norm,
@@ -592,11 +614,15 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
 
     if cfg.is_mla:
         raise NotImplementedError("MLA attention does not ring-decompose")
-    if cfg.model_type == "gpt_oss" and "tp" in mesh.axis_names:
-        raise NotImplementedError(
-            "gpt-oss under cp x tp: the fused expert stacks do not "
-            "Megatron-slice in the manual cp body (use a cp-only mesh "
-            "or the pipeline-parallel path)"
+    if (
+        cfg.model_type == "gpt_oss"
+        and "tp" in mesh.axis_names
+        and cfg.num_local_experts % mesh.shape["tp"] != 0
+    ):
+        raise ValueError(
+            f"gpt-oss under cp x tp shards the expert dim: "
+            f"{cfg.num_local_experts} experts must divide "
+            f"tp={mesh.shape['tp']}"
         )
 
     n_cp = mesh.shape["cp"]
@@ -662,11 +688,34 @@ def make_cp_loss(mesh: Mesh, cfg: ModelConfig, params: Params, remat=False):
                     sinks=layer.get("sinks"),
                 )
 
+            def gptoss_tp_ffn(cfg_, lyr, h):
+                # gpt-oss fused experts under 'tp': EXPERT-dim slices —
+                # every rank computes the replicated router, slices its
+                # experts' score columns, runs its weighted expert math,
+                # and _block_tail's row-parallel psum assembles the
+                # routed sum (down_bias is per-expert, so partials add
+                # exactly)
+                if "gptoss_experts" not in lyr:
+                    return _ffn(cfg_, lyr, h)
+                e = lyr["gptoss_experts"]  # rank-local (E/n_tp, ...) slices
+                n_local = e["gate_up"].shape[0]
+                rank = jax.lax.axis_index("tp")
+                scores = gptoss_router_scores(cfg_, lyr, h)
+                local = jax.lax.dynamic_slice_in_dim(
+                    scores, rank * n_local, n_local, axis=2
+                )
+                out = _gptoss_expert_math(
+                    h, e["gate_up"], e["gate_up_bias"], e["down"],
+                    e["down_bias"], local,
+                )
+                return out.astype(h.dtype)
+
+            ffn = gptoss_tp_ffn if (tp and cfg.model_type == "gpt_oss") else None
             cos, sin = layer_rope(cfg, rope, i)  # gemma3: dual tables
             return block_train(
                 local_cfg, layer, x_, cos, sin, positions, None,
                 reduce=reduce, use_rope=cfg.layer_uses_rope(i),
-                qk_stat_reduce=qk_sr, attend=attend,
+                qk_stat_reduce=qk_sr, attend=attend, ffn=ffn,
             )
 
         fn = jax.checkpoint(one, static_argnums=(2,)) if remat else one

@@ -2061,9 +2061,10 @@ def test_cp_window_skips_out_of_window_hops():
 
 
 def test_cp_loss_rejects_incompatible_attention():
-    """The two remaining structural refusals: MLA (no per-head K/V to
-    ring) and gpt-oss under a 'tp' axis (fused expert stacks do not
-    Megatron-slice in the manual cp body)."""
+    """The one remaining structural refusal: MLA (no per-head K/V to
+    ring). gpt-oss under 'tp' now composes (expert-dim sharding —
+    test_cp_gptoss_trains_under_tp); only indivisible expert counts
+    refuse there."""
     import dataclasses
 
     from shardmerge_tpu.models.llama import init_params
@@ -2084,18 +2085,6 @@ def test_cp_loss_rejects_incompatible_attention():
     mesh = make_mesh(("dp", "cp"), devices=jax.devices()[:4], shape=(2, 2))
     with pytest.raises(NotImplementedError, match="MLA"):
         make_cp_loss(mesh, mla, params)
-
-    gptoss = dataclasses.replace(
-        cfg,
-        model_type="gpt_oss",
-        num_local_experts=4,
-        num_experts_per_tok=2,
-    )
-    tp_mesh = make_mesh(
-        ("dp", "cp", "tp"), devices=jax.devices()[:8], shape=(2, 2, 2)
-    )
-    with pytest.raises(NotImplementedError, match="gpt-oss"):
-        make_cp_loss(tp_mesh, gptoss, params)
 
 
 def test_repack4_tp_blocked_matches_contiguous_slices():
@@ -2555,3 +2544,62 @@ def test_pipeline_gemma3_dual_rope():
     cp_loss = make_cp_loss(cp_mesh, cfg, params)(params, batch)
     ref_loss = _loss_fn(params, cfg, batch)
     np.testing.assert_allclose(float(cp_loss), float(ref_loss), rtol=1e-5)
+
+
+def test_cp_gptoss_trains_under_tp():
+    """gpt-oss composes with cp x tp: fused expert stacks shard their
+    EXPERT dim (replicated router, per-rank weighted expert math, routed
+    sum on the body's row-parallel psum), sinks slice with the head
+    split — loss AND grads equal the unsharded step."""
+    import dataclasses
+
+    from shardmerge_tpu.models.llama import init_params
+    from shardmerge_tpu.parallel.train import _loss_fn, make_cp_loss
+
+    cfg = dataclasses.replace(
+        _pp_cfg(layers=2),
+        model_type="gpt_oss",
+        sliding_window=6,
+        layer_types=("sliding_attention", "full_attention"),
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        norm_topk_prob=True,
+    )
+    params = init_params(cfg, jax.random.PRNGKey(95), dtype=jnp.float32)
+    for li, layer in enumerate(params["layers"]):
+        layer["sinks"] = (
+            jax.random.normal(
+                jax.random.PRNGKey(96 + li),
+                (cfg.num_attention_heads,),
+                jnp.float32,
+            )
+            * 0.5
+        )
+    mesh = make_mesh(
+        ("dp", "cp", "tp"), devices=jax.devices()[:8], shape=(2, 2, 2)
+    )
+    batch = jax.random.randint(jax.random.PRNGKey(97), (4, 17), 0, 64)
+
+    loss_fn = make_cp_loss(mesh, cfg, params)
+    cp_loss, cp_grads = jax.value_and_grad(loss_fn)(params, batch)
+    ref_loss, ref_grads = jax.value_and_grad(_loss_fn)(params, cfg, batch)
+    np.testing.assert_allclose(float(cp_loss), float(ref_loss), rtol=1e-5)
+    for key in ("gate_up", "down", "gate_up_bias", "down_bias"):
+        np.testing.assert_allclose(
+            np.asarray(cp_grads["layers"][0]["gptoss_experts"][key]),
+            np.asarray(ref_grads["layers"][0]["gptoss_experts"][key]),
+            rtol=5e-4,
+            atol=5e-5,
+        )
+    np.testing.assert_allclose(
+        np.asarray(cp_grads["layers"][1]["sinks"]),
+        np.asarray(ref_grads["layers"][1]["sinks"]),
+        rtol=5e-4,
+        atol=5e-5,
+    )
+    # indivisible expert counts refuse loudly
+    import pytest as _pytest
+
+    bad = dataclasses.replace(cfg, num_local_experts=3)
+    with _pytest.raises(ValueError, match="experts must divide"):
+        make_cp_loss(mesh, bad, params)
